@@ -1,0 +1,405 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ops, Similarity, TextOps}
+
+/** The declared query inventory (SURVEY.md §2.3): each entry re-expresses a
+  * surveyed operator of the reference pipeline on the harness tables, paired
+  * (where SQL-expressible) with an ANSI/DuckDB oracle in [[Queries.oracleSql]].
+  *
+  * Determinism contract (hash-match against the oracle):
+  *  - every output totally ordered by its key columns;
+  *  - no nondeterministic `dropDuplicates` winners — `row_number` first-wins;
+  *  - aggregated doubles rounded; passthrough doubles left untouched
+  *    (bit-identical from the shared parquet);
+  *  - integer-width parity with DuckDB (row_number/length/size cast to long);
+  *  - hashes restricted to portable md5 / explicit Knuth arithmetic.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val STOPWORDS = Seq("the", "and", "of", "to", "a", "is")
+  private val STOP_SQL = STOPWORDS.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Shared CTE prefix for normalized-text oracles. */
+  private val NORM_CTE =
+    """WITH norm AS (SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)"""
+
+  /** Shared CTE chain for shingle/minhash oracles: 3-word shingles of the
+    * normalized text, then 4 salted-md5 min-hashes per doc. */
+  private val SIG_CTE = NORM_CTE +
+    """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)""" +
+    """, sh AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""" +
+    """, sig AS (SELECT doc_id, min(md5(shingle || '#1')) AS mh1, min(md5(shingle || '#2')) AS mh2, min(md5(shingle || '#3')) AS mh3, min(md5(shingle || '#4')) AS mh4 FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id)"""
+
+  // ---------------------------------------------------------------- scans
+
+  /** S22/S12 — fixed-column projection (pushed to the parquet scan). */
+  def qScanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** S2/S9 — predicate filters (pushed down to the scan). */
+  def qFilterNonnull(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("props").isNotNull && col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  // ---------------------------------------------------------------- dedup
+
+  /** S9 — set-dedup of ids. */
+  def qDistinctIds(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("user_id").distinct().orderBy("user_id")
+
+  /** S19 — sorted distinct. */
+  def qSortedDistinct(s: SparkSession, d: String): DataFrame =
+    Ops.sortedDistinct(Tables.lineitem(s, d), "l_partkey")
+
+  /** S14/S20 — first-occurrence dedup with a deterministic total order. */
+  def qDedupFirstWins(s: SparkSession, d: String): DataFrame =
+    Ops.dedupFirstWins(Tables.events(s, d), Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"))
+
+  /** S16/S21 — pair-dedup. */
+  def qDedupPairs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+
+  // ------------------------------------------------- sampling / chunking
+
+  /** S10 — deterministic seeded sample-N via Knuth-hash order
+    * (TakeOrderedAndProject: per-partition heap, no global sort). */
+  def qSeededSample(s: SparkSession, d: String): DataFrame =
+    Ops.seededTopN(Tables.customer(s, d), "c_custkey", 20)
+
+  /** S3 — fixed-size chunking / 1-based batch assignment. */
+  def qBatchAssign(s: SparkSession, d: String): DataFrame =
+    Ops.batchAssign(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("c_custkey"), 500)
+      .orderBy("c_custkey")
+
+  // ------------------------------------------------------------- strings
+
+  /** S6/S7 — whitespace normalization + lowercase. */
+  def qNormalizeText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Ops.normalizeText(col("text")).as("norm_text"))
+      .orderBy("doc_id")
+
+  /** S12 — nested/JSON field extraction with typed cast. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+
+  // --------------------------------------------------------------- joins
+
+  /** S16/S21 — bridge-table construction through a join. */
+  def qBridgeTable(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name").distinct()
+      .orderBy("o_orderkey")
+
+  /** S18 — FK-driven scan as a left-semi join. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).where(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // -------------------------------------------------------- partitioning
+
+  /** S23/S24 — run-date partition layout as a group key. */
+  def qPartitionedCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_date")
+
+  /** S24 — load verification: row count per entity. */
+  def qEntityCounts(s: SparkSession, d: String): DataFrame =
+    Tables.entityNames.map { name =>
+      Tables.table(s, d, name).agg(count(lit(1)).as("n"))
+        .select(lit(name).as("entity"), col("n"))
+    }.reduce(_ unionAll _).orderBy("entity")
+
+  // ----------------------------------------------------------- analytics
+
+  /** TPC-H Q1-shaped pricing summary (the BigQuery-delegated tier). */
+  def qAggPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue per nation: 3-way join star query. `nation` (25 rows) is
+    * explicitly broadcast; orders⋈customer⋈lineitem shuffle on their keys
+    * and AQE handles skew at scale. */
+  def qJoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+
+  /** Top-3 orders per customer (window top-k). */
+  def qWindowTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running sum per user (window frame). The cumulative additions happen in
+    * the identical order in any engine given the same total order, so the
+    * double is bit-stable; rounded anyway for defense. */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), round(sum(col("value")).over(w), 2).as("running"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** S9 set semantics — EXCEPT: customers with orders minus customers with a
+    * returned lineitem. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val withOrders = Tables.orders(s, d).select("o_custkey")
+    val withReturns = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).where(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey")
+    withOrders.except(withReturns).orderBy("o_custkey")
+  }
+
+  /** North-star scale: HLL sketch vs exact distinct (no oracle — approx). */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"))
+
+  // ------------------------------------------------- text / LLM-data tier
+
+  /** Token frequency: top-10 tokens per language. */
+  def qTextTokens(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(Ops.normalizeText(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+    val counted = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token"))
+    counted.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 10)
+      .orderBy("lang", "rn")
+  }
+
+  /** Portable MinHash signatures (4 salted-md5 hashes over 3-word shingles). */
+  def qMinhashSignature(s: SparkSession, d: String): DataFrame =
+    TextOps.minhashSignatureMd5(Tables.documents(s, d), "doc_id", "text", 3, 4)
+      .orderBy("doc_id")
+
+  /** MinHash-LSH candidate near-dup pairs: docs agreeing on ≥1 of 4 bands. */
+  def qMinhashDedup(s: SparkSession, d: String): DataFrame = {
+    val sig = TextOps.minhashSignatureMd5(Tables.documents(s, d), "doc_id", "text", 3, 4)
+    TextOps.lshCandidatePairs(sig, "doc_id", 4).orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram (token-set) Jaccard similarity on a deterministic 2%
+    * sample, blocked by language. The unsampled scale path uses MinHash-LSH
+    * prefiltering ([[qMinhashDedup]]) before exact Jaccard. */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).where(col("doc_id") % 50 === 0)
+    val tok = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(Ops.normalizeText(col("text")), " ")).as("token"))
+      .where(col("token") =!= "").distinct()
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("nb")), "id_b")
+      .where(col("c") / (col("na") + col("nb") - col("c")) >= 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Whole-document fingerprint (portable md5 of normalized text). */
+  def qDocFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Per-document quality metrics. */
+  def qQualityScore(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text", STOPWORDS)
+      .orderBy("doc_id")
+
+  /** Brute-force cosine top-k vs the vec_id=0 probe (no oracle: float-sum
+    * ordering differs across engines; self-checked in ScalaTest). */
+  def qCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Similarity.cosineTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** SimHash-64 near-dup buckets: docs whose simhashes are ≤8 bits apart,
+    * LSH-blocked on the top-16 bits (no oracle: xxhash64 is Spark-private). */
+  def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
+    val sh = TextOps.simhash64(Tables.documents(s, d), "doc_id", "text")
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+      shiftright(col("simhash"), 48).as("blk"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+      shiftright(col("simhash"), 48).as("blk"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("hamming", TextOps.hammingDist(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= 8)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val all: Map[String, Q] = Map(
+    "q_scan_project" -> (qScanProject _),
+    "q_filter_nonnull" -> (qFilterNonnull _),
+    "q_distinct_ids" -> (qDistinctIds _),
+    "q_sorted_distinct" -> (qSortedDistinct _),
+    "q_dedup_first_wins" -> (qDedupFirstWins _),
+    "q_dedup_pairs" -> (qDedupPairs _),
+    "q_seeded_sample" -> (qSeededSample _),
+    "q_batch_assign" -> (qBatchAssign _),
+    "q_normalize_text" -> (qNormalizeText _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_bridge_table" -> (qBridgeTable _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_partitioned_counts" -> (qPartitionedCounts _),
+    "q_entity_counts" -> (qEntityCounts _),
+    "q_agg_pricing" -> (qAggPricing _),
+    "q_join_agg" -> (qJoinAgg _),
+    "q_window_topk" -> (qWindowTopk _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_set_ops" -> (qSetOps _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_minhash_signature" -> (qMinhashSignature _),
+    "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_cosine_topk" -> (qCosineTopk _),
+    "q_simhash_dedup" -> (qSimhashDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_filter_nonnull" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE props IS NOT NULL AND event_type <> 'error' ORDER BY event_id",
+    "q_distinct_ids" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q_sorted_distinct" ->
+      "SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL ORDER BY l_partkey",
+    "q_dedup_first_wins" ->
+      "SELECT user_id, event_id, event_type FROM (SELECT user_id, event_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id",
+    "q_dedup_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "q_seeded_sample" ->
+      "SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS h FROM customer ORDER BY h, c_custkey LIMIT 20",
+    "q_batch_assign" ->
+      "SELECT c_custkey, c_name, CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 500) AS BIGINT) + 1 AS batch_id FROM customer ORDER BY c_custkey",
+    "q_normalize_text" ->
+      """SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text FROM documents ORDER BY doc_id""",
+    "q_json_extract" ->
+      "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST",
+    "q_bridge_table" ->
+      "SELECT DISTINCT o_orderkey, c_custkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "q_semi_join" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') ORDER BY l_orderkey, l_linenumber",
+    "q_partitioned_counts" ->
+      "SELECT CAST(ts AS DATE) AS event_date, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "q_entity_counts" ->
+      Tables.entityNames.map(n => s"SELECT '$n' AS entity, count(*) AS n FROM $n")
+        .mkString("SELECT entity, n FROM (", " UNION ALL ", ") t ORDER BY entity"),
+    "q_agg_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(avg(l_quantity), 2) AS avg_qty, " +
+        "round(avg(l_extendedprice), 2) AS avg_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS n " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_join_agg" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
+    "q_window_topk" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_window_running" ->
+      ("SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running FROM events ORDER BY user_id, event_id"),
+    "q_set_ops" ->
+      ("SELECT o_custkey FROM (SELECT o_custkey FROM orders EXCEPT SELECT o_custkey FROM orders " +
+        "JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R') t ORDER BY o_custkey"),
+    "q_text_tokens" ->
+      (NORM_CTE +
+        ", tok AS (SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm)" +
+        ", counted AS (SELECT lang, token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY lang, token)" +
+        ", ranked AS (SELECT lang, token, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn FROM counted) " +
+        "SELECT lang, token, cnt, rn FROM ranked WHERE rn <= 10 ORDER BY lang, rn"),
+    "q_minhash_signature" ->
+      (SIG_CTE + " SELECT doc_id, mh1, mh2, mh3, mh4 FROM sig ORDER BY doc_id"),
+    "q_minhash_dedup" ->
+      (SIG_CTE + ", pairs AS (" +
+        (1 to 4).map(i =>
+          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id")
+          .mkString(" UNION ") +
+        ") SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"),
+    "q_ngram_jaccard" ->
+      (NORM_CTE.replace("FROM documents", "FROM documents WHERE doc_id % 50 = 0") +
+        ", tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(t, ' ')) AS token FROM norm)" +
+        ", tok2 AS (SELECT * FROM tok WHERE token <> '')" +
+        ", sz AS (SELECT doc_id, count(*) AS sz FROM tok2 GROUP BY doc_id)" +
+        ", inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM tok2 a JOIN tok2 b " +
+        "ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) AS jaccard FROM inter " +
+        "JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id " +
+        "WHERE c / (sa.sz + sb.sz - c) >= 0.5 ORDER BY id_a, id_b"),
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id""",
+    "q_quality_score" ->
+      (NORM_CTE + " SELECT doc_id, len(string_split(t, ' ')) AS n_tokens, length(t) AS n_chars_norm, " +
+        "round(CAST(length(t) AS DOUBLE) / len(string_split(t, ' ')), 4) AS chars_per_token, " +
+        s"round(CAST(len(list_filter(string_split(t, ' '), x -> x IN $STOP_SQL)) AS DOUBLE) / len(string_split(t, ' ')), 4) AS stopword_ratio, " +
+        "round(CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(t), 4) AS punct_ratio " +
+        "FROM norm ORDER BY doc_id"),
+  )
+}

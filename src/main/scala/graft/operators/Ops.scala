@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator kernel: small pure `DataFrame => DataFrame`
+  * (or `Column => Column`) functions, one per dataflow operator surveyed
+  * from the reference (SURVEY.md §2.1; reference = dieulinhng/
+  * Spotify-Data-Pipeline, studied at /root/reference).
+  *
+  * Every op is shuffle-honest: no `collect`, no driver-side loops over
+  * data. Where a windowed formulation would serialize through a single
+  * partition (global row numbering), a scalable two-phase variant is
+  * provided alongside.
+  */
+object Ops {
+
+  /** Whitespace normalization: trim + collapse internal runs.
+    * Mirrors the reference's `' '.join(n.strip().split())`
+    * (scripts/search_artist_id_and_name.py:21). Codegen'd — stays inside
+    * whole-stage codegen, no UDF. */
+  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** Normalize + lowercase — the canonical text key used by dedup ops. */
+  def normalizeText(c: Column): Column = lower(normalizeWs(c))
+
+  /** Quote escaping for query-string construction
+    * (search_artist_id_and_name.py:38-39). */
+  def escapeQuotes(c: Column): Column = regexp_replace(c, "\"", "\\\\\"")
+
+  /** First-occurrence dedup keeping the full row, with a *total* order so
+    * the winner is deterministic (reference keeps first-seen via a Python
+    * set, spotify_etl_v2.py:143,161-170). Never use bare `dropDuplicates`
+    * for declared outputs — its winner is partition-order dependent. */
+  def dedupFirstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Pair-dedup → bridge table (spotify_etl_v2.py:172-183, 252-263):
+    * explode an array-of-struct column and keep distinct key pairs. */
+  def bridge(df: DataFrame, arrayCol: String, parentCols: Seq[String],
+             childFields: Seq[String]): DataFrame = {
+    val exploded = df.select(
+      (parentCols.map(col) :+ explode(col(arrayCol)).as("__child")): _*)
+    val projected = exploded.select(
+      (parentCols.map(col) ++ childFields.map(f => col(s"__child.$f").as(f))): _*)
+    projected.distinct()
+  }
+
+  /** Fixed-size chunking / batch assignment (create_artist_batches.py:5-23):
+    * 1-based `batch_id = floor((rn-1)/n)+1` where rn is the row number in
+    * `orderCol` order.
+    *
+    * NOTE: the single `row_number` window over an unpartitioned ordering
+    * serializes through one task — fine at verification scale, wrong at
+    * 100 TB. Use [[batchAssignScalable]] on big data. */
+  def batchAssign(df: DataFrame, orderCol: Column, n: Int,
+                  batchCol: String = "batch_id"): DataFrame = {
+    val w = Window.orderBy(orderCol)
+    df.withColumn(batchCol, floor((row_number().over(w) - 1) / n) + 1)
+  }
+
+  /** Scalable global row-number / chunk assignment: range-repartition by the
+    * order column, count rows per partition (tiny driver-side array, one row
+    * per partition — O(numPartitions), not O(data)), broadcast the prefix
+    * offsets, then assign contiguous numbers per partition. Equivalent output
+    * to [[batchAssign]] when `orderCol` values are unique. */
+  def batchAssignScalable(df: DataFrame, orderCol: String, n: Int,
+                          batchCol: String = "batch_id"): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
+    val counts: Array[(Int, Long)] = ranged
+      .select(spark_partition_id().as("pid"))
+      .groupBy("pid").count()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = {
+      val sorted = counts.sortBy(_._1)
+      val cum = sorted.scanLeft(0L)(_ + _._2)
+      sorted.map(_._1).zip(cum).toMap
+    }
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        batchCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val base = offsetsB.value.getOrElse(pid, 0L)
+      it.zipWithIndex.map { case (row, i) =>
+        val rn = base + i // 0-based global row number
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (rn / n + 1))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic seeded sample-N (spotify_etl_v2.py:91-97 uses
+    * `random.Random(date).sample(ids, 20)`). Re-expressed as hash-order
+    * top-N via a Knuth multiplicative hash that an ANSI-SQL oracle can
+    * reproduce with plain integer arithmetic: `(key * 2654435761) mod 2^32`.
+    * Plans as TakeOrderedAndProject — no global sort materialized, scales. */
+  def seededHash(key: Column, seed: Long): Column =
+    pmod((key + lit(seed)) * lit(2654435761L), lit(4294967296L))
+
+  def seededTopN(df: DataFrame, keyCol: String, n: Int, seed: Long = 0L): DataFrame =
+    df.select(col(keyCol), seededHash(col(keyCol), seed).as("h"))
+      .orderBy(col("h"), col(keyCol))
+      .limit(n)
+
+  /** Sorted distinct of a key column (spotify_etl_v2.py:217-221). */
+  def sortedDistinct(df: DataFrame, keyCol: String): DataFrame =
+    df.select(keyCol).where(col(keyCol).isNotNull).distinct().orderBy(keyCol)
+
+  /** Set-dedup of non-null, non-empty string ids across inputs
+    * (spotify_etl_v2.py:74-89). */
+  def distinctIds(df: DataFrame, keyCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull && col(keyCol) =!= "").select(keyCol).distinct()
+}

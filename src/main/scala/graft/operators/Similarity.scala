@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (TakeOrderedAndProject — one pass,
+  * no global sort). Scale path: signed-random-projection LSH bucketing so
+  * a 100 TB corpus only scans the probe's bucket (and its Hamming-1
+  * neighbors for recall).
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions —
+  * evaluated inside codegen'd expressions, no UDF serialization.
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of an array<numeric> column. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two array<numeric> columns (0 when either norm
+    * is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2norm(a) * l2norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Brute-force cosine top-k neighbors of a fixed probe vector.
+    * The probe is a plan literal — broadcast implicitly with the task
+    * binary, so the scan is a single narrow pass; `orderBy().limit(k)`
+    * plans as TakeOrderedAndProject (per-partition heaps + driver merge,
+    * no shuffle of the full corpus). */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 probe: Array[Float], k: Int): DataFrame = {
+    val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
+    emb.select(col(idCol), cosine(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for signed-random-projection
+    * LSH: `nBits × dim` entries in {-1, +1} derived from a seeded
+    * multiplicative hash (no RNG state — reproducible across runs/engines).
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
+      val h = (seed + b.toLong * 1315423911L + d.toLong * 2654435761L) * 0x9E3779B97F4A7C15L
+      if (((h >>> 32) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** LSH bucket id of a vector column: one bit per hyperplane =
+    * sign(dot(v, h_b)); packed into a long. Codegen'd expression tree. */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, b) =>
+      val pc = array(p.map(lit): _*)
+      when(dot(vecCol, pc) > 0.0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: restrict the scan to vectors whose LSH bucket is
+    * within `hamming` bits of the probe's bucket, then exact-rerank by
+    * cosine. At scale the bucket column is a partition/cluster key, so
+    * candidate selection is a metadata-pruned scan, not a full pass. */
+  def cosineTopKLsh(emb: DataFrame, idCol: String, vecCol: String,
+                    probe: Array[Float], k: Int, nBits: Int = 16,
+                    seed: Long = 42L, hamming: Int = 2): DataFrame = {
+    val dim = probe.length
+    val planes = hyperplanes(nBits, dim, seed)
+    val probeBucket: Long = {
+      var acc = 0L
+      var b = 0
+      while (b < nBits) {
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += planes(b)(d) * probe(d); d += 1 }
+        if (s > 0.0) acc |= (1L << b)
+        b += 1
+      }
+      acc
+    }
+    val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
+    emb.withColumn("bucket", lshBucket(col(vecCol), planes))
+      .where(bit_count(col("bucket").bitwiseXOR(lit(probeBucket))) <= hamming)
+      .select(col(idCol), cosine(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate vectors above a cosine threshold, LSH-blocked:
+    * pairs are only compared within an LSH bucket (equi-join on the bucket
+    * = co-partitioned shuffle, never a cross join). Recall is tuned by
+    * nBits (fewer bits → bigger buckets → higher recall, more compares). */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nBits: Int = 8,
+                            seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val withBucket = emb.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-training-data tier: tokenization,
+  * shingling, portable MinHash signatures, fingerprinting, quality
+  * scoring, language-ID heuristics. All pure `functions._` compositions —
+  * codegen'd, no UDFs, shuffle-honest.
+  *
+  * Portability note: dedup signatures that must be checkable by an ANSI
+  * SQL oracle use `md5` over UTF-8 (identical lowercase-hex output in
+  * Spark and DuckDB) rather than Spark-private `xxhash64`. The
+  * xxhash64-based variants are the production/scale path (8-byte longs vs
+  * 32-byte hex strings ⇒ 4× smaller shuffle).
+  */
+object TextOps {
+
+  /** Explode a text column into (pos, token) with 0-based positions.
+    * Output columns: `keep` ++ (pos, token); empty tokens dropped. */
+  def tokenize(df: DataFrame, textCol: Column, keep: Seq[Column]): DataFrame =
+    df.select((keep :+ posexplode(split(textCol, " "))): _*)
+      .withColumnRenamed("col", "token")
+      .where(col("token") =!= "")
+
+  /** n-word shingles over a tokenized frame: contiguous token windows joined
+    * by single spaces. Null (and filtered) for the trailing <n-1 positions.
+    * Uses window `lead` so the oracle (DuckDB `lead` over the same order)
+    * computes byte-identical shingles. */
+  def shingles(tokens: DataFrame, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = (0 until n).map {
+      case 0 => col("token")
+      case i => lead(col("token"), i).over(w)
+    }
+    // concat (NOT concat_ws): null lead ⇒ null shingle, matching SQL `||`.
+    val sh = parts.reduce((a, b) => concat(a, lit(" "), b))
+    tokens.withColumn("shingle", sh).where(col("shingle").isNotNull)
+  }
+
+  /** Portable MinHash signature: for each of `numHashes` salted hash
+    * families, the minimum md5 hex over the document's shingles.
+    * Groups by `idCol`; output = idCol, mh1..mhK. Oracle-reproducible:
+    * `min(md5(shingle || '#i'))` in any engine with md5. */
+  def minhashSignatureMd5(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, numHashes: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(split(Ops.normalizeText(col(textCol)), " ")))
+      .withColumnRenamed("col", "token")
+      .where(col("token") =!= "")
+    val sh = shingles(toks, idCol, shingleN).select(col(idCol), col("shingle"))
+    val aggs = (1 to numHashes).map(i =>
+      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Scale-path MinHash signature: xxhash64 with integer salts, packed as an
+    * array<long>. 4× smaller than hex strings; not oracle-portable. */
+  def minhashSignatureXx(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, numHashes: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(split(Ops.normalizeText(col(textCol)), " ")))
+      .withColumnRenamed("col", "token")
+      .where(col("token") =!= "")
+    val sh = shingles(toks, idCol, shingleN).select(col(idCol), col("shingle"))
+    val aggs = (1 to numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    sig.select(col(idCol), array((1 to numHashes).map(i => col(s"mh$i")): _*).as("signature"))
+  }
+
+  /** LSH banding over a MinHash signature frame (idCol, mh1..mhK): candidate
+    * near-dup pairs = pairs agreeing on ≥1 band. Self-equi-join per band on
+    * the band value (shuffle key = band hash ⇒ co-located, no cross join),
+    * unioned and de-duplicated. Emits (id_a, id_b) with id_a < id_b. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numBands: Int): DataFrame = {
+    val bands = (1 to numBands).map { i =>
+      val a = sig.select(col(idCol).as("id_a"), col(s"mh$i").as("band"))
+      val b = sig.select(col(idCol).as("id_b"), col(s"mh$i").as("band"))
+      a.join(b, Seq("band")).where(col("id_a") < col("id_b")).select("id_a", "id_b")
+    }
+    bands.reduce(_ unionAll _).distinct()
+  }
+
+  /** Document fingerprint: md5 of the normalized text — the exact-dedup key.
+    * (Rolling/content-defined fingerprints are in SimHash below; md5 is the
+    * portable whole-doc digest.) */
+  def fingerprint(textCol: Column): Column = md5(Ops.normalizeText(textCol))
+
+  /** SimHash-64 over whitespace tokens: per token h = xxhash64(token); for
+    * each bit b, sum ±1 over tokens; simhash bit b = 1 iff sum > 0.
+    * Expressed as 64 codegen'd conditional sums — no UDAF, fully parallel
+    * map-side partial aggregation. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(Ops.normalizeText(col(textCol)), " ")).as("token"))
+      .where(col("token") =!= "")
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    summed.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (codegen'd bit_count). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Per-document quality metrics: token count, char count of the normalized
+    * text, chars-per-token, stopword ratio, punctuation ratio. Pure integer
+    * arithmetic + one final division ⇒ bit-identical across engines. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String]): DataFrame = {
+    val norm = Ops.normalizeText(col(textCol))
+    val toks = split(norm, " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      length(norm).cast("long").as("n_chars_norm"),
+      round(length(norm).cast("double") / size(toks), 4).as("chars_per_token"),
+      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks), 4)
+        .as("stopword_ratio"),
+      round((length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("double")
+        / length(norm), 4).as("punct_ratio"))
+  }
+
+  /** Token count under a BPE-ish regex (letter runs / digit runs / single
+    * other char) — the standard pre-tokenizer shape. */
+  def bpeishTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Language-ID heuristic: script detection (Han) + stopword voting for
+    * latin-script languages. Deterministic, codegen'd. */
+  def langIdHeuristic(textCol: Column): Column = {
+    val t = Ops.normalizeText(textCol)
+    val toks = split(t, " ")
+    def hits(words: Seq[String]): Column = {
+      val arr = array(words.map(lit): _*)
+      size(filter(toks, w => array_contains(arr, w)))
+    }
+    val en = hits(Seq("the", "and", "of", "to", "is", "a"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht"))
+    val es = hits(Seq("el", "la", "los", "las", "es", "y"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "une"))
+    when(t.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(de >= greatest(en, es, fr) && de > 0, lit("de"))
+      .when(es >= greatest(en, fr) && es > 0, lit("es"))
+      .when(fr >= en && fr > 0, lit("fr"))
+      .otherwise(lit("en"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ops
+
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("normalizeWs trims and collapses internal whitespace") {
+    val df = Seq("  a  b ", "a\t\nb", "", "   ", "x").toDF("s")
+    val out = df.select(Ops.normalizeWs($"s")).as[String].collect()
+    assert(out.toSeq == Seq("a b", "a b", "", "", "x"))
+  }
+
+  test("normalizeText is idempotent") {
+    val docs = Tables.documents(spark, SF)
+    val once = docs.select(Ops.normalizeText($"text").as("t"))
+    val twice = once.select(Ops.normalizeText($"t").as("t"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("dedupFirstWins keeps exactly the first row per key under the total order") {
+    val df = Seq(
+      ("u1", 3L, "c"), ("u1", 1L, "a"), ("u1", 2L, "b"),
+      ("u2", 5L, "x"), ("u2", 5L, "y")).toDF("k", "ord", "v")
+    val out = Ops.dedupFirstWins(df, Seq("k"), Seq($"ord", $"v"))
+      .orderBy("k").as[(String, Long, String)].collect()
+    assert(out.toSeq == Seq(("u1", 1L, "a"), ("u2", 5L, "x")))
+  }
+
+  test("dedupFirstWins is idempotent") {
+    val df = Tables.events(spark, SF)
+    val once = Ops.dedupFirstWins(df, Seq("user_id"), Seq($"ts", $"event_id"))
+    val twice = Ops.dedupFirstWins(once, Seq("user_id"), Seq($"ts", $"event_id"))
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).isEmpty)
+  }
+
+  test("batchAssign: 1-based contiguous batches of n, boundary exact at n/n+1") {
+    val df = (1 to 501).map(i => i.toLong).toDF("id")
+    val out = Ops.batchAssign(df, $"id", 500)
+      .select("id", "batch_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(500L) == 1L && out(501L) == 2L)
+    val sizes = Ops.batchAssign(df, $"id", 500).groupBy("batch_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 500L, 2L -> 1L))
+  }
+
+  test("batchAssignScalable matches windowed batchAssign on unique keys") {
+    val df = Tables.customer(spark, SF).select("c_custkey", "c_name")
+    val windowed = Ops.batchAssign(df, $"c_custkey", 37)
+      .select("c_custkey", "batch_id")
+    val scalable = Ops.batchAssignScalable(df.repartition(7), "c_custkey", 37)
+      .select("c_custkey", "batch_id")
+    assert(windowed.exceptAll(scalable).isEmpty && scalable.exceptAll(windowed).isEmpty)
+  }
+
+  test("batchAssign covers every row exactly once") {
+    val df = Tables.customer(spark, SF)
+    val out = Ops.batchAssign(df, $"c_custkey", 100)
+    assert(out.count() == df.count())
+    assert(out.select("c_custkey").distinct().count() == df.count())
+  }
+
+  test("seededTopN is stable across runs and seed-sensitive") {
+    val c = Tables.customer(spark, SF)
+    val a = Ops.seededTopN(c, "c_custkey", 20).select("c_custkey").as[Long].collect()
+    val b = Ops.seededTopN(c, "c_custkey", 20).select("c_custkey").as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+    val other = Ops.seededTopN(c, "c_custkey", 20, seed = 7L)
+      .select("c_custkey").as[Long].collect()
+    assert(a.toSeq != other.toSeq)
+  }
+
+  test("sortedDistinct dedups, drops nulls, sorts") {
+    val df = Seq(Some(3L), None, Some(1L), Some(3L), Some(2L)).toDF("k")
+    val out = Ops.sortedDistinct(df, "k").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("distinctIds drops null and empty ids") {
+    val df = Seq("a", "", "b", "a", null).toDF("id")
+    val out = Ops.distinctIds(df, "id").as[String].collect().sorted
+    assert(out.toSeq == Seq("a", "b"))
+  }
+
+  test("bridge explodes array-of-struct and dedups pairs") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("alb1", Seq(Row("ar1", "A"), Row("ar1", "A"), Row("ar2", "B"))),
+        Row("alb2", Seq(Row("ar1", "A"))))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("album_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("artists",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("name",
+                org.apache.spark.sql.types.StringType))))))))
+    val out = Ops.bridge(df, "artists", Seq("album_id"), Seq("id", "name"))
+      .orderBy("album_id", "id").as[(String, String, String)].collect()
+    assert(out.toSeq == Seq(("alb1", "ar1", "A"), ("alb1", "ar2", "B"), ("alb2", "ar1", "A")))
+  }
+}

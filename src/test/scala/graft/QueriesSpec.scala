@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + invariant checks for every declared query on sf0.001.
+  * (Exact value equality vs DuckDB is the driver's job; these assert the
+  * invariants that the oracle can't — plan shape, approx bounds, stability.) */
+class QueriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("every declared query runs and returns rows on sf0.001") {
+    // tiny sf0.001: the 2% jaccard sample may have no similar pair, and every
+    // customer happens to have at least one returned lineitem (EXCEPT → ∅).
+    val allowedEmpty = Set("q_ngram_jaccard", "q_set_ops")
+    Queries.all.foreach { case (name, fn) =>
+      val n = fn(spark, SF).count()
+      assert(n >= 0, s"$name failed")
+      if (!allowedEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key refers to a declared query") {
+    val unknown = Queries.oracles.keySet -- Queries.all.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("entry (flagship) returns one row per nation with positive revenue") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("q_approx_distinct HLL estimate within 5% of exact") {
+    val r = Queries.qApproxDistinct(spark, SF).collect()(0)
+    val approx = r.getAs[Long]("approx_users").toDouble
+    val exact = r.getAs[Long]("exact_users").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("q_seeded_sample returns exactly 20 stable keys") {
+    val a = Queries.qSeededSample(spark, SF).select("c_custkey").as[Long].collect()
+    val b = Queries.qSeededSample(spark, SF).select("c_custkey").as[Long].collect()
+    assert(a.length == 20 && a.toSeq == b.toSeq)
+  }
+
+  test("q_window_topk emits at most 3 rows per customer, ranked") {
+    val perCust = Queries.qWindowTopk(spark, SF)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"), max("rn").as("maxrn"))
+    assert(perCust.where($"n" > 3).isEmpty)
+    assert(perCust.where($"maxrn" =!= $"n").isEmpty)
+  }
+
+  test("q_minhash_dedup pairs are symmetric-free and ordered") {
+    val pairs = Queries.qMinhashDedup(spark, SF).as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("q_batch_assign batch sizes never exceed 500") {
+    val sizes = Queries.qBatchAssign(spark, SF)
+      .groupBy("batch_id").count().as[(Long, Long)].collect()
+    assert(sizes.forall(_._2 <= 500))
+  }
+
+  test("q_semi_join result is a subset of lineitem keyed by filtered orders") {
+    val out = Queries.qSemiJoin(spark, SF)
+    val okKeys = Tables.orders(spark, SF).where($"o_orderstatus" === "F")
+      .select($"o_orderkey").as[Long].collect().toSet
+    val got = out.select("l_orderkey").distinct().as[Long].collect()
+    assert(got.forall(okKeys.contains))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cosineRef(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("cosine column matches hand computation") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 1f, 0f), Array(1f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+  }
+
+  test("cosineTopK matches brute-force reference on real embeddings") {
+    val emb = Tables.embeddings(spark, SF)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val probe = rows.find(_._1 == 0L).get._2
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosineRef(v, probe)) }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(10).map(_._1).toSeq
+    val got = Similarity.cosineTopK(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("cosineTopKLsh achieves high recall vs exact top-10") {
+    val emb = Tables.embeddings(spark, SF)
+    val probe = emb.where($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    val exact = Similarity.cosineTopK(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.cosineTopKLsh(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10,
+        nBits = 12, hamming = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low; got=$approx want=$exact")
+  }
+
+  test("embeddingNearDupPairs finds planted near-duplicates only") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.999, nBits = 4, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("hyperplanes are deterministic for a given seed") {
+    val a = Similarity.hyperplanes(8, 16, 42L)
+    val b = Similarity.hyperplanes(8, 16, 42L)
+    val c = Similarity.hyperplanes(8, 16, 43L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq != c.map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shingles: contiguous n-grams, none for docs shorter than n") {
+    val toks = Seq((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"), (1L, 3, "d"),
+      (2L, 0, "x"), (2L, 1, "y")).toDF("doc_id", "pos", "token")
+    val out = TextOps.shingles(toks, "doc_id", 3)
+      .select("doc_id", "shingle").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("minhash signature: identical text gives identical signature") {
+    val docs = Seq((1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick  brown fox jumps over the dog  "),
+      (3L, "completely different words entirely here now ok")).toDF("doc_id", "text")
+    val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
+      .orderBy("doc_id").collect()
+    assert(sig.length == 3)
+    // doc2 normalizes to doc1's text → identical signatures
+    assert(sig(0).toSeq.drop(1) == sig(1).toSeq.drop(1))
+    assert(sig(0).toSeq.drop(1) != sig(2).toSeq.drop(1))
+  }
+
+  test("lshCandidatePairs surfaces identical docs as a candidate pair") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
+    val pairs = TextOps.lshCandidatePairs(sig, "doc_id", 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("xxhash64 minhash signature agrees with itself and separates docs") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sig = TextOps.minhashSignatureXx(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").select("signature").as[Seq[Long]].collect()
+    assert(sig(0) == sig(1))
+    assert(sig(0) != sig(2))
+    assert(sig(0).length == 8)
+  }
+
+  test("simhash64: identical docs distance 0; near-identical close; disjoint far") {
+    val docs = Seq(
+      (1L, "spark catalyst tungsten shuffle partition broadcast join agg"),
+      (2L, "spark catalyst tungsten shuffle partition broadcast join agg"),
+      (3L, "spark catalyst tungsten shuffle partition broadcast join extra"),
+      (4L, "entirely unrelated vocabulary zebra quantum pineapple xylophone")).toDF("doc_id", "text")
+    val sh = TextOps.simhash64(docs, "doc_id", "text")
+    val m = sh.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) == 0)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("qualityScore arithmetic on a known document") {
+    val docs = Seq((1L, "The cat and the hat!")).toDF("doc_id", "text")
+    val r = TextOps.qualityScore(docs, "doc_id", "text", Seq("the", "and")).collect()(0)
+    // normalized: "the cat and the hat!" → 5 tokens, 20 chars
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("n_chars_norm") == 20L)
+    assert(r.getAs[Double]("stopword_ratio") == 0.6) // the, and, the
+    assert(r.getAs[Double]("punct_ratio") == 0.05)   // the '!'
+  }
+
+  test("bpeishTokenCount splits letter runs, digit runs, punctuation") {
+    val df = Seq("abc123!x y").toDF("s")
+    // tokens: abc | 123 | ! | x | y
+    val n = df.select(TextOps.bpeishTokenCount($"s")).as[Int].collect()(0)
+    assert(n == 5)
+  }
+
+  test("langIdHeuristic classifies script + stopword signals") {
+    val df = Seq(
+      ("the cat is on the mat and happy", "en"),
+      ("der hund ist nicht hier und da", "de"),
+      ("el gato es la cosa y los perros", "es"),
+      ("le chat est une chose et les", "fr"),
+      ("中文文本", "zh")).toDF("text", "expected")
+    val out = df.select(TextOps.langIdHeuristic($"text").as("got"), $"expected")
+      .as[(String, String)].collect()
+    out.foreach { case (got, exp) => assert(got == exp, s"got $got want $exp") }
+  }
+
+  test("fingerprint equals md5 of normalized text and detects exact dups") {
+    val docs = Seq((1L, "A  b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val fps = docs.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
