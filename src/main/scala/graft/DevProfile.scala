@@ -1,0 +1,18 @@
+package graft
+/** Dev profiler: time one query repeatedly. `runMain graft.DevProfile <name> [sf] [reps]` */
+object DevProfile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val fn = Queries.all(name)
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      fn(spark, sf).write.mode("overwrite").format("noop").save()
+      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    fn(spark, sf).explain("formatted")
+    spark.stop()
+  }
+}
