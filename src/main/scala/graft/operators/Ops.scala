@@ -101,9 +101,13 @@ object Ops {
     * `random.Random(date).sample(ids, 20)`). Re-expressed as hash-order
     * top-N via a Knuth multiplicative hash that an ANSI-SQL oracle can
     * reproduce with plain integer arithmetic: `(key * 2654435761) mod 2^32`.
-    * Plans as TakeOrderedAndProject — no global sort materialized, scales. */
+    * The key is first reduced mod 2^31 so the multiply can't overflow a
+    * signed 64-bit long (ANSI mode would throw) even for full-range hash
+    * keys — an identity for natural keys < 2^31, so the plain-arithmetic
+    * oracle formulation is unchanged. Plans as TakeOrderedAndProject — no
+    * global sort materialized, scales. */
   def seededHash(key: Column, seed: Long): Column =
-    pmod((key + lit(seed)) * lit(2654435761L), lit(4294967296L))
+    pmod((pmod(key, lit(2147483648L)) + lit(seed)) * lit(2654435761L), lit(4294967296L))
 
   def seededTopN(df: DataFrame, keyCol: String, n: Int, seed: Long = 0L): DataFrame =
     df.select(col(keyCol), seededHash(col(keyCol), seed).as("h"))
