@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** A user session summary emitted by the custom-state path. (Top-level:
+  * nested/private case classes break the codegen'd Encoder.) */
+case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
+                          first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+/** Mutable per-user state for [[EventStreams.userSessionSummaries]]. */
+case class SessionState(n: Long, total: Double,
+                        first: java.sql.Timestamp, last: java.sql.Timestamp)
+
+/** Structured Streaming tier over the `events` table shape.
+  *
+  * The reference's "streaming" is a daily batch re-run (`@daily` DAG,
+  * /root/reference sp_airflow/dags/spotify_etl_v2.py:409); Structured
+  * Streaming with `Trigger.AvailableNow` reproduces exactly that batch
+  * semantics while the same code keeps working as a live micro-batch job —
+  * watermarks bound state at 100 TB/day rates, and every aggregation here
+  * is keyed so state is partitioned across executors.
+  */
+object EventStreams {
+
+  /** Open a parquet DIRECTORY as the events stream (FileStreamSource tails
+    * directories — new files appear as new micro-batch input, the layout a
+    * landing zone actually has). `ts` arrives as raw nanos under
+    * `nanosAsLong` — converted here, matching [[graft.Tables.events]].
+    * `schemaFrom` points at any existing events parquet for the schema. */
+  def readEventsStream(spark: SparkSession, streamDir: String,
+                       schemaFrom: String): DataFrame = {
+    val schema = spark.read.parquet(schemaFrom).schema
+    val df = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Tumbling-window event counts with a watermark bounding late data (and
+    * therefore state size). */
+  def tumblingCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window per-user activity. */
+  def slidingUserActivity(events: DataFrame, windowLen: String, slide: String,
+                          watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
+  /** Session windows: built-in `session_window` with a fixed inactivity gap. */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n"))
+
+  /** Streaming exact dedup on event_id bounded by the watermark — the
+    * streaming face of the dedup tier (state = one key per event inside the
+    * watermark horizon, partitioned by key). */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+
+  /** Custom stateful sessionization via `mapGroupsWithState`: one evolving
+    * summary per user, emitted each batch. Demonstrates the arbitrary-state
+    * API the built-in windows can't express (e.g. conversation-level
+    * accumulation in an LLM data feed).
+    *
+    * `evictAfter = Some("10 minutes")` arms a processing-time timeout that
+    * evicts idle state in a LIVE stream. Leave it None for
+    * `Trigger.AvailableNow` replays: with a timeout armed, AvailableNow
+    * keeps scheduling micro-batches until every timeout fires — a
+    * "finished" replay that spins for the whole timeout duration. */
+  def userSessionSummaries(events: DataFrame,
+                           evictAfter: Option[String] = None): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionSummary](timeoutConf) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionSummary(userId, s.n, s.total, s.first, s.last)
+          } else {
+            val batch = rows.toSeq
+            val first = batch.minBy(_._2.getTime)._2
+            val last = batch.maxBy(_._2.getTime)._2
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, first, last))
+            val next = SessionState(
+              prev.n + batch.size,
+              prev.total + batch.map(_._3).sum,
+              if (first.before(prev.first)) first else prev.first,
+              if (last.after(prev.last)) last else prev.last)
+            state.update(next)
+            evictAfter.foreach(state.setTimeoutDuration)
+            SessionSummary(userId, next.n, next.total, next.first, next.last)
+          }
+      }
+  }
+
+  /** Run any streaming frame to completion over the currently-available
+    * input (batch-parity execution) into an in-memory table; returns the
+    * final table content. */
+  def runAvailableNow(df: DataFrame, queryName: String,
+                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}
