@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 90)
+
+  test("synthetic corpus is deterministic and kind-balanced") {
+    val a = media.collect().map(m => (m.media_id, m.content.toSeq))
+    val b = Multimodal.syntheticMedia(spark, 90).collect().map(m => (m.media_id, m.content.toSeq))
+    assert(a.toSeq == b.toSeq)
+    val kinds = media.groupByKey(_.kind).count().collect().toMap
+    assert(kinds == Map("image" -> 30L, "audio" -> 30L, "video" -> 30L))
+  }
+
+  test("extractFeatures: schema, determinism, and full coverage") {
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "mean_byte", "feature"))
+    val rows = feats.collect()
+    assert(rows.length == 90)
+    assert(rows.forall(_.feature.length == Multimodal.FEATURE_DIM))
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("feature vectors feed the similarity tier end-to-end") {
+    val feats = Multimodal.extractFeatures(media).toDF()
+    val probe = feats.where($"media_id" === 0)
+      .select("feature").as[Array[Float]].head()
+    val topk = Similarity.cosineTopK(
+      feats.where($"media_id" =!= 0), "media_id", "feature", probe, 5)
+    assert(topk.count() == 5)
+    val sims = topk.select("sim").as[Double].collect()
+    assert(sims.toSeq == sims.sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("sampleFrames: only videos, correct count per declared duration") {
+    val frames = Multimodal.sampleFrames(media, 1000L)
+    val byId = frames.groupByKey(_.media_id).count().collect().toMap
+    val videos = media.filter(_.kind == "video").collect()
+    assert(byId.keySet == videos.map(_.media_id).toSet)
+    videos.foreach { v =>
+      assert(byId(v.media_id) == math.max(1L, v.duration_ms / 1000L), s"video ${v.media_id}")
+    }
+  }
+
+  test("metadata summary never reads the content column (columnar pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.toDF().write.mode("overwrite").parquet(dir)
+    val summary = Multimodal.metadataSummary(spark.read.parquet(dir))
+    val plan = summary.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("content"), "content column must be pruned from the scan:\n" + plan)
+    assert(summary.count() == 3)
+  }
+
+  test("partition-iterator shape: features computed with the input's partitioning") {
+    val reparted = media.repartition(7)
+    val feats = Multimodal.extractFeatures(reparted)
+    assert(feats.rdd.getNumPartitions == 7)
+    assert(feats.count() == 90)
+  }
+}
