@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan shape assertions — the properties that decide whether these
+  * operators survive a 100× scale-up: filters reach the parquet scan,
+  * projections prune the read schema, small dims broadcast, top-k never
+  * materializes a global sort, and aggregates combine map-side. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_filter_nonnull pushes its predicates into the parquet scan") {
+    val p = plan(Queries.qFilterNonnull(spark, SF))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull(props)"), p)
+    assert(p.contains("Not(EqualTo(event_type,error))"), p)
+  }
+
+  test("q_scan_project prunes the read schema to the projected columns") {
+    val p = plan(Queries.qScanProject(spark, SF))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_returnflag"), p)
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      s"unprojected columns must not be read:\n$readSchema")
+  }
+
+  test("q_join_agg broadcasts the nation dim, never the fact side") {
+    val p = plan(Queries.qJoinAgg(spark, SF))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_seeded_sample plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Queries.qSeededSample(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-N must not range-shuffle the whole input:\n$p")
+  }
+
+  test("q_agg_pricing: partial (map-side) aggregation + shipdate pushdown") {
+    val p = plan(Queries.qAggPricing(spark, SF))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("Functions [partial"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("minhash signature aggregates partially before the doc_id shuffle") {
+    val p = plan(Queries.qMinhashSignature(spark, SF))
+    assert(p.contains("partial_min") || p.contains("Functions [partial"), p)
+  }
+
+  test("q_semi_join plans a semi join (no row multiplication)") {
+    val p = plan(Queries.qSemiJoin(spark, SF))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipelines") {
+    val df = Queries.qNormalizeText(spark, SF)
+    df.collect() // AQE finalizes the plan only on execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd spans print with the `*(stageId)` prefix in the final plan
+    assert(p.contains("*(1)"), p)
+  }
+}
