@@ -287,6 +287,20 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** As-of join: each event picks the customer's latest order at or before
+    * the event time (greatest (o_orderdate, o_orderkey)). Runs the scalable
+    * union+carry-forward operator ([[graft.operators.AsOfJoin]]) — one
+    * shuffle of |L|+|R|; the oracle states the same semantics naively. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    graft.operators.AsOfJoin.asOf(ev, ord, "user_id", "ts", "o_orderdate",
+        "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -318,6 +332,7 @@ object Queries {
     "q_quality_score" -> (qQualityScore _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_simhash_dedup" -> (qSimhashDedup _),
+    "q_asof_join" -> (qAsofJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +416,10 @@ object Queries {
         s"round(CAST(len(list_filter(string_split(t, ' '), x -> x IN $STOP_SQL)) AS DOUBLE) / len(string_split(t, ' ')), 4) AS stopword_ratio, " +
         "round(CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(t), 4) AS punct_ratio " +
         "FROM norm ORDER BY doc_id"),
+    "q_asof_join" ->
+      ("SELECT event_id, user_id, o_orderkey FROM (SELECT e.event_id, e.user_id, o.o_orderkey, " +
+        "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+        "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t " +
+        "WHERE rn = 1 ORDER BY event_id"),
   )
 }

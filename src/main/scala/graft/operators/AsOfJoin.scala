@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the single right
+  * row with the greatest `rightTime <= leftTime` for the same key —
+  * deterministic under ties via a total tiebreak ordering.
+  *
+  * Spark has no native as-of join. The naive composition
+  * (`left JOIN right ON key AND rightTime <= leftTime` then
+  * `row_number = 1`) materializes every (left, prior-right) pair —
+  * quadratic per key, catastrophic at 100 TB. This implementation uses the
+  * union + sort + carry-forward formulation instead:
+  *
+  *   1. tag both sides, union on (key, time);
+  *   2. one shuffle: window partitioned by key, ordered by
+  *      (time, side, tiebreak) — right rows sort BEFORE left rows at equal
+  *      times so a same-instant right row is visible to the left row;
+  *   3. `last(right_payload, ignoreNulls=true)` carries the latest right
+  *      payload forward; keep left rows.
+  *
+  * Cost: one shuffle of |L|+|R| rows and a per-key sort — the same cost
+  * profile as a sort-merge join, independent of how many right rows
+  * precede each left row. Skewed keys are handled by AQE like any other
+  * exchange.
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) frame
+    * @param right      right (reference) frame
+    * @param key        equi-key column name present in both frames
+    * @param leftTime   event-time column in `left`
+    * @param rightTime  event-time column in `right`
+    * @param rightTieBreak  total-order tiebreak among right rows sharing
+    *                       (key, time) — the greatest wins, making the
+    *                       result deterministic
+    * @param inner      true → drop left rows with no prior right row;
+    *                   false → keep them with null right payload
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String, rightTieBreak: String,
+           inner: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightPayloadCols = right.columns.toSeq.filterNot(_ == key)
+
+    val l = left.select(
+      col(key).as("__key"), col(leftTime).cast("timestamp").as("__t"),
+      lit(1).as("__side"), lit(null).cast("double").as("__tie"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(right.select(rightPayloadCols.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+        .as("__r"))
+    val r = right.select(
+      col(key).as("__key"), col(rightTime).cast("timestamp").as("__t"),
+      lit(0).as("__side"), col(rightTieBreak).cast("double").as("__tie"),
+      lit(null).cast(left.select(leftCols.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+        .as("__l"),
+      struct(rightPayloadCols.map(col): _*).as("__r"))
+
+    // Right rows order before left at the same instant (side 0 < 1); among
+    // right rows at the same instant the greatest tiebreak sorts last and
+    // is what `last` carries.
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val kept = if (inner) carried.where(col("__match").isNotNull) else carried
+    kept.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayloadCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}
