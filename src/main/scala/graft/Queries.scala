@@ -287,6 +287,25 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Hierarchical aggregation via ROLLUP: per (flag, status), per flag, and
+    * grand total in one pass (partial-aggregated like any groupBy). */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex
+    * (letter runs / digit runs / single punctuation) — both expressible in
+    * the oracle's regex dialect. */
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(filter(split(Ops.normalizeText(col("text")), " "), t => t =!= ""))
+        .cast("long").as("ws_tokens"),
+      TextOps.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
+      .orderBy("doc_id")
+
   /** As-of join: each event picks the customer's latest order at or before
     * the event time (greatest (o_orderdate, o_orderkey)). Runs the scalable
     * union+carry-forward operator ([[graft.operators.AsOfJoin]]) — one
@@ -333,6 +352,8 @@ object Queries {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_simhash_dedup" -> (qSimhashDedup _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_rollup" -> (qRollup _),
+    "q_token_count" -> (qTokenCount _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,5 +442,13 @@ object Queries {
         "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
         "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t " +
         "WHERE rn = 1 ORDER BY event_id"),
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_token_count" ->
+      (NORM_CTE + " SELECT doc_id, len(list_filter(string_split(t, ' '), x -> x <> '')) AS ws_tokens, " +
+        """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens """ +
+        "FROM norm JOIN documents USING (doc_id) ORDER BY doc_id"),
   )
 }

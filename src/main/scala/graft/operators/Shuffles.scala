@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-management operators: bucketed (pre-shuffled) table layout for
+  * co-located joins, and key salting for skew. These are the two knobs
+  * that decide whether a repeated 100 TB join is a metadata operation or a
+  * cluster-wide reshuffle. */
+object Shuffles {
+
+  /** Persist `df` bucketed (and sorted) by `key` into the session catalog.
+    * A pair of tables bucketed on the same key with the same bucket count
+    * joins with ZERO exchanges — the shuffle is paid once at write time and
+    * amortized over every subsequent join/aggregation on that key. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join two bucketed catalog tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Skew-safe equi-join: spread each hot left key over `salts` subkeys and
+    * replicate the right side once per salt. The left salt is derived
+    * deterministically from the whole left row (no `rand()` — reruns and
+    * retries stay stable). Use when one key holds a disproportionate share
+    * of rows and AQE's skew splitting isn't available (e.g. a non-AQE sink
+    * or a broadcast-ineligible dimension); result is identical to the
+    * plain join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
+    val saltedRight = right.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

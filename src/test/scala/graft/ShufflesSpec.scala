@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Shuffles
+
+class ShufflesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketed tables join with zero exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Shuffles.writeBucketed(
+        Tables.orders(spark, SF).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_orderkey", 4)
+      Shuffles.writeBucketed(
+        Tables.lineitem(spark, SF)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "b_lineitem", "o_orderkey", 4)
+      val joined = Shuffles.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$p")
+      assert(joined.count() == Tables.lineitem(spark, SF).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("saltedJoin equals the plain join on skewed data") {
+    // 90% of left rows share one key — the shape salting exists for.
+    val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))
+      .toDF("k", "v")
+    val right = Seq((1L, "hot"), (950L, "cold"), (999L, "cold")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).select("k", "v", "tag")
+    val salted = Shuffles.saltedJoin(left, right, "k", salts = 8).select("k", "v", "tag")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedJoin is deterministic across runs (no rand)") {
+    val left = (1 to 100).map(i => (1L, i.toLong)).toDF("k", "v")
+    val right = Seq((1L, "x")).toDF("k", "tag")
+    val a = Shuffles.saltedJoin(left, right, "k", 4).orderBy("v").collect()
+    val b = Shuffles.saltedJoin(left, right, "k", 4).orderBy("v").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}
