@@ -287,6 +287,51 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Numeric RANGE window frame: per user, sum of `value` over events whose
+    * event_id lies within 5 of the current one. */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rangeBetween(-5, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("recent_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** lag(): exact µs gap between consecutive events per user (µs integer
+    * arithmetic on both engines — no float, no truncation drift). */
+  def qWindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** INTERSECT: customers having both a fulfilled ('F') and an open ('O')
+    * order. */
+  def qSetIntersect(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.orders(s, d).where(col("o_orderstatus") === "F").select("o_custkey")
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersect(o).orderBy("o_custkey")
+  }
+
+  /** Calendar aggregation: revenue per month via date_trunc. */
+  def qMonthlyRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
+      .orderBy("month")
+
+  /** Zero-padded object naming (the reference's `batch_%06d.json`,
+    * create_artist_batches.py:34). */
+  def qBatchFormat(s: SparkSession, d: String): DataFrame =
+    Ops.batchAssign(Tables.customer(s, d).select("c_custkey"), col("c_custkey"), 500)
+      .select(col("c_custkey"),
+        format_string("batch_%06d.json", col("batch_id")).as("object_name"))
+      .orderBy("c_custkey")
+
   /** Hierarchical aggregation via ROLLUP: per (flag, status), per flag, and
     * grand total in one pass (partial-aggregated like any groupBy). */
   def qRollup(s: SparkSession, d: String): DataFrame =
@@ -354,6 +399,11 @@ object Queries {
     "q_asof_join" -> (qAsofJoin _),
     "q_rollup" -> (qRollup _),
     "q_token_count" -> (qTokenCount _),
+    "q_window_range" -> (qWindowRange _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_set_intersect" -> (qSetIntersect _),
+    "q_monthly_revenue" -> (qMonthlyRevenue _),
+    "q_batch_format" -> (qBatchFormat _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +500,24 @@ object Queries {
       (NORM_CTE + " SELECT doc_id, len(list_filter(string_split(t, ' '), x -> x <> '')) AS ws_tokens, " +
         """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens """ +
         "FROM norm JOIN documents USING (doc_id) ORDER BY doc_id"),
+    "q_window_range" ->
+      ("SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS recent_sum FROM events " +
+        "ORDER BY user_id, event_id"),
+    "q_window_lag" ->
+      ("SELECT user_id, event_id, epoch_us(ts) - epoch_us(lag(ts, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us FROM events " +
+        "ORDER BY user_id, event_id"),
+    "q_set_intersect" ->
+      ("SELECT o_custkey FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t ORDER BY o_custkey"),
+    "q_monthly_revenue" ->
+      ("SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, " +
+        "round(sum(o_totalprice), 2) AS revenue, count(*) AS n FROM orders " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_batch_format" ->
+      ("SELECT c_custkey, printf('batch_%06d.json', batch_id) AS object_name FROM " +
+        "(SELECT c_custkey, CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 500) AS BIGINT) + 1 AS batch_id " +
+        "FROM customer) t ORDER BY c_custkey"),
   )
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,7 +25,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment hook: SPARK_GRAFT_CONF="key=value;key=value" overrides
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
