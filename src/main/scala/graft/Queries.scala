@@ -287,6 +287,16 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Typed JSON parsing via from_json (vs [[qJsonExtract]]'s path
+    * extraction): parse `props` into a struct and project the typed field. */
+  def qJsonStruct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+      .orderBy("event_id")
+
   /** Numeric RANGE window frame: per user, sum of `value` over events whose
     * event_id lies within 5 of the current one. */
   def qWindowRange(s: SparkSession, d: String): DataFrame = {
@@ -404,6 +414,7 @@ object Queries {
     "q_set_intersect" -> (qSetIntersect _),
     "q_monthly_revenue" -> (qMonthlyRevenue _),
     "q_batch_format" -> (qBatchFormat _),
+    "q_json_struct" -> (qJsonStruct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -519,5 +530,8 @@ object Queries {
       ("SELECT c_custkey, printf('batch_%06d.json', batch_id) AS object_name FROM " +
         "(SELECT c_custkey, CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 500) AS BIGINT) + 1 AS batch_id " +
         "FROM customer) t ORDER BY c_custkey"),
+    "q_json_struct" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events ORDER BY event_id"),
   )
 }
