@@ -342,6 +342,14 @@ object Queries {
         format_string("batch_%06d.json", col("batch_id")).as("object_name"))
       .orderBy("c_custkey")
 
+  /** Full CUBE: every grouping-set combination of (flag, status) in one
+    * pass. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Hierarchical aggregation via ROLLUP: per (flag, status), per flag, and
     * grand total in one pass (partial-aggregated like any groupBy). */
   def qRollup(s: SparkSession, d: String): DataFrame =
@@ -415,6 +423,7 @@ object Queries {
     "q_monthly_revenue" -> (qMonthlyRevenue _),
     "q_batch_format" -> (qBatchFormat _),
     "q_json_struct" -> (qJsonStruct _),
+    "q_cube" -> (qCube _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -533,5 +542,9 @@ object Queries {
     "q_json_struct" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
         "FROM events ORDER BY event_id"),
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
   )
 }
