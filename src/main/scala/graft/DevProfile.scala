@@ -12,7 +12,10 @@ object DevProfile {
       fn(spark, sf).write.mode("overwrite").format("noop").save()
       println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    fn(spark, sf).explain("formatted")
+    val df = fn(spark, sf)
+    df.write.mode("overwrite").format("noop").save()
+    val ep = df.queryExecution.executedPlan.toString
+    println("[profile] reused stages: " + "ReusedQueryStage|ReusedExchange|StageReuse".r.findAllIn(ep).toList.groupBy(identity).map{case(k,v)=>s"$k x${v.size}"}.mkString(", "))
     spark.stop()
   }
 }

@@ -87,8 +87,12 @@ object TextOps {
     * near-dup pairs = pairs agreeing on ≥1 band. Melts the signature into
     * (id, band_idx, band_val) and self-joins ONCE on the composite band key
     * (co-located equi-join shuffle, never a cross join) — a per-band
-    * join-union would recompute the signature 2×numBands times. Emits
-    * (id_a, id_b) with id_a < id_b. */
+    * join-union would recompute the signature 2×numBands times. The two
+    * sides of the self-join still each compute the signature once (Spark's
+    * exchange reuse does not fire across the differently-aliased branches);
+    * at production scale, materialize the signature frame first (persist or
+    * write it — a 100 TB dedup keeps signatures as a durable artifact) and
+    * band-join the materialized table. Emits (id_a, id_b) with id_a < id_b. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, numBands: Int): DataFrame = {
     val melted = sig.select(col(idCol).as("id"),
       posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*)).as(Seq("band_idx", "band_val")))
