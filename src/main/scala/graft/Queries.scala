@@ -287,6 +287,19 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Equi + range join: lineitems shipped within 30 days of their order's
+    * date. The equi key makes this a plain co-partitioned join with the
+    * range as a residual filter — the shape Catalyst handles natively
+    * (keyless ranges use [[graft.operators.Ops.binnedRangeJoin]]). */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderkey")
+
   /** Typed JSON parsing via from_json (vs [[qJsonExtract]]'s path
     * extraction): parse `props` into a struct and project the typed field. */
   def qJsonStruct(s: SparkSession, d: String): DataFrame =
@@ -424,6 +437,7 @@ object Queries {
     "q_batch_format" -> (qBatchFormat _),
     "q_json_struct" -> (qJsonStruct _),
     "q_cube" -> (qCube _),
+    "q_range_join" -> (qRangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,5 +560,9 @@ object Queries {
       ("SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_range_join" ->
+      ("SELECT o_orderkey, count(*) AS n FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY " +
+        "GROUP BY o_orderkey ORDER BY o_orderkey"),
   )
 }

@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(cpus: String): SparkSession = {
     val builder = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -122,4 +122,26 @@ object Ops {
     * (spotify_etl_v2.py:74-89). */
   def distinctIds(df: DataFrame, keyCol: String): DataFrame =
     df.where(col(keyCol).isNotNull && col(keyCol) =!= "").select(keyCol).distinct()
+
+  /** Range join WITHOUT an equi key, binned so it shuffles instead of
+    * nested-looping: point `leftTs` joins interval `[rightStart, rightEnd]`.
+    * Each interval is exploded into the fixed-width time bins it covers and
+    * each point hashes to its single bin — the join is then a plain
+    * equi-join on the bin (co-partitioned shuffle) followed by the exact
+    * containment filter. Pick `binWidthSec` near the typical interval
+    * length: too small replicates intervals, too large fattens buckets.
+    * (With an equi key available, just join on the key and filter the
+    * range — Catalyst already handles that shape; this operator is for the
+    * keyless case Spark would otherwise plan as BroadcastNestedLoopJoin.) */
+  def binnedRangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
+                      rightStart: String, rightEnd: String,
+                      binWidthSec: Long): DataFrame = {
+    val binOf: Column => Column = c => floor(unix_timestamp(c) / binWidthSec)
+    val l = left.withColumn("__bin", binOf(col(leftTs)))
+    val r = right.withColumn("__bin",
+      explode(sequence(binOf(col(rightStart)), binOf(col(rightEnd)))))
+    l.join(r, Seq("__bin"))
+      .where(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
+      .drop("__bin")
+  }
 }
