@@ -167,4 +167,24 @@ object SpotifyPipeline {
     "album_artists" -> albumArtistBridge(rawAlbums),
     "track" -> projectTracks(rawTracks, fetchOrder),
     "track_artists" -> trackArtistBridge(rawTracks))
+
+  /** The whole daily run — the reference's 5-task Airflow DAG
+    * (spotify_etl_v2.py:405-435) as ONE Spark program: read the landed raw
+    * JSON for `runDate`, transform, load all five entities partitioned by
+    * ingest date. Each entity is a single lazy plan executed by its own
+    * sink action; Catalyst pipelines what Airflow serialized. Re-running a
+    * date is idempotent (dynamic partition overwrite). Raw layout:
+    * `$rawDir/{artist,album,track}.json` newline-delimited records. */
+  def runDaily(spark: org.apache.spark.sql.SparkSession, rawDir: String,
+               outDir: String, runDate: String): Unit = {
+    import graft.sources.JsonArtifacts
+    val rawArtists = JsonArtifacts.readLines(spark, s"$rawDir/artist.json", Schemas.rawArtist)
+    val rawAlbums = JsonArtifacts.readLines(spark, s"$rawDir/album.json", Schemas.rawAlbum)
+      .withColumn("__fetch", monotonically_increasing_id())
+    val rawTracks = JsonArtifacts.readLines(spark, s"$rawDir/track.json", Schemas.rawTrack)
+      .withColumn("__fetch", monotonically_increasing_id())
+    transform(rawArtists, rawAlbums, rawTracks, col("__fetch")).foreach {
+      case (entity, df) => writeEntity(df, outDir, entity, runDate)
+    }
+  }
 }
