@@ -96,11 +96,17 @@ object TextOps {
   def lshCandidatePairs(sig: DataFrame, idCol: String, numBands: Int): DataFrame = {
     val melted = sig.select(col(idCol).as("id"),
       posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*)).as(Seq("band_idx", "band_val")))
-    val a = melted.select(col("id").as("id_a"), col("band_idx"), col("band_val"))
-    val b = melted.select(col("id").as("id_b"), col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
+    // Group each band bucket and expand pairs in place: ONE signature
+    // computation and one groupBy shuffle. (A self-join would be
+    // semantically identical but computes the signature pipeline on both
+    // sides — exchange reuse does not fire across the aliased branches.)
+    melted.groupBy("band_idx", "band_val")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
   }
 
   /** Document fingerprint: md5 of the normalized text — the exact-dedup key.
