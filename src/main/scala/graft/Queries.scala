@@ -237,10 +237,16 @@ object Queries {
         explode(split(Ops.normalizeText(col("text")), " ")).as("token"))
       .where(col("token") =!= "").distinct()
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = tok.as("a").join(tok.as("b"),
-        col("a.token") === col("b.token") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Pair expansion inside each (lang, token) posting list — one token
+    // pipeline + one shuffle; the equivalent self-join recomputes the
+    // tokenization on both sides.
+    val inter = tok.groupBy("lang", "token")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"))
     inter
       .join(sz.select(col("doc_id").as("id_a"), col("sz").as("na")), "id_a")
@@ -273,17 +279,21 @@ object Queries {
   }
 
   /** SimHash-64 near-dup buckets: docs whose simhashes are ≤8 bits apart,
-    * LSH-blocked on the top-16 bits (no oracle: xxhash64 is Spark-private). */
+    * LSH-blocked on the top-16 bits, pairs expanded inside each block
+    * (one signature computation, one shuffle — same shape as
+    * [[graft.operators.TextOps.lshCandidatePairs]]). No oracle: xxhash64
+    * is Spark-private. */
   def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
     val sh = TextOps.simhash64(Tables.documents(s, d), "doc_id", "text")
-    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
-      shiftright(col("simhash"), 48).as("blk"))
-    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
-      shiftright(col("simhash"), 48).as("blk"))
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("hamming", TextOps.hammingDist(col("sh_a"), col("sh_b")))
+    sh.groupBy(shiftright(col("simhash"), 48).as("blk"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
+      .where(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        TextOps.hammingDist(col("a.simhash"), col("b.simhash")).as("hamming"))
       .where(col("hamming") <= 8)
-      .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
 
