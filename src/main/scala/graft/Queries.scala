@@ -297,6 +297,16 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Pivot: quantities by return flag × line status as columns. Pivot
+    * values are declared explicitly — at scale, never let pivot() run its
+    * value-discovery pre-query over the full input. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy("l_returnflag")
+
   /** Equi + range join: lineitems shipped within 30 days of their order's
     * date. The equi key makes this a plain co-partitioned join with the
     * range as a residual filter — the shape Catalyst handles natively
@@ -448,6 +458,7 @@ object Queries {
     "q_json_struct" -> (qJsonStruct _),
     "q_cube" -> (qCube _),
     "q_range_join" -> (qRangeJoin _),
+    "q_pivot" -> (qPivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -574,5 +585,9 @@ object Queries {
       ("SELECT o_orderkey, count(*) AS n FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
         "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY " +
         "GROUP BY o_orderkey ORDER BY o_orderkey"),
+    "q_pivot" ->
+      ("SELECT l_returnflag, round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F, " +
+        "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }
