@@ -11,14 +11,20 @@ object Bench {
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
     // Untimed warmup pass: JIT-compile the scan/codegen/shuffle paths once so
-    // the timed pass measures steady-state engine throughput, not first-touch
-    // JVM compilation (rep1 vs rep2 differs ~10× on this JVM).
+    // the timed passes measure steady-state engine throughput, not
+    // first-touch JVM compilation (rep1 vs rep2 differs ~10× on this JVM).
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) => run(fn) }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      run(fn)
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Two timed passes, per-query minimum: the min is the standard estimator
+    // of steady-state cost under one-sided scheduler/GC noise.
+    def timedPass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        run(fn)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
