@@ -50,10 +50,7 @@ object TextOps {
     * re-evaluates the regex split per element, O(tokens²) per doc. Measured
     * at sf0.1: 102 s vs 2 s. Keep the explode.) */
   def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = docs
-      .select(col(idCol), posexplode(split(Ops.normalizeText(col(textCol)), " ")))
-      .withColumnRenamed("col", "token")
-      .where(col("token") =!= "")
+    val toks = tokenize(docs, Ops.normalizeText(col(textCol)), Seq(col(idCol)))
     shingles(toks, idCol, n).select(col(idCol), col("shingle"))
   }
 

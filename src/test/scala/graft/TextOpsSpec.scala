@@ -7,6 +7,14 @@ import graft.operators.TextOps
 class TextOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("tokenize: positions are 0-based and contiguous, empties dropped") {
+    val docs = Seq((1L, "a b  c"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.tokenize(docs,
+        graft.operators.Ops.normalizeText($"text"), Seq($"doc_id"))
+      .select("doc_id", "pos", "token").as[(Long, Int, String)].collect().toSet
+    assert(out == Set((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c")))
+  }
+
   test("shingles: contiguous n-grams, none for docs shorter than n") {
     val toks = Seq((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"), (1L, 3, "d"),
       (2L, 0, "x"), (2L, 1, "y")).toDF("doc_id", "pos", "token")
