@@ -19,6 +19,17 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("every declared query is run-to-run deterministic") {
+    // The oracle hash-match depends on this; catches partition-order leaks
+    // (bare dropDuplicates winners, unordered collect_list in outputs).
+    Queries.all.foreach { case (name, fn) =>
+      val a = fn(spark, SF)
+      val b = fn(spark, SF)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name differs between two runs")
+    }
+  }
+
   test("every oracle key refers to a declared query") {
     val unknown = Queries.oracles.keySet -- Queries.all.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
