@@ -116,6 +116,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: pair each left event with right events of
+    * the same user within `[left.ts, left.ts + window]`. Both sides carry
+    * watermarks so the join state is bounded — Spark drops buffered rows
+    * once they can no longer match (the requirement for an unbounded
+    * stream-stream join to run at all). */
+  def intervalJoin(left: DataFrame, right: DataFrame, watermark: String,
+                   window: String): DataFrame = {
+    val l = left.select(col("user_id"), col("event_id").as("l_event_id"),
+      col("ts").as("l_ts"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user_id"),
+      col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+      col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window") &&
+        col("l_event_id") =!= col("r_event_id"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_type"), col("r_type"))
+  }
+
   /** Run any streaming frame to completion over the currently-available
     * input (batch-parity execution) into an in-memory table; returns the
     * final table content. */

@@ -58,6 +58,24 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() == batchEvents.select("event_id").distinct().count())
   }
 
+  test("stream-stream interval join matches the batch theta join") {
+    val got = EventStreams.runAvailableNow(
+      EventStreams.intervalJoin(stream, stream, "10 minutes", "30 MINUTES"),
+      "t_interval", OutputMode.Append())
+    val e = batchEvents
+    val l = e.select($"user_id", $"event_id".as("l_event_id"),
+      $"ts".as("l_ts"), $"event_type".as("l_type"))
+    val r = e.select($"user_id".as("r_user_id"), $"event_id".as("r_event_id"),
+      $"ts".as("r_ts"), $"event_type".as("r_type"))
+    val want = l.join(r,
+        $"user_id" === $"r_user_id" && $"r_ts" >= $"l_ts" &&
+          $"r_ts" <= $"l_ts" + expr("INTERVAL 30 MINUTES") &&
+          $"l_event_id" =!= $"r_event_id")
+      .select($"user_id", $"l_event_id", $"r_event_id", $"l_type", $"r_type")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mapGroupsWithState session summaries cover every user with exact totals") {
     val got = EventStreams.runAvailableNow(
         EventStreams.userSessionSummaries(stream).toDF(), "t_state",
