@@ -80,10 +80,12 @@ object Queries {
   def qSeededSample(s: SparkSession, d: String): DataFrame =
     Ops.seededTopN(Tables.customer(s, d), "c_custkey", 20)
 
-  /** S3 — fixed-size chunking / 1-based batch assignment. */
+  /** S3 — fixed-size chunking / 1-based batch assignment, via the scalable
+    * two-phase numbering (bucket offsets + bucket-local windows): no global
+    * single-partition window anywhere in the plan. */
   def qBatchAssign(s: SparkSession, d: String): DataFrame =
-    Ops.batchAssign(Tables.customer(s, d).select("c_custkey", "c_name"),
-        col("c_custkey"), 500)
+    Ops.batchAssignScalable(Tables.customer(s, d).select("c_custkey", "c_name"),
+        "c_custkey", 500)
       .orderBy("c_custkey")
 
   // ------------------------------------------------------------- strings
@@ -370,7 +372,7 @@ object Queries {
   /** Zero-padded object naming (the reference's `batch_%06d.json`,
     * create_artist_batches.py:34). */
   def qBatchFormat(s: SparkSession, d: String): DataFrame =
-    Ops.batchAssign(Tables.customer(s, d).select("c_custkey"), col("c_custkey"), 500)
+    Ops.batchAssignScalable(Tables.customer(s, d).select("c_custkey"), "c_custkey", 500)
       .select(col("c_custkey"),
         format_string("batch_%06d.json", col("batch_id")).as("object_name"))
       .orderBy("c_custkey")
@@ -538,9 +540,9 @@ object Queries {
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id""",
     "q_quality_score" ->
       (NORM_CTE + " SELECT doc_id, len(string_split(t, ' ')) AS n_tokens, length(t) AS n_chars_norm, " +
-        "round(CAST(length(t) AS DOUBLE) / len(string_split(t, ' ')), 4) AS chars_per_token, " +
-        s"round(CAST(len(list_filter(string_split(t, ' '), x -> x IN $STOP_SQL)) AS DOUBLE) / len(string_split(t, ' ')), 4) AS stopword_ratio, " +
-        "round(CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(t), 4) AS punct_ratio " +
+        "round(CAST(length(t) AS DOUBLE) / nullif(len(string_split(t, ' ')), 0), 4) AS chars_per_token, " +
+        s"round(CAST(len(list_filter(string_split(t, ' '), x -> x IN $STOP_SQL)) AS DOUBLE) / nullif(len(string_split(t, ' ')), 0), 4) AS stopword_ratio, " +
+        "round(CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / nullif(length(t), 0), 4) AS punct_ratio " +
         "FROM norm ORDER BY doc_id"),
     "q_asof_join" ->
       ("SELECT event_id, user_id, o_orderkey FROM (SELECT e.event_id, e.user_id, o.o_orderkey, " +

@@ -174,15 +174,19 @@ object SpotifyPipeline {
     * ingest date. Each entity is a single lazy plan executed by its own
     * sink action; Catalyst pipelines what Airflow serialized. Re-running a
     * date is idempotent (dynamic partition overwrite). Raw layout:
-    * `$rawDir/{artist,album,track}.json` newline-delimited records. */
+    * `$rawDir/{artist,album,track}.json` newline-delimited records.
+    *
+    * First-wins dedup order comes from `readLinesNumbered`'s
+    * `(file, byte offset)` column — stable data, invariant under split
+    * configuration — NOT from `monotonically_increasing_id()`, whose value
+    * depends on the partition layout and would let the dedup winner change
+    * between environments for identical input files. */
   def runDaily(spark: org.apache.spark.sql.SparkSession, rawDir: String,
                outDir: String, runDate: String): Unit = {
     import graft.sources.JsonArtifacts
     val rawArtists = JsonArtifacts.readLines(spark, s"$rawDir/artist.json", Schemas.rawArtist)
-    val rawAlbums = JsonArtifacts.readLines(spark, s"$rawDir/album.json", Schemas.rawAlbum)
-      .withColumn("__fetch", monotonically_increasing_id())
-    val rawTracks = JsonArtifacts.readLines(spark, s"$rawDir/track.json", Schemas.rawTrack)
-      .withColumn("__fetch", monotonically_increasing_id())
+    val rawAlbums = JsonArtifacts.readLinesNumbered(spark, s"$rawDir/album.json", Schemas.rawAlbum)
+    val rawTracks = JsonArtifacts.readLinesNumbered(spark, s"$rawDir/track.json", Schemas.rawTrack)
     transform(rawArtists, rawAlbums, rawTracks, col("__fetch")).foreach {
       case (entity, df) => writeEntity(df, outDir, entity, runDate)
     }

@@ -45,16 +45,22 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val rightPayloadCols = right.columns.toSeq.filterNot(_ == key)
 
+    // The tiebreak stays in its NATIVE type: casting to double would
+    // collide bigints above 2^53 and null out non-numeric tiebreaks,
+    // breaking the deterministic-winner guarantee. Only the left side's
+    // null placeholder is cast — to the right column's actual type.
+    val tieType = right.schema(rightTieBreak).dataType
+
     val l = left.select(
       col(key).as("__key"), col(leftTime).cast("timestamp").as("__t"),
-      lit(1).as("__side"), lit(null).cast("double").as("__tie"),
+      lit(1).as("__side"), lit(null).cast(tieType).as("__tie"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(right.select(rightPayloadCols.map(col): _*).schema
         .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
         .as("__r"))
     val r = right.select(
       col(key).as("__key"), col(rightTime).cast("timestamp").as("__t"),
-      lit(0).as("__side"), col(rightTieBreak).cast("double").as("__tie"),
+      lit(0).as("__side"), col(rightTieBreak).as("__tie"),
       lit(null).cast(left.select(leftCols.map(col): _*).schema
         .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
         .as("__l"),

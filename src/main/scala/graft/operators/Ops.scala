@@ -56,45 +56,57 @@ object Ops {
     * `orderCol` order.
     *
     * NOTE: the single `row_number` window over an unpartitioned ordering
-    * serializes through one task — fine at verification scale, wrong at
-    * 100 TB. Use [[batchAssignScalable]] on big data. */
+    * serializes through one task — fine for the reference's ~15 k names,
+    * wrong at 100 TB. Use [[batchAssignScalable]] on big data. */
   def batchAssign(df: DataFrame, orderCol: Column, n: Int,
                   batchCol: String = "batch_id"): DataFrame = {
     val w = Window.orderBy(orderCol)
     df.withColumn(batchCol, floor((row_number().over(w) - 1) / n) + 1)
   }
 
-  /** Scalable global row-number / chunk assignment: range-repartition by the
-    * order column, count rows per partition (tiny driver-side array, one row
-    * per partition — O(numPartitions), not O(data)), broadcast the prefix
-    * offsets, then assign contiguous numbers per partition. Equivalent output
-    * to [[batchAssign]] when `orderCol` values are unique. */
+  /** Scalable global row-number / chunk assignment over a NUMERIC, non-null
+    * order column. Two-phase: (1) value-bucket every row with a monotone
+    * `width_bucket` over the column's [min, max] range; (2) count rows per
+    * bucket (tiny driver-side array, O(buckets) not O(data)), broadcast the
+    * prefix offsets back, and number rows with a window PARTITIONED by
+    * bucket — every window is bucket-local (~|df|/buckets rows), nothing
+    * serializes through one task, and the plan stays in whole-stage codegen
+    * (no RDD round-trip). Monotonicity of the bucket function is all that's
+    * needed for `offset + within-bucket row_number` to equal the global row
+    * number, so the double cast inside `width_bucket` is harmless even for
+    * keys above 2^53. Output equals [[batchAssign]] when `orderCol` values
+    * are unique. */
   def batchAssignScalable(df: DataFrame, orderCol: String, n: Int,
-                          batchCol: String = "batch_id"): DataFrame = {
+                          batchCol: String = "batch_id",
+                          buckets: Int = 1024): DataFrame = {
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
-    val counts: Array[(Int, Long)] = ranged
-      .select(spark_partition_id().as("pid"))
-      .groupBy("pid").count()
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-    val offsets: Map[Int, Long] = {
-      val sorted = counts.sortBy(_._1)
-      val cum = sorted.scanLeft(0L)(_ + _._2)
-      sorted.map(_._1).zip(cum).toMap
-    }
-    val offsetsB = spark.sparkContext.broadcast(offsets)
-    val schema = org.apache.spark.sql.types.StructType(
-      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
-        batchCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = ranged.rdd.mapPartitionsWithIndex { case (pid, it) =>
-      val base = offsetsB.value.getOrElse(pid, 0L)
-      it.zipWithIndex.map { case (row, i) =>
-        val rn = base + i // 0-based global row number
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (rn / n + 1))
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    val stats = df.agg(min(col(orderCol)).cast("double"),
+      max(col(orderCol)).cast("double")).head()
+    if (stats.isNullAt(0)) // empty input: preserve schema, no rows to number
+      return df.withColumn(batchCol, lit(null).cast("long"))
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    val bucketCol =
+      if (mn == mx) lit(1L)
+      else least(width_bucket(col(orderCol).cast("double"), lit(mn), lit(mx),
+        lit(buckets)), lit(buckets.toLong))
+    val bucketed = df.withColumn("__bucket", bucketCol)
+    val counts = bucketed.groupBy("__bucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val bases = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
+    val basesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bases.toSeq.map {
+        case (b, o) => org.apache.spark.sql.Row(b, o)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__base",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+    bucketed.join(broadcast(basesDf), Seq("__bucket"))
+      .withColumn(batchCol,
+        floor((col("__base") + row_number().over(w) - 1) / n) + 1)
+      .drop("__bucket", "__base")
   }
 
   /** Deterministic seeded sample-N (spotify_etl_v2.py:91-97 uses

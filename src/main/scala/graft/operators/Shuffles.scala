@@ -27,16 +27,33 @@ object Shuffles {
                    key: String, joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
+  /** Join types for which replicating the right side once per salt is
+    * semantics-preserving: the output is driven entirely by left rows, so
+    * an unmatched right row is never emitted (let alone `salts` times). */
+  private val saltableJoinTypes = Set(
+    "inner", "cross",
+    "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti")
+
   /** Skew-safe equi-join: spread each hot left key over `salts` subkeys and
     * replicate the right side once per salt. The left salt is derived
     * deterministically from the whole left row (no `rand()` — reruns and
     * retries stay stable). Use when one key holds a disproportionate share
     * of rows and AQE's skew splitting isn't available (e.g. a non-AQE sink
-    * or a broadcast-ineligible dimension); result is identical to the
-    * plain join. */
+    * or a broadcast-ineligible dimension).
+    *
+    * Only left-driven join types are accepted (inner / cross / left outer /
+    * left semi / left anti) — for those the result is identical to the
+    * plain join. Right/full outer joins would emit each unmatched right
+    * row once per salt replica; salt the other side instead. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' is not left-driven; the replicated " +
+        "right side would duplicate unmatched right rows. Salt the left-driven " +
+        "mirror of the join instead.")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
     val saltedRight = right.withColumn("__salt",

@@ -135,21 +135,27 @@ object TextOps {
 
   /** Per-document quality metrics: token count, char count of the normalized
     * text, chars-per-token, stopword ratio, punctuation ratio. Pure integer
-    * arithmetic + one final division ⇒ bit-identical across engines. */
+    * arithmetic + one final division ⇒ bit-identical across engines.
+    * Degenerate (empty / whitespace-only) documents get null ratios instead
+    * of killing the job — Spark 4's ANSI mode throws DIVIDE_BY_ZERO on a
+    * bare `x / 0`, so every denominator is null-guarded. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String]): DataFrame = {
     val norm = Ops.normalizeText(col(textCol))
     val toks = split(norm, " ")
     val stopArr = array(stopwords.map(lit): _*)
+    // x / 0 → null (ANSI-safe), matching the oracle's nullif(denom, 0).
+    def safeDiv(num: Column, denom: Column): Column =
+      when(denom === 0, lit(null).cast("double")).otherwise(num.cast("double") / denom)
     docs.select(
       col(idCol),
       size(toks).cast("long").as("n_tokens"),
       length(norm).cast("long").as("n_chars_norm"),
-      round(length(norm).cast("double") / size(toks), 4).as("chars_per_token"),
-      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks), 4)
+      round(safeDiv(length(norm), size(toks)), 4).as("chars_per_token"),
+      round(safeDiv(size(filter(toks, t => array_contains(stopArr, t))), size(toks)), 4)
         .as("stopword_ratio"),
-      round((length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("double")
-        / length(norm), 4).as("punct_ratio"))
+      round(safeDiv(length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", "")),
+        length(norm)), 4).as("punct_ratio"))
   }
 
   /** Token count under a BPE-ish regex (letter runs / digit runs / single

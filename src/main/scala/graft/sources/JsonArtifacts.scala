@@ -1,7 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+import org.apache.spark.rdd.NewHadoopRDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Readers/writers for the reference pipeline's JSON object artifacts
   * (`/root/reference` lands JSON arrays per GCS object and re-reads them as
@@ -23,6 +27,36 @@ object JsonArtifacts {
     * splittable, so 1000 executors can share one large artifact). */
   def readLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Read newline-delimited JSON with a STABLE ingestion-order column
+    * `__fetch = struct(file path, byte offset within the file)`.
+    *
+    * `monotonically_increasing_id()` depends on the partition layout (core
+    * count / split size), so a first-wins dedup keyed on it can pick a
+    * different winner on a different cluster for identical input files.
+    * The Hadoop `TextInputFormat` record key is the line's byte offset
+    * within the FILE (not the split), so `(path, offset)` is invariant
+    * under any split configuration — the reproducible analog of the
+    * reference's fetch order (the landed file encodes API arrival order,
+    * sp_airflow/dags/spotify_etl_v2.py:143,161-170). */
+  def readLinesNumbered(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val hadoopRdd = spark.sparkContext.newAPIHadoopFile(
+      path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+    val rows = hadoopRdd.asInstanceOf[NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { case (split, it) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        // .get / .toString copy out of Hadoop's reused Writable instances.
+        it.map { case (off, line) => Row(file, off.get, line.toString) }
+      }
+    val raw = spark.createDataFrame(rows, StructType(Seq(
+      StructField("__file", StringType, nullable = false),
+      StructField("__offset", LongType, nullable = false),
+      StructField("__line", StringType, nullable = false))))
+    raw.where(length(trim(col("__line"))) > 0)
+      .select(from_json(col("__line"), schema).as("__rec"),
+        struct(col("__file"), col("__offset")).as("__fetch"))
+      .select(col("__rec.*"), col("__fetch"))
+  }
 
   /** Idempotent JSON sink: `SaveMode.Ignore` = write only if the target
     * does not already exist — the engine-side analog of the reference's

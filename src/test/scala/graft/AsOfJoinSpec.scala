@@ -43,6 +43,31 @@ class AsOfJoinSpec extends SparkSuite {
     assert(unmatched == Set("t4", "t5"))
   }
 
+  test("tiebreak keeps its native type: bigints above 2^53 do not collide") {
+    // 2^53 and 2^53+1 are the same double — a double-cast tiebreak would
+    // pick an arbitrary winner; the native long order must pick the greater.
+    val big = 9007199254740992L // 2^53
+    val q = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, big),
+      (1L, ts("2024-01-01 10:00:00"), 111.0, big + 1)
+    ).toDF("key", "qts", "price", "qid")
+    val t = Seq((1L, ts("2024-01-01 11:00:00"), "t1")).toDF("key", "tts", "trade_id")
+    val out = AsOfJoin.asOf(t, q, "key", "tts", "qts", "qid")
+      .select("qid", "price").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((big + 1, 111.0)))
+  }
+
+  test("non-numeric (string) tiebreak stays orderable, not nulled") {
+    val q = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 111.0, "b")
+    ).toDF("key", "qts", "price", "qid")
+    val t = Seq((1L, ts("2024-01-01 11:00:00"), "t1")).toDF("key", "tts", "trade_id")
+    val out = AsOfJoin.asOf(t, q, "key", "tts", "qts", "qid")
+      .select("qid", "price").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("b", 111.0)))
+  }
+
   test("matches the naive join+row_number formulation on real tables") {
     val ev = Tables.events(spark, SF).select("event_id", "user_id", "ts")
     val ord = Tables.orders(spark, SF).select(

@@ -39,6 +39,38 @@ class JsonArtifactsSpec extends SparkSuite {
     assert(back.as[(String, String)].collect().toSeq == Seq(("a1", "X")))
   }
 
+  test("readLinesNumbered: __fetch is the (file, byte-offset), invariant under split size") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_num").toString + "/raw"
+    new java.io.File(dir).mkdirs()
+    val lines = (0 until 200).map(i => s"""{"artist_id":"a${i % 7}","artist_name":"row$i"}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part0.json"), lines.mkString("\n"))
+
+    def fetchOrder(): Seq[(String, Long, String)] = {
+      val df = JsonArtifacts.readLinesNumbered(spark, dir, Schemas.idResolution)
+      df.orderBy("__fetch").select("__fetch.__file", "__fetch.__offset", "artist_name")
+        .as[(String, Long, String)].collect().toSeq
+    }
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val coarse = fetchOrder()
+    try {
+      hc.set(key, "256") // force many tiny splits
+      val fine = fetchOrder()
+      // offsets are within-FILE, so the order is identical however the
+      // file is split — this is the property monotonically_increasing_id
+      // does not have.
+      assert(fine == coarse)
+    } finally hc.unset(key)
+    assert(coarse.map(_._3) == (0 until 200).map(i => s"row$i"))
+    // first-wins dedup keyed on __fetch reproduces file order
+    val deduped = graft.operators.Ops.dedupFirstWins(
+      JsonArtifacts.readLinesNumbered(spark, dir, Schemas.idResolution),
+      Seq("artist_id"), Seq(org.apache.spark.sql.functions.col("__fetch")))
+    val winners = deduped.select("artist_name").as[String].collect().toSet
+    assert(winners == (0 until 7).map(i => s"row$i").toSet)
+  }
+
   test("lines round-trip preserves the record set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json_rt").toString + "/out"
     val df = Seq(("a1", "X"), ("a2", "Y"), ("a3", "Z")).toDF("artist_id", "artist_name")

@@ -49,4 +49,25 @@ class ShufflesSpec extends SparkSuite {
     val b = Shuffles.saltedJoin(left, right, "k", 4).orderBy("v").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("saltedJoin left outer / semi / anti equal their plain joins") {
+    val left = ((1 to 500).map(i => (1L, i.toLong)) ++ Seq((7L, 0L), (8L, 0L)))
+      .toDF("k", "v")
+    val right = Seq((1L, "hot"), (7L, "cold")).toDF("k", "tag")
+    for (jt <- Seq("left", "left_semi", "left_anti")) {
+      val plain = left.join(right, Seq("k"), jt)
+      val salted = Shuffles.saltedJoin(left, right, "k", salts = 8, joinType = jt)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"saltedJoin($jt) drifted from the plain join")
+    }
+  }
+
+  test("saltedJoin rejects right/full outer joins (unmatched right rows would replicate)") {
+    val left = Seq((1L, 1L)).toDF("k", "v")
+    val right = Seq((1L, "x"), (2L, "unmatched")).toDF("k", "tag")
+    for (jt <- Seq("right", "full", "full_outer", "right_outer"))
+      intercept[IllegalArgumentException] {
+        Shuffles.saltedJoin(left, right, "k", 4, joinType = jt)
+      }
+  }
 }

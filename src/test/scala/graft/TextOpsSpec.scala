@@ -80,6 +80,18 @@ class TextOpsSpec extends SparkSuite {
     assert(r.getAs[Double]("punct_ratio") == 0.05)   // the '!'
   }
 
+  test("qualityScore: empty and whitespace-only docs degrade to null ratios, no ANSI throw") {
+    val docs = Seq((1L, ""), (2L, "   \t \n "), (3L, "ok text")).toDF("doc_id", "text")
+    val rows = TextOps.qualityScore(docs, "doc_id", "text", Seq("the"))
+      .orderBy("doc_id").collect()
+    for (r <- rows.take(2)) { // degenerate docs: norm = "" (split → [""], len 0)
+      assert(r.getAs[Long]("n_chars_norm") == 0L)
+      assert(r.isNullAt(r.fieldIndex("punct_ratio")))
+    }
+    assert(rows(2).getAs[Long]("n_tokens") == 2L) // healthy doc unaffected
+    assert(rows(2).getAs[Double]("punct_ratio") == 0.0)
+  }
+
   test("bpeishTokenCount splits letter runs, digit runs, punctuation") {
     val df = Seq("abc123!x y").toDF("s")
     // tokens: abc | 123 | ! | x | y
