@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ops, Similarity, TextOps}
+import graft.functions.CosineSim.cosine_sim
+import graft.operators.{Ops, Shuffles, Similarity, TextOps}
 
 /** The declared query inventory (SURVEY.md §2.3): each entry re-expresses a
   * surveyed operator of the reference pipeline on the harness tables, paired
@@ -270,14 +271,60 @@ object Queries {
     TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text", STOPWORDS)
       .orderBy("doc_id")
 
-  /** Brute-force cosine top-k vs the vec_id=0 probe (no oracle: float-sum
-    * ordering differs across engines; self-checked in ScalaTest). */
+  /** Brute-force cosine top-k vs the vec_id=0 probe. Both engines compute
+    * the dot/norms in double (the oracle casts FLOAT[] → DOUBLE[]), rank by
+    * the 4-decimal-rounded similarity, and break ties by vec_id — so the
+    * selected set is stable under the ~1e-15 summation-order drift and the
+    * oracle hash-matches. Plans as TakeOrderedAndProject (per-partition
+    * heaps, no global sort). */
   def qCosineTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val probe = emb.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    Similarity.cosineTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
+    val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
+    emb.where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), probeCol), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF approximate nearest neighbor (rows-only: recall depends on nprobe,
+    * so there is no exact SQL oracle; exhaustive-nprobe equivalence to brute
+    * force is asserted in ScalaTest). */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Similarity.ivfTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        probe, 10, nlist = 16, nprobe = 4)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
+  /** L2 norms over the embedding column — the array-function tier
+    * (`transform`/`aggregate` higher-order functions) with an exact oracle. */
+  def qVectorNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(Similarity.l2norm(col("embedding")), 4).as("l2"),
+        col("label"))
+      .orderBy("vec_id")
+
+  /** Exact embedding near-dup pairs on a deterministic 10% sample — the
+    * oracle-able tier of vector dedup. The unsampled scale path is
+    * [[graft.operators.Similarity.embeddingNearDupPairs]] (LSH-blocked,
+    * equi-join on bucket — never a cross join); this declared query keeps
+    * exact all-pairs semantics so DuckDB can verify every similarity. */
+  def qEmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).where(col("vec_id") % 10 === 0)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine_sim(col("va"), col("vb")), 4).as("sim"))
+      .where(col("sim") >= 0.3)
+      .orderBy("id_a", "id_b")
   }
 
   /** SimHash-64 near-dup buckets: docs whose simhashes are ≤8 bits apart,
@@ -404,6 +451,61 @@ object Queries {
       TextOps.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
       .orderBy("doc_id")
 
+  /** Left-anti join: customers with no high-value (>400k) order — the
+    * complement of the S18 semi-join shape. The filter is applied to the
+    * right side BEFORE the join, so the anti probe is against the small
+    * filtered set. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_totalprice") > 400000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Explicit GROUPING SETS — per-flag and per-status marginals in one pass
+    * (the cube/rollup generalization; partial-aggregates like any groupBy). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Skew-salted fact⋈dim join ([[graft.operators.Shuffles.saltedJoin]]):
+    * events fan in on 150 distinct user_ids, the canonical hot-key shape.
+    * The salt spreads each key over 8 subkeys; the oracle is the PLAIN join
+    * — proving the salted plan is semantics-preserving end to end. */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id").as("k"), col("value"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    Shuffles.saltedJoin(ev, cust, "k", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Session windows in BATCH: events within 24 h of the previous event
+    * merge into one session per user (`session_window` — the same operator
+    * Structured Streaming uses, here over the static table). Output keyed
+    * by the session's first-event time in µs (integer — no timestamp
+    * precision drift against the oracle). */
+  def qSessionize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("total"))
+      .orderBy("user_id", "session_start_us")
+
+  /** Language-ID heuristic (script detection + stopword voting) — fully
+    * declarative, so the oracle can restate it in SQL. */
+  def qLangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.langIdHeuristic(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
   /** As-of join: each event picks the customer's latest order at or before
     * the event time (greatest (o_orderdate, o_orderkey)). Runs the scalable
     * union+carry-forward operator ([[graft.operators.AsOfJoin]]) — one
@@ -461,6 +563,14 @@ object Queries {
     "q_cube" -> (qCube _),
     "q_range_join" -> (qRangeJoin _),
     "q_pivot" -> (qPivot _),
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_vector_norm" -> (qVectorNorm _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_sessionize" -> (qSessionize _),
+    "q_lang_id" -> (qLangId _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -591,5 +701,51 @@ object Queries {
       ("SELECT l_returnflag, round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F, " +
         "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_cosine_topk" ->
+      ("WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p), 4) AS sim " +
+        "FROM embeddings, probe WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"),
+    "q_vector_norm" ->
+      ("SELECT vec_id, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2, " +
+        "label FROM embeddings ORDER BY vec_id"),
+    "q_embed_neardup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 0) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS sim " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3 ORDER BY id_a, id_b"),
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) " +
+        "ORDER BY c_custkey"),
+    "q_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_salted_join" ->
+      ("SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, ts, value, " +
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 24 HOUR " +
+        "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s FROM events), " +
+        "sess AS (SELECT user_id, ts, value, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged) " +
+        "SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n, round(sum(value), 2) AS total " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+    "q_lang_id" ->
+      (NORM_CTE +
+        ", h AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm)" +
+        ", c AS (SELECT doc_id, t, " +
+        "len(list_filter(toks, x -> x IN ('the','and','of','to','is','a'))) AS en, " +
+        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de, " +
+        "len(list_filter(toks, x -> x IN ('el','la','los','las','es','y'))) AS es, " +
+        "len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS fr FROM h) " +
+        "SELECT doc_id, CASE " +
+        "WHEN regexp_matches(t, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+        "WHEN de >= greatest(en, es, fr) AND de > 0 THEN 'de' " +
+        "WHEN es >= greatest(en, fr) AND es > 0 THEN 'es' " +
+        "WHEN fr >= en AND fr > 0 THEN 'fr' " +
+        "ELSE 'en' END AS lang_pred FROM c ORDER BY doc_id"),
   )
 }

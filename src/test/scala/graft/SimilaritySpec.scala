@@ -71,6 +71,38 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ivfTopK with nprobe == nlist is exactly brute force") {
+    val emb = Tables.embeddings(spark, SF)
+    val probe = emb.where($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    val brute = Similarity.cosineTopK(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val exhaustive = Similarity.ivfTopK(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10,
+        nlist = 8, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(exhaustive == brute) // every list scanned ⇒ identical ranking
+  }
+
+  test("ivfTopK pruned scan returns k results with nonzero recall, deterministically") {
+    val emb = Tables.embeddings(spark, SF)
+    val probe = emb.where($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    def run() = Similarity.ivfTopK(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10,
+        nlist = 16, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val a = run()
+    assert(a.size == 10)
+    assert(a == run()) // seeded centroids + total tie order ⇒ stable
+    val exact = Similarity.cosineTopK(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect a.toSet).size.toDouble / exact.size
+    assert(recall > 0.0, s"pruned IVF scan found none of the true top-10")
+  }
+
   test("hyperplanes are deterministic for a given seed") {
     val a = Similarity.hyperplanes(8, 16, 42L)
     val b = Similarity.hyperplanes(8, 16, 42L)
