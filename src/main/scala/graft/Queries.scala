@@ -500,10 +500,11 @@ object Queries {
       .orderBy("user_id", "session_start_us")
 
   /** Language-ID heuristic (script detection + stopword voting) — fully
-    * declarative, so the oracle can restate it in SQL. */
+    * declarative, so the oracle can restate it in SQL. Runs the
+    * explode+aggregate form (each token examined once, map-side partial
+    * counts); the single-Column form is [[graft.operators.TextOps.langIdHeuristic]]. */
   def qLangId(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.langIdHeuristic(col("text")).as("lang_pred"))
+    TextOps.langIdAgg(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
   /** As-of join: each event picks the customer's latest order at or before

@@ -163,8 +163,48 @@ object TextOps {
   def bpeishTokenCount(textCol: Column): Column =
     size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Language-ID heuristic: script detection (Han) + stopword voting for
-    * latin-script languages. Deterministic, codegen'd. */
+  /** The language-ID decision rule shared by both implementations below:
+    * script detection first, then stopword-count voting. */
+  private def langDecision(hasHan: Column, en: Column, de: Column,
+                           es: Column, fr: Column): Column =
+    when(hasHan, lit("zh"))
+      .when(de >= greatest(en, es, fr) && de > 0, lit("de"))
+      .when(es >= greatest(en, fr) && es > 0, lit("es"))
+      .when(fr >= en && fr > 0, lit("fr"))
+      .otherwise(lit("en"))
+
+  private val EN_STOPS = Seq("the", "and", "of", "to", "is", "a")
+  private val DE_STOPS = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val ES_STOPS = Seq("el", "la", "los", "las", "es", "y")
+  private val FR_STOPS = Seq("le", "la", "les", "et", "est", "une")
+
+  /** Per-document language ID as one explode + aggregate: each stopword
+    * count is a conditional `sum` with map-side partial aggregation — every
+    * token is examined exactly ONCE, vs the Column form below whose
+    * `when`-chain re-evaluates the `filter()` HOFs per branch. This is the
+    * form to run over a corpus (one honest shuffle of (doc, 4 counters)). */
+  def langIdAgg(docs: DataFrame, idCol: String, textCol: String,
+                outCol: String = "lang_pred"): DataFrame = {
+    // No empty-token filter: split() always yields >=1 element, so even an
+    // empty document keeps its row (classified "en", matching the Column
+    // form); "" matches no stopword and no script, contributing nothing.
+    val toks = docs.select(col(idCol),
+        explode(split(Ops.normalizeText(col(textCol)), " ")).as("token"))
+    def hits(words: Seq[String]): Column =
+      sum(when(col("token").isin(words: _*), 1L).otherwise(0L))
+    val agg = toks.groupBy(col(idCol)).agg(
+      max(col("token").rlike("[一-鿿]")).as("has_han"),
+      hits(EN_STOPS).as("en"), hits(DE_STOPS).as("de"),
+      hits(ES_STOPS).as("es"), hits(FR_STOPS).as("fr"))
+    agg.select(col(idCol),
+      langDecision(col("has_han"), col("en"), col("de"), col("es"), col("fr"))
+        .as(outCol))
+  }
+
+  /** Language-ID heuristic as a single Column: script detection (Han) +
+    * stopword voting for latin-script languages. Deterministic, codegen'd;
+    * convenient inside a wider projection. Prefer [[langIdAgg]] for a
+    * corpus-wide pass (single token walk). */
   def langIdHeuristic(textCol: Column): Column = {
     val t = Ops.normalizeText(textCol)
     val toks = split(t, " ")

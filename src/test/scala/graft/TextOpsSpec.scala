@@ -99,6 +99,26 @@ class TextOpsSpec extends SparkSuite {
     assert(n == 5)
   }
 
+  test("langIdAgg matches the Column heuristic doc-for-doc (incl. empty docs)") {
+    val docs = (Seq(
+      "the cat is on the mat and happy",
+      "der hund ist nicht hier und da",
+      "el gato es la cosa y los perros",
+      "le chat est une chose et les",
+      "这是 中文 文本",
+      "", "   ",
+      "xyzzy plugh qwark") ++
+      Tables.documents(spark, SF).select("text").as[String].take(20))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val viaAgg = graft.operators.TextOps.langIdAgg(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val viaCol = docs.select($"doc_id",
+        graft.operators.TextOps.langIdHeuristic($"text").as("lang_pred"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(viaAgg == viaCol)
+    assert(viaAgg.size == docs.count())
+  }
+
   test("langIdHeuristic classifies script + stopword signals") {
     val df = Seq(
       ("the cat is on the mat and happy", "en"),
