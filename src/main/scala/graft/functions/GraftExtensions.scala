@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * `SELECT cosine_sim(a.embedding, b.embedding)` works in plain SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    val (name, info, builder) = CosineSim.registryEntry
-    e.injectFunction((FunctionIdentifier(name), info, builder))
+    Seq(CosineSim.registryEntry, Shingles.registryEntry).foreach {
+      case (name, info, builder) =>
+        e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
   }
 }

@@ -39,20 +39,25 @@ object TextOps {
     tokens.withColumn("shingle", sh).where(col("shingle").isNotNull)
   }
 
-  /** Exploded (idCol, shingle) rows for a document frame: tokenize the
-    * normalized text, then window-`lead` adjacent tokens into n-word
-    * shingles. The window sorts within the doc_id partition — an honest,
-    * partition-local shuffle that scales linearly.
+  /** Exploded (idCol, shingle) rows for a document frame, via the native
+    * [[graft.functions.Shingles]] expression: all n-token windows of the
+    * normalized text are formed ROW-LOCALLY inside the scan stage, then
+    * exploded — ZERO shuffle. Byte-identical output to [[shingles]] (the
+    * window-`lead` form kept for pre-tokenized frames), which shuffles and
+    * sorts the entire token stream by document id just to line up
+    * neighbours — the profiled bottleneck of the MinHash pipeline, and a
+    * full-corpus shuffle at 100 TB.
     *
-    * (A tempting "zero-shuffle" alternative — building the shingle array
-    * with `transform`/`element_at` over the token array — is 10-50× SLOWER:
-    * Catalyst inlines the token-array expression into the lambda and
-    * re-evaluates the regex split per element, O(tokens²) per doc. Measured
-    * at sf0.1: 102 s vs 2 s. Keep the explode.) */
-  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = tokenize(docs, Ops.normalizeText(col(textCol)), Seq(col(idCol)))
-    shingles(toks, idCol, n).select(col(idCol), col("shingle"))
-  }
+    * (A higher-order-function formulation — `transform` over
+    * `split(normalize(text))` — is NOT the fix: Catalyst's CollapseProject
+    * inlines the token-array expression into the lambda and re-evaluates
+    * the regex split per element, O(tokens²) per doc; measured 102 s vs 2 s
+    * at sf0.1. The native expression runs the normalize+split exactly once
+    * per row.) */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.Shingles.shingles(Ops.normalizeText(col(textCol)), n))
+        .as("shingle"))
 
   /** Portable MinHash signature: for each of `numHashes` salted hash
     * families, the minimum md5 hex over the document's shingles.
