@@ -521,6 +521,140 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Exact interpolated percentiles + median per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`, both linear interpolation; rounded against
+    * summation-order drift). */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("median(l_quantity)"), 2).as("med_qty"))
+      .orderBy("l_returnflag")
+
+  /** Deterministic arg-max via struct-ordered max: per segment, the
+    * highest-balance customer, ties broken by custkey — one partial-agg
+    * pass, no window. (`max_by` alone has nondeterministic ties; the
+    * struct's lexicographic order makes the winner total.) */
+  def qArgmax(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(max(struct(col("c_acctbal"), col("c_custkey"), col("c_name"))).as("top"))
+      .select(col("c_mktsegment"), col("top.c_acctbal").as("top_acctbal"),
+        col("top.c_custkey").as("top_custkey"), col("top.c_name").as("top_name"))
+      .orderBy("c_mktsegment")
+
+  /** Conditional aggregation (FILTER-clause semantics): count_if /
+    * filtered sum / filtered distinct-count in one grouped pass. */
+  def qConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") > 25).as("hi_qty_n"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("disc_rev"),
+        countDistinct(when(col("l_quantity") < 5, col("l_partkey"))).as("lo_qty_parts"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates: sample stddev/variance, correlation,
+    * covariance — all partial-mergeable (Welford-style) so they scale like
+    * any groupBy; rounded because merge order perturbs low-order bits. */
+  def qStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
+  /** Ordered set aggregation to a canonical string: per user, the sorted
+    * distinct event types. `sort_array(collect_set(...))` keeps the result
+    * deterministic regardless of partition order. */
+  def qStringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  /** Map-typed JSON: parse `props` into map<string,int>, project the sorted
+    * key list (canonical string form) and a typed value lookup. */
+  def qMapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("props").isNotNull)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_id"),
+        concat_ws(",", sort_array(map_keys(col("m")))).as("keys"),
+        col("m").getItem("k").as("k"))
+      .orderBy("event_id")
+
+  /** Variable-precision date parsing — the reference's `release_date` can
+    * be YYYY, YYYY-MM, or YYYY-MM-DD (spotify_etl_v2.py:165). Re-created
+    * here by formatting o_orderdate at 3 precisions, then parsed back with
+    * a most-specific-first `coalesce(try_to_date...)` chain (strict
+    * patterns: a short pattern rejects a longer string on both engines). */
+  def qDateParse(s: SparkSession, d: String): DataFrame = {
+    val raw = when(pmod(col("o_orderkey"), lit(3)) === 0, date_format(col("o_orderdate"), "yyyy"))
+      .when(pmod(col("o_orderkey"), lit(3)) === 1, date_format(col("o_orderdate"), "yyyy-MM"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), raw.as("release_date"))
+      .withColumn("parsed",
+        coalesce(try_to_date(col("release_date"), "yyyy-MM-dd"),
+          try_to_date(col("release_date"), "yyyy-MM"),
+          try_to_date(col("release_date"), "yyyy")))
+      .orderBy("o_orderkey")
+  }
+
+  /** Scalar subquery through the SQL surface: customers above the global
+    * average balance (subquery plans as a one-row broadcast). */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+             ORDER BY c_custkey""")
+  }
+
+  /** Correlated EXISTS through the SQL surface (Catalyst rewrites it to the
+    * same left-semi join as [[qSemiJoin]] — asserted in PlanSpec). */
+  def qExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""SELECT c_custkey, c_name FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+             ORDER BY c_custkey""")
+  }
+
+  /** ntile quartile assignment per segment (deterministic: the window order
+    * is total). */
+  def qNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("c_custkey")
+  }
+
+  /** first_value/last_value over an unbounded frame: each event annotated
+    * with its user's first and last `value`. Doubles pass through untouched
+    * (bit-identical from the shared parquet — no rounding needed). */
+  def qFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        first(col("value")).over(w).as("first_val"),
+        last(col("value")).over(w).as("last_val"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -572,6 +706,17 @@ object Queries {
     "q_salted_join" -> (qSaltedJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_lang_id" -> (qLangId _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_argmax" -> (qArgmax _),
+    "q_conditional_agg" -> (qConditionalAgg _),
+    "q_stats" -> (qStats _),
+    "q_string_agg" -> (qStringAgg _),
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_date_parse" -> (qDateParse _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_exists_subquery" -> (qExistsSubquery _),
+    "q_ntile" -> (qNtile _),
+    "q_first_last" -> (qFirstLast _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -748,5 +893,58 @@ object Queries {
         "WHEN es >= greatest(en, fr) AND es > 0 THEN 'es' " +
         "WHEN fr >= en AND fr > 0 THEN 'fr' " +
         "ELSE 'en' END AS lang_pred FROM c ORDER BY doc_id"),
+    "q_percentiles" ->
+      ("SELECT l_returnflag, round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2) AS p25, " +
+        "round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS p50, " +
+        "round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 2) AS p90, " +
+        "round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 2) AS med_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_argmax" ->
+      ("SELECT c_mktsegment, c_acctbal AS top_acctbal, c_custkey AS top_custkey, c_name AS top_name " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey DESC) AS rn " +
+        "FROM customer) t WHERE rn = 1 ORDER BY c_mktsegment"),
+    "q_conditional_agg" ->
+      ("SELECT l_returnflag, count(*) FILTER (WHERE l_quantity > 25) AS hi_qty_n, " +
+        "round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev, " +
+        "count(DISTINCT l_partkey) FILTER (WHERE l_quantity < 5) AS lo_qty_parts " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_stats" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "round(var_samp(l_quantity), 4) AS var_qty, " +
+        "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, " +
+        "round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_string_agg" ->
+      ("SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types, " +
+        "count(*) AS n FROM events GROUP BY user_id ORDER BY user_id"),
+    "q_map_funcs" ->
+      ("SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS keys, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events WHERE props IS NOT NULL ORDER BY event_id"),
+    "q_date_parse" ->
+      ("WITH raw AS (SELECT o_orderkey, CASE CAST(o_orderkey % 3 AS INTEGER) " +
+        "WHEN 0 THEN strftime(o_orderdate, '%Y') " +
+        "WHEN 1 THEN strftime(o_orderdate, '%Y-%m') " +
+        "ELSE strftime(o_orderdate, '%Y-%m-%d') END AS release_date FROM orders) " +
+        "SELECT o_orderkey, release_date, CAST(coalesce(" +
+        "try_strptime(release_date, '%Y-%m-%d'), try_strptime(release_date, '%Y-%m'), " +
+        "try_strptime(release_date, '%Y')) AS DATE) AS parsed FROM raw ORDER BY o_orderkey"),
+    "q_scalar_subquery" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) ORDER BY c_custkey"),
+    "q_exists_subquery" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) " +
+        "ORDER BY c_custkey"),
+    "q_ntile" ->
+      ("SELECT c_custkey, c_mktsegment, ntile(4) OVER " +
+        "(PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile " +
+        "FROM customer ORDER BY c_custkey"),
+    "q_first_last" ->
+      ("SELECT user_id, event_id, " +
+        "first_value(value) OVER w AS first_val, last_value(value) OVER w AS last_val " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, event_id"),
   )
 }
