@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked runMain's stdout straight through (no [info] log-prefix):
+// harness drivers parse Bench's one-line JSON from raw stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
