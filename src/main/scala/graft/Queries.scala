@@ -31,11 +31,13 @@ object Queries {
     """WITH norm AS (SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)"""
 
   /** Shared CTE chain for shingle/minhash oracles: 3-word shingles of the
-    * normalized text, then 4 salted-md5 min-hashes per doc. */
+    * normalized text, then 4 min-hash families as 8-hex-char slices of one
+    * md5 per shingle (matching [[graft.operators.TextOps.minhashSignatureMd5]]). */
   private val SIG_CTE = NORM_CTE +
     """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)""" +
     """, sh AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""" +
-    """, sig AS (SELECT doc_id, min(md5(shingle || '#1')) AS mh1, min(md5(shingle || '#2')) AS mh2, min(md5(shingle || '#3')) AS mh3, min(md5(shingle || '#4')) AS mh4 FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id)"""
+    """, dig AS (SELECT doc_id, md5(shingle) AS h FROM sh WHERE shingle IS NOT NULL)""" +
+    """, sig AS (SELECT doc_id, min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2, min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4 FROM dig GROUP BY doc_id)"""
 
   // ---------------------------------------------------------------- scans
 

@@ -59,19 +59,35 @@ object TextOps {
       explode(graft.functions.Shingles.shingles(Ops.normalizeText(col(textCol)), n))
         .as("shingle"))
 
-  /** Portable MinHash signature: for each of `numHashes` salted hash
-    * families, the minimum md5 hex over the document's shingles.
+  /** Portable MinHash signature: `numHashes` independent 32-bit hash
+    * families taken as 8-hex-char SLICES of a single md5 per shingle —
+    * one digest evaluation feeds four families (min over a fixed-width
+    * lowercase-hex slice ≡ min over the underlying uniform 32-bit value).
+    * Beyond 4 families, additional md5s are salted per group of four.
     * Output = idCol, mh1..mhK (docs with < shingleN tokens have no shingles
     * and are dropped by the groupBy). Oracle-reproducible:
-    * `min(md5(shingle || '#i'))` in any engine with md5. The min aggregate
-    * is map-side partial — the shuffle carries one row per (doc, partition),
-    * not the exploded shingles. */
+    * `min(substr(md5(shingle), 8i+1, 8))` in any engine with md5. The md5
+    * is materialized in a projection BELOW the aggregate (Aggregate does
+    * not collapse into Project, so it is computed once per shingle, not
+    * once per family), and the min aggregate is map-side partial — the
+    * shuffle carries one row per (doc, partition), not the exploded
+    * shingles. */
   def minhashSignatureMd5(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int, numHashes: Int): DataFrame = {
     val sh = explodedShingles(docs, idCol, textCol, shingleN)
-    val aggs = (1 to numHashes).map(i =>
-      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val nGroups = (numHashes + 3) / 4
+    val digests = sh.select(
+      col(idCol) +: (0 until nGroups).map { g =>
+        val base = if (g == 0) md5(col("shingle"))
+                   else md5(concat(col("shingle"), lit(s"#$g")))
+        base.as(s"__h$g")
+      }: _*)
+    val aggs = (1 to numHashes).map { i =>
+      val g = (i - 1) / 4
+      val slice = (i - 1) % 4
+      min(substring(col(s"__h$g"), slice * 8 + 1, 8)).as(s"mh$i")
+    }
+    digests.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Scale-path MinHash signature: xxhash64 with integer salts, packed as an
