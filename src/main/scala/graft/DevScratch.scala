@@ -32,6 +32,7 @@ object DevScratch {
     time("minhash_sig_md5x4")(TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4))
     time("lsh_pairs_full")(Queries.qMinhashDedup(spark, sf))
     time("simhash64")(TextOps.simhash64(docs, "doc_id", "text"))
+    time("simhash64_agg")(TextOps.simhash64Agg(docs, "doc_id", "text"))
     time("q_ann_ivf")(Queries.all("q_ann_ivf")(spark, sf))
     time("q_entity_counts")(Queries.all("q_entity_counts")(spark, sf))
     spark.stop()

@@ -132,11 +132,23 @@ object TextOps {
     * portable whole-doc digest.) */
   def fingerprint(textCol: Column): Column = md5(Ops.normalizeText(textCol))
 
-  /** SimHash-64 over whitespace tokens: per token h = xxhash64(token); for
-    * each bit b, sum ±1 over tokens; simhash bit b = 1 iff sum > 0.
-    * Expressed as 64 codegen'd conditional sums — no UDAF, fully parallel
-    * map-side partial aggregation. */
+  /** SimHash-64 over whitespace tokens of the normalized text, via the
+    * native row-local [[graft.functions.SimHash64]] expression — zero
+    * shuffle (SimHash depends only on the document's own tokens). Tokenless
+    * documents are dropped, matching the groupBy-form's semantics. */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = Ops.normalizeText(col(textCol))
+    docs.select(col(idCol), norm.as("__norm"))
+      .where(col("__norm") =!= "")
+      .select(col(idCol),
+        graft.functions.SimHash64.simhash64(col("__norm")).as("simhash"))
+  }
+
+  /** The explode + 64-conditional-sum aggregate formulation of SimHash-64 —
+    * the distributed reference implementation the native expression is
+    * cross-checked against (per token h = xxhash64(token); per bit a ±1
+    * vote; bit set iff the sum is positive; map-side partial aggregation). */
+  def simhash64Agg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol), explode(split(Ops.normalizeText(col(textCol)), " ")).as("token"))
       .where(col("token") =!= "")

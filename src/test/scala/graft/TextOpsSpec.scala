@@ -70,6 +70,22 @@ class TextOpsSpec extends SparkSuite {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("native simhash64 expression agrees with the aggregate formulation on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = TextOps.simhash64(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val agg = TextOps.simhash64Agg(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(native.nonEmpty)
+    assert(native == agg)
+  }
+
+  test("simhash64: tokenless docs are dropped; multibyte tokens hash like xxhash64") {
+    val docs = Seq((1L, ""), (2L, "  \t "), (3L, "héllo wörld 北京")).toDF("doc_id", "text")
+    val out = TextOps.simhash64(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(3L))
+    val agg = TextOps.simhash64Agg(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(out == agg)
+  }
+
   test("qualityScore arithmetic on a known document") {
     val docs = Seq((1L, "The cat and the hat!")).toDF("doc_id", "text")
     val r = TextOps.qualityScore(docs, "doc_id", "text", Seq("the", "and")).collect()(0)
