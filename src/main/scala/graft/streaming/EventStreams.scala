@@ -139,6 +139,54 @@ object EventStreams {
         col("l_type"), col("r_type"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * user's dimension attributes. The static side is explicitly broadcast —
+    * a stream-static join never buffers stream state (each micro-batch
+    * joins against the current static snapshot), so this is the zero-state
+    * enrichment shape for a 100 TB/day feed with a small dim. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+                    dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
+  /** Idempotent per-batch parquet sink for `foreachBatch`: appends each
+    * micro-batch under `outDir/data`, guarded by a commit-log marker file
+    * per `batchId` (`outDir/_graft_commits/<batchId>`). On failure/replay
+    * Structured Streaming re-runs a batch with the SAME batchId — the
+    * marker makes the second delivery a no-op, upgrading the sink's
+    * at-least-once contract to effectively-once (the engine-side analog of
+    * the reference's `if_generation_match=0` precondition,
+    * scripts/create_artist_batches.py:40). The marker is written AFTER the
+    * data commit: a crash between the two re-appends that batch — write
+    * batch files under a deterministic per-batch path so the re-append
+    * overwrites rather than duplicates. */
+  def idempotentParquetBatchWriter(outDir: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+      val commitDir = new org.apache.hadoop.fs.Path(s"$outDir/_graft_commits")
+      val fs = commitDir.getFileSystem(hconf)
+      val marker = new org.apache.hadoop.fs.Path(commitDir, batchId.toString)
+      if (!fs.exists(marker)) {
+        // deterministic per-batch subdir: replays overwrite, never duplicate
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/data/batch_id=$batchId")
+        fs.mkdirs(commitDir)
+        fs.create(marker, true).close()
+      }
+  }
+
+  /** Stream `df` into an idempotent partitioned parquet sink via
+    * foreachBatch, replaying all currently-available input. */
+  def writeParquetIdempotent(df: DataFrame, outDir: String,
+                             checkpoint: String): Unit = {
+    val writer = idempotentParquetBatchWriter(outDir)
+    val q = df.writeStream
+      .foreachBatch(writer)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run any streaming frame to completion over the currently-available
     * input (batch-parity execution) into an in-memory table; returns the
     * final table content. */

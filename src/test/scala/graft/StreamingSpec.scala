@@ -76,6 +76,74 @@ class StreamingSpec extends SparkSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-static enrichment join matches the batch join; no stream state") {
+    val dim = Tables.customer(spark, SF)
+      .select($"c_custkey", $"c_mktsegment")
+    val got = EventStreams.runAvailableNow(
+      EventStreams.enrichWithDim(stream, dim, "user_id", "c_custkey")
+        .select($"event_id", $"user_id", $"c_mktsegment"),
+      "t_enrich", OutputMode.Append())
+    val want = batchEvents.join(dim, $"user_id" === $"c_custkey")
+      .select($"event_id", $"user_id", $"c_mktsegment")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("idempotent foreachBatch parquet sink: exactly-once under replay") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    EventStreams.writeParquetIdempotent(
+      stream.select($"event_id", $"user_id", $"value"), out, ckpt)
+    val written = spark.read.parquet(s"$out/data")
+    assert(written.count() == batchEvents.count())
+    // replay every batch by hand with the same batchIds — markers make the
+    // second delivery a no-op
+    val writer = EventStreams.idempotentParquetBatchWriter(out)
+    writer(batchEvents.select($"event_id", $"user_id", $"value"), 0L)
+    assert(spark.read.parquet(s"$out/data").count() == batchEvents.count())
+  }
+
+  test("watermark drops a too-late row from finalized windows") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_late")
+    // FileStreamSource lists plain FILES (it does not recurse into the
+    // directory a parquet write produces) — stage each micro-batch by
+    // moving the single part file up under a controlled name + mtime.
+    var mtime = System.currentTimeMillis()
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, dir.resolve(name))
+      mtime += 60000 // mtime order = micro-batch order
+      Files.setLastModifiedTime(dir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // batch 0: 10:00 and 12:00 → watermark after this batch = 11:50
+    stage(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      .toDF("event_id", "ts", "value"), "f0.parquet")
+    // batch 1: benign 12:10 row (the data-filter watermark lags one batch —
+    // this batch makes 11:50 effective for batch 2)
+    stage(Seq((4L, java.sql.Timestamp.valueOf("2024-01-01 12:10:00"), 1.0))
+      .toDF("event_id", "ts", "value"), "f1.parquet")
+    // batch 2: a LATE row at 10:30, behind the 11:50 watermark — dropped
+    stage(Seq((3L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 100.0))
+      .toDF("event_id", "ts", "value"), "f2.parquet")
+    val schema = spark.read.parquet(dir.resolve("f0.parquet").toString).schema
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val counts = st.withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val got = EventStreams.runAvailableNow(counts, "t_late", OutputMode.Append())
+      .select($"window.start".cast("string").as("s"), $"n", $"v")
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, v) => k -> ((n, v)) }.toMap
+    // the finalized 10:00 window contains only event 1 — the late 100.0 row
+    // never lands
+    assert(got.get("2024-01-01 10:00:00").contains((1L, 1.0)))
+  }
+
   test("mapGroupsWithState session summaries cover every user with exact totals") {
     val got = EventStreams.runAvailableNow(
         EventStreams.userSessionSummaries(stream).toDF(), "t_state",
