@@ -61,4 +61,47 @@ class PlanSpec extends SparkSuite {
     // codegen'd spans print with the `*(stageId)` prefix in the final plan
     assert(p.contains("*(1)"), p)
   }
+
+  test("correlated EXISTS rewrites to a semi join; scalar subquery stays scalar") {
+    val pe = plan(Queries.qExistsSubquery(spark, SF))
+    assert(pe.contains("LeftSemi"), pe)
+    val ps = plan(Queries.qScalarSubquery(spark, SF))
+    assert(ps.contains("Subquery") || ps.contains("scalar-subquery"), ps)
+  }
+
+  test("q_batch_assign has no unpartitioned (single-task) window") {
+    val p = plan(Queries.qBatchAssign(spark, SF))
+    // every Window in the plan must name a partition key — a global
+    // row_number would serialize 100 TB through one task
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("native shingles/simhash expressions run inside whole-stage codegen") {
+    val df = graft.operators.TextOps.simhash64(
+      Tables.documents(spark, SF), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), p) // the scan->project span is codegen'd
+  }
+
+  test("partition pruning: a date filter on a partitioned table prunes the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_parts").toString
+    val ev = Tables.events(spark, SF)
+      .withColumn("event_date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val firstDate = ev.selectExpr("min(event_date)").collect()(0).getDate(0).toString
+    val pruned = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("event_date") === firstDate)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters"), p)
+    // the scan must list only the matching partition's files
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected exactly 1 selected partition, got $scanned")
+  }
 }
