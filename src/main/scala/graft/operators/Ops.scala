@@ -135,6 +135,46 @@ object Ops {
   def distinctIds(df: DataFrame, keyCol: String): DataFrame =
     df.where(col(keyCol).isNotNull && col(keyCol) =!= "").select(keyCol).distinct()
 
+  /** Exact interpolated percentiles (quantile_cont semantics: linear
+    * interpolation at rank (n-1)·p) per group, computed by DISTRIBUTED
+    * sort + window arithmetic instead of Spark's `percentile` aggregate.
+    *
+    * The built-in exact `percentile` is an ObjectHashAggregate that
+    * buffers every value of a group in one task's memory — at 100 TB a
+    * single hot group OOMs the executor (and even healthy groups pay an
+    * unshared O(group) buffer). Here the heavy operation is a partitioned
+    * window sort (spillable, parallel across groups), each row carries its
+    * rank and group size, only the ≤2 boundary rows per (group, p) survive
+    * the filter, and a tiny final aggregate interpolates. Two shuffles,
+    * nothing driver-side, no per-group memory spike.
+    *
+    * Returns one row per group: groupCol, <name> for each (name, p). */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    // keep only rows that are a lo/hi boundary for some requested p
+    val isBoundary = ps.map { case (_, p) =>
+      val k = (col("__n") - 1) * lit(p)
+      (col("__rn") === floor(k) + 1) || (col("__rn") === ceil(k) + 1)
+    }.reduce(_ || _)
+    val aggs = ps.map { case (name, p) =>
+      val kRow = (col("__n") - 1) * lit(p) // per-row: __n is constant in a group
+      val vLo = max(when(col("__rn") === floor(kRow) + 1, col("__v")))
+      val vHi = max(when(col("__rn") === ceil(kRow) + 1, col("__v")))
+      val kAgg = (max(col("__n")) - 1) * lit(p) // group-level rank for the frac
+      val frac = kAgg - floor(kAgg)
+      (vLo + (vHi - vLo) * frac).as(name)
+    }
+    ranked.where(isBoundary)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Range join WITHOUT an equi key, binned so it shuffles instead of
     * nested-looping: point `leftTs` joins interval `[rightStart, rightEnd]`.
     * Each interval is exploded into the fixed-width time bins it covers and

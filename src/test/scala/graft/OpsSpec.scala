@@ -86,6 +86,33 @@ class OpsSpec extends SparkSuite {
     assert(out.toSeq == Seq("a", "b"))
   }
 
+  test("exactPercentiles: quantile_cont interpolation on known values") {
+    // group a: [1, 2, 100] → p50 = 2, p25 = (n-1)*.25 = .5 → 1.5,
+    // p90 = 1.8 → 2 + .8*(100-2) = 80.4; group b: single value
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 7.0)).toDF("g", "v")
+    val out = Ops.exactPercentiles(df, "g", "v",
+        Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+      .orderBy("g").as[(String, Double, Double, Double)].collect()
+    assert(out(0) == (("a", 1.5, 2.0, 80.4)))
+    assert(out(1) == (("b", 7.0, 7.0, 7.0)))
+  }
+
+  test("exactPercentiles matches the built-in exact percentile aggregate") {
+    val li = Tables.lineitem(spark, SF)
+    val got = Ops.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+      .orderBy("l_returnflag")
+      .selectExpr("l_returnflag", "round(p25, 6)", "round(p50, 6)", "round(p90, 6)")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    val want = li.groupBy("l_returnflag")
+      .agg(expr("round(percentile(l_extendedprice, 0.25), 6)"),
+        expr("round(percentile(l_extendedprice, 0.5), 6)"),
+        expr("round(percentile(l_extendedprice, 0.9), 6)"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("bridge explodes array-of-struct and dedups pairs") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
