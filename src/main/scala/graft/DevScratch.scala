@@ -34,7 +34,30 @@ object DevScratch {
     time("simhash64")(TextOps.simhash64(docs, "doc_id", "text"))
     time("simhash64_agg")(TextOps.simhash64Agg(docs, "doc_id", "text"))
     time("q_ann_ivf")(Queries.all("q_ann_ivf")(spark, sf))
+    val ev = Tables.events(spark, sf)
+    time("json_struct_full")(Queries.all("q_json_struct")(spark, sf))
+    time("json_struct_nosort")(ev.select(col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k").as("k")))
+    time("json_getobj_nosort")(ev.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k")))
+    time("sort_only_events")(ev.select(col("event_id"), col("user_id")).orderBy("event_id"))
+    time("date_parse_full")(Queries.all("q_date_parse")(spark, sf))
+    time("q_set_ops")(Queries.all("q_set_ops")(spark, sf))
     time("q_entity_counts")(Queries.all("q_entity_counts")(spark, sf))
+    time("q_percentiles")(Queries.all("q_percentiles")(spark, sf))
+    val melted = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      expr("stack(2, 'price', CAST(l_extendedprice AS DOUBLE), 'qty', CAST(l_quantity AS DOUBLE)) AS (metric, v)"))
+    time("pct_melt_scan")(melted)
+    time("pct_full")(Ops.exactPercentiles(melted, Seq("l_returnflag", "metric"), "v",
+      Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9))))
+    val vals = melted.select(col("l_returnflag"), col("metric"), col("v").cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__bucket", shiftright(graft.functions.OrderedBits.orderedBits(col("__v")), 44))
+    time("pct_counts_job")(vals.groupBy(col("l_returnflag"), col("metric"), col("__bucket")).count())
+    time("pct_window_nojoin")(vals.withColumn("__rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"), col("metric"), col("__bucket")).orderBy(col("__v")))))
     spark.stop()
   }
 }

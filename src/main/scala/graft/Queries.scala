@@ -530,14 +530,18 @@ object Queries {
     * slower at sf0.1, and an OOM at 100 TB); the sort-based form spills and
     * parallelizes. Rounded against summation-order drift. */
   def qPercentiles(s: SparkSession, d: String): DataFrame = {
-    val price = Ops.exactPercentiles(Tables.lineitem(s, d), "l_returnflag",
-      "l_extendedprice", Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
-    val qty = Ops.exactPercentiles(Tables.lineitem(s, d), "l_returnflag",
-      "l_quantity", Seq(("med", 0.5)))
-    price.join(qty, "l_returnflag")
-      .select(col("l_returnflag"), round(col("p25"), 2).as("p25"),
-        round(col("p50"), 2).as("p50"), round(col("p90"), 2).as("p90"),
-        round(col("med"), 2).as("med_qty"))
+    // melt both metrics into one (group, metric) pass — one ranking
+    // pipeline (and one pair of tiny stats/offset jobs) instead of two
+    val melted = Tables.lineitem(s, d).select(col("l_returnflag"),
+      expr("stack(2, 'price', CAST(l_extendedprice AS DOUBLE), " +
+        "'qty', CAST(l_quantity AS DOUBLE)) AS (metric, v)"))
+    val pct = Ops.exactPercentiles(melted, Seq("l_returnflag", "metric"), "v",
+      Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+    pct.groupBy("l_returnflag").agg(
+        round(max(when(col("metric") === "price", col("p25"))), 2).as("p25"),
+        round(max(when(col("metric") === "price", col("p50"))), 2).as("p50"),
+        round(max(when(col("metric") === "price", col("p90"))), 2).as("p90"),
+        round(max(when(col("metric") === "qty", col("p50"))), 2).as("med_qty"))
       .orderBy("l_returnflag")
   }
 

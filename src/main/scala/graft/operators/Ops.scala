@@ -136,28 +136,87 @@ object Ops {
     df.where(col(keyCol).isNotNull && col(keyCol) =!= "").select(keyCol).distinct()
 
   /** Exact interpolated percentiles (quantile_cont semantics: linear
-    * interpolation at rank (n-1)·p) per group, computed by DISTRIBUTED
-    * sort + window arithmetic instead of Spark's `percentile` aggregate.
+    * interpolation at rank (n-1)·p) per group, computed by a BUCKETED
+    * DISTRIBUTED RANK instead of Spark's `percentile` aggregate.
     *
     * The built-in exact `percentile` is an ObjectHashAggregate that
-    * buffers every value of a group in one task's memory — at 100 TB a
-    * single hot group OOMs the executor (and even healthy groups pay an
-    * unshared O(group) buffer). Here the heavy operation is a partitioned
-    * window sort (spillable, parallel across groups), each row carries its
-    * rank and group size, only the ≤2 boundary rows per (group, p) survive
-    * the filter, and a tiny final aggregate interpolates. Two shuffles,
-    * nothing driver-side, no per-group memory spike.
+    * buffers every group's values in one task's memory — at 100 TB a hot
+    * group OOMs the executor. A plain per-group window sort fixes the
+    * memory spike but not the parallelism: with few groups (the common
+    * GROUP BY cardinality), each group's full sort still runs on ONE task.
     *
-    * Returns one row per group: groupCol, <name> for each (name, p). */
-  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
-                       ps: Seq[(String, Double)]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
-    val ranked = df
-      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    * So select, don't sort: a two-round DISTRIBUTED SELECTION (the classic
+    * quickselect-by-histogram):
+    *
+    * (1) bucket every value with a monotone, data-independent transform —
+    * [[graft.functions.OrderedBits]] (order-preserving IEEE-754 bits)
+    * right-shifted by `bitShift` — and count rows per (group, bucket).
+    * The collected counts are O(populated buckets) (bounded by the data's
+    * exponent/mantissa-prefix spread, NOT by row count).
+    * (2) prefix-sums at the driver locate, for each (group, p), the ≤2
+    * buckets holding the boundary ranks floor/ceil((n-1)·p). ONLY those
+    * buckets go back out (broadcast inner join = a co-partition-free
+    * filter); a window sorts just their rows (a ~1/buckets fraction of the
+    * data), the two boundary rows survive, and a tiny aggregate
+    * interpolates quantile_cont semantics.
+    *
+    * The full dataset is never sorted and never shuffled — both passes are
+    * scan + map-side-combined count/filter. No min/max pre-pass, no
+    * per-group memory spike, nothing O(data) at the driver. `bitShift`
+    * dials bucket granularity (lower = finer buckets = smaller round-2
+    * fraction; 44 keeps round-2 input ~0.1% of rows on realistic value
+    * spreads).
+    *
+    * Returns one row per group: groupCols, <name> for each (name, p). */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       ps: Seq[(String, Double)], bitShift: Int = 44): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val gcols = groupCols.map(col)
+    val vals = df
+      .select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
       .where(col("__v").isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-    // keep only rows that are a lo/hi boundary for some requested p
+      .withColumn("__bucket",
+        shiftright(graft.functions.OrderedBits.orderedBits(col("__v")), bitShift))
+
+    // round 1: per-(group, bucket) counts — O(populated buckets) collected
+    val nG = groupCols.length
+    val counts = vals.groupBy(gcols :+ col("__bucket"): _*).count()
+      .collect()
+      .map(r => (Seq.range(0, nG).map(r.get), r.getLong(nG), r.getLong(nG + 1)))
+      .groupBy(_._1)
+
+    // driver: locate the bucket (and its rank offset) holding each
+    // boundary rank — ≤ 2·|ps| buckets per group survive
+    val targetRows = counts.toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val bases = sorted.scanLeft(0L)(_ + _._3)
+      val wanted = ps.flatMap { case (_, p) =>
+        val k = (total - 1) * p
+        Seq(math.floor(k).toLong + 1, math.ceil(k).toLong + 1)
+      }.distinct
+      wanted.map { rank => // rank is 1-based; find bucket with base < rank <= base+count
+        val i = bases.lastIndexWhere(_ < rank) // bases(i) = rows before bucket i
+        (g, sorted(i)._2, bases(i), total)
+      }.distinct
+    }.map { case (g, b, base, total) =>
+      org.apache.spark.sql.Row(g ++ Seq(b, base, total): _*)
+    }
+    val groupFields = df.select(gcols: _*).schema.fields
+    val targets = spark.createDataFrame(
+      spark.sparkContext.parallelize(targetRows, 1),
+      StructType(groupFields.toSeq ++ Seq(
+        StructField("__bucket", LongType, nullable = false),
+        StructField("__base", LongType, nullable = false),
+        StructField("__n", LongType, nullable = false))))
+
+    // round 2: the broadcast inner join FILTERS to the target buckets;
+    // only those tiny buckets are sorted, ranked, and interpolated
+    val w = Window.partitionBy(gcols :+ col("__bucket"): _*).orderBy(col("__v"))
+    val ranked = vals.join(broadcast(targets), groupCols :+ "__bucket")
+      .withColumn("__rn", col("__base") + row_number().over(w))
+
     val isBoundary = ps.map { case (_, p) =>
       val k = (col("__n") - 1) * lit(p)
       (col("__rn") === floor(k) + 1) || (col("__rn") === ceil(k) + 1)
@@ -171,7 +230,7 @@ object Ops {
       (vLo + (vHi - vLo) * frac).as(name)
     }
     ranked.where(isBoundary)
-      .groupBy(col(groupCol))
+      .groupBy(gcols: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 

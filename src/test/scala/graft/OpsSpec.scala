@@ -90,7 +90,7 @@ class OpsSpec extends SparkSuite {
     // group a: [1, 2, 100] → p50 = 2, p25 = (n-1)*.25 = .5 → 1.5,
     // p90 = 1.8 → 2 + .8*(100-2) = 80.4; group b: single value
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 7.0)).toDF("g", "v")
-    val out = Ops.exactPercentiles(df, "g", "v",
+    val out = Ops.exactPercentiles(df, Seq("g"), "v",
         Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
       .orderBy("g").as[(String, Double, Double, Double)].collect()
     assert(out(0) == (("a", 1.5, 2.0, 80.4)))
@@ -99,7 +99,7 @@ class OpsSpec extends SparkSuite {
 
   test("exactPercentiles matches the built-in exact percentile aggregate") {
     val li = Tables.lineitem(spark, SF)
-    val got = Ops.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+    val got = Ops.exactPercentiles(li, Seq("l_returnflag"), "l_extendedprice",
         Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
       .orderBy("l_returnflag")
       .selectExpr("l_returnflag", "round(p25, 6)", "round(p50, 6)", "round(p90, 6)")
