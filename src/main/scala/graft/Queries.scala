@@ -132,12 +132,16 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_date")
 
-  /** S24 — load verification: row count per entity. */
-  def qEntityCounts(s: SparkSession, d: String): DataFrame =
+  /** S24 — load verification: row count per entity, answered from parquet
+    * FOOTER metadata ([[graft.sources.ParquetMeta]]) — COUNT(*) needs no
+    * column I/O; a 100 TB table counts in O(files) distributed footer
+    * reads (the same pushdown the DuckDB oracle applies natively). */
+  def qEntityCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables.entityNames.map { name =>
-      Tables.table(s, d, name).agg(count(lit(1)).as("n"))
-        .select(lit(name).as("entity"), col("n"))
-    }.reduce(_ unionAll _).orderBy("entity")
+      (name, graft.sources.ParquetMeta.rowCount(s, s"$d/$name.parquet"))
+    }.toDF("entity", "n").orderBy("entity")
+  }
 
   // ----------------------------------------------------------- analytics
 
