@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.functions.{OrderedBits, Shingles, SimHash64}
+import graft.operators.{Ops, TextOps}
+
+/** ScalaCheck properties for the native Catalyst expressions — each is
+  * checked against an independent reference implementation (plain Scala or
+  * the built-in-operator formulation it replaced). Kept to few cases per
+  * property: several run real Spark jobs. */
+object FunctionProps extends Properties("functions") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = Sessions.local("4")
+  import spark.implicits._
+
+  // ---- OrderedBits: pure kernel, no Spark jobs needed -------------------
+
+  private val anyDouble: Gen[Double] = Gen.oneOf(
+    Gen.choose(-1e12, 1e12),
+    Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, 1e-300, -1e-300),
+  )
+
+  private def ob(v: Double): Long =
+    OrderedBits(org.apache.spark.sql.catalyst.expressions.Literal(v))
+      .compute(v)
+
+  property("OrderedBits is strictly monotone over doubles") =
+    Prop.forAll(anyDouble, anyDouble) { (a, b) =>
+      if (a < b) ob(a) < ob(b)
+      else if (a > b) ob(a) > ob(b)
+      else ob(a) == ob(b) || (a == 0.0 && b == 0.0) // ±0.0 differ in bits only
+    }
+
+  // ---- Shingles vs a plain-Scala reference ------------------------------
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "bb", "ccc", " ", "  ", "δδ", "x"))
+      .map(_.mkString)
+
+  private def refShingles(s: String, n: Int): Seq[String] = {
+    val toks = s.split(" ").filter(_.nonEmpty).toSeq
+    if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  property("Shingles equals the sliding-window reference on arbitrary text") =
+    Prop.forAll(Gen.listOfN(8, textGen), Gen.choose(1, 4)) { (texts, n) =>
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select($"id", Shingles.shingles($"t", n).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.zipWithIndex.forall { case (t, i) => got(i.toLong) == refShingles(t, n) }
+    }
+
+  // ---- SimHash64 native vs the aggregate formulation --------------------
+
+  property("SimHash64 equals the explode+aggregate formulation") =
+    Prop.forAll(Gen.listOfN(6, textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = TextOps.simhash64(docs, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      val agg = TextOps.simhash64Agg(docs, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      native == agg
+    }
+}
