@@ -44,6 +44,15 @@ object DevScratch {
       get_json_object(col("props"), "$.k").cast("int").as("k")))
     time("sort_only_events")(ev.select(col("event_id"), col("user_id")).orderBy("event_id"))
     time("date_parse_full")(Queries.all("q_date_parse")(spark, sf))
+    val ords = Tables.orders(spark, sf)
+    val rawCol = when(pmod(col("o_orderkey"), lit(3)) === 0, date_format(col("o_orderdate"), "yyyy"))
+      .when(pmod(col("o_orderkey"), lit(3)) === 1, date_format(col("o_orderdate"), "yyyy-MM"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    time("dp_gen_only")(ords.select(col("o_orderkey"), rawCol.as("release_date")))
+    time("dp_gen_parse_nosort")(ords.select(col("o_orderkey"), rawCol.as("release_date"))
+      .withColumn("parsed", coalesce(try_to_date(col("release_date"), "yyyy-MM-dd"),
+        try_to_date(col("release_date"), "yyyy-MM"), try_to_date(col("release_date"), "yyyy"))))
+    time("quality_full")(Queries.all("q_quality_score")(spark, sf))
     time("q_set_ops")(Queries.all("q_set_ops")(spark, sf))
     time("q_entity_counts")(Queries.all("q_entity_counts")(spark, sf))
     time("q_percentiles")(Queries.all("q_percentiles")(spark, sf))

@@ -611,19 +611,22 @@ object Queries {
 
   /** Variable-precision date parsing — the reference's `release_date` can
     * be YYYY, YYYY-MM, or YYYY-MM-DD (spotify_etl_v2.py:165). Re-created
-    * here by formatting o_orderdate at 3 precisions, then parsed back with
-    * a most-specific-first `coalesce(try_to_date...)` chain (strict
-    * patterns: a short pattern rejects a longer string on both engines). */
+    * here by formatting o_orderdate at 3 precisions, then parsed by
+    * normalize-then-parse-ONCE: pad the missing "-01"/"-01-01" suffix by
+    * length and run a single strict `try_to_date` — one formatter pass per
+    * row instead of a 3-deep `coalesce(try_to_date...)` fallback chain
+    * (measured 2× the parse cost; results identical — a malformed string
+    * fails the strict full pattern either way). The oracle states the
+    * same semantics with DuckDB's strict `try_strptime` chain. */
   def qDateParse(s: SparkSession, d: String): DataFrame = {
     val raw = when(pmod(col("o_orderkey"), lit(3)) === 0, date_format(col("o_orderdate"), "yyyy"))
       .when(pmod(col("o_orderkey"), lit(3)) === 1, date_format(col("o_orderdate"), "yyyy-MM"))
       .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    val padded = concat(col("release_date"),
+      lit("-01-01").substr(lit(1), greatest(lit(0), lit(10) - length(col("release_date")))))
     Tables.orders(s, d)
       .select(col("o_orderkey"), raw.as("release_date"))
-      .withColumn("parsed",
-        coalesce(try_to_date(col("release_date"), "yyyy-MM-dd"),
-          try_to_date(col("release_date"), "yyyy-MM"),
-          try_to_date(col("release_date"), "yyyy")))
+      .withColumn("parsed", try_to_date(padded, "yyyy-MM-dd"))
       .orderBy("o_orderkey")
   }
 
