@@ -308,6 +308,21 @@ object Queries {
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** The IVF path under the oracle: with `nprobe == nlist` every inverted
+    * list is scanned, so the result is EXACTLY brute-force top-k — the
+    * DuckDB cosine oracle verifies the whole assign→prune→rerank pipeline
+    * end to end (the recall dial's honest endpoint; [[qAnnIvf]] keeps the
+    * pruned operating point, rows-only). */
+  def qAnnExhaustive(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Similarity.ivfTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+        probe, 10, nlist = 16, nprobe = 16)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
   /** L2 norms over the embedding column — the array-function tier
     * (`transform`/`aggregate` higher-order functions) with an exact oracle. */
   def qVectorNorm(s: SparkSession, d: String): DataFrame =
@@ -717,6 +732,7 @@ object Queries {
     "q_range_join" -> (qRangeJoin _),
     "q_pivot" -> (qPivot _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_exhaustive" -> (qAnnExhaustive _),
     "q_vector_norm" -> (qVectorNorm _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_anti_join" -> (qAntiJoin _),
@@ -865,6 +881,10 @@ object Queries {
       ("SELECT l_returnflag, round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F, " +
         "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_ann_exhaustive" ->
+      ("WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p), 4) AS sim " +
+        "FROM embeddings, probe WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"),
     "q_cosine_topk" ->
       ("WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p), 4) AS sim " +
