@@ -221,8 +221,10 @@ object TextOps {
     // No empty-token filter: split() always yields >=1 element, so even an
     // empty document keeps its row (classified "en", matching the Column
     // form); "" matches no stopword and no script, contributing nothing.
+    // coalesce: a NULL text must keep its row too (explode of a null array
+    // would drop it; the SQL restatement classifies null text as 'en').
     val toks = docs.select(col(idCol),
-        explode(split(Ops.normalizeText(col(textCol)), " ")).as("token"))
+        explode(split(coalesce(Ops.normalizeText(col(textCol)), lit("")), " ")).as("token"))
     def hits(words: Seq[String]): Column =
       sum(when(col("token").isin(words: _*), 1L).otherwise(0L))
     val agg = toks.groupBy(col(idCol)).agg(

@@ -154,4 +154,12 @@ class TextOpsSpec extends SparkSuite {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("langIdAgg keeps empty and null documents as 'en'") {
+    val docs = Seq((1L, "the cat and the hat is a"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "der hund ist nicht da und")).toDF("doc_id", "text")
+    val out = TextOps.langIdAgg(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "de"))
+  }
 }
