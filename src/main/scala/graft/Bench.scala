@@ -51,9 +51,19 @@ object Bench {
       pool.shutdown()
       (results, wall)
     }
+    // Per-query numbers come from an UNCONTENDED sequential pass (true
+    // steady-state latency); the two concurrent passes supply the batch
+    // wall time. min over passes on both.
+    def sequentialPass(): Map[String, Double] =
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = run(name, fn)
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
+      }.toMap
+    val s1 = sequentialPass()
     val (p1, w1) = timedPass()
     val (p2, w2) = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = s1.map { case (k, v) => k -> math.min(v, math.min(p1(k), p2(k))) }
     val wall = math.min(w1, w2)
     def jnum(v: Double): String = if (v.isNaN) "null" else v.toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
