@@ -266,6 +266,21 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact dedup on documents via fingerprint equality: every doc mapped to
+    * its canonical representative (smallest doc_id sharing the normalized-
+    * text md5) — the dedup MAP a 100 TB exact-dedup pass materializes.
+    * One hash-partitioned window over the fingerprint (dup groups are tiny,
+    * cardinality is high — fully parallel). `is_canonical` marks survivors. */
+  def qExactDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Whole-document fingerprint (portable md5 of normalized text). */
   def qDocFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -716,6 +731,7 @@ object Queries {
     "q_minhash_dedup" -> (qMinhashDedup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_exact_dedup" -> (qExactDedup _),
     "q_quality_score" -> (qQualityScore _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_simhash_dedup" -> (qSimhashDedup _),
@@ -828,6 +844,10 @@ object Queries {
         "WHERE c / (sa.sz + sb.sz - c) >= 0.5 ORDER BY id_a, id_b"),
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id""",
+    "q_exact_dedup" ->
+      ("""WITH fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f FROM documents) """ +
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS canonical_id, " +
+        "doc_id = min(doc_id) OVER (PARTITION BY f) AS is_canonical FROM fp ORDER BY doc_id"),
     "q_quality_score" ->
       (NORM_CTE + " SELECT doc_id, len(string_split(t, ' ')) AS n_tokens, length(t) AS n_chars_norm, " +
         "round(CAST(length(t) AS DOUBLE) / nullif(len(string_split(t, ' ')), 0), 4) AS chars_per_token, " +
