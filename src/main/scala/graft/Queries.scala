@@ -703,6 +703,190 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Wide→long melt via the native `unpivot` operator (the inverse of
+    * [[qPivot]]): the three lineitem measures stacked into (metric, v)
+    * rows, then aggregated per (flag, metric). Unpivot is a row-local
+    * generator — no shuffle beyond the final groupBy. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "v")
+      .groupBy("l_returnflag", "metric")
+      .agg(round(sum(col("v")), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "metric")
+
+  /** Lateral explode with empty-array preservation: each document's long
+    * (≥8-char) tokens, one row per token, and documents with NO long token
+    * kept as a single null-token row (`explode_outer` — the LEFT JOIN
+    * LATERAL shape; plain `explode` would silently drop them). */
+  def qExplodeOuter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(filter(split(Ops.normalizeText(col("text")), " "),
+          t => length(t) >= 8)).as("token"))
+      .orderBy(col("doc_id"), col("token").asc_nulls_first)
+
+  /** Regex capture-group extraction (the reference's string-wrangling tier
+    * generalized): first word of the part name, trailing word of the type,
+    * numeric suffix of the brand. Spark and the oracle both return '' on
+    * no-match. */
+  def qRegexpExtract(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "(\\w+)$", 1).as("last_type_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+      .orderBy("p_partkey")
+
+  /** Array algebra over collected sets: per user, the sorted distinct
+    * event-type array intersected / unioned / subtracted against a fixed
+    * reference set. Arrays canonicalized (sorted, comma-joined) so the
+    * result is order-insensitive and portable. */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val ref = array(lit("purchase"), lit("signup"), lit("error"))
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(col("user_id"),
+        concat_ws(",", col("types")).as("types"),
+        // types is sorted-distinct, so intersect/except (which preserve
+        // left order) are already canonical
+        concat_ws(",", array_intersect(col("types"), ref)).as("overlap"),
+        concat_ws(",", sort_array(array_union(col("types"), ref))).as("combined"),
+        concat_ws(",", array_except(col("types"), ref)).as("extra"),
+        size(col("types")).cast("long").as("n_types"))
+      .orderBy("user_id")
+  }
+
+  /** Calendar arithmetic: due date (+90 days), days since an epoch date,
+    * end-of-month, ISO weekday, quarter — the date-function tier beyond
+    * parsing ([[qDateParse]]) and truncation ([[qMonthlyRevenue]]). */
+  def qDateArith(s: SparkSession, d: String): DataFrame = {
+    val od = col("o_orderdate").cast("date")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_add(od, 90).as("due_date"),
+        datediff(od, lit("1992-01-01").cast("date")).cast("long").as("days_since"),
+        last_day(od).as("month_end"),
+        (weekday(od) + 1).cast("long").as("isodow"),
+        quarter(od).cast("long").as("qtr"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Fixed-width histogram via explicit integer bucketing — pure arithmetic
+    * (no engine-specific width_bucket), so the binning is bit-identical
+    * everywhere and aggregates map-side like any groupBy. */
+  def qHistogram(s: SparkSession, d: String): DataFrame = {
+    val bucket = floor(col("o_totalprice") / 50000).cast("long")
+    Tables.orders(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .withColumn("range",
+        format_string("[%d,%d)", col("bucket") * 50000, (col("bucket") + 1) * 50000))
+      .select("bucket", "range", "n", "avg_price")
+      .orderBy("bucket")
+  }
+
+  /** FULL OUTER join on deliberately disjoint key ranges: orders-per-day
+    * (1995-2001) against events-per-day (2024) — every row has one null
+    * side, exercising both unmatched directions at once. */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("orders_n"))
+    val e = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("events_n"))
+    o.join(e, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("orders_n"), lit(0L)).as("orders_n"),
+        coalesce(col("events_n"), lit(0L)).as("events_n"))
+      .orderBy("day")
+  }
+
+  /** Relative-rank window functions: percent_rank and cume_dist over a
+    * TOTAL order (acctbal, custkey) — ties impossible, so both engines
+    * produce identical ranks; rounded against division drift. */
+  def qPercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  /** Stratified deterministic sampling: exactly 5 customers per market
+    * segment, chosen by seeded Knuth-hash order within each stratum — the
+    * per-group generalization of [[qSeededSample]]. One window pass; no
+    * rand(), so reruns and retries return the same sample. */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(Ops.seededHash(col("c_custkey"), 0L), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        row_number().over(w).cast("long").as("rn"))
+      .where(col("rn") <= 5)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** SCD-2 effective-dated dimension build: each customer's order history
+    * becomes versioned rows with [valid_from, valid_to) ranges via lead()
+    * — valid_to = next version's start, null (open-ended) for the current
+    * row. The standard warehouse dimension-maintenance shape. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("valid_from"),
+        lead(col("o_orderdate").cast("date"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Multimodal-column plumbing with an exact oracle: the text payload
+    * treated as an opaque BINARY column — byte length (≠ char length for
+    * non-ASCII), md5 digest of the raw bytes, and a hex "magic number"
+    * sniff of the leading bytes (the first 4 characters' UTF-8 encoding,
+    * so both engines slice at a char boundary). The real decode/feature
+    * paths over such columns live in [[graft.operators.Multimodal]]. */
+  def qBinaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        length(col("text")).cast("long").as("char_len"),
+        md5(col("text").cast("binary")).as("digest"),
+        lower(hex(substring(col("text"), 1, 4).cast("binary"))).as("magic"))
+      .orderBy("doc_id")
+
+  /** Schema-evolution append: two entity versions unioned BY NAME with a
+    * missing column null-filled (`allowMissingColumns` — positional UNION
+    * would silently mis-align). The supplier side models a v1 schema
+    * without the balance column. */
+  def qUnionByName(s: SparkSession, d: String): DataFrame = {
+    val v2 = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+    val v1 = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+        lit("supplier").as("src"))
+    v2.unionByName(v1, allowMissingColumns = true).orderBy("src", "id")
+  }
+
+  /** Tumbling 6-hour windows via the streaming-compatible `window()`
+    * operator over the static events table (epoch-aligned buckets — the
+    * oracle restates the alignment in integer µs arithmetic). */
+  def qTumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("window_start_us", "event_type")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -767,6 +951,19 @@ object Queries {
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_ntile" -> (qNtile _),
     "q_first_last" -> (qFirstLast _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_explode_outer" -> (qExplodeOuter _),
+    "q_regexp_extract" -> (qRegexpExtract _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_date_arith" -> (qDateArith _),
+    "q_histogram" -> (qHistogram _),
+    "q_full_outer" -> (qFullOuter _),
+    "q_percent_rank" -> (qPercentRank _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_scd2" -> (qScd2 _),
+    "q_binary_meta" -> (qBinaryMeta _),
+    "q_union_by_name" -> (qUnionByName _),
+    "q_tumbling_window" -> (qTumblingWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1004,5 +1201,74 @@ object Queries {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY user_id, event_id"),
+    "q_unpivot" ->
+      ("WITH m AS (SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem) " +
+        "SELECT l_returnflag, metric, round(sum(v), 2) AS total, count(*) AS n " +
+        "FROM m GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"),
+    "q_explode_outer" ->
+      (NORM_CTE +
+        ", toks AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> length(x) >= 8)) AS token FROM norm) " +
+        "SELECT doc_id, token FROM toks " +
+        "UNION ALL SELECT doc_id, NULL AS token FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM toks) " +
+        "ORDER BY doc_id, token NULLS FIRST"),
+    "q_regexp_extract" ->
+      ("SELECT p_partkey, regexp_extract(p_name, '^(\\w+)', 1) AS first_word, " +
+        "regexp_extract(p_type, '(\\w+)$', 1) AS last_type_word, " +
+        "regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num " +
+        "FROM part ORDER BY p_partkey"),
+    "q_array_funcs" ->
+      ("WITH t AS (SELECT user_id, list_sort(list_distinct(list(event_type))) AS types FROM events GROUP BY user_id) " +
+        "SELECT user_id, array_to_string(types, ',') AS types, " +
+        "array_to_string(list_filter(types, x -> x IN ('purchase', 'signup', 'error')), ',') AS overlap, " +
+        "array_to_string(list_sort(list_distinct(list_concat(types, ['purchase', 'signup', 'error']))), ',') AS combined, " +
+        "array_to_string(list_filter(types, x -> x NOT IN ('purchase', 'signup', 'error')), ',') AS extra, " +
+        "len(types) AS n_types FROM t ORDER BY user_id"),
+    "q_date_arith" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due_date, " +
+        "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+        "isodow(o_orderdate) AS isodow, quarter(o_orderdate) AS qtr " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_histogram" ->
+      ("SELECT bucket, printf('[%d,%d)', bucket * 50000, (bucket + 1) * 50000) AS range, " +
+        "n, avg_price FROM (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, " +
+        "count(*) AS n, round(avg(o_totalprice), 2) AS avg_price FROM orders GROUP BY 1) t " +
+        "ORDER BY bucket"),
+    "q_full_outer" ->
+      ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS orders_n FROM orders GROUP BY 1), " +
+        "e AS (SELECT CAST(ts AS DATE) AS day, count(*) AS events_n FROM events GROUP BY 1) " +
+        "SELECT coalesce(o.day, e.day) AS day, coalesce(orders_n, 0) AS orders_n, " +
+        "coalesce(events_n, 0) AS events_n FROM o FULL OUTER JOIN e ON o.day = e.day " +
+        "ORDER BY day"),
+    "q_percent_rank" ->
+      ("SELECT c_custkey, c_mktsegment, " +
+        "round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd " +
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) " +
+        "ORDER BY c_custkey"),
+    "q_stratified_sample" ->
+      ("SELECT c_custkey, c_mktsegment, rn FROM (SELECT c_custkey, c_mktsegment, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey) AS rn " +
+        "FROM customer) t WHERE rn <= 5 ORDER BY c_mktsegment, rn"),
+    "q_scd2" ->
+      ("SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS valid_from, " +
+        "lead(CAST(o_orderdate AS DATE), 1) OVER w AS valid_to, " +
+        "lead(CAST(o_orderdate AS DATE), 1) OVER w IS NULL AS is_current " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, valid_from, o_orderkey"),
+    "q_binary_meta" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS byte_len, length(text) AS char_len, " +
+        "md5(text) AS digest, lower(hex(encode(substr(text, 1, 4)))) AS magic " +
+        "FROM documents ORDER BY doc_id"),
+    "q_union_by_name" ->
+      ("SELECT id, name, acctbal, src FROM (" +
+        "SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer " +
+        "UNION ALL SELECT s_suppkey, s_name, NULL, 'supplier' FROM supplier) t " +
+        "ORDER BY src, id"),
+    "q_tumbling_window" ->
+      ("SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS total FROM events " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }
