@@ -7,10 +7,16 @@ object DevProfile {
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val fn = Queries.all(name)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
     for (i <- 1 to reps) {
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       fn(spark, sf).write.mode("overwrite").format("noop").save()
-      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, jobs=${jobs.get() - j0}")
     }
     val df = fn(spark, sf)
     df.write.mode("overwrite").format("noop").save()

@@ -23,6 +23,13 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** [[graft.operators.Ops.presentSorted]] as a transform: final total
+    * order for bounded-cardinality aggregate outputs without the range
+    * sort's sampling pass. Only used where the row count is bounded by a
+    * constant (enum/calendar group keys) — O(input) outputs keep orderBy. */
+  private def ps(cols: Column*)(df: DataFrame): DataFrame =
+    Ops.presentSorted(df, cols: _*)
+
   private val STOPWORDS = Seq("the", "and", "of", "to", "a", "is")
   private val STOP_SQL = STOPWORDS.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -130,7 +137,7 @@ object Queries {
     Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("event_date"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("event_date")
+      .transform(ps(col("event_date")))
 
   /** S24 — load verification: row count per entity, answered from parquet
     * FOOTER metadata ([[graft.sources.ParquetMeta]]) — COUNT(*) needs no
@@ -140,7 +147,7 @@ object Queries {
     import s.implicits._
     Tables.entityNames.map { name =>
       (name, graft.sources.ParquetMeta.rowCount(s, s"$d/$name.parquet"))
-    }.toDF("entity", "n").orderBy("entity")
+    }.toDF("entity", "n").transform(ps(col("entity")))
   }
 
   // ----------------------------------------------------------- analytics
@@ -158,7 +165,7 @@ object Queries {
         round(avg(col("l_extendedprice")), 2).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(ps(col("l_returnflag"), col("l_linestatus")))
 
   /** Revenue per nation: 3-way join star query. `nation` (25 rows) is
     * explicitly broadcast; orders⋈customer⋈lineitem shuffle on their keys
@@ -170,7 +177,7 @@ object Queries {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .orderBy("n_name")
+      .transform(ps(col("n_name")))
 
   /** Top-3 orders per customer (window top-k). */
   def qWindowTopk(s: SparkSession, d: String): DataFrame = {
@@ -310,15 +317,38 @@ object Queries {
       .limit(10)
   }
 
+  /** ONE driver round-trip for the whole IVF index state: the probe vector
+    * (vec_id = 0) and the `nlist` seeded centroids fetched as a union of
+    * two tiny plans — one collect, one scheduling round, instead of two
+    * (the per-query latency floor is jobs, not rows). The centroid hash
+    * rank is carried as a column and re-sorted driver-side, reproducing
+    * [[graft.operators.Similarity.seededCentroids]]'s order exactly. */
+  private def probeAndCentroids(emb: DataFrame, nlist: Int,
+                                seed: Long = 42L): (Array[Double], Array[Array[Double]]) = {
+    val h = pmod(xxhash64(lit(seed), col("vec_id")), lit(1000000007L))
+    def vec(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Float](2).map(_.toDouble).toArray
+    val rows = emb.where(col("vec_id") === 0)
+      .select(lit(-1L).as("h"), col("vec_id").as("id"), col("embedding"))
+      .unionAll(emb.where(col("vec_id") =!= 0)
+        .orderBy(h, col("vec_id"))
+        .limit(nlist)
+        .select(h.as("h"), col("vec_id").as("id"), col("embedding")))
+      .collect()
+    val probe = vec(rows.find(_.getLong(0) == -1L).get)
+    val centroids = rows.filter(_.getLong(0) >= 0L)
+      .sortBy(r => (r.getLong(0), r.getLong(1))).map(vec)
+    (probe, centroids)
+  }
+
   /** IVF approximate nearest neighbor (rows-only: recall depends on nprobe,
     * so there is no exact SQL oracle; exhaustive-nprobe equivalence to brute
     * force is asserted in ScalaTest). */
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val probe = emb.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    Similarity.ivfTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
-        probe, 10, nlist = 16, nprobe = 4)
+    val (probe, cents) = probeAndCentroids(emb, nlist = 16)
+    Similarity.ivfTopKPrecomputed(emb.where(col("vec_id") =!= 0), "vec_id",
+        "embedding", cents, probe, 10, nprobe = 4)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
   }
@@ -330,10 +360,9 @@ object Queries {
     * pruned operating point, rows-only). */
   def qAnnExhaustive(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val probe = emb.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    Similarity.ivfTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
-        probe, 10, nlist = 16, nprobe = 16)
+    val (probe, cents) = probeAndCentroids(emb, nlist = 16)
+    Similarity.ivfTopKPrecomputed(emb.where(col("vec_id") =!= 0), "vec_id",
+        "embedding", cents, probe, 10, nprobe = 16)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
   }
@@ -390,7 +419,7 @@ object Queries {
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(round(sum(col("l_quantity")), 2))
-      .orderBy("l_returnflag")
+      .transform(ps(col("l_returnflag")))
 
   /** Equi + range join: lineitems shipped within 30 days of their order's
     * date. The equi key makes this a plain co-partitioned join with the
@@ -450,7 +479,7 @@ object Queries {
     Tables.orders(s, d)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
-      .orderBy("month")
+      .transform(ps(col("month")))
 
   /** Zero-padded object naming (the reference's `batch_%06d.json`,
     * create_artist_batches.py:34). */
@@ -466,7 +495,7 @@ object Queries {
     Tables.lineitem(s, d)
       .cube("l_returnflag", "l_linestatus")
       .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .transform(ps(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
   /** Hierarchical aggregation via ROLLUP: per (flag, status), per flag, and
     * grand total in one pass (partial-aggregated like any groupBy). */
@@ -474,7 +503,7 @@ object Queries {
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .transform(ps(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
   /** Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex
     * (letter runs / digit runs / single punctuation) — both expressible in
@@ -505,7 +534,7 @@ object Queries {
       .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .transform(ps(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
   /** Skew-salted fact⋈dim join ([[graft.operators.Shuffles.saltedJoin]]):
     * events fan in on 150 distinct user_ids, the canonical hot-key shape.
@@ -518,7 +547,7 @@ object Queries {
     Shuffles.saltedJoin(ev, cust, "k", salts = 8)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-      .orderBy("c_mktsegment")
+      .transform(ps(col("c_mktsegment")))
   }
 
   /** Session windows in BATCH: events within 24 h of the previous event
@@ -576,7 +605,7 @@ object Queries {
         round(max(when(col("metric") === "price", col("p50"))), 2).as("p50"),
         round(max(when(col("metric") === "price", col("p90"))), 2).as("p90"),
         round(max(when(col("metric") === "qty", col("p50"))), 2).as("med_qty"))
-      .orderBy("l_returnflag")
+      .transform(ps(col("l_returnflag")))
   }
 
   /** Deterministic arg-max via struct-ordered max: per segment, the
@@ -589,7 +618,7 @@ object Queries {
       .agg(max(struct(col("c_acctbal"), col("c_custkey"), col("c_name"))).as("top"))
       .select(col("c_mktsegment"), col("top.c_acctbal").as("top_acctbal"),
         col("top.c_custkey").as("top_custkey"), col("top.c_name").as("top_name"))
-      .orderBy("c_mktsegment")
+      .transform(ps(col("c_mktsegment")))
 
   /** Conditional aggregation (FILTER-clause semantics): count_if /
     * filtered sum / filtered distinct-count in one grouped pass. */
@@ -600,7 +629,7 @@ object Queries {
         count_if(col("l_quantity") > 25).as("hi_qty_n"),
         round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("disc_rev"),
         countDistinct(when(col("l_quantity") < 5, col("l_partkey"))).as("lo_qty_parts"))
-      .orderBy("l_returnflag")
+      .transform(ps(col("l_returnflag")))
 
   /** Statistical aggregates: sample stddev/variance, correlation,
     * covariance — all partial-mergeable (Welford-style) so they scale like
@@ -613,7 +642,7 @@ object Queries {
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
         round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
-      .orderBy("l_returnflag")
+      .transform(ps(col("l_returnflag")))
 
   /** Ordered set aggregation to a canonical string: per user, the sorted
     * distinct event types. `sort_array(collect_set(...))` keeps the result
@@ -714,7 +743,7 @@ object Queries {
         "metric", "v")
       .groupBy("l_returnflag", "metric")
       .agg(round(sum(col("v")), 2).as("total"), count(lit(1)).as("n"))
-      .orderBy("l_returnflag", "metric")
+      .transform(ps(col("l_returnflag"), col("metric")))
 
   /** Lateral explode with empty-array preservation: each document's long
     * (≥8-char) tokens, one row per token, and documents with NO long token
@@ -785,7 +814,7 @@ object Queries {
       .withColumn("range",
         format_string("[%d,%d)", col("bucket") * 50000, (col("bucket") + 1) * 50000))
       .select("bucket", "range", "n", "avg_price")
-      .orderBy("bucket")
+      .transform(ps(col("bucket")))
   }
 
   /** FULL OUTER join on deliberately disjoint key ranges: orders-per-day
@@ -802,7 +831,7 @@ object Queries {
       .select(col("day"),
         coalesce(col("orders_n"), lit(0L)).as("orders_n"),
         coalesce(col("events_n"), lit(0L)).as("events_n"))
-      .orderBy("day")
+      .transform(ps(col("day")))
   }
 
   /** Relative-rank window functions: percent_rank and cume_dist over a

@@ -127,6 +127,19 @@ object Ops {
       .limit(n)
 
   /** Sorted distinct of a key column (spotify_etl_v2.py:217-221). */
+  /** Final presentation sort for provably SMALL outputs — aggregates whose
+    * group-key cardinality is bounded by a CONSTANT (enum-like flags,
+    * segments, nations, calendar buckets), independent of input rows.
+    * Coalesces the post-aggregation partitions to one and sorts within it:
+    * a total order without `orderBy`'s RangePartitioner, which schedules an
+    * extra sampling pass + exchange stage (measured ~0.2 s and 2 jobs of
+    * pure overhead per query on sub-100-row results). The coalesce fuses
+    * into the final-aggregate stage, so only the ≤|groups|-row merge runs
+    * single-task — map-side partials stay fully parallel. Do NOT use on
+    * O(input)-sized outputs: those keep the distributed range sort. */
+  def presentSorted(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
   def sortedDistinct(df: DataFrame, keyCol: String): DataFrame =
     df.select(keyCol).where(col(keyCol).isNotNull).distinct().orderBy(keyCol)
 
@@ -204,8 +217,12 @@ object Ops {
       org.apache.spark.sql.Row(g ++ Seq(b, base, total): _*)
     }
     val groupFields = df.select(gcols: _*).schema.fields
+    // LocalRelation, NOT parallelize: the broadcast side is then built
+    // driver-side with zero Spark jobs (parallelize would spend a whole
+    // scheduling round on ~|groups|·|ps| rows).
+    import scala.jdk.CollectionConverters._
     val targets = spark.createDataFrame(
-      spark.sparkContext.parallelize(targetRows, 1),
+      targetRows.toList.asJava,
       StructType(groupFields.toSeq ++ Seq(
         StructField("__bucket", LongType, nullable = false),
         StructField("__base", LongType, nullable = false),

