@@ -550,6 +550,21 @@ object Queries {
       .transform(ps(col("c_mktsegment")))
   }
 
+  /** Bloom-runtime-filtered semi-join ([[graft.operators.Shuffles.bloomSemiJoin]]):
+    * lineitems of high-value orders, with the fact side pre-filtered by a
+    * bloom sketch of the qualifying order keys INSIDE the scan stage — only
+    * ~|matches| rows reach the shuffle. The oracle is the PLAIN semi-join:
+    * bloom false positives are dropped by the exact join, so the filter is
+    * proven semantics-preserving end to end. */
+  def qBloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val highValue = Tables.orders(s, d)
+      .where(col("o_totalprice") > 300000).select("o_orderkey")
+    Shuffles.bloomSemiJoin(Tables.lineitem(s, d), highValue,
+        "l_orderkey", "o_orderkey", expectedItems = 100000L)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Session windows in BATCH: events within 24 h of the previous event
     * merge into one session per user (`session_window` — the same operator
     * Structured Streaming uses, here over the static table). Output keyed
@@ -993,6 +1008,7 @@ object Queries {
     "q_binary_meta" -> (qBinaryMeta _),
     "q_union_by_name" -> (qUnionByName _),
     "q_tumbling_window" -> (qTumblingWindow _),
+    "q_bloom_semi_join" -> (qBloomSemiJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1299,5 +1315,9 @@ object Queries {
       ("SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS total FROM events " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_bloom_semi_join" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000) " +
+        "ORDER BY l_orderkey, l_linenumber"),
   )
 }

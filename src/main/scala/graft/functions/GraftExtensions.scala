@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * `SELECT cosine_sim(a.embedding, b.embedding)` works in plain SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    Seq(CosineSim.registryEntry, Shingles.registryEntry, SimHash64.registryEntry).foreach {
+    Seq(CosineSim.registryEntry, Shingles.registryEntry, SimHash64.registryEntry,
+        TextStats.registryEntry).foreach {
       case (name, info, builder) =>
         e.injectFunction((FunctionIdentifier(name), info, builder))
     }

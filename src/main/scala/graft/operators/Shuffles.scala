@@ -60,4 +60,26 @@ object Shuffles {
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Semi-join with a bloom RUNTIME FILTER on the probe side — the
+    * standard big-fact ⋈ selective-dim optimization: build a bloom sketch
+    * of the right side's keys (one small aggregation), pre-filter the fact
+    * table with the codegen'd [[graft.functions.BloomMightContain]]
+    * predicate INSIDE its scan stage, and only the surviving ~|matches|·
+    * (1+fpp) rows ride the shuffle into the exact semi-join. At 100 TB the
+    * shuffle, not the join, is the cost — a 1%-selective dim cuts shuffled
+    * bytes ~100×; false positives are dropped by the exact join, so the
+    * result is bit-identical to the plain semi-join (the DuckDB oracle of
+    * the declared query states exactly that plain join).
+    *
+    * `expectedItems` sizes the sketch (n·ln(1/fpp)/ln²2 bits ≈ 1.2 MB for
+    * 1 M keys at 1%) — overestimate safely; it broadcasts with the plan. */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                    rightKey: String, expectedItems: Long = 1000000L,
+                    fpp: Double = 0.01): DataFrame = {
+    val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
+    val prefiltered = left.where(
+      graft.functions.BloomMightContain.mightContain(col(leftKey), bf))
+    prefiltered.join(right, prefiltered(leftKey) === right(rightKey), "left_semi")
+  }
 }

@@ -174,6 +174,29 @@ object TextOps {
     * bare `x / 0`, so every denominator is null-guarded. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String]): DataFrame = {
+    // All four counters from ONE byte sweep of the normalized text — the
+    // native [[graft.functions.TextStats]] expression (the 4-pass
+    // regex/split formulation is kept as [[qualityScoreHof]], the
+    // cross-checked reference). The four field extractions below unify via
+    // codegen subexpression elimination.
+    val st = graft.functions.TextStats.textStats(Ops.normalizeText(col(textCol)), stopwords)
+    def safeDiv(num: Column, denom: Column): Column =
+      when(denom === 0, lit(null).cast("double")).otherwise(num.cast("double") / denom)
+    docs.select(
+      col(idCol),
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("n_chars").as("n_chars_norm"),
+      round(safeDiv(st.getField("n_chars"), st.getField("n_tokens")), 4).as("chars_per_token"),
+      round(safeDiv(st.getField("stop_hits"), st.getField("n_tokens")), 4).as("stopword_ratio"),
+      round(safeDiv(st.getField("punct_chars"), st.getField("n_chars")), 4).as("punct_ratio"))
+  }
+
+  /** The composable-function formulation of [[qualityScore]] — four passes
+    * over the string (length / split+filter / regexp_replace / split); the
+    * distributed reference the native single-pass expression is
+    * cross-checked against in ScalaTest. */
+  def qualityScoreHof(docs: DataFrame, idCol: String, textCol: String,
+                      stopwords: Seq[String]): DataFrame = {
     val norm = Ops.normalizeText(col(textCol))
     val toks = split(norm, " ")
     val stopArr = array(stopwords.map(lit): _*)

@@ -68,4 +68,22 @@ object FunctionProps extends Properties("functions") {
         .as[(Long, Long)].collect().toMap
       native == agg
     }
+
+  // ---- TextStats single-pass vs the 4-pass HOF formulation --------------
+
+  private val statsTextGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("the", "and", "of", "word", "a1", "δδ", "汉字", "!?", ".", " ", "  ", ""))
+      .map(_.mkString(" "))
+
+  property("TextStats quality metrics equal the regex/split formulation") =
+    Prop.forAll(Gen.listOfN(6, statsTextGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val stops = Seq("the", "and", "of", "to", "a", "is")
+      val native = TextOps.qualityScore(docs, "doc_id", "text", stops)
+        .orderBy("doc_id").collect().toSeq
+      val hof = TextOps.qualityScoreHof(docs, "doc_id", "text", stops)
+        .orderBy("doc_id").collect().toSeq
+      native == hof
+    }
 }

@@ -70,4 +70,22 @@ class ShufflesSpec extends SparkSuite {
         Shuffles.saltedJoin(left, right, "k", 4, joinType = jt)
       }
   }
+
+  test("bloomSemiJoin equals the plain semi-join (false positives dropped)") {
+    val left = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val right = (1L to 2000L by 7).map(i => (i, "dim")).toDF("rk", "tag")
+    val plain = left.join(right, left("k") === right("rk"), "left_semi")
+    // tiny sketch + high fpp to force false positives through the filter
+    val bloomed = Shuffles.bloomSemiJoin(left, right, "k", "rk",
+      expectedItems = 300L, fpp = 0.2)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
+  test("bloomSemiJoin keeps no null-key rows") {
+    val left = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("k", "payload")
+    val right = Seq(Tuple1(1L)).toDF("rk")
+    val out = Shuffles.bloomSemiJoin(left, right, "k", "rk").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a"))
+  }
 }
