@@ -353,6 +353,22 @@ object Queries {
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** Signed-random-projection LSH approximate nearest neighbor — the
+    * bucket-pruned scale path beside IVF: candidates = vectors whose 8-bit
+    * hyperplane signature is within hamming 2 of the probe's, then exact
+    * cosine rerank. Deterministic (seeded hyperplanes, total tie order) but
+    * approximate in recall — rows-only like [[qAnnIvf]]; bucket-restricted
+    * ⊆ brute-force equivalence is asserted in ScalaTest. */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Similarity.cosineTopKLsh(emb.where(col("vec_id") =!= 0), "vec_id",
+        "embedding", probe, 10, nBits = 8, hamming = 2)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
   /** The IVF path under the oracle: with `nprobe == nlist` every inverted
     * list is scanned, so the result is EXACTLY brute-force top-k — the
     * DuckDB cosine oracle verifies the whole assign→prune→rerank pipeline
@@ -747,6 +763,25 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Calendar densification (gap filling): a generated month spine LEFT
+    * JOINed against monthly revenue, missing months zero-filled — the
+    * standard reporting shape `sequence()` + join expresses declaratively
+    * (the spine is a LocalRelation-sized generator, never data-derived
+    * state). Output is calendar-bounded, so presentation-sorted. */
+  def qDateSeries(s: SparkSession, d: String): DataFrame = {
+    val months = s.range(1).select(explode(sequence(
+      lit("1995-01-01").cast("date"), lit("2001-08-01").cast("date"),
+      expr("INTERVAL 1 MONTH"))).as("month"))
+    val rev = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
+    months.join(rev, Seq("month"), "left")
+      .select(col("month"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .transform(ps(col("month")))
+  }
+
   /** Wide→long melt via the native `unpivot` operator (the inverse of
     * [[qPivot]]): the three lineitem measures stacked into (metric, v)
     * rows, then aggregated per (flag, metric). Unpivot is a row-local
@@ -1009,6 +1044,8 @@ object Queries {
     "q_union_by_name" -> (qUnionByName _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_date_series" -> (qDateSeries _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1319,5 +1356,11 @@ object Queries {
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000) " +
         "ORDER BY l_orderkey, l_linenumber"),
+    "q_date_series" ->
+      ("WITH months AS (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01', INTERVAL 1 MONTH)) AS DATE) AS month), " +
+        "rev AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, " +
+        "round(sum(o_totalprice), 2) AS revenue, count(*) AS n FROM orders GROUP BY 1) " +
+        "SELECT m.month, coalesce(rev.revenue, 0.0) AS revenue, coalesce(rev.n, 0) AS n " +
+        "FROM months m LEFT JOIN rev ON m.month = rev.month ORDER BY m.month"),
   )
 }

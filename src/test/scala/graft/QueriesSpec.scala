@@ -35,10 +35,10 @@ class QueriesSpec extends SparkSuite {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
-  test("every declared query has an oracle except the known approximate trio") {
-    // These three are no-oracle BY DESIGN (approximate / Spark-private
-    // hash); anything else missing an oracle is declaration drift.
-    val noOracle = Set("q_approx_distinct", "q_ann_ivf", "q_simhash_dedup")
+  test("every declared query has an oracle except the known approximate set") {
+    // These four are no-oracle BY DESIGN (approximate recall /
+    // Spark-private hash); anything else missing an oracle is drift.
+    val noOracle = Set("q_approx_distinct", "q_ann_ivf", "q_ann_lsh", "q_simhash_dedup")
     val missing = Queries.all.keySet -- Queries.oracles.keySet
     assert(missing == noOracle, s"queries without oracles: $missing")
   }
