@@ -85,6 +85,33 @@ object Multimodal {
     }
   }
 
+  /** Resize stage for image assets: new dimensions in the metadata, content
+    * re-derived (STUB: a real impl decodes, scales, re-encodes; here the
+    * bytes are deterministically resampled to the scaled length so the
+    * content column's size tracks the transform). Non-images pass through
+    * untouched — the per-modality branch a mixed corpus needs. */
+  def resizeImages(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { iter =>
+      iter.map { a =>
+        if (a.kind != "image" || a.width <= maxW && a.height <= maxH) a
+        else {
+          val scale = math.min(maxW.toDouble / a.width, maxH.toDouble / a.height)
+          val w = math.max(1, (a.width * scale).toInt)
+          val h = math.max(1, (a.height * scale).toInt)
+          val src = if (a.content == null) Array.emptyByteArray else a.content
+          // STUB resample: length scales with area ratio; bytes taken at a
+          // deterministic stride (stands in for decode→scale→re-encode)
+          val outLen = math.max(1, (src.length * scale * scale).toInt)
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) { out(i) = src((i.toLong * src.length / outLen).toInt); i += 1 }
+          a.copy(content = out, width = w, height = h)
+        }
+      }
+    }
+  }
+
   /** Metadata-only projection — must never read the `content` column chunk
     * (verified in the spec via the physical plan's ReadSchema). */
   def metadataSummary(media: DataFrame): DataFrame =

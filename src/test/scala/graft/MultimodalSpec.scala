@@ -39,6 +39,25 @@ class MultimodalSpec extends SparkSuite {
     assert(sims.toSeq == sims.sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("resizeImages: images scaled within bounds, aspect kept, others untouched") {
+    val resized = Multimodal.resizeImages(media, 320, 240).collect()
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    resized.foreach { m =>
+      val o = orig(m.media_id)
+      if (o.kind == "image") {
+        assert(m.width <= 320 && m.height <= 240)
+        // 640x480 → 320x240 keeps the 4:3 aspect
+        assert(m.width * o.height == m.height * o.width)
+        assert(m.content.length < o.content.length)
+      } else {
+        assert(m.content.toSeq == o.content.toSeq && m.width == o.width)
+      }
+    }
+    // deterministic across runs
+    val again = Multimodal.resizeImages(media, 320, 240).collect()
+    assert(resized.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
+  }
+
   test("sampleFrames: only videos, correct count per declared duration") {
     val frames = Multimodal.sampleFrames(media, 1000L)
     val byId = frames.groupByKey(_.media_id).count().collect().toMap
