@@ -163,19 +163,22 @@ object Ops {
     *
     * (1) bucket every value with a monotone, data-independent transform —
     * [[graft.functions.OrderedBits]] (order-preserving IEEE-754 bits)
-    * right-shifted by `bitShift` — and count rows per (group, bucket).
-    * The collected counts are O(populated buckets) (bounded by the data's
-    * exponent/mantissa-prefix spread, NOT by row count).
-    * (2) prefix-sums at the driver locate, for each (group, p), the ≤2
-    * buckets holding the boundary ranks floor/ceil((n-1)·p). ONLY those
-    * buckets go back out (broadcast inner join = a co-partition-free
-    * filter); a window sorts just their rows (a ~1/buckets fraction of the
-    * data), the two boundary rows survive, and a tiny aggregate
-    * interpolates quantile_cont semantics.
+    * right-shifted by `bitShift` — and count rows per (group, bucket):
+    * O(populated buckets) rows (bounded by the data's exponent/mantissa-
+    * prefix spread, NOT by row count).
+    * (2) a prefix-sum WINDOW over that tiny counts frame locates, for each
+    * (group, p), the ≤2 buckets holding the boundary ranks
+    * floor/ceil((n-1)·p). ONLY those buckets survive into a broadcast
+    * inner join (a co-partition-free filter); a window sorts just their
+    * rows (a ~1/buckets fraction of the data), the two boundary rows
+    * survive, and a tiny aggregate interpolates quantile_cont semantics.
     *
     * The full dataset is never sorted and never shuffled — both passes are
     * scan + map-side-combined count/filter. No min/max pre-pass, no
-    * per-group memory spike, nothing O(data) at the driver. `bitShift`
+    * per-group memory spike, and NOTHING at the driver: the whole pipeline
+    * is one lazy plan (an earlier version collected the counts and located
+    * buckets driver-side — a blocking round-trip, and O(groups·buckets)
+    * driver memory that the dataflow form does not need). `bitShift`
     * dials bucket granularity (lower = finer buckets = smaller round-2
     * fraction; 44 keeps round-2 input ~0.1% of rows on realistic value
     * spreads).
@@ -183,8 +186,6 @@ object Ops {
     * Returns one row per group: groupCols, <name> for each (name, p). */
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[(String, Double)], bitShift: Int = 44): DataFrame = {
-    val spark = df.sparkSession
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val gcols = groupCols.map(col)
     val vals = df
       .select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
@@ -192,41 +193,33 @@ object Ops {
       .withColumn("__bucket",
         shiftright(graft.functions.OrderedBits.orderedBits(col("__v")), bitShift))
 
-    // round 1: per-(group, bucket) counts — O(populated buckets) collected
-    val nG = groupCols.length
-    val counts = vals.groupBy(gcols :+ col("__bucket"): _*).count()
-      .collect()
-      .map(r => (Seq.range(0, nG).map(r.get), r.getLong(nG), r.getLong(nG + 1)))
-      .groupBy(_._1)
+    // round 1: per-(group, bucket) counts — O(populated buckets) rows.
+    // PURE DATAFLOW from here: the bucket location that an earlier version
+    // computed driver-side (collect + prefix scan) is a window over this
+    // tiny frame — no blocking collect, nothing on the driver even when
+    // the GROUP cardinality itself is huge.
+    val counts = vals.groupBy(gcols :+ col("__bucket"): _*)
+      .agg(count(lit(1)).as("__cnt"))
 
-    // driver: locate the bucket (and its rank offset) holding each
-    // boundary rank — ≤ 2·|ps| buckets per group survive
-    val targetRows = counts.toSeq.flatMap { case (g, rows) =>
-      val sorted = rows.sortBy(_._2)
-      val total = sorted.map(_._3).sum
-      val bases = sorted.scanLeft(0L)(_ + _._3)
-      val wanted = ps.flatMap { case (_, p) =>
-        val k = (total - 1) * p
-        Seq(math.floor(k).toLong + 1, math.ceil(k).toLong + 1)
-      }.distinct
-      wanted.map { rank => // rank is 1-based; find bucket with base < rank <= base+count
-        val i = bases.lastIndexWhere(_ < rank) // bases(i) = rows before bucket i
-        (g, sorted(i)._2, bases(i), total)
-      }.distinct
-    }.map { case (g, b, base, total) =>
-      org.apache.spark.sql.Row(g ++ Seq(b, base, total): _*)
-    }
-    val groupFields = df.select(gcols: _*).schema.fields
-    // LocalRelation, NOT parallelize: the broadcast side is then built
-    // driver-side with zero Spark jobs (parallelize would spend a whole
-    // scheduling round on ~|groups|·|ps| rows).
-    import scala.jdk.CollectionConverters._
-    val targets = spark.createDataFrame(
-      targetRows.toList.asJava,
-      StructType(groupFields.toSeq ++ Seq(
-        StructField("__bucket", LongType, nullable = false),
-        StructField("__base", LongType, nullable = false),
-        StructField("__n", LongType, nullable = false))))
+    // prefix sums locate each bucket's rank offset; totals give n per group
+    val wPrev = Window.partitionBy(gcols: _*).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(gcols: _*)
+    val located = counts
+      .withColumn("__base", coalesce(sum(col("__cnt")).over(wPrev), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+
+    // a bucket survives iff it holds a boundary rank floor/ceil((n-1)·p)+1
+    // for some p — ≤ 2·|ps| buckets per group
+    val holdsBoundary = ps.map { case (_, p) =>
+      val k = (col("__n") - 1) * lit(p)
+      val lo = floor(k) + 1
+      val hi = ceil(k) + 1
+      (lo > col("__base") && lo <= col("__base") + col("__cnt")) ||
+        (hi > col("__base") && hi <= col("__base") + col("__cnt"))
+    }.reduce(_ || _)
+    val targets = located.where(holdsBoundary)
+      .select(gcols ++ Seq(col("__bucket"), col("__base"), col("__n")): _*)
 
     // round 2: the broadcast inner join FILTERS to the target buckets;
     // only those tiny buckets are sorted, ranked, and interpolated
