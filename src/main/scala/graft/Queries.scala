@@ -782,6 +782,37 @@ object Queries {
       .transform(ps(col("month")))
   }
 
+  /** MERGE-INTO upsert ([[graft.operators.Ops.mergeUpsert]]): a batch of
+    * updates (balance bump, segment retag) and inserts (re-keyed copies)
+    * applied to the customer dimension — matched keys take the update,
+    * new keys insert, the rest pass through. The oracle restates the
+    * union + first-wins window directly. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+    val updates = base.where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") + 1000, 2).as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"))
+      .unionByName(base.where(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), lit("INSERTED").as("c_mktsegment")))
+    Ops.mergeUpsert(base, updates, Seq("c_custkey")).orderBy("c_custkey")
+  }
+
+  /** CDC changelog apply ([[graft.operators.Ops.applyChangelog]]): events
+    * as a keyed change stream — per user the latest record wins, and a
+    * latest 'error' record deletes the key. The surviving state table is
+    * keyed by user with the last value and time. */
+  def qCdcApply(s: SparkSession, d: String): DataFrame =
+    Ops.applyChangelog(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id")),
+        Seq("user_id"), "event_type", "error",
+        Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("value"), col("ts_us"))
+      .orderBy("user_id")
+
   /** Wide→long melt via the native `unpivot` operator (the inverse of
     * [[qPivot]]): the three lineitem measures stacked into (metric, v)
     * rows, then aggregated per (flag, metric). Unpivot is a row-local
@@ -1046,6 +1077,8 @@ object Queries {
     "q_bloom_semi_join" -> (qBloomSemiJoin _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_date_series" -> (qDateSeries _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_cdc_apply" -> (qCdcApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1362,5 +1395,21 @@ object Queries {
         "round(sum(o_totalprice), 2) AS revenue, count(*) AS n FROM orders GROUP BY 1) " +
         "SELECT m.month, coalesce(rev.revenue, 0.0) AS revenue, coalesce(rev.n, 0) AS n " +
         "FROM months m LEFT JOIN rev ON m.month = rev.month ORDER BY m.month"),
+    "q_merge_upsert" ->
+      ("WITH upd AS (" +
+        "SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 1000, 2) AS c_acctbal, 'UPDATED' AS c_mktsegment " +
+        "FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'INSERTED' " +
+        "FROM customer WHERE c_custkey % 13 = 0), " +
+        "merged AS (SELECT *, 0 AS pri FROM upd " +
+        "UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 1 AS pri FROM customer) " +
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY pri) AS rn FROM merged) t " +
+        "WHERE rn = 1 ORDER BY c_custkey"),
+    "q_cdc_apply" ->
+      ("SELECT user_id, event_type, value, ts_us FROM (" +
+        "SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
+        "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
   )
 }

@@ -244,6 +244,38 @@ object Ops {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MERGE-INTO upsert semantics without a table format: apply `updates`
+    * to `base` on `keys` — matched keys take the update row, unmatched
+    * updates insert, unmatched base rows pass through. The output IS the
+    * new table version (write it back with dynamic partition overwrite at
+    * scale). One union + one hash-partitioned window — NOT a full-outer
+    * join (which would shuffle both sides AND need per-column coalesce).
+    * Precondition (standard MERGE): at most one update row per key —
+    * otherwise the winner among updates would be arbitrary. */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    val tagged = updates.select(cols.map(col): _*).withColumn("__pri", lit(0))
+      .unionByName(base.select(cols.map(col): _*).withColumn("__pri", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri"))
+    tagged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__pri", "__rn")
+  }
+
+  /** CDC changelog apply: reduce a stream of keyed change records to the
+    * final state — per key, the LATEST record (by the total `order`
+    * columns) wins; a latest record whose `opCol` equals `deleteOp`
+    * removes the key entirely. One hash-partitioned window over the
+    * changelog; at scale this runs per partition-of-keys and needs no
+    * driver state (the batch analog of the streaming dedup/upsert path). */
+  def applyChangelog(changes: DataFrame, keys: Seq[String], opCol: String,
+                     deleteOp: String, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+
   /** Range join WITHOUT an equi key, binned so it shuffles instead of
     * nested-looping: point `leftTs` joins interval `[rightStart, rightEnd]`.
     * Each interval is exploded into the fixed-width time bins it covers and

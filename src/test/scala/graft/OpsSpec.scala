@@ -132,4 +132,31 @@ class OpsSpec extends SparkSuite {
       .orderBy("album_id", "id").as[(String, String, String)].collect()
     assert(out.toSeq == Seq(("alb1", "ar1", "A"), ("alb1", "ar2", "B"), ("alb2", "ar1", "A")))
   }
+
+  test("mergeUpsert: update wins, insert added, untouched rows pass through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 99.0), (9L, "new", 1.0)).toDF("k", "name", "v")
+    val out = Ops.mergeUpsert(base, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (9L, "new", 1.0)))
+  }
+
+  test("mergeUpsert is idempotent: re-applying the same updates is a no-op") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 99.0)).toDF("k", "name", "v")
+    val once = Ops.mergeUpsert(base, updates, Seq("k"))
+    val twice = Ops.mergeUpsert(once, updates, Seq("k"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("applyChangelog: latest change wins, trailing delete removes the key") {
+    val changes = Seq(
+      (1L, "U", 10.0, 1L), (1L, "U", 11.0, 2L),            // latest U survives
+      (2L, "U", 20.0, 1L), (2L, "D", 0.0, 2L),             // trailing D deletes
+      (3L, "D", 0.0, 1L), (3L, "U", 30.0, 2L)              // D then U: resurrected
+    ).toDF("k", "op", "v", "seq")
+    val out = Ops.applyChangelog(changes, Seq("k"), "op", "D", Seq(col("seq")))
+      .orderBy("k").select("k", "v").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 11.0), (3L, 30.0)))
+  }
 }
