@@ -595,12 +595,13 @@ object Queries {
         col("n"), col("total"))
       .orderBy("user_id", "session_start_us")
 
-  /** Language-ID heuristic (script detection + stopword voting) — fully
-    * declarative, so the oracle can restate it in SQL. Runs the
-    * explode+aggregate form (each token examined once, map-side partial
-    * counts); the single-Column form is [[graft.operators.TextOps.langIdHeuristic]]. */
+  /** Language-ID heuristic (script detection + stopword voting) — the
+    * semantics stay fully declarative so the oracle restates them in SQL;
+    * the execution is the native zero-shuffle single-sweep expression
+    * ([[graft.operators.TextOps.langIdNative]] / StopwordVotes — the
+    * explode+aggregate form is the cross-checked reference). */
   def qLangId(s: SparkSession, d: String): DataFrame =
-    TextOps.langIdAgg(Tables.documents(s, d), "doc_id", "text")
+    TextOps.langIdNative(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
   /** As-of join: each event picks the customer's latest order at or before

@@ -259,6 +259,24 @@ object TextOps {
         .as(outCol))
   }
 
+  /** Per-document language ID via the native single-sweep
+    * [[graft.functions.StopwordVotes]] expression — ZERO shuffle (language
+    * ID depends only on the document's own tokens, so like SimHash it
+    * belongs in the scan stage, not behind an explode + groupBy). Matches
+    * [[langIdAgg]] bit-for-bit (ScalaCheck-verified); that aggregate form
+    * remains the cross-checked distributed reference. */
+  def langIdNative(docs: DataFrame, idCol: String, textCol: String,
+                   outCol: String = "lang_pred"): DataFrame = {
+    val sv = graft.functions.StopwordVotes.stopwordVotes(
+      coalesce(Ops.normalizeText(col(textCol)), lit("")),
+      Seq(EN_STOPS, DE_STOPS, ES_STOPS, FR_STOPS))
+    val v = sv.getField("votes")
+    docs.select(col(idCol),
+      langDecision(sv.getField("has_han"),
+        element_at(v, 1), element_at(v, 2), element_at(v, 3), element_at(v, 4))
+        .as(outCol))
+  }
+
   /** Language-ID heuristic as a single Column: script detection (Han) +
     * stopword voting for latin-script languages. Deterministic, codegen'd;
     * convenient inside a wider projection. Prefer [[langIdAgg]] for a

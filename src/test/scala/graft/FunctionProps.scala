@@ -86,4 +86,22 @@ object FunctionProps extends Properties("functions") {
         .orderBy("doc_id").collect().toSeq
       native == hof
     }
+
+  // ---- StopwordVotes single-sweep vs the explode+aggregate formulation --
+
+  private val langTextGen: Gen[String] =
+    Gen.listOf(Gen.oneOf("the", "and", "der", "und", "la", "les", "el", "y",
+      "word", "汉", "字引", "x", "", " "))
+      .map(_.mkString(" "))
+
+  property("langIdNative equals the explode+aggregate formulation") =
+    Prop.forAll(Gen.listOfN(6, langTextGen)) { texts =>
+      val docs = (texts :+ null).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val native = TextOps.langIdNative(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val agg = TextOps.langIdAgg(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      native == agg
+    }
 }
