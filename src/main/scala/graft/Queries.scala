@@ -783,6 +783,20 @@ object Queries {
       .transform(ps(col("month")))
   }
 
+  /** String-function tier sampler (every function portable to the oracle
+    * dialect): case mapping, padding, reversal, substring replacement,
+    * repetition, and edit distance against a fixed probe term. */
+  def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lpad(col("p_brand"), 12, "#").as("padded"),
+        reverse(col("p_type")).as("rev"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        repeat(col("p_brand"), 2).as("doubled"),
+        levenshtein(col("p_type"), lit("ECONOMY")).cast("long").as("edit_dist"))
+      .orderBy("p_partkey")
+
   /** MERGE-INTO upsert ([[graft.operators.Ops.mergeUpsert]]): a batch of
     * updates (balance bump, segment retag) and inserts (re-keyed copies)
     * applied to the customer dimension — matched keys take the update,
@@ -1080,6 +1094,7 @@ object Queries {
     "q_date_series" -> (qDateSeries _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_cdc_apply" -> (qCdcApply _),
+    "q_string_funcs" -> (qStringFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1412,5 +1427,10 @@ object Queries {
         "SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
         "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+    "q_string_funcs" ->
+      ("SELECT p_partkey, upper(p_name) AS up, lpad(p_brand, 12, '#') AS padded, " +
+        "reverse(p_type) AS rev, regexp_replace(p_name, ' ', '_', 'g') AS snake, " +
+        "repeat(p_brand, 2) AS doubled, levenshtein(p_type, 'ECONOMY') AS edit_dist " +
+        "FROM part ORDER BY p_partkey"),
   )
 }
