@@ -13,10 +13,13 @@ object DevProfile {
         jobs.incrementAndGet()
     })
     for (i <- 1 to reps) {
+      Thread.sleep(200) // let the async listener bus drain the prior rep's events
       val j0 = jobs.get()
       val t0 = System.nanoTime()
       fn(spark, sf).write.mode("overwrite").format("noop").save()
-      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, jobs=${jobs.get() - j0}")
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      println(f"[profile] $name rep$i: $dt%.2f s, jobs=${jobs.get() - j0}")
     }
     val df = fn(spark, sf)
     df.write.mode("overwrite").format("noop").save()

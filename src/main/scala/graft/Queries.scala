@@ -325,9 +325,7 @@ object Queries {
     * [[graft.operators.Similarity.seededCentroids]]'s order exactly. */
   private def probeAndCentroids(emb: DataFrame, nlist: Int,
                                 seed: Long = 42L): (Array[Double], Array[Array[Double]]) = {
-    val h = pmod(xxhash64(lit(seed), col("vec_id")), lit(1000000007L))
-    def vec(r: org.apache.spark.sql.Row): Array[Double] =
-      r.getSeq[Float](2).map(_.toDouble).toArray
+    val h = Similarity.seededRank(col("vec_id"), seed)
     val rows = emb.where(col("vec_id") === 0)
       .select(lit(-1L).as("h"), col("vec_id").as("id"), col("embedding"))
       .unionAll(emb.where(col("vec_id") =!= 0)
@@ -335,9 +333,10 @@ object Queries {
         .limit(nlist)
         .select(h.as("h"), col("vec_id").as("id"), col("embedding")))
       .collect()
-    val probe = vec(rows.find(_.getLong(0) == -1L).get)
+    val probe = Similarity.toDoubleVec(rows.find(_.getLong(0) == -1L).get, 2)
     val centroids = rows.filter(_.getLong(0) >= 0L)
-      .sortBy(r => (r.getLong(0), r.getLong(1))).map(vec)
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(Similarity.toDoubleVec(_, 2))
     (probe, centroids)
   }
 
@@ -808,8 +807,10 @@ object Queries {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         round(col("c_acctbal") + 1000, 2).as("c_acctbal"),
         lit("UPDATED").as("c_mktsegment"))
+      // inserts are re-keyed NEGATIVE so they can never collide with a
+      // real (positive) custkey at any scale factor
       .unionByName(base.where(col("c_custkey") % 13 === 0)
-        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+        .select((-col("c_custkey")).as("c_custkey"), col("c_name"),
           col("c_nationkey"), col("c_acctbal"), lit("INSERTED").as("c_mktsegment")))
     Ops.mergeUpsert(base, updates, Seq("c_custkey")).orderBy("c_custkey")
   }
@@ -1415,7 +1416,7 @@ object Queries {
       ("WITH upd AS (" +
         "SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 1000, 2) AS c_acctbal, 'UPDATED' AS c_mktsegment " +
         "FROM customer WHERE c_custkey % 7 = 0 " +
-        "UNION ALL SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'INSERTED' " +
+        "UNION ALL SELECT -c_custkey, c_name, c_nationkey, c_acctbal, 'INSERTED' " +
         "FROM customer WHERE c_custkey % 13 = 0), " +
         "merged AS (SELECT *, 0 AS pri FROM upd " +
         "UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 1 AS pri FROM customer) " +

@@ -119,7 +119,14 @@ object TextStats {
     new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
     (exprs: Seq[Expression]) => {
       require(exprs.nonEmpty, "text_stats(text, stopwords...) expects arguments")
-      val stops = exprs.tail.map(_.eval(InternalRow.empty).asInstanceOf[UTF8String].toString)
+      val stops = exprs.tail.map { e =>
+        require(e.foldable,
+          s"text_stats: stopword arguments must be string literals, got ${e.sql}")
+        val v = e.eval(InternalRow.empty)
+        require(v != null && e.dataType == StringType,
+          s"text_stats: stopword arguments must be non-null strings, got ${e.sql}")
+        v.asInstanceOf[UTF8String].toString
+      }
       TextStats(exprs.head, stops)
     })
 }

@@ -101,11 +101,15 @@ object Multimodal {
           val h = math.max(1, (a.height * scale).toInt)
           val src = if (a.content == null) Array.emptyByteArray else a.content
           // STUB resample: length scales with area ratio; bytes taken at a
-          // deterministic stride (stands in for decode→scale→re-encode)
-          val outLen = math.max(1, (src.length * scale * scale).toInt)
-          val out = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) { out(i) = src((i.toLong * src.length / outLen).toInt); i += 1 }
+          // deterministic stride (stands in for decode→scale→re-encode).
+          // Empty/null content stays empty — only the metadata scales.
+          val out = if (src.isEmpty) src else {
+            val outLen = math.max(1, (src.length * scale * scale).toInt)
+            val o = new Array[Byte](outLen)
+            var i = 0
+            while (i < outLen) { o(i) = src((i.toLong * src.length / outLen).toInt); i += 1 }
+            o
+          }
           a.copy(content = out, width = w, height = h)
         }
       }

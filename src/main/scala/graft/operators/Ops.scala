@@ -126,7 +126,6 @@ object Ops {
       .orderBy(col("h"), col(keyCol))
       .limit(n)
 
-  /** Sorted distinct of a key column (spotify_etl_v2.py:217-221). */
   /** Final presentation sort for provably SMALL outputs — aggregates whose
     * group-key cardinality is bounded by a CONSTANT (enum-like flags,
     * segments, nations, calendar buckets), independent of input rows.
@@ -140,6 +139,7 @@ object Ops {
   def presentSorted(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
 
+  /** Sorted distinct of a key column (spotify_etl_v2.py:217-221). */
   def sortedDistinct(df: DataFrame, keyCol: String): DataFrame =
     df.select(keyCol).where(col(keyCol).isNotNull).distinct().orderBy(keyCol)
 
@@ -250,16 +250,23 @@ object Ops {
     * new table version (write it back with dynamic partition overwrite at
     * scale). One union + one hash-partitioned window — NOT a full-outer
     * join (which would shuffle both sides AND need per-column coalesce).
-    * Precondition (standard MERGE): at most one update row per key —
-    * otherwise the winner among updates would be arbitrary. */
+    *
+    * NULL keys follow SQL MERGE: `ON b.k = u.k` never matches on NULL, so
+    * null-keyed rows (either side) pass through unmerged — a window alone
+    * would group them together and silently drop the base row.
+    * Precondition (standard MERGE): at most one update row per non-null
+    * key — otherwise the winner among updates would be arbitrary. */
   def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = base.columns.toSeq
     val tagged = updates.select(cols.map(col): _*).withColumn("__pri", lit(0))
       .unionByName(base.select(cols.map(col): _*).withColumn("__pri", lit(1)))
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri"))
-    tagged.withColumn("__rn", row_number().over(w))
+    val merged = tagged.where(!nullKey)
+      .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__pri", "__rn")
+    merged.unionByName(tagged.where(nullKey).drop("__pri"))
   }
 
   /** CDC changelog apply: reduce a stream of keyed change records to the
@@ -271,8 +278,10 @@ object Ops {
   def applyChangelog(changes: DataFrame, keys: Seq[String], opCol: String,
                      deleteOp: String, order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    // null-safe: a latest record with a NULL op is NOT a delete (plain =!=
+    // would yield NULL and silently drop the key)
     changes.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .where(col("__rn") === 1 && !(col(opCol) <=> deleteOp))
       .drop("__rn")
   }
 

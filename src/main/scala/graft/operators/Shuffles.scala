@@ -73,7 +73,14 @@ object Shuffles {
     * the declared query states exactly that plain join).
     *
     * `expectedItems` sizes the sketch (n·ln(1/fpp)/ln²2 bits ≈ 1.2 MB for
-    * 1 M keys at 1%) — overestimate safely; it broadcasts with the plan. */
+    * 1 M keys at 1%) — overestimate safely; it broadcasts with the plan.
+    *
+    * NOTE: the sketch build (`stat.bloomFilter`) is an EAGER aggregation
+    * job at call time — constructing the returned plan already scans the
+    * right side once (runtime filters are inherently built by execution;
+    * Spark's own AQE runtime filters do the same inside the plan). Call
+    * once and reuse the returned frame rather than re-invoking per
+    * inspection. */
   def bloomSemiJoin(left: DataFrame, right: DataFrame, leftKey: String,
                     rightKey: String, expectedItems: Long = 1000000L,
                     fpp: Double = 0.01): DataFrame = {

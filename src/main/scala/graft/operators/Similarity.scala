@@ -124,6 +124,12 @@ object Similarity {
       seededCentroids(emb, idCol, vecCol, nlist, seed),
       probe.map(_.toDouble), k, nprobe)
 
+  /** The seeded-sample rank ordering the coarse quantizer selects by —
+    * the ONE definition shared by [[seededCentroids]] and any caller that
+    * re-derives the same centroid set (e.g. a fused probe+centroid fetch). */
+  def seededRank(idCol: Column, seed: Long): Column =
+    pmod(xxhash64(lit(seed), idCol), lit(1000000007L))
+
   /** The coarse quantizer: `nlist` centroid vectors by deterministic seeded
     * hash-order sample (no k-means iterations — seed vectors are the
     * standard cheap initialization and keep the whole build one pass).
@@ -131,15 +137,15 @@ object Similarity {
   def seededCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, seed: Long = 42L): Array[Array[Double]] =
     emb.select(col(idCol), col(vecCol))
-      .orderBy(pmod(xxhash64(lit(seed), col(idCol)), lit(1000000007L)), col(idCol))
+      .orderBy(seededRank(col(idCol), seed), col(idCol))
       .limit(nlist)
       .collect()
-      .map(toDoubleVec)
+      .map(toDoubleVec(_))
 
-  /** Row payload (second column) → double vector, for collected probe or
-    * centroid rows. */
-  def toDoubleVec(r: org.apache.spark.sql.Row): Array[Double] =
-    r.getSeq[Any](1).map {
+  /** Row vector payload (column `idx`) → double vector, for collected
+    * probe or centroid rows of either float or double element type. */
+  def toDoubleVec(r: org.apache.spark.sql.Row, idx: Int = 1): Array[Double] =
+    r.getSeq[Any](idx).map {
       case f: Float => f.toDouble
       case d: Double => d
     }.toArray

@@ -90,12 +90,16 @@ class PagedTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = PagedSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(
-      opts.getLong("total", 1000L),
-      opts.getInt("pageSize", 25), // the reference's album page size (:150)
-      opts.getInt("pagesPerSplit", 4),
-      opts.getLong("seed", 42L))
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val total = opts.getLong("total", 1000L)
+    val pageSize = opts.getInt("pageSize", 25) // the reference's album page size (:150)
+    val pagesPerSplit = opts.getInt("pagesPerSplit", 4)
+    require(total >= 0, s"graft-pages: option 'total' must be >= 0, got $total")
+    require(pageSize > 0, s"graft-pages: option 'pageSize' must be > 0, got $pageSize")
+    require(pagesPerSplit > 0,
+      s"graft-pages: option 'pagesPerSplit' must be > 0, got $pagesPerSplit")
+    new PagedScanBuilder(total, pageSize, pagesPerSplit, opts.getLong("seed", 42L))
+  }
 }
 
 class PagedScanBuilder(total: Long, pageSize: Int, pagesPerSplit: Int,

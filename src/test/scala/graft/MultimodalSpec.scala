@@ -58,6 +58,16 @@ class MultimodalSpec extends SparkSuite {
     assert(resized.map(_.content.toSeq).toSeq == again.map(_.content.toSeq).toSeq)
   }
 
+  test("resizeImages survives null/empty content on an oversized image") {
+    val assets = Seq(
+      graft.operators.MediaAsset(1L, "image", "png", null, 640, 480, 0, 0L),
+      graft.operators.MediaAsset(2L, "image", "png", Array.emptyByteArray, 640, 480, 0, 0L))
+      .toDS()
+    val out = Multimodal.resizeImages(assets, 320, 240).collect().sortBy(_.media_id)
+    assert(out.forall(m => m.width == 320 && m.height == 240))
+    assert(out.forall(m => m.content == null || m.content.isEmpty))
+  }
+
   test("sampleFrames: only videos, correct count per declared duration") {
     val frames = Multimodal.sampleFrames(media, 1000L)
     val byId = frames.groupByKey(_.media_id).count().collect().toMap

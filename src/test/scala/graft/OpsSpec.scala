@@ -149,6 +149,26 @@ class OpsSpec extends SparkSuite {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("mergeUpsert: null keys never match (SQL MERGE ON semantics)") {
+    val base = Seq((Option(1L), "a", 10.0), (None, "nb", 20.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((Option.empty[Long], "nu", 99.0)).toDF("k", "name", "v")
+    val out = Ops.mergeUpsert(base, updates, Seq("k"))
+      .orderBy(col("k").asc_nulls_last, col("name")).collect()
+    // base null-key row survives AND the null-key update inserts: 3 rows
+    assert(out.length == 3)
+    assert(out.map(_.getString(1)).toSeq.sorted == Seq("a", "nb", "nu"))
+  }
+
+  test("applyChangelog: a latest record with NULL op is not a delete") {
+    val changes = Seq(
+      (1L, Option("U"), 10.0, 1L), (1L, Option.empty[String], 11.0, 2L)
+    ).toDF("k", "op", "v", "seq")
+    val out = Ops.applyChangelog(changes, Seq("k"), "op", "D", Seq(col("seq")))
+      .select("k", "v").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 11.0)))
+  }
+
   test("applyChangelog: latest change wins, trailing delete removes the key") {
     val changes = Seq(
       (1L, "U", 10.0, 1L), (1L, "U", 11.0, 2L),            // latest U survives
