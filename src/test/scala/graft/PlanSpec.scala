@@ -104,4 +104,38 @@ class PlanSpec extends SparkSuite {
     }
     assert(scanned.contains(1), s"expected exactly 1 selected partition, got $scanned")
   }
+
+  test("q_lang_id is shuffle-FREE (native single-sweep expression)") {
+    val df = Queries.qLangId(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only allowed exchange is the final presentation sort's range
+    // partitioning; language ID itself must not aggregate or re-shuffle
+    assert(!p.contains("HashAggregate"), s"lang ID must not aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"lang ID must not hash-shuffle:\n$p")
+  }
+
+  test("q_bloom_semi_join carries the bloom probe inside the fact scan's filter") {
+    val df = Queries.qBloomSemiJoin(spark, SF)
+    val p = plan(df)
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("presentation-sorted aggregates skip the RangePartitioner sampling exchange") {
+    for (name <- Seq("q_agg_pricing", "q_cube", "q_stats", "q_histogram")) {
+      val p = plan(Queries.all(name)(spark, SF))
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$name: bounded output must not range-shuffle:\n$p")
+    }
+  }
+
+  test("q_quality_score evaluates TextStats once (subexpression elimination)") {
+    val df = Queries.qQualityScore(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // all five metric columns come from one projection over the scan
+    assert(p.contains("*(1)"), s"quality metrics must stay in codegen:\n$p")
+  }
 }
