@@ -565,6 +565,17 @@ object Queries {
       .transform(ps(col("c_mktsegment")))
   }
 
+  /** Sliding 6-hour windows advancing every 3 hours via the streaming-
+    * compatible `window()` operator over static events — each event lands
+    * in exactly 6h/3h = 2 overlapping windows (the oracle restates the
+    * epoch-aligned membership as a 2-row generator cross join). */
+  def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("n"), col("total"))
+      .orderBy("window_start_us")
+
   /** Bloom-runtime-filtered semi-join ([[graft.operators.Shuffles.bloomSemiJoin]]):
     * lineitems of high-value orders, with the fact side pre-filtered by a
     * bloom sketch of the qualifying order keys INSIDE the scan stage — only
@@ -1096,6 +1107,7 @@ object Queries {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_string_funcs" -> (qStringFuncs _),
+    "q_sliding_window" -> (qSlidingWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1433,5 +1445,10 @@ object Queries {
         "reverse(p_type) AS rev, regexp_replace(p_name, ' ', '_', 'g') AS snake, " +
         "repeat(p_brand, 2) AS doubled, levenshtein(p_type, 'ECONOMY') AS edit_dist " +
         "FROM part ORDER BY p_partkey"),
+    "q_sliding_window" ->
+      ("SELECT ((epoch_us(ts) // 10800000000) - k.i) * 10800000000 AS window_start_us, " +
+        "count(*) AS n, round(sum(value), 2) AS total " +
+        "FROM events, (VALUES (0), (1)) k(i) " +
+        "GROUP BY 1 ORDER BY 1"),
   )
 }
