@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: empirical scale-up study. Replicates the fact tables of an
+  * existing fixture N× (key-offset so join integrity holds: same customer
+  * universe, N× the orders/lineitems/events per key — organic growth
+  * shape) into /tmp, then times representative queries at 1× and N× and
+  * prints the scaling ratio. A shuffle-honest plan should scale ≈ N on
+  * compute-bound queries and < N on job-floor-bound ones; anything ≫ N is
+  * a quadratic smell. `runMain graft.DevScaling [srcDir] [reps]`. */
+object DevScaling {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val dst = s"/tmp/graft_scaled_${reps}x"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    val OFFSET = 1000000000L
+    def replicate(table: String, keyCols: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      (0 until reps).map { i =>
+        keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * OFFSET)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+    def copy(table: String): Unit =
+      spark.read.parquet(s"$src/$table.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dst))) {
+      replicate("lineitem", Seq("l_orderkey"))
+      replicate("orders", Seq("o_orderkey"))
+      replicate("events", Seq("event_id"))
+      Seq("customer", "nation", "region", "supplier", "part",
+        "documents", "embeddings").foreach(copy)
+      println(s"[scaling] built $dst (${reps}x facts)")
+    }
+
+    // fact-bound queries only: documents/embeddings pair queries are
+    // excluded because their OUTPUT grows superlinearly by semantics
+    val picks = Seq("q_scan_project", "q_agg_pricing", "q_join_agg",
+      "q_semi_join", "q_bloom_semi_join", "q_window_topk", "q_percentiles",
+      "q_asof_join", "q_sessionize", "q_cdc_apply", "q_monthly_revenue")
+
+    def time(name: String, dir: String): Double = {
+      val fn = Queries.all(name)
+      fn(spark, dir).write.mode("overwrite").format("noop").save() // warmup
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    println(f"[scaling] ${"query"}%-20s ${"t_1x"}%8s ${"t_" + reps + "x"}%8s ratio")
+    picks.foreach { q =>
+      val t1 = time(q, src)
+      val tN = time(q, dst)
+      println(f"[scaling] $q%-20s $t1%8.2f $tN%8.2f ${tN / t1}%5.1f")
+    }
+    spark.stop()
+  }
+}
