@@ -38,6 +38,21 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("sliding windows: stream AvailableNow == batch overlapping windows") {
+    val got = EventStreams.runAvailableNow(
+        EventStreams.slidingUserActivity(stream, "2 hours", "1 hour", "10 minutes"),
+        "t_sliding")
+      .orderBy("window_start", "user_id")
+    val want = batchEvents
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"user_id", $"n")
+      .orderBy("window_start", "user_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // every event lands in exactly len/slide = 2 windows
+    assert(want.agg(sum($"n")).head().getLong(0) == 2 * batchEvents.count())
+  }
+
   test("session windows: stream counts match batch session_window") {
     val got = EventStreams.runAvailableNow(
         EventStreams.sessionCounts(stream, "30 minutes", "10 minutes"), "t_sessions")
