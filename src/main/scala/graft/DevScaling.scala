@@ -28,12 +28,16 @@ object DevScaling {
       spark.read.parquet(s"$src/$table.parquet")
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dst))) {
+    // _SUCCESS sentinel, not directory existence: a crashed half-build must
+    // rebuild, never silently benchmark incomplete data
+    val sentinel = java.nio.file.Paths.get(dst, "_SUCCESS")
+    if (!java.nio.file.Files.exists(sentinel)) {
       replicate("lineitem", Seq("l_orderkey"))
       replicate("orders", Seq("o_orderkey"))
       replicate("events", Seq("event_id"))
       Seq("customer", "nation", "region", "supplier", "part",
         "documents", "embeddings").foreach(copy)
+      java.nio.file.Files.createFile(sentinel)
       println(s"[scaling] built $dst (${reps}x facts)")
     }
 

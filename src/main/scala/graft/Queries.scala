@@ -723,11 +723,9 @@ object Queries {
     val raw = when(pmod(col("o_orderkey"), lit(3)) === 0, date_format(col("o_orderdate"), "yyyy"))
       .when(pmod(col("o_orderkey"), lit(3)) === 1, date_format(col("o_orderdate"), "yyyy-MM"))
       .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
-    val padded = concat(col("release_date"),
-      lit("-01-01").substr(lit(1), greatest(lit(0), lit(10) - length(col("release_date")))))
     Tables.orders(s, d)
       .select(col("o_orderkey"), raw.as("release_date"))
-      .withColumn("parsed", try_to_date(padded, "yyyy-MM-dd"))
+      .withColumn("parsed", Ops.parsePartialDate(col("release_date")))
       .orderBy("o_orderkey")
   }
 
@@ -818,10 +816,10 @@ object Queries {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         round(col("c_acctbal") + 1000, 2).as("c_acctbal"),
         lit("UPDATED").as("c_mktsegment"))
-      // inserts are re-keyed NEGATIVE so they can never collide with a
-      // real (positive) custkey at any scale factor
+      // inserts are re-keyed STRICTLY negative (-(k+1), so -0 cannot alias
+      // key 0) — they can never collide with a real key at any scale factor
       .unionByName(base.where(col("c_custkey") % 13 === 0)
-        .select((-col("c_custkey")).as("c_custkey"), col("c_name"),
+        .select((-col("c_custkey") - 1).as("c_custkey"), col("c_name"),
           col("c_nationkey"), col("c_acctbal"), lit("INSERTED").as("c_mktsegment")))
     Ops.mergeUpsert(base, updates, Seq("c_custkey")).orderBy("c_custkey")
   }
@@ -1370,7 +1368,7 @@ object Queries {
         "array_to_string(list_filter(types, x -> x NOT IN ('purchase', 'signup', 'error')), ',') AS extra, " +
         "len(types) AS n_types FROM t ORDER BY user_id"),
     "q_date_arith" ->
-      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due_date, " +
+      ("SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS due_date, " +
         "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since, " +
         "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
         "isodow(o_orderdate) AS isodow, quarter(o_orderdate) AS qtr " +
@@ -1428,7 +1426,7 @@ object Queries {
       ("WITH upd AS (" +
         "SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 1000, 2) AS c_acctbal, 'UPDATED' AS c_mktsegment " +
         "FROM customer WHERE c_custkey % 7 = 0 " +
-        "UNION ALL SELECT -c_custkey, c_name, c_nationkey, c_acctbal, 'INSERTED' " +
+        "UNION ALL SELECT -c_custkey - 1, c_name, c_nationkey, c_acctbal, 'INSERTED' " +
         "FROM customer WHERE c_custkey % 13 = 0), " +
         "merged AS (SELECT *, 0 AS pri FROM upd " +
         "UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 1 AS pri FROM customer) " +

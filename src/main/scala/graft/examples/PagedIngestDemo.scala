@@ -24,12 +24,9 @@ object PagedIngestDemo {
 
     // "transform": first-wins dedup on album_id (stable page order), parse
     // the variable-precision release_date with the padded single-pass form
-    val padded = concat(col("release_date"),
-      lit("-01-01").substr(lit(1),
-        greatest(lit(0), lit(10) - length(col("release_date")))))
     val albums = Ops.dedupFirstWins(pages, Seq("album_id"),
         Seq(col("page"), col("item_id")))
-      .withColumn("release_parsed", try_to_date(padded, "yyyy-MM-dd"))
+      .withColumn("release_parsed", Ops.parsePartialDate(col("release_date")))
       .withColumn("release_year", year(col("release_parsed")))
 
     // "load": date-partitioned parquet (the reference's {run_date}/ layout)

@@ -22,6 +22,17 @@ object Ops {
     * whole-stage codegen, no UDF. */
   def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
+  /** Variable-precision date parsing (the reference's `release_date` —
+    * YYYY, YYYY-MM, or YYYY-MM-DD, spotify_etl_v2.py:165): pad the missing
+    * "-01"/"-01-01" suffix by length and parse ONCE with a strict pattern —
+    * one formatter pass per row instead of a 3-deep try_to_date coalesce
+    * chain (measured 2×; a malformed string fails the strict full pattern
+    * either way and degrades to null). */
+  def parsePartialDate(c: Column): Column =
+    try_to_date(concat(c,
+      lit("-01-01").substr(lit(1), greatest(lit(0), lit(10) - length(c)))),
+      "yyyy-MM-dd")
+
   /** Normalize + lowercase — the canonical text key used by dedup ops. */
   def normalizeText(c: Column): Column = lower(normalizeWs(c))
 

@@ -119,10 +119,13 @@ object Similarity {
     * seeded centroid choice, total tie order by id everywhere. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               probe: Array[Float], k: Int, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L): DataFrame =
-    ivfTopKPrecomputed(emb, idCol, vecCol,
-      seededCentroids(emb, idCol, vecCol, nlist, seed),
-      probe.map(_.toDouble), k, nprobe)
+              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    // a table smaller than nlist yields fewer centroids — degrade
+    // gracefully by capping nprobe (small fixtures, tail partitions)
+    val cents = seededCentroids(emb, idCol, vecCol, nlist, seed)
+    ivfTopKPrecomputed(emb, idCol, vecCol, cents,
+      probe.map(_.toDouble), k, math.min(nprobe, cents.length).max(1))
+  }
 
   /** The seeded-sample rank ordering the coarse quantizer selects by —
     * the ONE definition shared by [[seededCentroids]] and any caller that

@@ -122,7 +122,11 @@ class PagedScan(total: Long, pageSize: Int, pagesPerSplit: Int, seed: Long,
     s"graft-pages(total=$total, pageSize=$pageSize, pagesPerSplit=$pagesPerSplit)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val nPages = ((total + pageSize - 1) / pageSize).toInt
+    val nPagesL = (total + pageSize - 1) / pageSize
+    require(nPagesL <= Int.MaxValue,
+      s"graft-pages: $total items at pageSize $pageSize is $nPagesL pages — " +
+        "exceeds the Int page-index range; raise pageSize")
+    val nPages = nPagesL.toInt
     (0 until nPages by pagesPerSplit).map { first =>
       PageRangePartition(first, math.min(first + pagesPerSplit, nPages) - 1)
     }.toArray

@@ -52,9 +52,7 @@ class PagedSourceSpec extends SparkSuite {
     // and the variable-precision parser (q_date_parse's padded single-pass
     // try_to_date) parses every generated date
     val parsed = read().withColumn("p",
-      try_to_date(concat(col("release_date"),
-        lit("-01-01").substr(lit(1),
-          greatest(lit(0), lit(10) - length(col("release_date"))))), "yyyy-MM-dd"))
+      graft.operators.Ops.parsePartialDate(col("release_date")))
     assert(parsed.where(col("p").isNull).count() == 0)
   }
 }
