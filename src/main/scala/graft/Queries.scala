@@ -243,6 +243,20 @@ object Queries {
     TextOps.lshCandidatePairs(sig, "doc_id", 4).orderBy("id_a", "id_b")
   }
 
+  /** MinHash-LSH dedup MAP ([[graft.operators.TextOps.lshDedupMap]]):
+    * every doc → min doc id sharing a band (single-hop canonical
+    * representative) — the linear, pair-free form a 100 TB dedup pass
+    * materializes ([[qMinhashDedup]] keeps the pair-list form; the
+    * connected-components fixpoint is `lshDedupClusters`, ScalaTest-
+    * checked). Docs with no shingles (fewer than 3 tokens) are absent,
+    * matching the signature aggregate. */
+  def qMinhashDedupMap(s: SparkSession, d: String): DataFrame = {
+    val sig = TextOps.minhashSignatureMd5(Tables.documents(s, d), "doc_id", "text", 3, 4)
+    TextOps.lshDedupMap(sig, "doc_id", 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram (token-set) Jaccard similarity on a deterministic 2%
     * sample, blocked by language. The unsampled scale path uses MinHash-LSH
     * prefiltering ([[qMinhashDedup]]) before exact Jaccard. */
@@ -1106,6 +1120,7 @@ object Queries {
     "q_cdc_apply" -> (qCdcApply _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_sliding_window" -> (qSlidingWindow _),
+    "q_minhash_dedup_map" -> (qMinhashDedupMap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1448,5 +1463,14 @@ object Queries {
         "count(*) AS n, round(sum(value), 2) AS total " +
         "FROM events, (VALUES (0), (1)) k(i) " +
         "GROUP BY 1 ORDER BY 1"),
+    "q_minhash_dedup_map" ->
+      (SIG_CTE +
+        ", melted AS (" +
+        (1 to 4).map(i => s"SELECT doc_id, $i AS band_idx, mh$i AS band_val FROM sig")
+          .mkString(" UNION ALL ") +
+        "), reps AS (SELECT band_idx, band_val, min(doc_id) AS rep FROM melted GROUP BY band_idx, band_val) " +
+        "SELECT m.doc_id, min(r.rep) AS canonical_id FROM melted m " +
+        "JOIN reps r ON m.band_idx = r.band_idx AND m.band_val = r.band_val " +
+        "GROUP BY m.doc_id ORDER BY m.doc_id"),
   )
 }

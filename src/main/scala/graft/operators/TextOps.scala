@@ -127,6 +127,74 @@ object TextOps {
       .distinct()
   }
 
+  /** LSH dedup MAP — the scale path past [[lshCandidatePairs]]: instead of
+    * expanding candidate PAIRS (quadratic inside a degenerate bucket: a
+    * corpus of near-identical docs puts everything in one band bucket),
+    * propagate the MIN doc id through each band bucket and take the min
+    * across bands — every doc maps to a candidate canonical representative in
+    * O(docs·bands), two map-side-combinable shuffles, no collect_list, no
+    * pair blow-up. This is what a 100 TB dedup pass actually materializes.
+    *
+    * One pass is single-hop min-propagation (docs linked only through a
+    * CHAIN of buckets need more hops); [[lshDedupClusters]] iterates to
+    * the connected-components fixpoint. The one-pass output is already
+    * deterministic and SQL-restatable — the declared-query tier. */
+  def lshDedupMap(sig: DataFrame, idCol: String, numBands: Int): DataFrame = {
+    val melted = sig.select(col(idCol).as("id"),
+      posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val reps = melted.groupBy("band_idx", "band_val")
+      .agg(min(col("id")).as("rep"))
+    melted.join(reps, Seq("band_idx", "band_val"))
+      .groupBy("id").agg(min(col("rep")).as("canonical_id"))
+  }
+
+  /** Iterated [[lshDedupMap]]: re-propagate each doc's current canonical
+    * through the band buckets until a fixpoint — connected components over
+    * the implicit doc–bucket graph, as rounds of map-side-combinable
+    * shuffles (the standard large-graph CC-by-min-label loop with one
+    * POINTER-JUMPING compression per round: follow the new label one hop
+    * through the label table itself, halving remaining path depth).
+    * Iterations needed ≈ log(component diameter); REAL dup clusters are
+    * near-cliques (diameter 1-2, converges in ≤3 rounds) — an adversarial
+    * chain-of-buckets corpus needs proportionally more (`maxIter` caps the
+    * work; the result is then a valid PARTIAL merge: every doc still maps
+    * into its component, just possibly not to the global minimum). The
+    * driver only ever sees one COUNT per round; lineage is truncated per
+    * round by localCheckpoint. */
+  def lshDedupClusters(sig: DataFrame, idCol: String, numBands: Int,
+                       maxIter: Int = 10): DataFrame = {
+    val melted = sig.select(col(idCol).as("id"),
+      posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*))
+        .as(Seq("band_idx", "band_val"))).localCheckpoint()
+    var labels = melted.select(col("id")).distinct()
+      .withColumn("canonical_id", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val relabeled = melted.join(labels, Seq("id"))
+        .groupBy("band_idx", "band_val")
+        .agg(min(col("canonical_id")).as("rep"))
+        .join(melted, Seq("band_idx", "band_val"))
+        .groupBy("id").agg(min(col("rep")).as("next"))
+      val hop = labels.join(relabeled, Seq("id"))
+        .select(col("id"),
+          least(col("canonical_id"), col("next")).as("canonical_id"))
+      // pointer jumping: my new label's own new label (canonicals are doc
+      // ids, so the self-join always resolves)
+      val next = hop.join(
+          hop.select(col("id").as("__cid"), col("canonical_id").as("__cc")),
+          col("canonical_id") === col("__cid"))
+        .select(col("id"), col("__cc").as("canonical_id"))
+        .localCheckpoint() // truncate lineage each round
+      changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), Seq("id"))
+        .where(col("canonical_id") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Document fingerprint: md5 of the normalized text — the exact-dedup key.
     * (Rolling/content-defined fingerprints are in SimHash below; md5 is the
     * portable whole-doc digest.) */

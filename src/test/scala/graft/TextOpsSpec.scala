@@ -162,4 +162,50 @@ class TextOpsSpec extends SparkSuite {
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "de"))
   }
+
+  test("lshDedupMap is single-hop; lshDedupClusters reaches the CC fixpoint") {
+    // bucket chain: 1-2 share band2's 'b', 3-4 share band3's 'c', 2-3
+    // share band2/band3? -> build: 1&2 via mh2='b'; 2&3 via... use:
+    //   1-2 share mh1='a', 2-3 share mh2='b', 3-4 share mh3='c'
+    val sig = Seq(
+      (1L, "a", "x2", "x3", "x4"),
+      (2L, "a", "b", "y3", "y4"),
+      (3L, "z1", "b", "c", "z4"),
+      (4L, "w1", "w2", "c", "w4")
+    ).toDF("doc_id", "mh1", "mh2", "mh3", "mh4")
+    // single-hop: doc 4 only sees doc 3 through the 'c' bucket
+    val oneHop = TextOps.lshDedupMap(sig, "doc_id", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(oneHop(1L) == 1L && oneHop(2L) == 1L)
+    assert(oneHop(3L) == 2L && oneHop(4L) == 3L)
+    // iterated min-propagation converges: the whole chain labels 1
+    val fixpoint = TextOps.lshDedupClusters(sig, "doc_id", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(fixpoint == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("lshDedupClusters groups near-copy documents with real signatures") {
+    // realistic dup shape: 10 base docs, 3 near-copies each (one token
+    // appended) — copy groups are near-cliques in band space (diameter
+    // 1-2), the regime the iteration is built for
+    val base = Tables.documents(spark, SF).limit(10)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val corpus = base.flatMap { case (id, text) =>
+      Seq((id * 10, text), (id * 10 + 1, text + " tail"), (id * 10 + 2, text + " fin"))
+    }.toSeq.toDF("doc_id", "text")
+    val sig = TextOps.minhashSignatureMd5(corpus, "doc_id", "text", 3, 4)
+    val clusters = TextOps.lshDedupClusters(sig, "doc_id", 4)
+      .as[(Long, Long)].collect().toMap
+    // every near-copy group ends in ONE cluster labelled by its min id,
+    // and pair candidates never straddle clusters
+    base.foreach { case (id, _) =>
+      val ids = Seq(id * 10, id * 10 + 1, id * 10 + 2)
+      assert(ids.map(clusters).distinct.size == 1, s"group of $id split")
+    }
+    val pairs = TextOps.lshCandidatePairs(sig, "doc_id", 4)
+      .as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+  }
 }
