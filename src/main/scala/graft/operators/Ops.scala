@@ -198,6 +198,10 @@ object Ops {
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[(String, Double)], bitShift: Int = 44): DataFrame = {
     val gcols = groupCols.map(col)
+    // Both rounds scan the source independently (measured: cheaper than
+    // forcing a shared 1.2M-row exchange, whose two consumers canonicalize
+    // differently and defeat ReuseExchange anyway — and at scale a second
+    // COLUMNAR scan beats an extra full shuffle).
     val vals = df
       .select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
       .where(col("__v").isNotNull)
