@@ -111,9 +111,15 @@ object TextOps {
     * at production scale, materialize the signature frame first (persist or
     * write it — a 100 TB dedup keeps signatures as a durable artifact) and
     * band-join the materialized table. Emits (id_a, id_b) with id_a < id_b. */
+  /** Signature frame (idCol, mh1..mhK) melted to one row per (doc, band):
+    * the shared first step of the pair, map, and cluster dedup paths. */
+  private def meltBands(sig: DataFrame, idCol: String, numBands: Int): DataFrame =
+    sig.select(col(idCol).as("id"),
+      posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*))
+        .as(Seq("band_idx", "band_val")))
+
   def lshCandidatePairs(sig: DataFrame, idCol: String, numBands: Int): DataFrame = {
-    val melted = sig.select(col(idCol).as("id"),
-      posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*)).as(Seq("band_idx", "band_val")))
+    val melted = meltBands(sig, idCol, numBands)
     // Group each band bucket and expand pairs in place: ONE signature
     // computation and one groupBy shuffle. (A self-join would be
     // semantically identical but computes the signature pipeline on both
@@ -131,18 +137,19 @@ object TextOps {
     * expanding candidate PAIRS (quadratic inside a degenerate bucket: a
     * corpus of near-identical docs puts everything in one band bucket),
     * propagate the MIN doc id through each band bucket and take the min
-    * across bands — every doc maps to a candidate canonical representative in
-    * O(docs·bands), two map-side-combinable shuffles, no collect_list, no
-    * pair blow-up. This is what a 100 TB dedup pass actually materializes.
+    * across bands — every doc maps to a candidate canonical representative
+    * in O(docs·bands) with no collect_list and no pair blow-up. The plan
+    * carries up to four exchanges (signature doc agg, band-key agg,
+    * band-key join probe, final per-doc agg — the two aggregations combine
+    * map-side; the probe-side exchange drops when the reps frame
+    * broadcasts). This is what a 100 TB dedup pass actually materializes.
     *
     * One pass is single-hop min-propagation (docs linked only through a
     * CHAIN of buckets need more hops); [[lshDedupClusters]] iterates to
     * the connected-components fixpoint. The one-pass output is already
     * deterministic and SQL-restatable — the declared-query tier. */
   def lshDedupMap(sig: DataFrame, idCol: String, numBands: Int): DataFrame = {
-    val melted = sig.select(col(idCol).as("id"),
-      posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*))
-        .as(Seq("band_idx", "band_val")))
+    val melted = meltBands(sig, idCol, numBands)
     val reps = melted.groupBy("band_idx", "band_val")
       .agg(min(col("id")).as("rep"))
     melted.join(reps, Seq("band_idx", "band_val"))
@@ -164,22 +171,21 @@ object TextOps {
     * round by localCheckpoint. */
   def lshDedupClusters(sig: DataFrame, idCol: String, numBands: Int,
                        maxIter: Int = 10): DataFrame = {
-    val melted = sig.select(col(idCol).as("id"),
-      posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*))
-        .as(Seq("band_idx", "band_val"))).localCheckpoint()
+    val melted = meltBands(sig, idCol, numBands).localCheckpoint()
     var labels = melted.select(col("id")).distinct()
       .withColumn("canonical_id", col("id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val relabeled = melted.join(labels, Seq("id"))
+      // bucket hop: each bucket's rep = min member label, each doc's new
+      // label = min rep over its buckets. rep ≤ own label always (the doc
+      // is a member of every bucket it probes), so this IS the new label —
+      // no least()/re-join against the old labels needed.
+      val hop = melted.join(labels, Seq("id"))
         .groupBy("band_idx", "band_val")
         .agg(min(col("canonical_id")).as("rep"))
         .join(melted, Seq("band_idx", "band_val"))
-        .groupBy("id").agg(min(col("rep")).as("next"))
-      val hop = labels.join(relabeled, Seq("id"))
-        .select(col("id"),
-          least(col("canonical_id"), col("next")).as("canonical_id"))
+        .groupBy("id").agg(min(col("rep")).as("canonical_id"))
       // pointer jumping: my new label's own new label (canonicals are doc
       // ids, so the self-join always resolves)
       val next = hop.join(
@@ -189,6 +195,7 @@ object TextOps {
         .localCheckpoint() // truncate lineage each round
       changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), Seq("id"))
         .where(col("canonical_id") =!= col("prev")).count()
+      labels.unpersist() // release the superseded round's checkpoint blocks
       labels = next
       iter += 1
     }

@@ -164,9 +164,7 @@ class TextOpsSpec extends SparkSuite {
   }
 
   test("lshDedupMap is single-hop; lshDedupClusters reaches the CC fixpoint") {
-    // bucket chain: 1-2 share band2's 'b', 3-4 share band3's 'c', 2-3
-    // share band2/band3? -> build: 1&2 via mh2='b'; 2&3 via... use:
-    //   1-2 share mh1='a', 2-3 share mh2='b', 3-4 share mh3='c'
+    // bucket chain: 1-2 share mh1='a', 2-3 share mh2='b', 3-4 share mh3='c'
     val sig = Seq(
       (1L, "a", "x2", "x3", "x4"),
       (2L, "a", "b", "y3", "y4"),
