@@ -360,8 +360,11 @@ object Queries {
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val (probe, cents) = probeAndCentroids(emb, nlist = 16)
+    // cap at the realized centroid count (a tiny table yields < nlist
+    // centroids), mirroring ivfTopK's graceful degradation
     Similarity.ivfTopKPrecomputed(emb.where(col("vec_id") =!= 0), "vec_id",
-        "embedding", cents, probe, 10, nprobe = 4)
+        "embedding", cents, probe, 10,
+        nprobe = math.min(4, cents.length).max(1))
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
   }
@@ -391,7 +394,8 @@ object Queries {
     val emb = Tables.embeddings(s, d)
     val (probe, cents) = probeAndCentroids(emb, nlist = 16)
     Similarity.ivfTopKPrecomputed(emb.where(col("vec_id") =!= 0), "vec_id",
-        "embedding", cents, probe, 10, nprobe = 16)
+        "embedding", cents, probe, 10,
+        nprobe = math.min(16, cents.length).max(1))
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
   }
@@ -1452,7 +1456,7 @@ object Queries {
       ("SELECT user_id, event_type, value, ts_us FROM (" +
         "SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
-        "WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+        "WHERE rn = 1 AND event_type IS DISTINCT FROM 'error' ORDER BY user_id"),
     "q_string_funcs" ->
       ("SELECT p_partkey, upper(p_name) AS up, lpad(p_brand, 12, '#') AS padded, " +
         "reverse(p_type) AS rev, regexp_replace(p_name, ' ', '_', 'g') AS snake, " +

@@ -143,9 +143,14 @@ object Ops {
     * Coalesces the post-aggregation partitions to one and sorts within it:
     * a total order without `orderBy`'s RangePartitioner, which schedules an
     * extra sampling pass + exchange stage (measured ~0.2 s and 2 jobs of
-    * pure overhead per query on sub-100-row results). The coalesce fuses
-    * into the final-aggregate stage, so only the ≤|groups|-row merge runs
-    * single-task — map-side partials stay fully parallel. Do NOT use on
+    * pure overhead per query on sub-100-row results). The coalesce
+    * collapses EVERYTHING above the last shuffle boundary to one task —
+    * when the input is a final aggregate that is just the ≤|groups|-row
+    * merge (map-side partials stay fully parallel), but a join/window
+    * placed between the last exchange and this call would run single-task
+    * too. Apply it directly on top of a final aggregation (or another
+    * operator whose post-shuffle state is provably tiny), never above
+    * joins or windows with O(input) intermediate rows, and never on
     * O(input)-sized outputs: those keep the distributed range sort. */
   def presentSorted(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)

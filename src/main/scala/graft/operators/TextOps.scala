@@ -199,6 +199,14 @@ object TextOps {
       labels = next
       iter += 1
     }
+    // After ≥1 round, labels is itself an (eager) localCheckpoint, so the
+    // melted blocks are no longer reachable — release them before returning
+    // rather than letting them accumulate across calls in a long-lived
+    // session. (At maxIter=0 the initial labels still reads THROUGH melted,
+    // whose lineage a localCheckpoint cannot recompute — keep it.) The
+    // RETURNED frame still holds checkpoint blocks: callers should
+    // .unpersist() it when done with the result.
+    if (iter > 0) melted.unpersist()
     labels
   }
 
