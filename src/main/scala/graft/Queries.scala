@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSim.cosine_sim
-import graft.operators.{Ops, Shuffles, Similarity, TextOps}
+import graft.operators.{Ops, Shuffles, Similarity, TextOps, TrainPrep}
 
 /** The declared query inventory (SURVEY.md §2.3): each entry re-expresses a
   * surveyed operator of the reference pipeline on the harness tables, paired
@@ -1040,6 +1040,61 @@ object Queries {
         col("event_type"), col("n"), col("total"))
       .orderBy("window_start_us", "event_type")
 
+  // --------------------------------------- training-data prep tier (r4)
+
+  /** Benchmark decontamination ([[graft.operators.TrainPrep.contaminationFlags]]):
+    * docs outside source `src0` that share an 8-token shingle with the
+    * `src0` "benchmark" split — the n-gram-overlap contamination check run
+    * before training. Benchmark digests broadcast; corpus never shuffled
+    * before the per-doc count. */
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TrainPrep.contaminationFlags(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", 8)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals: duplicate-word fraction and
+    * top-bigram fraction per document. */
+  def qRepetitionScore(s: SparkSession, d: String): DataFrame =
+    TrainPrep.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Top-3 tokens per doc by integer-arithmetic TF-IDF (exact, portable:
+    * (tf·10⁶·N) div df — no log/float in the ranking key). */
+  def qTfidf(s: SparkSession, d: String): DataFrame =
+    TrainPrep.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", 3)
+      .orderBy("doc_id", "rk")
+
+  /** Tokenizer vocabulary: top-100 tokens with dense ids in
+    * (count desc, token) order. */
+  def qVocabBuild(s: SparkSession, d: String): DataFrame =
+    TrainPrep.buildVocab(Tables.documents(s, d), "doc_id", "text", 100)
+      .orderBy("vocab_id")
+
+  /** Deterministic weighted dataset mixture: per-source keep rates in
+    * permille decided by the portable Knuth hash of doc_id (seed 7) —
+    * src0 kept whole, src1/src2 at 50%, everything else at 20%. */
+  def qDatasetMixture(s: SparkSession, d: String): DataFrame =
+    TrainPrep.mixtureSample(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 1000, "src1" -> 500, "src2" -> 500),
+        defaultPermille = 200, seed = 7L)
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+
+  /** Sequence packing: concat-then-chunk into 256-token context windows
+    * via the scalable global prefix sum (bucket offsets + bucket-local
+    * windows — no single-partition window). */
+  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    val counted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(Ops.normalizeText(col("text")), " ")).cast("long").as("n_tokens"))
+    TrainPrep.packSequences(counted, "doc_id", "n_tokens", 256)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1125,7 +1180,21 @@ object Queries {
     "q_string_funcs" -> (qStringFuncs _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_minhash_dedup_map" -> (qMinhashDedupMap _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_repetition_score" -> (qRepetitionScore _),
+    "q_tfidf" -> (qTfidf _),
+    "q_vocab_build" -> (qVocabBuild _),
+    "q_dataset_mixture" -> (qDatasetMixture _),
+    "q_pack_sequences" -> (qPackSequences _),
   )
+
+  /** Shared CTE prefix for the training-prep oracles: normalized text with
+    * the source column, tokens with positions (empty-text docs dropped —
+    * the native shingle expression emits no tokens for them). */
+  private val TP_TOK_CTE =
+    """WITH norm AS (SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)""" +
+    ", tok AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS token, " +
+    "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm WHERE t <> '')"
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" ->
@@ -1476,5 +1545,49 @@ object Queries {
         "SELECT m.doc_id, min(r.rep) AS canonical_id FROM melted m " +
         "JOIN reps r ON m.band_idx = r.band_idx AND m.band_val = r.band_val " +
         "GROUP BY m.doc_id ORDER BY m.doc_id"),
+    "q_decontaminate" ->
+      (TP_TOK_CTE +
+        ", sh AS (SELECT doc_id, source, token" +
+        (1 to 7).map(i => s" || ' ' || lead(token, $i) OVER w").mkString +
+        " AS shingle FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))" +
+        ", bench AS (SELECT DISTINCT md5(shingle) AS h FROM sh WHERE source = 'src0' AND shingle IS NOT NULL)" +
+        ", corp AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh WHERE source <> 'src0' AND shingle IS NOT NULL) " +
+        "SELECT c.doc_id, count(*) AS n_shared FROM corp c JOIN bench b ON c.h = b.h " +
+        "GROUP BY c.doc_id ORDER BY c.doc_id"),
+    "q_repetition_score" ->
+      (TP_TOK_CTE +
+        ", uni AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS nd FROM tok GROUP BY doc_id)" +
+        ", bi0 AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w AS sh FROM tok " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos))" +
+        ", bi1 AS (SELECT doc_id, sh, count(*) AS c FROM bi0 WHERE sh IS NOT NULL GROUP BY doc_id, sh)" +
+        ", bi AS (SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS nbi FROM bi1 GROUP BY doc_id) " +
+        "SELECT u.doc_id, n_tokens, round(1.0 - nd / n_tokens, 4) AS dup_word_frac, " +
+        "round(topc / nbi, 4) AS top_bigram_frac FROM uni u LEFT JOIN bi USING (doc_id) ORDER BY doc_id"),
+    "q_tfidf" ->
+      (TP_TOK_CTE +
+        ", tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)" +
+        ", dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token)" +
+        ", nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok)" +
+        ", scored AS (SELECT doc_id, token, (tf * 1000000 * n) // df AS score " +
+        "FROM tf JOIN dft USING (token) CROSS JOIN nd)" +
+        ", ranked AS (SELECT doc_id, token, score, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rk FROM scored) " +
+        "SELECT doc_id, token, score, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q_vocab_build" ->
+      (TP_TOK_CTE +
+        ", c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)" +
+        ", r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS vocab_id, token, n FROM c) " +
+        "SELECT vocab_id, token, n FROM r WHERE vocab_id <= 100 ORDER BY vocab_id"),
+    "q_dataset_mixture" ->
+      ("SELECT doc_id, source, lang FROM documents " +
+        "WHERE ((((doc_id % 2147483648) + 7) * 2654435761) % 4294967296) % 1000 < " +
+        "(CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500 WHEN 'src2' THEN 500 ELSE 200 END) " +
+        "ORDER BY doc_id"),
+    "q_pack_sequences" ->
+      ("""WITH t AS (SELECT doc_id, len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_tokens FROM documents)""" +
+        ", p AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM t) " +
+        "SELECT doc_id, n_tokens, start_offset, start_offset // 256 AS pack_id, " +
+        "start_offset % 256 AS pack_offset FROM p ORDER BY doc_id"),
   )
 }

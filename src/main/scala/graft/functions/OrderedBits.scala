@@ -38,9 +38,13 @@ case class OrderedBits(child: Expression) extends UnaryExpression {
     compute(input.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      long b = Double.doubleToLongBits($c);
-      ${ev.value} = b ^ ((b >> 63) & 0x7fffffffffffffffL);""")
+    nullSafeCodeGen(ctx, ev, c => {
+      // fresh name: two ordered_bits in one codegen stage must not collide
+      val b = ctx.freshName("bits")
+      s"""
+      long $b = Double.doubleToLongBits($c);
+      ${ev.value} = $b ^ (($b >> 63) & 0x7fffffffffffffffL);"""
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -89,21 +89,62 @@ object Ops {
     * are unique. */
   def batchAssignScalable(df: DataFrame, orderCol: String, n: Int,
                           batchCol: String = "batch_id",
-                          buckets: Int = 1024): DataFrame = {
+                          buckets: Int = 1024): DataFrame =
+    withBucketBases(df, orderCol, buckets, count(lit(1))) match {
+      case None => // empty input: preserve schema, no rows to number
+        df.withColumn(batchCol, lit(null).cast("long"))
+      case Some(based) =>
+        val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+        based.withColumn(batchCol,
+            floor((col("__base") + row_number().over(w) - 1) / n) + 1)
+          .drop("__bucket", "__base")
+    }
+
+  /** Scalable EXCLUSIVE global prefix sum of `valueCol` (non-null,
+    * cast to long) in `orderCol` order, emitted as `outCol`: for each row,
+    * the sum of `valueCol` over all strictly-preceding rows. Same two-phase
+    * shape as [[batchAssignScalable]]: bucket-level totals give each bucket
+    * its base, a bucket-partitioned window finishes locally — no
+    * single-partition window anywhere. */
+  def prefixSumScalable(df: DataFrame, orderCol: String, valueCol: String,
+                        outCol: String = "prefix_excl",
+                        buckets: Int = 1024): DataFrame =
+    withBucketBases(df, orderCol, buckets,
+        coalesce(sum(col(valueCol).cast("long")), lit(0L))) match {
+      case None => df.withColumn(outCol, lit(null).cast("long"))
+      case Some(based) =>
+        val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        based.withColumn(outCol,
+            col("__base") + coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L)))
+          .drop("__bucket", "__base")
+    }
+
+  /** Shared scaffolding of the two-phase scalable numbering ops: (1) tag
+    * every row with a MONOTONE value bucket (`width_bucket` over
+    * `orderCol`'s [min, max]); (2) aggregate `perBucket` (must be a long)
+    * per bucket — an O(buckets) driver-side array, never O(data) — turn it
+    * into EXCLUSIVE running-total bases, and broadcast-join them back.
+    * Monotonicity is all that is needed for `base + within-bucket window`
+    * to equal the global answer, so the double cast inside `width_bucket`
+    * is harmless even for keys above 2^53. Returns None on empty input;
+    * otherwise the input with `__bucket` and `__base` columns for the
+    * caller's bucket-local window. */
+  private def withBucketBases(df: DataFrame, orderCol: String, buckets: Int,
+                              perBucket: Column): Option[DataFrame] = {
     val spark = df.sparkSession
     val stats = df.agg(min(col(orderCol)).cast("double"),
       max(col(orderCol)).cast("double")).head()
-    if (stats.isNullAt(0)) // empty input: preserve schema, no rows to number
-      return df.withColumn(batchCol, lit(null).cast("long"))
+    if (stats.isNullAt(0)) return None
     val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
     val bucketCol =
       if (mn == mx) lit(1L)
       else least(width_bucket(col(orderCol).cast("double"), lit(mn), lit(mx),
         lit(buckets)), lit(buckets.toLong))
     val bucketed = df.withColumn("__bucket", bucketCol)
-    val counts = bucketed.groupBy("__bucket").count().collect()
+    val totals = bucketed.groupBy("__bucket").agg(perBucket.as("__t")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val bases = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
+    val bases = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2))
     val basesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(bases.toSeq.map {
         case (b, o) => org.apache.spark.sql.Row(b, o)
@@ -113,11 +154,7 @@ object Ops {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("__base",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
-    bucketed.join(broadcast(basesDf), Seq("__bucket"))
-      .withColumn(batchCol,
-        floor((col("__base") + row_number().over(w) - 1) / n) + 1)
-      .drop("__bucket", "__base")
+    Some(bucketed.join(broadcast(basesDf), Seq("__bucket")))
   }
 
   /** Deterministic seeded sample-N (spotify_etl_v2.py:91-97 uses

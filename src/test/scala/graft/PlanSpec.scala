@@ -138,4 +138,21 @@ class PlanSpec extends SparkSuite {
     // all five metric columns come from one projection over the scan
     assert(p.contains("*(1)"), s"quality metrics must stay in codegen:\n$p")
   }
+
+  test("two ordered_bits in one stage generate compilable code (fresh names)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // fallback=false turns a codegen compile error (e.g. a non-fresh local
+    // variable emitted twice in one stage) into a test failure instead of a
+    // silent drop to interpreted execution
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq((1.0, -2.0), (3.5, 0.0)).toDF("x", "y")
+        .select(graft.functions.OrderedBits.orderedBits(col("x")).as("ox"),
+          graft.functions.OrderedBits.orderedBits(col("y")).as("oy"))
+        .collect()
+      assert(out.length == 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
