@@ -1566,10 +1566,9 @@ object Queries {
     "q_tfidf" ->
       (TP_TOK_CTE +
         ", tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)" +
-        ", dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token)" +
-        ", nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok)" +
-        ", scored AS (SELECT doc_id, token, (tf * 1000000 * n) // df AS score " +
-        "FROM tf JOIN dft USING (token) CROSS JOIN nd)" +
+        ", dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token)" +
+        ", scored AS (SELECT doc_id, token, (tf * 1000000000) // df AS score " +
+        "FROM tf JOIN dft USING (token))" +
         ", ranked AS (SELECT doc_id, token, score, CAST(row_number() OVER " +
         "(PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rk FROM scored) " +
         "SELECT doc_id, token, score, rk FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"),

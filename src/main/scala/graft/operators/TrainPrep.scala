@@ -25,23 +25,25 @@ object TrainPrep {
     * CONTAMINATED corpus doc: (idCol, n_shared = distinct shared shingles).
     *
     * Scale shape: shingles are formed row-locally ([[graft.functions.Shingles]]),
-    * reduced to fixed-width md5 digests, and de-duplicated per doc; the
-    * benchmark side — eval sets are tiny relative to a training corpus — is
-    * collapsed to a distinct digest set and BROADCAST, so the corpus is
-    * never shuffled: one scan + hash-join inside the scan stage, then a
-    * map-side-combinable per-doc count. md5 (portable lowercase hex) keeps
-    * the operator oracle-checkable; swap xxhash64 for 4× narrower digests
-    * when portability is not needed. */
+    * reduced to fixed-width md5 digests; the benchmark side — eval sets are
+    * tiny relative to a training corpus — is collapsed to a distinct digest
+    * set and BROADCAST. The broadcast join runs FIRST, inside the corpus
+    * scan stage, so the ~everything that doesn't match a benchmark shingle
+    * is dropped before any exchange — the only shuffled rows are actual
+    * hits, and the per-doc distinct-count aggregates those few. (Distinct
+    * before the join would shuffle the entire corpus's digests just to
+    * dedup them.) md5 (portable lowercase hex) keeps the operator
+    * oracle-checkable; swap xxhash64 for 4× narrower digests when
+    * portability is not needed. */
   def contaminationFlags(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                          textCol: String, n: Int): DataFrame = {
     val bench = TextOps.explodedShingles(benchmark, idCol, textCol, n)
       .select(md5(col("shingle")).as("__h")).distinct()
     TextOps.explodedShingles(corpus, idCol, textCol, n)
       .select(col(idCol), md5(col("shingle")).as("__h"))
-      .distinct() // count DISTINCT shared shingles; also shrinks the join input
       .join(broadcast(bench), Seq("__h"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count_distinct(col("__h")).as("n_shared"))
   }
 
   /** Within-document repetition signals (the Gopher repetition filters,
@@ -72,29 +74,34 @@ object TrainPrep {
   }
 
   /** Top-k tokens per document by TF-IDF weight, in EXACT integer
-    * arithmetic: score = (tf · 10⁶ · N) div df — monotone in tf/df exactly
-    * like tf·(N/df), but bit-identical across engines (no log, no float
-    * division), so the ranking is deterministic and oracle-checkable.
-    * Ties broken by token; rank emitted as `rk`.
+    * arithmetic: score = (tf · 10⁹) div df. The corpus size N of the
+    * textbook tf·(N/df) is a GLOBAL constant, so dropping it preserves
+    * every per-doc ranking while eliminating a whole corpus pass; integer
+    * div (no log, no float division) keeps the ranking bit-identical
+    * across engines, hence deterministic and oracle-checkable. Ties broken
+    * by token; rank emitted as `rk`.
     *
-    * Scale shape: term frequencies are one map-side-combinable aggregate
-    * over row-locally formed tokens; the document-frequency table and the
-    * 1-row corpus count are vocabulary-bounded → BROADCAST joins (the big
-    * tf frame never reshuffles); the final top-k is a per-doc window over
-    * the doc-partitioned tf frame. */
+    * Scale shape: term frequencies are ONE map-side-combinable aggregate
+    * over row-locally formed tokens; document frequency derives from that
+    * same tf frame (a tf row exists iff the doc contains the token, so
+    * df = rows per token). The `tf > 0` filter is a no-op that REFERENCES
+    * tf's count so column pruning can't specialize the df branch's inner
+    * aggregate — both branches then share one scan + shuffle via
+    * ReuseExchange. df aggregates by token with map-side partials (skew-
+    * safe for stopword-frequency tokens — a window-by-token formulation
+    * would put every "the"-containing doc in one partition) and is
+    * vocabulary-bounded → BROADCAST join; the big tf frame never
+    * reshuffles before the per-doc top-k window. */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tokens = TextOps.explodedShingles(docs, idCol, textCol, 1)
-    val tf = tokens.groupBy(col(idCol), col("shingle").as("token"))
+    val tf = TextOps.explodedShingles(docs, idCol, textCol, 1)
+      .groupBy(col(idCol), col("shingle").as("token"))
       .agg(count(lit(1)).as("tf"))
-    val dft = tokens.select(col(idCol), col("shingle").as("token")).distinct()
+    val dft = tf.where(col("tf") > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = tokens.select(col(idCol)).distinct()
-      .agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
     tf.join(broadcast(dft), Seq("token"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("score", expr("(tf * 1000000 * __n) div df"))
+      .withColumn("score", expr("(tf * 1000000000) div df"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .select(col(idCol), col("token"), col("score"), col("rk"))
