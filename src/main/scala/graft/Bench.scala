@@ -79,8 +79,16 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val sumSeq = results.values.filterNot(_.isNaN).sum
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","n_queries":${results.size},"concurrency":$par,"sum_sequential":$sumSeq,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$wall,"unit":"sec","n_queries":${results.size},"concurrency":$par,"sum_sequential":$sumSeq,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The harness keeps only a stdout TAIL, which Spark's shutdown logging
+    // can push the line out of — persist it and re-print LAST so the metric
+    // is always recoverable from either the tail or the file.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
+    println(line)
     if (!errors.isEmpty) sys.exit(1)
   }
 }

@@ -237,7 +237,10 @@ object Queries {
     TextOps.minhashSignatureMd5(Tables.documents(s, d), "doc_id", "text", 3, 4)
       .orderBy("doc_id")
 
-  /** MinHash-LSH candidate near-dup pairs: docs agreeing on ≥1 of 4 bands. */
+  /** MinHash-LSH candidate near-dup pairs: docs agreeing on ≥1 of 4 bands.
+    * Band buckets over 1000 members are skipped (mirrored in the oracle) —
+    * the quadratic pair expansion is demo-tier; [[qMinhashDedupMap]] is the
+    * linear scale path that still covers docs in skipped buckets. */
   def qMinhashDedup(s: SparkSession, d: String): DataFrame = {
     val sig = TextOps.minhashSignatureMd5(Tables.documents(s, d), "doc_id", "text", 3, 4)
     TextOps.lshCandidatePairs(sig, "doc_id", 4).orderBy("id_a", "id_b")
@@ -259,20 +262,37 @@ object Queries {
 
   /** Exact n-gram (token-set) Jaccard similarity on a deterministic 2%
     * sample, blocked by language. The unsampled scale path uses MinHash-LSH
-    * prefiltering ([[qMinhashDedup]]) before exact Jaccard. */
-  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).where(col("doc_id") % 50 === 0)
+    * prefiltering ([[qMinhashDedup]]) before exact Jaccard. Posting lists
+    * are df-capped at 1000: a token shared by more documents than that is a
+    * stopword-frequency token that contributes ~0 to a 0.5-Jaccard ranking
+    * but squares the pair expansion — it is dropped BEFORE the list is ever
+    * collected, so a degenerate bucket can't materialize at 100 TB. */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(Tables.documents(s, d).where(col("doc_id") % 50 === 0),
+      dfCap = 1000)
+
+  /** [[qNgramJaccard]] body with the document-frequency cap exposed for
+    * testing. `df` per (lang, token) is aggregated FIRST and hot tokens
+    * (df > dfCap) are filtered out before `collect_list`, so the quadratic
+    * pair expansion is bounded by dfCap² per posting list and no oversized
+    * array is ever built. All three (lang, token) shuffles hash-partition on
+    * the same key, so the df join and the list aggregation reuse the token
+    * exchange. Set sizes (`sz`) stay computed on the UNCAPPED token sets —
+    * the cap only prunes intersection candidates, not the denominator. */
+  private[graft] def ngramJaccard(docs: DataFrame, dfCap: Int): DataFrame = {
     val tok = docs
       .select(col("doc_id"), col("lang"),
         explode(split(Ops.normalizeText(col("text")), " ")).as("token"))
       .where(col("token") =!= "").distinct()
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dft = tok.groupBy("lang", "token").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, dfCap))
     // Pair expansion inside each (lang, token) posting list — one token
     // pipeline + one shuffle; the equivalent self-join recomputes the
-    // tokenization on both sides.
-    val inter = tok.groupBy("lang", "token")
+    // tokenization on both sides. Lists are bounded by dfCap.
+    val inter = tok.join(dft.select("lang", "token"), Seq("lang", "token"))
+      .groupBy("lang", "token")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
@@ -1063,7 +1083,8 @@ object Queries {
       .orderBy("doc_id")
 
   /** Top-3 tokens per doc by integer-arithmetic TF-IDF (exact, portable:
-    * (tf·10⁶·N) div df — no log/float in the ranking key). */
+    * (tf·10⁹) div df — no log/float in the ranking key; the corpus size N
+    * is dropped as a rank-preserving global constant). */
   def qTfidf(s: SparkSession, d: String): DataFrame =
     TrainPrep.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", 3)
       .orderBy("doc_id", "rk")
@@ -1256,7 +1277,8 @@ object Queries {
     "q_minhash_dedup" ->
       (SIG_CTE + ", pairs AS (" +
         (1 to 4).map(i =>
-          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id")
+          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id " +
+            s"WHERE a.mh$i IN (SELECT mh$i FROM sig GROUP BY mh$i HAVING count(*) <= 1000)")
           .mkString(" UNION ") +
         ") SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"),
     "q_ngram_jaccard" ->
@@ -1264,7 +1286,9 @@ object Queries {
         ", tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(t, ' ')) AS token FROM norm)" +
         ", tok2 AS (SELECT * FROM tok WHERE token <> '')" +
         ", sz AS (SELECT doc_id, count(*) AS sz FROM tok2 GROUP BY doc_id)" +
-        ", inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM tok2 a JOIN tok2 b " +
+        ", dfc AS (SELECT lang, token FROM tok2 GROUP BY lang, token HAVING count(*) BETWEEN 2 AND 1000)" +
+        ", tok3 AS (SELECT t.* FROM tok2 t JOIN dfc USING (lang, token))" +
+        ", inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM tok3 a JOIN tok3 b " +
         "ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
         "SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) AS jaccard FROM inter " +
         "JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id " +

@@ -38,6 +38,14 @@ object SpotifyPipelineDemo {
     println("[demo] bridge: " + SpotifyPipeline.albumArtistBridge(rawAlbums)
       .orderBy("album_id", "artist_id").collect().mkString("; "))
 
+    // get-or-create provisioning, like the reference's bucket bootstrap
+    // (create_bucket.py) — second call is a no-op
+    val created = graft.operators.Shuffles.provisionTable(
+      spark, "demo_album", albums.schema, s"$dir/out/album")
+    val again = graft.operators.Shuffles.provisionTable(
+      spark, "demo_album", albums.schema, s"$dir/out/album")
+    println(s"[demo] provision: created=$created re-run created=$again")
+
     SpotifyPipeline.writeEntity(albums, s"$dir/out", "album", "2024-06-01")
     SpotifyPipeline.writeEntity(albums, s"$dir/out", "album", "2024-06-01") // idempotent re-run
     val back = spark.read.parquet(s"$dir/out/album")

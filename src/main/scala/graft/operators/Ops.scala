@@ -86,7 +86,8 @@ object Ops {
     * needed for `offset + within-bucket row_number` to equal the global row
     * number, so the double cast inside `width_bucket` is harmless even for
     * keys above 2^53. Output equals [[batchAssign]] when `orderCol` values
-    * are unique. */
+    * are unique. `orderCol` must be non-null (enforced with an explicit
+    * error in [[withBucketBases]]). */
   def batchAssignScalable(df: DataFrame, orderCol: String, n: Int,
                           batchCol: String = "batch_id",
                           buckets: Int = 1024): DataFrame =
@@ -105,7 +106,11 @@ object Ops {
     * the sum of `valueCol` over all strictly-preceding rows. Same two-phase
     * shape as [[batchAssignScalable]]: bucket-level totals give each bucket
     * its base, a bucket-partitioned window finishes locally — no
-    * single-partition window anywhere. */
+    * single-partition window anywhere.
+    *
+    * CONTRACT: `orderCol` must be NUMERIC and NON-NULL — a null order key
+    * has no place in a total order, so [[withBucketBases]] rejects it with
+    * an explicit error rather than dropping or misnumbering rows. */
   def prefixSumScalable(df: DataFrame, orderCol: String, valueCol: String,
                         outCol: String = "prefix_excl",
                         buckets: Int = 1024): DataFrame =
@@ -134,7 +139,11 @@ object Ops {
                               perBucket: Column): Option[DataFrame] = {
     val spark = df.sparkSession
     val stats = df.agg(min(col(orderCol)).cast("double"),
-      max(col(orderCol)).cast("double")).head()
+      max(col(orderCol)).cast("double"),
+      count(when(col(orderCol).isNull, lit(1)))).head()
+    require(stats.getLong(2) == 0L,
+      s"order column '$orderCol' contains nulls (${stats.getLong(2)} rows) — " +
+        "a null order key has no position in a total order; filter or coalesce it first")
     if (stats.isNullAt(0)) return None
     val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
     val bucketCol =

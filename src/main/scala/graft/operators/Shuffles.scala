@@ -22,6 +22,26 @@ object Shuffles {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Idempotent storage provisioning — the reference get-or-creates its
+    * landing bucket before any write (create_bucket.py:10-26: look up, and
+    * only create on not-found). Re-expressed as catalog provisioning:
+    * register an EXTERNAL parquet table `name` over `path` with an explicit
+    * `schema`, only if absent. Safe to call from every pipeline run and
+    * from concurrent runs — `CREATE TABLE IF NOT EXISTS` makes the race
+    * benign, and an existing table (whatever its layout) is left untouched.
+    * Returns true iff this call created the table. Pure catalog metadata:
+    * no job, no data files touched. */
+  def provisionTable(spark: SparkSession, name: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     path: String): Boolean = {
+    if (spark.catalog.tableExists(name)) false
+    else {
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) " +
+        s"USING PARQUET LOCATION '${path.replace("'", "''")}'")
+      true
+    }
+  }
+
   /** Equi-join two bucketed catalog tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String, joinType: String = "inner"): DataFrame =

@@ -118,20 +118,64 @@ object TextOps {
       posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*))
         .as(Seq("band_idx", "band_val")))
 
-  def lshCandidatePairs(sig: DataFrame, idCol: String, numBands: Int): DataFrame = {
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numBands: Int,
+                        maxBucket: Int = 1000,
+                        dropObs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
     val melted = meltBands(sig, idCol, numBands)
     // Group each band bucket and expand pairs in place: ONE signature
     // computation and one groupBy shuffle. (A self-join would be
     // semantically identical but computes the signature pipeline on both
     // sides — exchange reuse does not fire across the aliased branches.)
-    melted.groupBy("band_idx", "band_val")
+    //
+    // Degenerate-bucket guard: the in-place expansion is quadratic in the
+    // bucket size, so buckets over `maxBucket` members (an all-identical
+    // corpus collapses into ONE bucket) are SKIPPED — sized via a count
+    // aggregate BEFORE any list is collected, so the oversized array is
+    // never built. Dropped docs are still deduped by the linear
+    // [[lshDedupMap]] path; the truncation is never silent: pass `dropObs`
+    // to read the dropped-bucket count after the first action (a
+    // `Dataset.observe` metric — no extra job, also visible in the UI;
+    // caveat: AQE can eliminate the observed stage when NO bucket survives,
+    // so an audit path should use [[lshOversizedBuckets]], which returns
+    // the skipped buckets as data).
+    // Bucket counts and the probe join hash-partition on the same
+    // (band_idx, band_val) key, so the filter rides the melted exchange.
+    val bucketSizes = melted.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__n"))
+    val observed = dropObs match {
+      case Some(obs) => bucketSizes.observe(obs,
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
+      case None => bucketSizes
+    }
+    // shuffle-hash (not broadcast): the bucket-key list is O(buckets) — at
+    // corpus scale too big to collect to the driver — and both join sides
+    // are already hash-partitioned on the band key, so the hint costs no
+    // extra exchange. (It also keeps the observe node on an executed-plan
+    // path; a broadcast build side does not report observed metrics.)
+    val keep = observed.where(col("__n").between(2, maxBucket))
+      .select("band_idx", "band_val").hint("shuffle_hash")
+    melted.join(keep, Seq("band_idx", "band_val"))
+      .groupBy("band_idx", "band_val")
       .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
   }
+
+  /** Audit companion of [[lshCandidatePairs]]: the band buckets its
+    * `maxBucket` guard would SKIP, as data — (band_idx, band_val, n) —
+    * so a capped dedup run can materialize exactly what was truncated
+    * (count it, log it, route the member docs to the linear
+    * [[lshDedupMap]] path). Unlike the `dropObs` observation metric this
+    * is a plain query: it can never be optimized away. */
+  def lshOversizedBuckets(sig: DataFrame, idCol: String, numBands: Int,
+                          maxBucket: Int = 1000): DataFrame =
+    meltBands(sig, idCol, numBands)
+      .groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
 
   /** LSH dedup MAP — the scale path past [[lshCandidatePairs]]: instead of
     * expanding candidate PAIRS (quadratic inside a degenerate bucket: a

@@ -57,6 +57,20 @@ class OpsSpec extends SparkSuite {
     assert(windowed.exceptAll(scalable).isEmpty && scalable.exceptAll(windowed).isEmpty)
   }
 
+  test("scalable numbering rejects null order keys with a clear error") {
+    // a null key has no position in a total order — must fail loud, never
+    // silently drop or misnumber rows
+    val df = Seq(Some(1L), None, Some(3L)).toDF("k").withColumn("v", lit(1L))
+    val e1 = intercept[IllegalArgumentException] {
+      Ops.prefixSumScalable(df, "k", "v").collect()
+    }
+    assert(e1.getMessage.contains("contains nulls"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ops.batchAssignScalable(df, "k", 2).collect()
+    }
+    assert(e2.getMessage.contains("contains nulls"))
+  }
+
   test("batchAssign covers every row exactly once") {
     val df = Tables.customer(spark, SF)
     val out = Ops.batchAssign(df, $"c_custkey", 100)

@@ -75,6 +75,23 @@ class QueriesSpec extends SparkSuite {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("ngramJaccard df-cap drops hot tokens without losing rare-token pairs") {
+    // "the" appears in every doc — at 100× data that posting list squares.
+    // With dfCap=5 it is pruned BEFORE collect_list; the rare-token pair
+    // survives (denominator stays the UNCAPPED set size: 3/(4+4-3) = 0.6).
+    val docs = ((1L to 2L).map(i => (i, "en", "the r1 r2 r3")) ++
+      (3L to 22L).map(i => (i, "en", s"the unique$i"))).toDF("doc_id", "lang", "text")
+    val out = Queries.ngramJaccard(docs, dfCap = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.6)))
+    // uncapped, the hot token inflates: same corpus yields the same pair at
+    // 1.0 plus nothing else here — but 20 docs sharing "the" would expand
+    // 190 candidate pairs inside one posting list before filtering
+    val uncapped = Queries.ngramJaccard(docs, dfCap = 1000000)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(uncapped == Seq((1L, 2L, 1.0)))
+  }
+
   test("q_batch_assign batch sizes never exceed 500") {
     val sizes = Queries.qBatchAssign(spark, SF)
       .groupBy("batch_id").count().as[(Long, Long)].collect()

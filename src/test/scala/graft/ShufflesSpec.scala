@@ -31,6 +31,22 @@ class ShufflesSpec extends SparkSuite {
     }
   }
 
+  test("provisionTable is get-or-create: second call is a no-op") {
+    try {
+      val df = Seq((1L, "x")).toDF("id", "name")
+      val dir = java.nio.file.Files.createTempDirectory("graft_prov").toString
+      // first call creates, and data written to the location is visible
+      assert(Shuffles.provisionTable(spark, "prov_t", df.schema, s"$dir/t"))
+      df.write.mode("append").parquet(s"$dir/t")
+      assert(spark.table("prov_t").as[(Long, String)].collect().toSeq == Seq((1L, "x")))
+      // second call (even with a DIFFERENT schema/path) leaves it untouched
+      val other = Seq((2L, 3L)).toDF("a", "b")
+      assert(!Shuffles.provisionTable(spark, "prov_t", other.schema, s"$dir/other"))
+      assert(spark.table("prov_t").columns.toSeq == Seq("id", "name"))
+      assert(spark.table("prov_t").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS prov_t")
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     // 90% of left rows share one key — the shape salting exists for.
     val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong))

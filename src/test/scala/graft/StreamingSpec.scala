@@ -65,6 +65,43 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("declared q_tumbling_window equals its streaming AvailableNow run") {
+    // the SAME 6h tumbling graph the oracle checks in batch, replayed
+    // through the streaming engine — closes the batch↔stream parity loop on
+    // the declared-query tier
+    val got = EventStreams.runAvailableNow(
+        EventStreams.tumblingCounts(stream, "6 hours", "10 minutes"), "t_tumbling_q")
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"n", $"total_value".as("total"))
+    val want = Queries.qTumblingWindow(spark, SF)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("declared q_sessionize agrees with the streaming session_window run") {
+    // same 24h-gap sessions per user; the declared query adds a value total,
+    // so compare on the shared (user, session_start, n) key
+    val got = EventStreams.runAvailableNow(
+        EventStreams.sessionCounts(stream, "24 hours", "10 minutes"), "t_sessions_q")
+      .select($"user_id", unix_micros($"session_start").as("session_start_us"), $"n")
+    val want = Queries.qSessionize(spark, SF)
+      .select($"user_id", $"session_start_us", $"n")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("declared q_sliding_window totals equal the streaming run rolled up") {
+    // the declared query is the global roll-up of the per-user streaming
+    // graph over the same 6h/3h windows
+    val got = EventStreams.runAvailableNow(
+        EventStreams.slidingUserActivity(stream, "6 hours", "3 hours", "10 minutes"),
+        "t_sliding_q")
+      .groupBy($"window_start").agg(sum($"n").as("n"))
+      .select(unix_micros($"window_start").as("window_start_us"), $"n")
+    val want = Queries.qSlidingWindow(spark, SF).select($"window_start_us", $"n")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup keeps one row per event_id") {
     val got = EventStreams.runAvailableNow(
       EventStreams.dedupStream(stream, "10 minutes"), "t_dedup",

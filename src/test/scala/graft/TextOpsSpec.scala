@@ -46,6 +46,42 @@ class TextOpsSpec extends SparkSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("lshCandidatePairs: degenerate bucket is capped, drop count observed") {
+    // adversarial corpus: every doc identical → ALL docs share every band
+    // bucket; uncapped pair expansion would be O(n²)
+    val n = 40
+    val docs = (1L to n.toLong)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
+    val pairs = TextOps.lshCandidatePairs(sig, "doc_id", 4, maxBucket = 10)
+      .collect()
+    // every band bucket holds all 40 docs > cap 10 → no pairs survive,
+    // and the truncation is auditable as data, not silent
+    assert(pairs.isEmpty)
+    val dropped = TextOps.lshOversizedBuckets(sig, "doc_id", 4, maxBucket = 10)
+      .as[(Int, String, Long)].collect()
+    assert(dropped.length == 4 && dropped.forall(_._3 == n.toLong))
+    // the observation channel reports the same count when the observed
+    // stage survives AQE (it can be pruned when NOTHING passes the cap —
+    // that corner is why the audit query above exists)
+    val obs = org.apache.spark.sql.Observation()
+    // two small docs share their buckets (size 2 ≤ cap → pair survives);
+    // the 40-doc clone group's buckets are over the cap → dropped
+    val mixed = Seq((101L, "one two three four five six"),
+        (102L, "one two three four five six")).toDF("doc_id", "text")
+      .union(docs)
+    val sig2 = TextOps.minhashSignatureMd5(mixed, "doc_id", "text", 3, 4)
+    val got = TextOps.lshCandidatePairs(sig2, "doc_id", 4,
+      maxBucket = 10, dropObs = Some(obs)).as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 102L)))
+    assert(obs.get("dropped_buckets").asInstanceOf[Long] == 4L)
+    // the linear map path still dedups the whole corpus
+    val dedup = TextOps.lshDedupMap(sig, "doc_id", 4)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to n.toLong).forall(dedup(_) == 1L))
+  }
+
   test("xxhash64 minhash signature agrees with itself and separates docs") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),

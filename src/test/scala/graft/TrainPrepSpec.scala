@@ -62,9 +62,9 @@ class TrainPrepSpec extends SparkSuite {
     assert(out.map(r => (r._1, r._2, r._4)).toSeq == Seq(
       (1L, "rare1", 1L), (1L, "common", 2L),
       (2L, "rare2", 1L), (2L, "common", 2L)))
-    // N=2: score(rare, tf=1, df=1) = 2e6; score(common, tf=1, df=2) = 1e6
-    assert(out.filter(_._2.startsWith("rare")).forall(_._3 == 2000000L))
-    assert(out.filter(_._2 == "common").forall(_._3 == 1000000L))
+    // score(rare, tf=1, df=1) = 1e9; score(common, tf=1, df=2) = 5e8
+    assert(out.filter(_._2.startsWith("rare")).forall(_._3 == 1000000000L))
+    assert(out.filter(_._2 == "common").forall(_._3 == 500000000L))
   }
 
   // -------------------------------------------------------- buildVocab
