@@ -333,6 +333,56 @@ object Queries {
     TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text", STOPWORDS)
       .orderBy("doc_id")
 
+  /** Composite Gopher-style quality gate: per-doc boolean verdicts from the
+    * repetition signals ([[graft.operators.TrainPrep.repetitionStats]] —
+    * one pass, two map-side-combinable aggregates), thresholded the way a
+    * training-data filter stage composes them. Degenerate docs (no bigrams)
+    * pass the bigram gate vacuously (null-safe coalesce). */
+  def qQualityFilter(s: SparkSession, d: String): DataFrame =
+    TrainPrep.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        col("n_tokens").between(20, 100000).as("length_ok"),
+        (col("dup_word_frac") <= 0.6).as("repetition_ok"),
+        coalesce(col("top_bigram_frac") <= 0.2, lit(true)).as("bigram_ok"))
+      .withColumn("keep",
+        col("length_ok") && col("repetition_ok") && col("bigram_ok"))
+      .orderBy("doc_id")
+
+  /** Corpus n-gram statistics: top-20 bigrams per language by count.
+    * Bigrams are formed ROW-LOCALLY by the native `Shingles` expression
+    * (never crossing documents, zero token shuffle); the count aggregate
+    * combines map-side, so the per-lang ranking window only ever sees the
+    * bounded distinct-bigram frame — the shape a corpus-statistics pass
+    * keeps at 100 TB. */
+  def qNgramCounts(s: SparkSession, d: String): DataFrame = {
+    val sh = TextOps.explodedShingles(
+      Tables.documents(s, d).select("lang", "text"), "lang", "text", 2)
+    val counts = sh.groupBy(col("lang"), col("shingle").as("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 20)
+      .orderBy("lang", "rk")
+  }
+
+  /** One Lloyd k-means iteration over the embeddings
+    * ([[graft.operators.Similarity.kmeansStep]]): deterministic k=8 seed
+    * centroids, exact argmin assignment, per-(cluster, dim) mean — output
+    * is k·dim rows regardless of corpus size. The oracle re-ranks by
+    * DuckDB's `list_distance` (monotone sqrt of the same double sum), so
+    * the assignment — and therefore every average — matches exactly. */
+  def qKmeansStep(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding", 8)
+      .orderBy("cluster_id", "pos")
+
+  /** Int8 scalar quantization of every embedding
+    * ([[graft.operators.Similarity.quantizeInt8]]): per-vector scale,
+    * integer codes, max reconstruction error. Row-local, zero shuffle. */
+  def qVectorQuantize(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** Brute-force cosine top-k vs the vec_id=0 probe. Both engines compute
     * the dot/norms in double (the oracle casts FLOAT[] → DOUBLE[]), rank by
     * the 4-decimal-rounded similarity, and break ties by vec_id — so the
@@ -1207,6 +1257,10 @@ object Queries {
     "q_vocab_build" -> (qVocabBuild _),
     "q_dataset_mixture" -> (qDatasetMixture _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_quality_filter" -> (qQualityFilter _),
+    "q_ngram_counts" -> (qNgramCounts _),
+    "q_kmeans_step" -> (qKmeansStep _),
+    "q_vector_quantize" -> (qVectorQuantize _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -1612,5 +1666,52 @@ object Queries {
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM t) " +
         "SELECT doc_id, n_tokens, start_offset, start_offset // 256 AS pack_id, " +
         "start_offset % 256 AS pack_offset FROM p ORDER BY doc_id"),
+    "q_quality_filter" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm WHERE t <> '')" +
+        ", uni AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS nd FROM tok GROUP BY doc_id)" +
+        ", bi0 AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w AS sh FROM tok " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos))" +
+        ", bi1 AS (SELECT doc_id, sh, count(*) AS c FROM bi0 WHERE sh IS NOT NULL GROUP BY doc_id, sh)" +
+        ", bi AS (SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS nbi FROM bi1 GROUP BY doc_id)" +
+        ", f AS (SELECT u.doc_id, n_tokens BETWEEN 20 AND 100000 AS length_ok, " +
+        "round(1.0 - nd / n_tokens, 4) <= 0.6 AS repetition_ok, " +
+        "coalesce(round(topc / nbi, 4) <= 0.2, TRUE) AS bigram_ok " +
+        "FROM uni u LEFT JOIN bi USING (doc_id)) " +
+        "SELECT doc_id, length_ok, repetition_ok, bigram_ok, " +
+        "length_ok AND repetition_ok AND bigram_ok AS keep FROM f ORDER BY doc_id"),
+    "q_ngram_counts" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm WHERE t <> '')" +
+        ", bi0 AS (SELECT lang, token || ' ' || lead(token, 1) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS bigram FROM tok)" +
+        ", cnt AS (SELECT lang, bigram, count(*) AS n FROM bi0 WHERE bigram IS NOT NULL GROUP BY lang, bigram)" +
+        ", rk AS (SELECT lang, bigram, n, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY n DESC, bigram) AS rk FROM cnt) " +
+        "SELECT lang, bigram, n, rk FROM rk WHERE rk <= 20 ORDER BY lang, rk"),
+    "q_kmeans_step" ->
+      ("WITH cents AS (SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS centroid " +
+        "FROM embeddings ORDER BY vec_id LIMIT 8)" +
+        ", assigned AS (SELECT vec_id, cluster_id FROM (" +
+        "SELECT e.vec_id, c.cluster_id, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cluster_id) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1)" +
+        ", exploded AS (SELECT a.cluster_id, u.pos, u.val " +
+        "FROM assigned a JOIN embeddings e USING (vec_id), " +
+        "LATERAL (SELECT unnest(e.embedding::DOUBLE[]) AS val, " +
+        "generate_subscripts(e.embedding, 1) AS pos) u) " +
+        "SELECT cluster_id, pos - 1 AS pos, round(avg(val), 4) AS c, count(*) AS n " +
+        "FROM exploded GROUP BY cluster_id, pos ORDER BY cluster_id, pos"),
+    "q_vector_quantize" ->
+      ("WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+        "list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma FROM embeddings) " +
+        "SELECT vec_id, round(CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127.0 END, 6) AS scale, " +
+        "array_to_string(CASE WHEN ma = 0 THEN list_transform(v, x -> 0) " +
+        "ELSE list_transform(v, x -> CAST(round(x * 127.0 / ma, 0) AS INTEGER)) END, ',') AS q, " +
+        "round(coalesce(CASE WHEN ma = 0 THEN 0.0 " +
+        "ELSE list_max(list_transform(v, x -> abs(x - round(x * 127.0 / ma, 0) * ma / 127.0))) END, 0.0), 6) AS max_err " +
+        "FROM m ORDER BY vec_id"),
   )
 }

