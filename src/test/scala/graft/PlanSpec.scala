@@ -131,6 +131,33 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_vector_quantize is shuffle-free up to the presentation sort") {
+    val p = plan(Queries.qVectorQuantize(spark, SF))
+    // row-local quantization: no aggregate, no hash exchange anywhere
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization must not shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"quantization must not aggregate:\n$p")
+  }
+
+  test("q_kmeans_step ships only k*dim partial rows through its one exchange") {
+    val p = plan(Queries.qKmeansStep(spark, SF))
+    // partial (map-side) average below the (cluster_id, pos) exchange —
+    // the property that caps the shuffle at k*dim rows per partition
+    assert(p.contains("partial_avg") || p.contains("Functions [partial"), p)
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("q_ngram_counts: map-side-combined counts; ranking window is lang-partitioned") {
+    val df = Queries.qNgramCounts(spark, SF)
+    val p = plan(df)
+    assert(p.contains("partial_count") || p.contains("Functions [partial"), p)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("windowspecdefinition(lang"),
+      s"ranking window must be partitioned by lang:\n$exec")
+  }
+
   test("q_quality_score evaluates TextStats once (subexpression elimination)") {
     val df = Queries.qQualityScore(spark, SF)
     df.collect()
