@@ -35,17 +35,24 @@ object DevScaling {
       replicate("lineitem", Seq("l_orderkey"))
       replicate("orders", Seq("o_orderkey"))
       replicate("events", Seq("event_id"))
-      Seq("customer", "nation", "region", "supplier", "part",
-        "documents", "embeddings").foreach(copy)
+      // documents/embeddings replicate too (identical payloads under new
+      // ids — the worst case for dedup ops: every bucket grows reps×);
+      // only LINEAR/bounded-output doc queries go into `picks` below
+      replicate("documents", Seq("doc_id"))
+      replicate("embeddings", Seq("vec_id"))
+      Seq("customer", "nation", "region", "supplier", "part").foreach(copy)
       java.nio.file.Files.createFile(sentinel)
       println(s"[scaling] built $dst (${reps}x facts)")
     }
 
-    // fact-bound queries only: documents/embeddings pair queries are
+    // linear- or bounded-output queries only: PAIR-generating document/
+    // embedding queries (jaccard, minhash pair form, near-dup) are
     // excluded because their OUTPUT grows superlinearly by semantics
     val picks = Seq("q_scan_project", "q_agg_pricing", "q_join_agg",
       "q_semi_join", "q_bloom_semi_join", "q_window_topk", "q_percentiles",
-      "q_asof_join", "q_sessionize", "q_cdc_apply", "q_monthly_revenue")
+      "q_asof_join", "q_sessionize", "q_cdc_apply", "q_monthly_revenue",
+      "q_quality_filter", "q_tfidf", "q_minhash_dedup_map",
+      "q_kmeans_step", "q_vector_quantize", "q_ngram_counts")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

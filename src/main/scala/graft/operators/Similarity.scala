@@ -219,11 +219,24 @@ object Similarity {
     * Returns (cluster_id, pos, c, n): dim-indexed new centroid coordinates
     * (rounded) and member counts. */
   def kmeansStep(emb: DataFrame, idCol: String, vecCol: String,
-                 k: Int): DataFrame = {
+                 k: Int): DataFrame =
+    kmeansStepPrecomputed(emb, idCol, vecCol,
+      seedCentroids(emb, idCol, vecCol, k))
+
+  /** The deterministic k-means initialization: the k vectors with the
+    * smallest ids (k rows to the driver). */
+  def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): Array[(Long, Array[Double])] = {
     require(k >= 1, "k must be positive")
-    val cents: Array[(Long, Array[Double])] =
-      emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
-        .collect().map(r => (r.getLong(0), toDoubleVec(r)))
+    emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(r => (r.getLong(0), toDoubleVec(r)))
+  }
+
+  /** Exact argmin cluster assignment against driver-held centroids:
+    * least-of-structs over k fused squared-L2 expressions (each distance
+    * evaluated once, ties to the smallest cluster id). */
+  def kmeansAssignCol(vecCol: String,
+                      cents: Array[(Long, Array[Double])]): Column = {
     val vecD = col(vecCol).cast("array<double>")
     def sqDist(c: Array[Double]): Column =
       aggregate(
@@ -232,18 +245,48 @@ object Similarity {
     val packed = cents.map { case (cid, c) =>
       struct(sqDist(c).as("d"), lit(cid).as("cid"))
     }
-    val assign =
-      (if (packed.length == 1) packed.head else least(packed.toSeq: _*))
-        .getField("cid")
+    (if (packed.length == 1) packed.head else least(packed.toSeq: _*))
+      .getField("cid")
+  }
+
+  /** [[kmeansStep]] with the centroid state supplied by the caller — the
+    * form [[kmeansIterate]] loops. */
+  def kmeansStepPrecomputed(emb: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val vecD = col(vecCol).cast("array<double>")
     // two steps: a generator in the SAME select as the least-of-structs
     // makes the analyzer's generator extraction re-derive the struct type
     // with default col1/col2 field names, breaking the getField("cid")
-    emb.withColumn("cluster_id", assign)
+    emb.withColumn("cluster_id", kmeansAssignCol(vecCol, cents))
       .select(col("cluster_id"), posexplode(vecD).as(Seq("pos", "val")))
       .groupBy("cluster_id", "pos")
       .agg(round(avg(col("val")), 4).as("c"), count(lit(1)).as("n"))
       .select(col("cluster_id"), col("pos").cast("long").as("pos"),
         col("c"), col("n"))
+  }
+
+  /** Full Lloyd iteration: `iters` rounds of assign + update, each round
+    * one distributed pass (the k·dim centroid frame — a few KB — is the
+    * only driver round-trip per iteration; the corpus is never collected
+    * or cached driver-side). A cluster that loses all members keeps its
+    * previous centroid (the standard empty-cluster rule, keeping k stable).
+    * Returns the final centroids keyed by their seed ids. */
+  def kmeansIterate(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int): Array[(Long, Array[Double])] = {
+    var cents = seedCentroids(emb, idCol, vecCol, k)
+    for (_ <- 1 to iters) {
+      val byCluster = kmeansStepPrecomputed(emb, idCol, vecCol, cents)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+        }
+      cents = cents.map { case (cid, prev) =>
+        (cid, byCluster.getOrElse(cid, prev))
+      }
+    }
+    cents
   }
 
   /** Int8 scalar quantization of an embedding column — the 4× storage/

@@ -126,6 +126,39 @@ class SimilaritySpec extends SparkSuite {
     assert(out == Seq((1L, 0L, 0.5, 2L), (2L, 0L, 2.0, 1L)))
   }
 
+  test("kmeansIterate recovers well-separated blobs from bad seeds") {
+    // both seeds (smallest ids) start inside blob A; Lloyd must pull one
+    // centroid across to blob B within a few rounds
+    val blobA = (1L to 6L).map(i => (i, Seq(0.0f + i * 0.01f, 0.0f)))
+    val blobB = (11L to 16L).map(i => (i, Seq(100.0f + i * 0.01f, 100.0f)))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansIterate(emb, "vec_id", "embedding", 2, 5)
+    val assigned = emb.withColumn("c",
+        Similarity.kmeansAssignCol("embedding", cents))
+      .select($"vec_id", $"c").as[(Long, Long)].collect().toMap
+    val aClusters = blobA.map(v => assigned(v._1)).distinct
+    val bClusters = blobB.map(v => assigned(v._1)).distinct
+    assert(aClusters.size == 1 && bClusters.size == 1,
+      s"each blob must land in one cluster: $assigned")
+    assert(aClusters.head != bClusters.head, "blobs must separate")
+    // centroids sit at the blob means (rounded path through kmeansStep)
+    val cMap = cents.toMap
+    assert(math.abs(cMap(aClusters.head)(1) - 0.0) < 1e-6)
+    assert(math.abs(cMap(bClusters.head)(1) - 100.0) < 1e-6)
+  }
+
+  test("kmeansIterate: a cluster that loses all members keeps its centroid") {
+    // seed 2 = (0.1): every point is closer to seed 1 after one round
+    val emb = Seq((1L, Seq(0.0f)), (2L, Seq(0.1f)), (3L, Seq(0.05f)))
+      .toDF("vec_id", "embedding")
+    val one = Similarity.kmeansIterate(emb, "vec_id", "embedding", 2, 1)
+    // round 1: 1,3 -> c1 (mean 0.025), 2 -> c2 (mean 0.1)
+    assert(one.toMap.apply(1L).toSeq == Seq(0.025) &&
+      one.toMap.apply(2L).toSeq == Seq(0.1))
+    val five = Similarity.kmeansIterate(emb, "vec_id", "embedding", 2, 5)
+    assert(five.length == 2) // k stays 2 even if a cluster empties
+  }
+
   test("quantizeInt8: exact codes, scale, and reconstruction error") {
     val emb = Seq(
       (1L, Seq(1.0f, -0.5f, 0.0f)),
