@@ -383,6 +383,51 @@ object Queries {
     Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** Exact k-nearest-neighbor JOIN ([[graft.operators.Similarity
+    * .knnJoinExact]]): every 20th vector finds its 3 nearest corpus
+    * neighbors by cosine. The query side is broadcast (narrow scoring
+    * pass over the corpus scan); the only exchange carries the slim score
+    * triples into the per-query ranking window. The 100 TB path swaps in
+    * `knnJoinBlocked` (cluster-blocked candidates) — ScalaTest asserts its
+    * recall against this exact form. */
+  def qKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    Similarity.knnJoinExact(e, "vec_id", "embedding", q, 3)
+      .orderBy("q_id", "rk")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs ([[graft.operators.Similarity
+    * .semDedupPairs]]): k-means-assign every embedding to its nearest of 8
+    * seed centroids, compare pairs only WITHIN a cluster (equi-join on the
+    * cluster id — n²/k compares, never a cross join), keep cosine ≥ 0.3.
+    * At 100 TB, k grows with the corpus and the cluster id is a
+    * materialized partition key — each cluster's pair pass is local I/O. */
+  def qSemDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash-estimated Jaccard for the LSH candidate pairs
+    * ([[graft.operators.TextOps.minhashEstimatedJaccard]]): est = matching
+    * md5 hash families / 4 — the signature-only triage a dedup pipeline
+    * runs between banding and exact verification (no token re-scan). */
+  def qMinhashEst(s: SparkSession, d: String): DataFrame = {
+    val sig = TextOps.minhashSignatureMd5(Tables.documents(s, d),
+      "doc_id", "text", 3, 4)
+    TextOps.minhashEstimatedJaccard(sig, "doc_id", 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** BM25-style relevance top-10 ([[graft.operators.TextOps.bm25TopK]]):
+    * integer-exact fixed-point BM25 (rational idf core, k1=1.2 b=0.75) for
+    * a fixed 3-term query — one tokenize pass, one per-doc aggregate, one
+    * broadcast stats row, TakeOrdered final. */
+  def qBm25(s: SparkSession, d: String): DataFrame =
+    TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("vector", "stream", "hash"), 10)
+
   /** Brute-force cosine top-k vs the vec_id=0 probe. Both engines compute
     * the dot/norms in double (the oracle casts FLOAT[] → DOUBLE[]), rank by
     * the 4-decimal-rounded similarity, and break ties by vec_id — so the
@@ -1261,6 +1306,10 @@ object Queries {
     "q_ngram_counts" -> (qNgramCounts _),
     "q_kmeans_step" -> (qKmeansStep _),
     "q_vector_quantize" -> (qVectorQuantize _),
+    "q_knn_join" -> (qKnnJoin _),
+    "q_sem_dedup" -> (qSemDedup _),
+    "q_minhash_est" -> (qMinhashEst _),
+    "q_bm25" -> (qBm25 _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -1713,5 +1762,47 @@ object Queries {
         "round(coalesce(CASE WHEN ma = 0 THEN 0.0 " +
         "ELSE list_max(list_transform(v, x -> abs(x - round(x * 127.0 / ma, 0) * ma / 127.0))) END, 0.0), 6) AS max_err " +
         "FROM m ORDER BY vec_id"),
+    "q_knn_join" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0), " +
+        "p AS (SELECT q_id, e.vec_id AS n_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 4) AS sim " +
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q_id), " +
+        "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk FROM p) " +
+        "SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk"),
+    "q_sem_dedup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8), " +
+        "assigned AS (SELECT vec_id, cid AS cluster_id FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_distance(e.v, c.c), c.cid) AS rn FROM e CROSS JOIN cents c) t WHERE rn = 1), " +
+        "withv AS (SELECT a.vec_id, a.cluster_id, e.v FROM assigned a JOIN e USING (vec_id)) " +
+        "SELECT x.cluster_id, x.vec_id AS id_a, y.vec_id AS id_b, round(list_cosine_similarity(x.v, y.v), 4) AS sim " +
+        "FROM withv x JOIN withv y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id " +
+        "WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.3 ORDER BY id_a, id_b"),
+    "q_minhash_est" ->
+      (SIG_CTE + ", pairs AS (" +
+        (1 to 4).map(i =>
+          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id " +
+            s"WHERE a.mh$i IN (SELECT mh$i FROM sig GROUP BY mh$i HAVING count(*) <= 1000)")
+          .mkString(" UNION ") +
+        ") SELECT p.id_a, p.id_b, CAST(" +
+        (1 to 4).map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS matches, CAST(" +
+        (1 to 4).map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS DOUBLE) / 4.0 AS est_jaccard " +
+        "FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id ORDER BY id_a, id_b"),
+    "q_bm25" ->
+      (NORM_CTE +
+        ", tok0 AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm)" +
+        ", tok AS (SELECT * FROM tok0 WHERE token <> '')" +
+        ", dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)" +
+        ", st AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl)" +
+        ", av AS (SELECT n_docs, (total * 1000000) // n_docs AS avgdl6 FROM st)" +
+        ", tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token IN ('vector', 'stream', 'hash') GROUP BY doc_id, token)" +
+        ", dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)" +
+        ", sc AS (SELECT doc_id, (((1000000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)) * tf * 2200) // " +
+        "(tf * 1000 + (1200 * (250 + (750000000 * dl) // avgdl6)) // 1000) AS ts " +
+        "FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN av) " +
+        "SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score FROM sc GROUP BY doc_id " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSim.cosine_sim
@@ -326,6 +327,79 @@ object Similarity {
       (x, q) => abs(x - q.cast("double") * col("__ma") / 127.0)))
     withCodes.select(col(idCol), round(col("__scale"), 6).as("scale"),
       col("q"), round(coalesce(err, lit(0.0)), 6).as("max_err"))
+  }
+
+  /** Exact k-nearest-neighbor JOIN: for every query vector, its `k` nearest
+    * corpus vectors by cosine (self excluded). `queries` must carry columns
+    * `(q_id, qv)` and be SMALL relative to the corpus — it is broadcast, so
+    * scoring is a narrow pass over the corpus scan (a broadcast nested-loop
+    * join, no corpus shuffle). The only exchange is the per-query ranking
+    * window, which carries the slim `(q_id, n_id, sim)` score triples —
+    * |Q|·|corpus| of them, the irreducible cost of EXACT kNN. At 100 TB
+    * that product is the thing to cut, not the shuffle width: the scale
+    * path is [[knnJoinBlocked]] (cluster-blocked candidates, |Q|·|bucket|
+    * scores) or the per-probe ANN indexes ([[ivfTopK]]/[[cosineTopKLsh]]).
+    * Ranking is over the ROUNDED similarity with ties to the smallest
+    * neighbor id — stable under float summation-order drift, so an ANSI
+    * oracle ranks identically. */
+  def knnJoinExact(emb: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, k: Int): DataFrame = {
+    val scored = emb.join(broadcast(queries), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        round(cosine_sim(col(vecCol), col("qv")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /** Approximate kNN join, cluster-blocked: both sides are assigned to their
+    * nearest centroid ([[kmeansAssignCol]] — the same argmin the IVF coarse
+    * quantizer uses) and candidates are restricted to the query's cluster,
+    * so the score volume drops from |Q|·|corpus| to |Q|·|bucket|. With the
+    * cluster id as a partition/cluster key the candidate scan is
+    * metadata-pruned I/O. Recall < 1 by design (neighbors straddling a
+    * cluster boundary are missed — mitigated at scale by multi-probe over
+    * the nearest few centroids, exactly IVF's nprobe dial). */
+  def knnJoinBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, k: Int,
+                     cents: Array[(Long, Array[Double])]): DataFrame = {
+    val e = emb.withColumn("__c", kmeansAssignCol(vecCol, cents))
+    val q = queries.withColumn("__c", kmeansAssignCol("qv", cents))
+    val scored = e.join(broadcast(q),
+        e("__c") === q("__c") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        round(cosine_sim(col(vecCol), col("qv")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: k-means-assign every
+    * vector to its nearest seed centroid, then compare pairs ONLY within a
+    * cluster (equi-join on the cluster id — a co-partitioned shuffle, never
+    * a cross join). The cluster-blocking is what bounds the quadratic pair
+    * expansion: each cluster holds ~n/k members, so compares are n²/k
+    * instead of n²; at 100 TB k grows with the corpus (k ∝ n keeps the
+    * per-cluster frame constant) and the assignment is a materialized
+    * partition/cluster key, making each cluster's pair pass local I/O.
+    * Fully deterministic (seeded centroids, rounded sims, id-ordered
+    * pairs), so an ANSI oracle reproduces it exactly. */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double): DataFrame = {
+    val cents = seedCentroids(emb, idCol, vecCol, k)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      kmeansAssignCol(vecCol, cents).as("cluster_id"))
+    val a = assigned.select(col("cluster_id"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster_id"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("cluster_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine_sim(col("__va"), col("__vb")), 4))
+      .where(col("sim") >= threshold)
+      .select(col("cluster_id"), col("id_a"), col("id_b"), col("sim"))
   }
 
   /** All-pairs near-duplicate vectors above a cosine threshold, LSH-blocked:

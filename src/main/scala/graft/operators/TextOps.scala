@@ -177,6 +177,34 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket)
 
+  /** Estimated Jaccard similarity for LSH candidate pairs, from the MinHash
+    * signatures alone: est = (matching hash families) / numHashes — the
+    * standard unbiased MinHash estimator, here over the portable md5
+    * families of [[minhashSignatureMd5]]. This is the triage step a 100 TB
+    * dedup pipeline runs BETWEEN banding and exact verification: it costs
+    * one signature-frame join per side (no token re-scan of the corpus —
+    * the whole point of carrying signatures), and only pairs whose
+    * estimate clears the dedup threshold proceed to exact Jaccard.
+    * At scale the signature frame is a materialized artifact, making the
+    * two joins here co-partitioned lookups rather than recomputation.
+    * Emits (id_a, id_b, matches, est_jaccard); deterministic and exactly
+    * restatable in ANSI SQL (md5 is engine-portable). */
+  def minhashEstimatedJaccard(sig: DataFrame, idCol: String,
+                              numHashes: Int): DataFrame = {
+    val pairs = lshCandidatePairs(sig, idCol, numHashes)
+    val a = sig.select(col(idCol).as("id_a") +:
+      (1 to numHashes).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val b = sig.select(col(idCol).as("id_b") +:
+      (1 to numHashes).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val matches = (1 to numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("matches", matches)
+      .select(col("id_a"), col("id_b"), col("matches"),
+        (col("matches") / numHashes.toDouble).as("est_jaccard"))
+  }
+
   /** LSH dedup MAP — the scale path past [[lshCandidatePairs]]: instead of
     * expanding candidate PAIRS (quadratic inside a degenerate bucket: a
     * corpus of near-identical docs puts everything in one band bucket),
@@ -345,6 +373,69 @@ object TextOps {
     * other char) — the standard pre-tokenizer shape. */
   def bpeishTokenCount(textCol: Column): Column =
     size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** BM25-style relevance ranking of documents against a fixed term set,
+    * in ALL-INTEGER fixed-point arithmetic so two engines agree bit-for-bit
+    * (no float log, no summation-order drift — the per-term idf uses the
+    * rational core `(N - df + ½)/(df + ½)` scaled by 10⁶ instead of its
+    * logarithm; the log is monotone, so each term's df-damping keeps BM25's
+    * ordering semantics while staying oracle-exact):
+    *
+    *   idf6  = (10⁶·(2N − 2df + 1)) div (2df + 1)
+    *   norm‰ = (1000 − b‰) + (b‰·10⁶·dl) div avgdl6,  avgdl6 = (10⁶·Σdl) div N
+    *   score = Σ_terms (idf6·tf·(k1‰+1000)) div (tf·1000 + (k1‰·norm‰) div 1000)
+    *
+    * with the classic k1 = 1.2, b = 0.75 as permille defaults. Shaped for
+    * 100 TB: ONE tokenize pass feeds a single per-doc aggregate (dl + one
+    * conditional tf counter per term, all map-side-combinable); the
+    * corpus-stats branch (N, Σdl, per-term df → ONE broadcast row) is
+    * written over that same aggregate, and because it references every
+    * tf counter, the column pruner keeps the two partial aggregates
+    * canonically identical — AQE reuses the per-doc shuffle at runtime
+    * (ReusedExchange; PlanSpec pins it), so the corpus is scanned and
+    * tokenized exactly once. The final top-k is TakeOrdered — never a
+    * global sort. Terms must be normalized lowercase tokens (no
+    * quotes/whitespace). Docs matching no term score 0 and are omitted,
+    * as are docs with no tokens. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1Permille: Int = 1200, bPermille: Int = 750): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[^'\\s]+")),
+      "terms must be non-empty, quote- and whitespace-free tokens")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(Ops.normalizeText(col(textCol)), " ")).as("token"))
+      .where(col("token") =!= "")
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t => sum(when(col("token") === t, 1L).otherwise(0L))
+        .as(s"tf_$t")): _*)
+    // N, Σdl and every per-term df in ONE single-row aggregate → broadcast
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+          .as(s"df_$t")): _*)
+      .withColumn("avgdl6", expr("(total * 1000000) div n_docs"))
+    val melted = perDoc.selectExpr("doc_id", "dl",
+      s"stack(${terms.length}, " +
+        terms.map(t => s"'$t', tf_$t").mkString(", ") + ") AS (token, tf)")
+      .where(col("tf") > 0)
+    val dfCol = terms.tail.foldLeft(
+      when(col("token") === terms.head, col(s"df_${terms.head}"))) {
+        (acc, t) => acc.when(col("token") === t, col(s"df_$t"))
+      }
+    melted.join(broadcast(stats))
+      .withColumn("df", dfCol)
+      .withColumn("idf6",
+        expr("(1000000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .withColumn("ts", expr(
+        s"(idf6 * tf * ${k1Permille + 1000}) div (tf * 1000 + " +
+          s"($k1Permille * ((1000 - $bPermille) + " +
+          s"($bPermille * 1000000 * dl) div avgdl6)) div 1000)"))
+      .groupBy("doc_id").agg(sum(col("ts")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** The language-ID decision rule shared by both implementations below:
     * script detection first, then stopword-count voting. */

@@ -166,6 +166,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("*(1)"), s"quality metrics must stay in codegen:\n$p")
   }
 
+  test("q_knn_join: broadcast queries, rank pushed down before the shuffle") {
+    val p = plan(Queries.qKnnJoin(spark, SF))
+    // the corpus is never shuffled before scoring: the (small) query side
+    // broadcasts into a nested-loop join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // Spark's rank-limit pushdown prunes to a per-partition top-k BEFORE
+    // the q_id exchange — the shuffle carries ~|Q|·k rows per partition,
+    // not the full |Q|·|corpus| score matrix
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_sem_dedup: cluster-blocked pairs are an equi-join, never a cross join") {
+    val p = plan(Queries.qSemDedup(spark, SF))
+    assert(!p.contains("CartesianProduct"),
+      s"pair expansion must be blocked by the cluster key:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_bm25: AQE reuses the per-doc shuffle; top-k never global-sorts") {
+    val df = Queries.qBm25(spark, SF)
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the stats branch must consume the SAME per-doc aggregate shuffle as
+    // the scoring branch — one corpus scan, one tokenize pass at runtime
+    assert(p.contains("ReusedExchange"),
+      s"corpus-stats branch must reuse the per-doc exchange:\n$p")
+  }
+
   test("two ordered_bits in one stage generate compilable code (fresh names)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -177,6 +177,75 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Reference argmin cluster assignment (squared L2, ties to smallest id),
+    * independent of the Column implementation under test. */
+  private def assignRef(v: Array[Float],
+                        cents: Array[(Long, Array[Double])]): Long =
+    cents.map { case (cid, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+      (s, cid)
+    }.minBy { case (s, cid) => (s, cid) }._2
+
+  test("knnJoinExact matches per-query brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, SF)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val q = emb.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val got = Similarity.knnJoinExact(emb, "vec_id", "embedding", q, 3)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._3).map(_._2).toSeq }
+    val queries = rows.filter(_._1 % 100 == 0)
+    assert(got.keySet == queries.map(_._1).toSet)
+    queries.foreach { case (qid, qv) =>
+      val expected = rows.filter(_._1 != qid)
+        .map { case (id, v) => (id, round4(cosineRef(v, qv))) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).map(_._1).toSeq
+      assert(got(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("knnJoinBlocked == exact kNN restricted to the query's cluster") {
+    val emb = Tables.embeddings(spark, SF)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val q = emb.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val got = Similarity.knnJoinBlocked(emb, "vec_id", "embedding", q, 3, cents)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._3).map(_._2).toSeq }
+    val byCluster = rows.groupBy { case (id, v) => assignRef(v, cents) }
+    rows.filter(_._1 % 100 == 0).foreach { case (qid, qv) =>
+      val cluster = byCluster(assignRef(qv, cents))
+      val expected = cluster.filter(_._1 != qid)
+        .map { case (id, v) => (id, round4(cosineRef(v, qv))) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).map(_._1).toSeq
+      assert(got.getOrElse(qid, Seq.empty[Long]) == expected, s"query $qid")
+    }
+  }
+
+  test("semDedupPairs == threshold pairs within reference clusters") {
+    val emb = Tables.embeddings(spark, SF)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val expected = (for {
+      (a, va) <- rows; (b, vb) <- rows
+      if a < b && assignRef(va, cents) == assignRef(vb, cents)
+      sim = round4(cosineRef(va, vb)) if sim >= 0.3
+    } yield (a, b, sim)).toSet
+    val got = Similarity.semDedupPairs(emb, "vec_id", "embedding", 8, 0.3)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
   test("hyperplanes are deterministic for a given seed") {
     val a = Similarity.hyperplanes(8, 16, 42L)
     val b = Similarity.hyperplanes(8, 16, 42L)

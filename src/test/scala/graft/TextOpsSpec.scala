@@ -242,4 +242,42 @@ class TextOpsSpec extends SparkSuite {
       assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
     }
   }
+
+  test("minhashEstimatedJaccard: estimator bounds, exact-dup pairs at 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick  brown fox jumps over the lazy dog"), // exact after norm
+      (3L, "the quick brown fox jumps over the lazy cat"),  // near-dup
+      (4L, "completely different words entirely here now ok")
+    ).toDF("doc_id", "text")
+    val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
+    val est = TextOps.minhashEstimatedJaccard(sig, "doc_id", 4)
+      .select("id_a", "id_b", "matches", "est_jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    val byPair = est.map(r => (r._1, r._2) -> r).toMap
+    // banding admits a pair iff >= 1 family matches; estimator = matches/4
+    est.foreach { case (a, b, m, e) =>
+      assert(m >= 1 && m <= 4, s"($a,$b) matches=$m")
+      assert(e == m / 4.0, s"($a,$b) est=$e m=$m")
+    }
+    assert(byPair((1L, 2L))._3 == 4L && byPair((1L, 2L))._4 == 1.0)
+    assert(!byPair.contains((1L, 4L)) && !byPair.contains((2L, 4L)),
+      "disjoint docs must not be candidates")
+  }
+
+  test("bm25TopK: hand-computed integer-exact scores and ranking") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple x y z"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text",
+        Seq("apple", "banana"), 10)
+      .as[(Long, Long)].collect().toSeq
+    // N=3, Σdl=9, avgdl6=3e6; df(apple)=2, df(banana)=1
+    // idf6(apple)=(1e6*3)div 5=600000; idf6(banana)=(1e6*5)div 3=1666666
+    // doc1 dl=3: norm‰=1000 → apple(tf=2): (600000*2*2200)div 3200=825000
+    //                         banana(tf=1): (1666666*2200)div 2200=1666666
+    // doc2 dl=4: norm‰=1250 → apple(tf=1): (600000*2200)div 2500=528000
+    assert(got == Seq((1L, 2491666L), (2L, 528000L)))
+  }
 }
