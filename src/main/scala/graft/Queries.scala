@@ -398,6 +398,23 @@ object Queries {
       .orderBy("q_id", "rk")
   }
 
+  /** The cluster-blocked kNN join ([[graft.operators.Similarity
+    * .knnJoinBlocked]]) as a DECLARED query: unlike the ANN probes this
+    * approximation is fully deterministic (seeded centroids, exact argmin
+    * assignment, rounded-sim ranking), so the whole blocked pipeline —
+    * coarse assignment, candidate restriction, per-query rerank — has an
+    * EXACT DuckDB oracle. Candidates drop from |Q|·|corpus| to |Q|·|bucket|;
+    * at scale the cluster id is a partition key and the candidate scan is
+    * metadata-pruned I/O. */
+  def qKnnJoinBlocked(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+    Similarity.knnJoinBlocked(e, "vec_id", "embedding", q, 3, cents)
+      .orderBy("q_id", "rk")
+  }
+
   /** SemDeDup-style semantic near-dup pairs ([[graft.operators.Similarity
     * .semDedupPairs]]): k-means-assign every embedding to its nearest of 8
     * seed centroids, compare pairs only WITHIN a cluster (equi-join on the
@@ -1307,6 +1324,7 @@ object Queries {
     "q_kmeans_step" -> (qKmeansStep _),
     "q_vector_quantize" -> (qVectorQuantize _),
     "q_knn_join" -> (qKnnJoin _),
+    "q_knn_join_blocked" -> (qKnnJoinBlocked _),
     "q_sem_dedup" -> (qSemDedup _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_bm25" -> (qBm25 _),
@@ -1766,6 +1784,18 @@ object Queries {
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % 20 = 0), " +
         "p AS (SELECT q_id, e.vec_id AS n_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 4) AS sim " +
         "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q_id), " +
+        "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk FROM p) " +
+        "SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk"),
+    "q_knn_join_blocked" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8), " +
+        "assigned AS (SELECT vec_id, cid AS cluster_id FROM (" +
+        "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_distance(e.v, c.c), c.cid) AS rn FROM e CROSS JOIN cents c) t WHERE rn = 1), " +
+        "withv AS (SELECT a.vec_id, a.cluster_id, e.v FROM assigned a JOIN e USING (vec_id)), " +
+        "p AS (SELECT q.vec_id AS q_id, x.vec_id AS n_id, round(list_cosine_similarity(x.v, q.v), 4) AS sim " +
+        "FROM withv q JOIN withv x ON q.cluster_id = x.cluster_id AND x.vec_id <> q.vec_id " +
+        "WHERE q.vec_id % 20 = 0), " +
         "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rk FROM p) " +
         "SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk"),
     "q_sem_dedup" ->
