@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSim.cosine_sim
-import graft.operators.{Ops, Shuffles, Similarity, TextOps, TrainPrep}
+import graft.operators.{EventAnalytics, Ops, Shuffles, Similarity, TextOps, TrainPrep}
 
 /** The declared query inventory (SURVEY.md §2.3): each entry re-expresses a
   * surveyed operator of the reference pipeline on the harness tables, paired
@@ -444,6 +444,57 @@ object Queries {
   def qBm25(s: SparkSession, d: String): DataFrame =
     TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
       Seq("vector", "stream", "hash"), 10)
+
+  /** Substring-level duplication stats: per doc, the share of its distinct
+    * 3-token shingles that also occur in another document — linear
+    * (df-as-window) formulation, no pair expansion. */
+  def qDupNgramSpans(s: SparkSession, d: String): DataFrame =
+    TextOps.dupSpanStats(Tables.documents(s, d), "doc_id", "text", 3)
+      .orderBy("doc_id")
+
+  /** Strict ordered funnel view → click → purchase over the event log:
+    * users reaching each stage, folded in ONE actor-keyed shuffle
+    * ([[graft.operators.EventAnalytics.funnelStages]]). */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val st = EventAnalytics.funnelStages(Tables.events(s, d),
+      "user_id", "ts", "event_type", "event_id", Seq("view", "click", "purchase"))
+    st.agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .selectExpr("stack(3, 1L, 'view', n1, 2L, 'click', n2, 3L, 'purchase', n3) " +
+        "AS (stage, stage_name, n_users)")
+      .transform(ps(col("stage")))
+  }
+
+  /** Cohort retention grid: users cohorted by first-event week, counted in
+    * every (cohort_week, week_offset) cell they are active in. */
+  def qCohortRetention(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.cohortRetention(Tables.events(s, d), "user_id", "ts")
+      .transform(ps(col("cohort_week"), col("week_offset")))
+
+  /** Interval-overlap self-join: pairs of one customer's orders whose
+    * 7-day fulfilment windows overlap — equi-join on the customer key with
+    * the overlap test as residual (never a cartesian). */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").as("w_start"),
+      expr("o_orderdate + INTERVAL 7 DAYS").as("w_end"))
+    Shuffles.intervalOverlapSelfJoin(o, "o_custkey", "o_orderkey", "w_start", "w_end")
+      .select(col("k").as("o_custkey"), col("id_a").as("key_a"),
+        col("id_b").as("key_b"),
+        datediff(least(col("e_a"), col("e_b")), greatest(col("s_a"), col("s_b")))
+          .cast("long").as("overlap_days"))
+      .orderBy("o_custkey", "key_a", "key_b")
+  }
+
+  /** Deterministic weighted priority sample: 30 orders, inclusion odds
+    * proportional to order value, fully reproducible from (key, weight)
+    * ([[graft.operators.Ops.weightedSeededTopN]] — TakeOrderedAndProject). */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    Ops.weightedSeededTopN(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        "o_orderkey", expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"), 30)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("__h").as("h"), col("__w").as("w_cents"))
+      .orderBy("o_orderkey")
 
   /** Brute-force cosine top-k vs the vec_id=0 probe. Both engines compute
     * the dot/norms in double (the oracle casts FLOAT[] → DOUBLE[]), rank by
@@ -1328,6 +1379,11 @@ object Queries {
     "q_sem_dedup" -> (qSemDedup _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_bm25" -> (qBm25 _),
+    "q_dup_ngram_spans" -> (qDupNgramSpans _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_weighted_sample" -> (qWeightedSample _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -1834,5 +1890,47 @@ object Queries {
         "FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN av) " +
         "SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score FROM sc GROUP BY doc_id " +
         "ORDER BY score DESC, doc_id LIMIT 10"),
+    "q_dup_ngram_spans" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)" +
+        ", sh AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle " +
+        "FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))" +
+        ", dist AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
+        ", dfc AS (SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM dist) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS dup_permille " +
+        "FROM dfc GROUP BY doc_id ORDER BY doc_id"),
+    "q_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id) " +
+        "SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, count(*) AS n_users FROM s1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2 " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3 ORDER BY stage"),
+    "q_cohort_retention" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id), " +
+        "cells AS (SELECT DISTINCT ev.user_id, CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week, " +
+        "CAST(date_diff('day', cohort_day, day) // 7 AS BIGINT) AS week_offset FROM ev JOIN f USING (user_id)) " +
+        "SELECT cohort_week, week_offset, count(*) AS n_users FROM cells " +
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "q_interval_join" ->
+      ("SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b, " +
+        "date_diff('day', greatest(a.o_orderdate, b.o_orderdate), " +
+        "least(a.o_orderdate + INTERVAL 7 DAY, b.o_orderdate + INTERVAL 7 DAY)) AS overlap_days " +
+        "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey " +
+        "AND a.o_orderdate < b.o_orderdate + INTERVAL 7 DAY AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY " +
+        "ORDER BY a.o_custkey, key_a, key_b"),
+    "q_weighted_sample" ->
+      ("SELECT * FROM (SELECT o_orderkey, o_totalprice, h, w_cents FROM (" +
+        "SELECT o_orderkey, o_totalprice, ((o_orderkey % 2147483648) * 2654435761) % 4294967296 AS h, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS w_cents FROM orders) w " +
+        "WHERE w_cents > 0 " +
+        "ORDER BY CAST(h AS DOUBLE) / CAST(w_cents AS DOUBLE), o_orderkey LIMIT 30) " +
+        "ORDER BY o_orderkey"),
   )
 }

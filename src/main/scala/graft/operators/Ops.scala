@@ -183,6 +183,28 @@ object Ops {
       .orderBy(col("h"), col(keyCol))
       .limit(n)
 
+  /** Deterministic WEIGHTED priority sample-N: keep the `n` rows with the
+    * smallest `hash(key) / weight` — a fixed random priority scaled down by
+    * the weight, so a row with twice the weight is (stochastically) twice
+    * as likely to make the cut, while the choice stays a pure function of
+    * `(key, weight, seed)` that an ANSI oracle reproduces exactly.
+    *
+    * Exactness across engines: the hash is the integer-only
+    * [[seededHash]]; the priority is ONE IEEE-754 division of two exactly
+    * represented integers (weight must be a positive integer column —
+    * non-positive weights are excluded, matching sample probability 0), and
+    * correctly-rounded division is bit-identical in any IEEE engine — so
+    * the ranking, not just the set, is reproducible. Rows ride a
+    * TakeOrderedAndProject (per-partition heap + driver merge of n·P
+    * candidates), no global sort. */
+  def weightedSeededTopN(df: DataFrame, keyCol: String, weight: Column,
+                         n: Int, seed: Long = 0L): DataFrame =
+    df.select(df.columns.map(col) :+ seededHash(col(keyCol), seed).as("__h")
+        :+ weight.cast("long").as("__w"): _*)
+      .where(col("__w") > 0)
+      .orderBy(col("__h").cast("double") / col("__w").cast("double"), col(keyCol))
+      .limit(n)
+
   /** Final presentation sort for provably SMALL outputs — aggregates whose
     * group-key cardinality is bounded by a CONSTANT (enum-like flags,
     * segments, nations, calendar buckets), independent of input rows.

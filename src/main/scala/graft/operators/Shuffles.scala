@@ -109,4 +109,29 @@ object Shuffles {
       graft.functions.BloomMightContain.mightContain(col(leftKey), bf))
     prefiltered.join(right, prefiltered(leftKey) === right(rightKey), "left_semi")
   }
+
+  /** Interval-overlap self-join under a partition key: all pairs of rows
+    * sharing `keyCol` whose half-open intervals `[startCol, endCol)`
+    * overlap, emitted once (`id_a < id_b`). Output columns:
+    * `(k, id_a, s_a, e_a, id_b, s_b, e_b)`.
+    *
+    * The join condition is EQUI on the key — the shuffle co-partitions both
+    * sides by `keyCol` and the overlap test (`s_a < e_b AND s_b < e_a`) is
+    * a residual filter inside each matched group, so the plan is a
+    * hash/sort-merge join, never a cartesian product. Pair count is
+    * O(Σ n_k²) over per-key group sizes n_k — safe whenever the key bounds
+    * group size (per-customer, per-device, per-session); for keyless or
+    * mega-key interval sets, bin both sides by fixed-width windows first
+    * (cf. [[graft.operators.Ops.binnedRangeJoin]]) so a pair only meets in
+    * its overlapping bins. */
+  def intervalOverlapSelfJoin(df: DataFrame, keyCol: String, idCol: String,
+                              startCol: String, endCol: String): DataFrame = {
+    val a = df.select(col(keyCol).as("k"), col(idCol).as("id_a"),
+      col(startCol).as("s_a"), col(endCol).as("e_a"))
+    val b = df.select(col(keyCol).as("k"), col(idCol).as("id_b"),
+      col(startCol).as("s_b"), col(endCol).as("e_b"))
+    a.join(b, Seq("k"))
+      .where(col("id_a") < col("id_b") &&
+        col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+  }
 }

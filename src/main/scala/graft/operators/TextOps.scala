@@ -287,6 +287,33 @@ object TextOps {
     * portable whole-doc digest.) */
   def fingerprint(textCol: Column): Column = md5(Ops.normalizeText(textCol))
 
+  /** SUBSTRING-level duplication stats (the signal behind exact substring
+    * dedup of training corpora — find the spans that repeat ACROSS
+    * documents, not just whole-document clones): per document, how many of
+    * its distinct `n`-token shingles also occur in at least one other
+    * document. Output: (idCol, n_shingles, n_dup, dup_permille), where
+    * `dup_permille = n_dup·1000 div n_shingles` (integer-exact — no double
+    * ratio to drift against an oracle). Documents with < n tokens have no
+    * shingles and are absent, as in the SQL formulation.
+    *
+    * Plan: shingles are formed ROW-LOCALLY by the native expression (zero
+    * token shuffle), de-duplicated per (doc, shingle), then ONE hash
+    * shuffle on the shingle computes corpus document-frequency as a
+    * partitioned window, and one more on the doc id folds the per-doc
+    * counters. No self-join, no posting-list pair expansion — cost is
+    * linear in distinct (doc, shingle) rows, so it scales where the
+    * pairwise formulations (q_ngram_jaccard) need df-caps. */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val dist = explodedShingles(docs, idCol, textCol, n).distinct()
+    val withDf = dist.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    withDf.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_permille", expr("(n_dup * 1000) div n_shingles"))
+  }
+
   /** SimHash-64 over whitespace tokens of the normalized text, via the
     * native row-local [[graft.functions.SimHash64]] expression — zero
     * shuffle (SimHash depends only on the document's own tokens). Tokenless

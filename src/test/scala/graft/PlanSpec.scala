@@ -195,6 +195,41 @@ class PlanSpec extends SparkSuite {
       s"corpus-stats branch must reuse the per-doc exchange:\n$p")
   }
 
+  test("q_funnel: ONE actor-keyed exchange, no window over the raw log") {
+    val p = plan(Queries.qFunnel(spark, SF))
+    val hashExchanges = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"funnel must fold in one actor shuffle, found $hashExchanges:\n$p")
+    assert(!p.contains("Window"),
+      s"funnel state is an aggregate fold, not a window over the event log:\n$p")
+  }
+
+  test("q_cohort_retention: co-partitioned equi-join, no cartesian") {
+    val p = plan(Queries.qCohortRetention(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cohort join must be an equi-join on the actor key:\n$p")
+  }
+
+  test("q_interval_join: equi-join with overlap residual, no cartesian") {
+    val p = plan(Queries.qIntervalJoin(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"interval overlap must ride the key equi-join:\n$p")
+  }
+
+  test("q_weighted_sample plans as TakeOrderedAndProject") {
+    val p = plan(Queries.qWeightedSample(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must heap-select, not globally sort:\n$p")
+  }
+
+  test("q_dup_ngram_spans: linear plan — df via partitioned window, no self-join") {
+    val p = plan(Queries.qDupNgramSpans(spark, SF))
+    assert(!p.contains("Join"),
+      s"span-dup stats must not pair-expand or self-join:\n$p")
+    assert(p.contains("hashpartitioning(shingle"),
+      s"document frequency must come from a shingle-partitioned window:\n$p")
+  }
+
   test("two ordered_bits in one stage generate compilable code (fresh names)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
