@@ -496,6 +496,73 @@ object Queries {
         col("__h").as("h"), col("__w").as("w_cents"))
       .orderBy("o_orderkey")
 
+  /** Percentile-gated quality filter (train-prep): keep documents whose
+    * whitespace-token count reaches the 25th percentile WITHIN their
+    * language (per-language thresholds, as corpus filters are tuned).
+    * The gate is `percent_rank() >= 0.25` — percent_rank is the integer
+    * rational `(rank-1)/(n-1)`, ONE IEEE division, so the kept set is
+    * bit-reproducible across engines (no interpolated quantile threshold
+    * to drift in the last ulp). The window is lang-partitioned — never a
+    * single-task global sort. */
+  def qPercentileGate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(filter(split(Ops.normalizeText(col("text")), " "), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))
+    toks.withColumn("pr0", percent_rank().over(w))
+      .where(col("pr0") >= 0.25)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("pr0"), 6).as("pr"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-cohort standardization: each event's value as a z-score against
+    * its event-type cohort. The 5-row stats aggregate is broadcast back —
+    * the fact table is scanned once and never shuffled. */
+  def qZscore(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** Event-transition matrix (first-order Markov counts): for each ordered
+    * per-user pair of consecutive events, the transition count and distinct
+    * actors making it. One user-partitioned window + a bounded (5×5)
+    * aggregate. */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+      .transform(ps(col("from_type"), col("to_type")))
+  }
+
+  /** Skyline / Pareto frontier per priority class: orders not dominated by
+    * any strictly-later order with ≥ price, via a value-RANGE window (max
+    * price over days > current) — sort + running max, NO pairwise
+    * dominance join. Same-day peers are not compared (frontier over
+    * distinct days). Days are integer (epoch-anchored) so the range frame
+    * is engine-portable. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("days").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+          .cast("long").as("days"))
+      .withColumn("best_later", max(col("o_totalprice")).over(w))
+      .where(col("best_later").isNull || col("o_totalprice") > col("best_later"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("days"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "days", "o_orderkey")
+  }
+
   /** Brute-force cosine top-k vs the vec_id=0 probe. Both engines compute
     * the dot/norms in double (the oracle casts FLOAT[] → DOUBLE[]), rank by
     * the 4-decimal-rounded similarity, and break ties by vec_id — so the
@@ -1384,6 +1451,10 @@ object Queries {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_percentile_gate" -> (qPercentileGate _),
+    "q_zscore" -> (qZscore _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_skyline" -> (qSkyline _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -1932,5 +2003,31 @@ object Queries {
         "WHERE w_cents > 0 " +
         "ORDER BY CAST(h AS DOUBLE) / CAST(w_cents AS DOUBLE), o_orderkey LIMIT 30) " +
         "ORDER BY o_orderkey"),
+    "q_percentile_gate" ->
+      (NORM_CTE +
+        ", tk AS (SELECT doc_id, lang, CAST(len(list_filter(string_split(t, ' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM norm)" +
+        ", r AS (SELECT doc_id, lang, n_tokens, percent_rank() OVER " +
+        "(PARTITION BY lang ORDER BY n_tokens, doc_id) AS pr0 FROM tk) " +
+        "SELECT doc_id, lang, n_tokens, round(pr0, 6) AS pr FROM r " +
+        "WHERE pr0 >= 0.25 ORDER BY doc_id"),
+    "q_zscore" ->
+      ("WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_id, event_type, round((value - mu) / nullif(sigma, 0.0), 4) AS z " +
+        "FROM events JOIN st USING (event_type) ORDER BY event_id"),
+    "q_event_transitions" ->
+      ("WITH tr AS (SELECT user_id, event_type AS from_type, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events) " +
+        "SELECT from_type, to_type, count(*) AS n, count(DISTINCT user_id) AS n_users " +
+        "FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type " +
+        "ORDER BY from_type, to_type"),
+    "q_skyline" ->
+      ("WITH d AS (SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "date_diff('day', DATE '1990-01-01', o_orderdate) AS days FROM orders), " +
+        "m AS (SELECT *, max(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY days DESC " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_later FROM d) " +
+        "SELECT o_orderpriority, o_orderkey, days, o_totalprice FROM m " +
+        "WHERE best_later IS NULL OR o_totalprice > best_later " +
+        "ORDER BY o_orderpriority, days, o_orderkey"),
   )
 }

@@ -230,6 +230,29 @@ class PlanSpec extends SparkSuite {
       s"document frequency must come from a shingle-partitioned window:\n$p")
   }
 
+  test("q_zscore: stats broadcast back — the event log is never hash-shuffled") {
+    val p = plan(Queries.qZscore(spark, SF))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row cohort stats must broadcast, not shuffle the fact side:\n$p")
+  }
+
+  test("q_percentile_gate / q_skyline / q_event_transitions: windows are partitioned") {
+    for (q <- Seq(Queries.qPercentileGate(spark, SF), Queries.qSkyline(spark, SF),
+        Queries.qEventTransitions(spark, SF))) {
+      val p = plan(q)
+      val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windowLines.nonEmpty, p)
+      assert(!p.contains("SinglePartition"),
+        s"window must be partitioned, not a global single task:\n$p")
+    }
+  }
+
+  test("q_skyline: frontier via range window — no dominance self-join") {
+    val p = plan(Queries.qSkyline(spark, SF))
+    assert(!p.contains("Join"),
+      s"skyline must be sort+running-max, not a pairwise dominance join:\n$p")
+  }
+
   test("two ordered_bits in one stage generate compilable code (fresh names)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
