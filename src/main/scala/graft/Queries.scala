@@ -1346,6 +1346,111 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------- training-data prep tier (r5)
+
+  /** Context-window chunking for long-document splitting: each document's
+    * token sequence cut into overlapping windows of 8 tokens at stride 4
+    * (the train-time "chunk long docs into context windows" step, scaled
+    * down for the fixture). Entirely ROW-LOCAL — the token array never
+    * leaves its row (`sequence` + `explode` + `slice`), so the plan has no
+    * join and no aggregate: at 100 TB this is a pure map stage that scales
+    * linearly with input splits. Chunk content is carried as a portable md5
+    * so the output stays narrow regardless of window size. */
+  def qChunkWindows(s: SparkSession, d: String): DataFrame = {
+    val win = 8L
+    val stride = 4L
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(Ops.normalizeText(col("text")), " "), t => t =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start"),
+        least(lit(win), col("n") - col("start")).as("n_tok"),
+        md5(array_join(slice(col("toks"), (col("start") + 1).cast("int"), lit(win.toInt)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic train/val/test split + balanced class weights: the split
+    * is decided per-document by the portable Knuth multiplicative hash of
+    * doc_id (8/1/1 via bucket = h mod 10 — reproducible across engines and
+    * re-runs, the property a training split needs), then per-(split, lang)
+    * doc/char counts and the inverse-frequency class weight
+    * `(split_docs · 10⁶) div (n_langs · n_docs)` (integer-exact, the weight
+    * you'd feed a balanced sampler). One map-side-combinable aggregate over
+    * the corpus; the weight window runs over the ≤ |splits|·|langs| grouped
+    * rows, never the raw docs. */
+  def qTrainSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = expr("((doc_id % 2147483648) * 2654435761) % 4294967296 % 10")
+    val w = Window.partitionBy(col("split"))
+    Tables.documents(s, d)
+      .select(
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+          .as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("split_docs", sum(col("n_docs")).over(w))
+      .withColumn("n_langs", count(lit(1)).over(w))
+      .select(col("split"), col("lang"), col("n_docs"), col("n_chars"),
+        expr("(split_docs * 1000000) div (n_langs * n_docs)").as("weight_ppm"))
+      .transform(ps(col("split"), col("lang")))
+  }
+
+  /** Unigram-LM rarity score (surprisal proxy without the log): each doc's
+    * mean inverse token probability `avg_t (T·10⁶) div c_t` over the corpus
+    * unigram counts — rare-token-heavy docs score high, boilerplate scores
+    * low, and the ranking needs no float transcendentals (integer-exact,
+    * hash-reproducible). The unigram table is vocabulary-sized (bounded,
+    * broadcastable at any corpus scale); the corpus total rides along as a
+    * broadcast 1-row cross join, so the token stream is shuffled once for
+    * the per-doc tf aggregate and never again. */
+  def qRarityScore(s: SparkSession, d: String): DataFrame = {
+    val tf = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+      .groupBy(col("doc_id"), col("shingle").as("token"))
+      .agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy("token").agg(sum(col("tf")).as("ct"))
+    val tot = uni.agg(sum(col("ct")).as("t_tot"))
+    tf.join(broadcast(uni), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rar", expr("(t_tot * 1000000) div ct"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("sum(tf * rar) div sum(tf)").as("rarity_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Collocation mining: top-20 corpus bigrams by a rank-preserving
+    * integer PMI surrogate `(c_xy · T · 10⁵) div (c_x · c_y)` (PMI's
+    * argument without the log — monotone in PMI for the shared corpus
+    * total, so the ranking is exact and float-free), at min support
+    * c_xy ≥ 5. Bigram and unigram counts are both map-side-combinable;
+    * the vocabulary-sized unigram table is broadcast to the bigram side
+    * twice (left and right token), so nothing large ever shuffles twice.
+    * Final top-k plans as TakeOrderedAndProject. */
+  def qPmiTopk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val uni = TextOps.explodedShingles(docs, "doc_id", "text", 1)
+      .groupBy(col("shingle").as("token")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("t_tot"))
+    TextOps.explodedShingles(docs, "doc_id", "text", 2)
+      .groupBy(col("shingle").as("bigram")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= 5)
+      .withColumn("x", substring_index(col("bigram"), " ", 1))
+      .withColumn("y", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(uni.select(col("token").as("x"), col("c1").as("cx"))), Seq("x"))
+      .join(broadcast(uni.select(col("token").as("y"), col("c1").as("cy"))), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("c12").as("n"), col("cx"), col("cy"),
+        expr("(c12 * t_tot * 100000) div (cx * cy)").as("score"))
+      .orderBy(col("score").desc, col("bigram"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1455,6 +1560,10 @@ object Queries {
     "q_zscore" -> (qZscore _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_skyline" -> (qSkyline _),
+    "q_chunk_windows" -> (qChunkWindows _),
+    "q_train_split" -> (qTrainSplit _),
+    "q_rarity_score" -> (qRarityScore _),
+    "q_pmi_topk" -> (qPmiTopk _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2029,5 +2138,41 @@ object Queries {
         "SELECT o_orderpriority, o_orderkey, days, o_totalprice FROM m " +
         "WHERE best_later IS NULL OR o_totalprice > best_later " +
         "ORDER BY o_orderpriority, days, o_orderkey"),
+    "q_chunk_windows" ->
+      (NORM_CTE +
+        ", tk AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS toks FROM norm)" +
+        ", nn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tk WHERE len(toks) > 0)" +
+        ", st AS (SELECT doc_id, toks, n, unnest(range(0, n, 4)) AS start FROM nn) " +
+        "SELECT doc_id, start // 4 AS chunk_id, start, least(8, n - start) AS n_tok, " +
+        "md5(array_to_string(list_slice(toks, start + 1, start + 8), ' ')) AS chunk_md5 " +
+        "FROM st ORDER BY doc_id, chunk_id"),
+    "q_train_split" ->
+      ("WITH b AS (SELECT lang, n_chars, " +
+        "((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 AS bucket FROM documents), " +
+        "g AS (SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split, " +
+        "lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM b GROUP BY 1, 2) " +
+        "SELECT split, lang, n_docs, n_chars, " +
+        "CAST((sum(n_docs) OVER (PARTITION BY split) * 1000000) // (count(*) OVER (PARTITION BY split) * n_docs) AS BIGINT) AS weight_ppm " +
+        "FROM g ORDER BY split, lang"),
+    "q_rarity_score" ->
+      (TP_TOK_CTE +
+        ", tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)" +
+        ", uni AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY token)" +
+        ", tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t_tot FROM uni)" +
+        ", sc AS (SELECT doc_id, tf, (t_tot * 1000000) // ct AS rar " +
+        "FROM tf JOIN uni USING (token) CROSS JOIN tt) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(tf * rar) // sum(tf) AS BIGINT) AS rarity_ppm " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+    "q_pmi_topk" ->
+      (TP_TOK_CTE +
+        ", uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token)" +
+        ", tt AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tot FROM uni)" +
+        ", bg AS (SELECT token AS x, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS y FROM tok)" +
+        ", bc AS (SELECT x, y, count(*) AS c12 FROM bg WHERE y IS NOT NULL GROUP BY x, y HAVING count(*) >= 5) " +
+        "SELECT x || ' ' || y AS bigram, c12 AS n, u1.c1 AS cx, u2.c1 AS cy, " +
+        "(c12 * t_tot * 100000) // (u1.c1 * u2.c1) AS score " +
+        "FROM bc JOIN uni u1 ON bc.x = u1.token JOIN uni u2 ON bc.y = u2.token CROSS JOIN tt " +
+        "ORDER BY score DESC, bigram LIMIT 20"),
   )
 }

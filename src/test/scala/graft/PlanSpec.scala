@@ -269,4 +269,38 @@ class PlanSpec extends SparkSuite {
       assert(out.length == 2)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("q_chunk_windows is row-local: no join, no aggregate before the sort") {
+    val p = plan(Queries.qChunkWindows(spark, SF))
+    assert(!p.contains("Join"),
+      s"chunking must never join — the token array stays in its row:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"chunking must not aggregate:\n$p")
+  }
+
+  test("q_train_split: split weights window over grouped rows, map-side partials") {
+    val p = plan(Queries.qTrainSplit(spark, SF))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the per-(split,lang) aggregate must combine map-side:\n$p")
+    // the window runs over <= |splits|*|langs| grouped rows; the raw docs
+    // are aggregated before any window
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p)
+  }
+
+  test("q_rarity_score / q_pmi_topk broadcast the vocabulary-sized side") {
+    for (q <- Seq(Queries.qRarityScore(spark, SF), Queries.qPmiTopk(spark, SF))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"unigram table must broadcast, not shuffle the token stream:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"no sort-merge join should appear:\n$p")
+    }
+  }
+
+  test("q_pmi_topk plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Queries.qPmiTopk(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
