@@ -1451,6 +1451,66 @@ object Queries {
       .limit(20)
   }
 
+  /** Curriculum ordering: every document's exact global rank in
+    * (n_chars, doc_id) order — the easy→hard global sort position a
+    * length-curriculum sampler consumes — computed by
+    * [[graft.operators.Ops.globalRowNumberScalable]]: monotone value
+    * buckets + O(buckets) driver bases + bucket-local row_number, never
+    * the single-task window `row_number() OVER (ORDER BY ...)` would plan
+    * as. The final presentation orderBy is the only range exchange. */
+  def qGlobalRank(s: SparkSession, d: String): DataFrame =
+    Ops.globalRowNumberScalable(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", Seq("doc_id"), "rank")
+      .orderBy("rank")
+
+  /** Robust outlier detection (median/MAD): events whose value-cents
+    * deviate from their event-type median by > 3× the median absolute
+    * deviation. Both medians are EXACT distributed percentiles over integer
+    * cents — interpolated midpoints land on .5/.25 binary fractions, so
+    * every compared double is exact and the flagged set is
+    * bit-reproducible. The two 5-row stats tables broadcast back; the
+    * event log is scanned, never hash-shuffled. */
+  def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .where(col("adev") > lit(3.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("adev"), col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
+  /** Per-cohort least-squares trend: slope/intercept of value-cents over
+    * days-since-2024-01-01, from the closed form on INTEGER power sums
+    * (n, Σx, Σy, Σxy, Σx²) — one map-side-combinable aggregate, exact
+    * long arithmetic (x ≤ 31, cents ≤ 5·10⁴ keep every sum far inside
+    * long range at any declared SF), then ONE double division per
+    * coefficient so both engines hit the identical IEEE quotient. */
+  def qRegrTrend(s: SparkSession, d: String): DataFrame = {
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        round(num / den, 6).as("slope"),
+        round((col("sy").cast("double") - num / den * col("sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept"))
+      .transform(ps(col("event_type")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1564,6 +1624,9 @@ object Queries {
     "q_train_split" -> (qTrainSplit _),
     "q_rarity_score" -> (qRarityScore _),
     "q_pmi_topk" -> (qPmiTopk _),
+    "q_global_rank" -> (qGlobalRank _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_regr_trend" -> (qRegrTrend _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2174,5 +2237,25 @@ object Queries {
         "(c12 * t_tot * 100000) // (u1.c1 * u2.c1) AS score " +
         "FROM bc JOIN uni u1 ON bc.x = u1.token JOIN uni u2 ON bc.y = u2.token CROSS JOIN tt " +
         "ORDER BY score DESC, bigram LIMIT 20"),
+    "q_global_rank" ->
+      ("SELECT doc_id, n_chars, CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank " +
+        "FROM documents ORDER BY rank"),
+    "q_mad_outliers" ->
+      ("WITH c AS (SELECT event_id, event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), " +
+        "m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY event_type), " +
+        "d AS (SELECT c.event_id, c.event_type, c.cents, m.med, abs(c.cents - m.med) AS adev " +
+        "FROM c JOIN m USING (event_type)), " +
+        "md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type) " +
+        "SELECT event_id, event_type, cents, adev, med, mad FROM d JOIN md USING (event_type) " +
+        "WHERE adev > 3 * mad ORDER BY event_id"),
+    "q_regr_trend" ->
+      ("WITH xy AS (SELECT event_type, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x, " +
+        "CAST(round(value * 100, 0) AS BIGINT) AS y FROM events), " +
+        "s AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx FROM xy GROUP BY event_type) " +
+        "SELECT event_type, n, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope, " +
+        "round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept " +
+        "FROM s ORDER BY event_type"),
   )
 }

@@ -125,6 +125,28 @@ object Ops {
           .drop("__bucket", "__base")
     }
 
+  /** Scalable global row_number: the exact contiguous 1-based rank of every
+    * row in the total order `(orderCol, tieBreak...)`, WITHOUT the
+    * single-task global window `row_number() OVER (ORDER BY ...)` plans as
+    * — the same two-phase bucket scheme as [[prefixSumScalable]] (monotone
+    * `width_bucket` + O(buckets) driver-side bases + bucket-local window).
+    * Rows tied on `orderCol` land in the same bucket, so breaking the tie
+    * inside the bucket-local window IS the global tiebreak; pass enough
+    * `tieBreak` columns to make the order total or equal rows get an
+    * arbitrary (but contiguous) relative rank. Same non-null numeric
+    * `orderCol` contract as [[prefixSumScalable]]. */
+  def globalRowNumberScalable(df: DataFrame, orderCol: String,
+                              tieBreak: Seq[String], outCol: String = "rank",
+                              buckets: Int = 1024): DataFrame =
+    withBucketBases(df, orderCol, buckets, count(lit(1))) match {
+      case None => df.withColumn(outCol, lit(null).cast("long"))
+      case Some(based) =>
+        val w = Window.partitionBy(col("__bucket"))
+          .orderBy(col(orderCol) +: tieBreak.map(col): _*)
+        based.withColumn(outCol, col("__base") + row_number().over(w).cast("long"))
+          .drop("__bucket", "__base")
+    }
+
   /** Shared scaffolding of the two-phase scalable numbering ops: (1) tag
     * every row with a MONOTONE value bucket (`width_bucket` over
     * `orderCol`'s [min, max]); (2) aggregate `perBucket` (must be a long)

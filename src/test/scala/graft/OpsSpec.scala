@@ -57,6 +57,26 @@ class OpsSpec extends SparkSuite {
     assert(windowed.exceptAll(scalable).isEmpty && scalable.exceptAll(windowed).isEmpty)
   }
 
+  test("globalRowNumberScalable matches the single-task global row_number") {
+    // heavy ties on the order column (c_nationkey: 25 values over 1500
+    // customers) force the tiebreak path; repartition(7) proves the rank
+    // does not depend on physical layout
+    val df = Tables.customer(spark, SF).select("c_custkey", "c_nationkey")
+    val windowed = df.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"c_nationkey", $"c_custkey")).cast("long"))
+    val scalable = Ops.globalRowNumberScalable(
+      df.repartition(7), "c_nationkey", Seq("c_custkey"), "rank")
+    assert(windowed.exceptAll(scalable).isEmpty && scalable.exceptAll(windowed).isEmpty)
+  }
+
+  test("globalRowNumberScalable: constant order key still ranks contiguously") {
+    val df = (1L to 100L).map(i => (i, 42L)).toDF("id", "k")
+    val out = Ops.globalRowNumberScalable(df, "k", Seq("id"), "rank")
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(out == (1L to 100L).map(i => i -> i).toMap)
+  }
+
   test("scalable numbering rejects null order keys with a clear error") {
     // a null key has no position in a total order — must fail loud, never
     // silently drop or misnumber rows

@@ -303,4 +303,28 @@ class PlanSpec extends SparkSuite {
     val p = plan(Queries.qPmiTopk(spark, SF))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q_global_rank: ranking window is bucket-partitioned, never SinglePartition") {
+    val df = Queries.qGlobalRank(spark, SF)
+    val p = plan(df)
+    // the only allowed global exchange is the final presentation orderBy;
+    // the window itself must be keyed by the value bucket
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p)
+    assert(!p.contains("SinglePartition"),
+      s"ranking must never move all rows to one task:\n$p")
+  }
+
+  test("q_mad_outliers: both stats tables broadcast back, fact never hash-shuffled") {
+    val p = plan(Queries.qMadOutliers(spark, SF))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"median and MAD joins must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_regr_trend: power sums combine map-side; output is 5 grouped rows") {
+    val p = plan(Queries.qRegrTrend(spark, SF))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the power-sum aggregate must combine map-side:\n$p")
+  }
 }
