@@ -1511,6 +1511,86 @@ object Queries {
       .transform(ps(col("event_type")))
   }
 
+  /** Bigram next-token table (the 1st-order LM a corpus sanity check
+    * reads): for every context token seen ≥ 10 times, its argmax follower
+    * and the integer-exact conditional probability
+    * `(c_xy · 10⁶) div c_x`. The argmax window is CONTEXT-partitioned
+    * (never global), both count aggregates combine map-side, and the
+    * vocabulary-sized context table broadcasts to the bigram side. */
+  def qNextToken(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ctx = TextOps.explodedShingles(docs, "doc_id", "text", 1)
+      .groupBy(col("shingle").as("context")).agg(count(lit(1)).as("cx"))
+      .where(col("cx") >= 10)
+    val w = Window.partitionBy(col("context"))
+      .orderBy(col("cxy").desc, col("next_tok"))
+    TextOps.explodedShingles(docs, "doc_id", "text", 2)
+      .groupBy(col("shingle").as("bigram")).agg(count(lit(1)).as("cxy"))
+      .withColumn("context", substring_index(col("bigram"), " ", 1))
+      .withColumn("next_tok", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(ctx), Seq("context"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("context"), col("next_tok"), col("cxy").as("n"),
+        expr("(cxy * 1000000) div cx").as("cond_ppm"))
+      .orderBy("context")
+  }
+
+  /** Tokenizer-design coverage curve: what share of all corpus tokens the
+    * top-k vocabulary covers, for k ∈ {10, 100, 1000}. The ranking only
+    * ever materializes the top 1000 rows (TakeOrderedAndProject heaps →
+    * window over ≤ 1000 rows), the unigram aggregate is map-side
+    * combinable, and the share is the integer-exact
+    * `(covered · 10⁶) div total`. */
+  def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val uni = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+      .groupBy(col("shingle").as("token")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("t_tot"))
+    val top = uni.orderBy(col("c").desc, col("token")).limit(1000)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
+    val ks = top.sparkSession.range(1, 4).select(
+      pow(lit(10.0), col("id")).cast("long").as("k"))
+    ks.join(broadcast(top), col("rn") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_vocab"), col("covered"),
+        expr("(covered * 1000000) div t_tot").as("share_ppm"))
+      .orderBy("k")
+  }
+
+  /** Per-source exact-dup audit (the dedup dashboard a corpus pipeline
+    * reports): docs whose normalized-text fingerprint duplicates an
+    * earlier doc ANYWHERE in the corpus, attributed to their source —
+    * count, dup count, dup permille. One fingerprint-partitioned window
+    * (same shape as q_exact_dedup) + a bounded per-source aggregate. */
+  def qDedupAudit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("f"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(Ops.normalizeText(col("text"))).as("f"))
+      .withColumn("is_dup",
+        when(col("doc_id") === min(col("doc_id")).over(w), 0L).otherwise(1L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        expr("(n_dups * 1000) div n_docs").as("dup_permille"))
+      .transform(ps(col("source")))
+  }
+
+  /** Language-ID confusion matrix: labeled lang × heuristic prediction
+    * counts — the eval table for the q_lang_id classifier. The prediction
+    * ([[graft.operators.TextOps.langIdHeuristic]]) is computed inside the
+    * scan projection (codegen'd, no join back), so the whole query is one
+    * map + one bounded aggregate. */
+  def qLangidConfusion(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), TextOps.langIdHeuristic(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .transform(ps(col("lang"), col("lang_pred")))
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1627,6 +1707,10 @@ object Queries {
     "q_global_rank" -> (qGlobalRank _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_regr_trend" -> (qRegrTrend _),
+    "q_next_token" -> (qNextToken _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_dedup_audit" -> (qDedupAudit _),
+    "q_langid_confusion" -> (qLangidConfusion _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2257,5 +2341,45 @@ object Queries {
         "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope, " +
         "round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept " +
         "FROM s ORDER BY event_type"),
+    "q_next_token" ->
+      (TP_TOK_CTE +
+        ", uni AS (SELECT token AS context, count(*) AS cx FROM tok GROUP BY token HAVING count(*) >= 10)" +
+        ", bg AS (SELECT token AS context, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS y FROM tok)" +
+        ", bc AS (SELECT context, y, count(*) AS cxy FROM bg WHERE y IS NOT NULL GROUP BY context, y)" +
+        ", r AS (SELECT bc.context, y, cxy, cx, row_number() OVER " +
+        "(PARTITION BY bc.context ORDER BY cxy DESC, y) AS rn FROM bc JOIN uni USING (context)) " +
+        "SELECT context, y AS next_tok, cxy AS n, (cxy * 1000000) // cx AS cond_ppm " +
+        "FROM r WHERE rn = 1 ORDER BY context"),
+    "q_vocab_coverage" ->
+      (TP_TOK_CTE +
+        ", uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token)" +
+        ", tt AS (SELECT CAST(sum(c) AS BIGINT) AS t_tot FROM uni)" +
+        ", r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rn FROM uni)" +
+        ", ks AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k) " +
+        "SELECT k, count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS covered, " +
+        "(CAST(sum(c) AS BIGINT) * 1000000) // t_tot AS share_ppm " +
+        "FROM ks JOIN r ON r.rn <= ks.k CROSS JOIN tt GROUP BY k, t_tot ORDER BY k"),
+    "q_dedup_audit" ->
+      ("""WITH fp AS (SELECT doc_id, source, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f FROM documents), """ +
+        "d AS (SELECT source, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY f) THEN 0 ELSE 1 END AS is_dup FROM fp) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups, " +
+        "(CAST(sum(is_dup) AS BIGINT) * 1000) // count(*) AS dup_permille " +
+        "FROM d GROUP BY source ORDER BY source"),
+    "q_langid_confusion" ->
+      (NORM_CTE +
+        ", h AS (SELECT lang, t, string_split(t, ' ') AS toks FROM norm)" +
+        ", c AS (SELECT lang, t, " +
+        "len(list_filter(toks, x -> x IN ('the','and','of','to','is','a'))) AS en, " +
+        "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de, " +
+        "len(list_filter(toks, x -> x IN ('el','la','los','las','es','y'))) AS es, " +
+        "len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS fr FROM h)" +
+        ", p AS (SELECT lang, CASE " +
+        "WHEN regexp_matches(t, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+        "WHEN de >= greatest(en, es, fr) AND de > 0 THEN 'de' " +
+        "WHEN es >= greatest(en, fr) AND es > 0 THEN 'es' " +
+        "WHEN fr >= en AND fr > 0 THEN 'fr' " +
+        "ELSE 'en' END AS lang_pred FROM c) " +
+        "SELECT lang, lang_pred, count(*) AS n FROM p " +
+        "GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),
   )
 }

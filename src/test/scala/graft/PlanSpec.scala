@@ -327,4 +327,28 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"the power-sum aggregate must combine map-side:\n$p")
   }
+
+  test("q_next_token / q_dedup_audit: windows partitioned, contexts broadcast") {
+    val pNext = plan(Queries.qNextToken(spark, SF))
+    assert(!pNext.contains("SinglePartition"),
+      s"argmax window must be context-partitioned:\n$pNext")
+    assert(pNext.contains("BroadcastHashJoin") && !pNext.contains("SortMergeJoin"),
+      s"the vocabulary-sized context table must broadcast:\n$pNext")
+    val pAudit = plan(Queries.qDedupAudit(spark, SF))
+    assert(!pAudit.contains("SinglePartition"),
+      s"dup window must be fingerprint-partitioned:\n$pAudit")
+  }
+
+  test("q_vocab_coverage ranks only the TakeOrdered top-1000, never full vocab") {
+    val p = plan(Queries.qVocabCoverage(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-1000 must come from per-partition heaps:\n$p")
+  }
+
+  test("q_langid_confusion is one codegen'd map + bounded aggregate — no join") {
+    val p = plan(Queries.qLangidConfusion(spark, SF))
+    assert(!p.contains("Join"),
+      s"the prediction must be computed in the scan projection, not joined back:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
 }
