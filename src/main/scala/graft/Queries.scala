@@ -1591,6 +1591,43 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .transform(ps(col("lang"), col("lang_pred")))
 
+  /** Near-dup cluster size distribution (the dedup-audit histogram): group
+    * sizes of the one-step LSH dedup map and how many clusters have each
+    * size. Two BOUNDED aggregates on top of the map (canonical_id →
+    * size → histogram) — output cardinality ≤ distinct sizes, so the
+    * histogram costs nothing beyond the map itself. */
+  def qClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val sig = TextOps.minhashSignatureMd5(Tables.documents(s, d), "doc_id", "text", 3, 4)
+    TextOps.lshDedupMap(sig, "doc_id", 4)
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("cluster_size") * count(lit(1))).as("n_docs"))
+      .transform(ps(col("cluster_size")))
+  }
+
+  /** Pad-vs-pack decision table: per source, the padding waste of the
+    * NAIVE one-doc-per-sequence batching at context 256 — chunks =
+    * ⌈n_tokens/256⌉ per doc, waste = padded − real tokens, integer-exact
+    * permille. The number q_pack_sequences' concat-and-chunk packing is
+    * justified against. One map-side-combinable aggregate. */
+  def qPaddingWaste(s: SparkSession, d: String): DataFrame = {
+    val ctx = 256L
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(filter(split(Ops.normalizeText(col("text")), " "), t => t =!= ""))
+          .cast("long").as("n"))
+      .select(col("source"), col("n"),
+        expr(s"((n + ${ctx - 1}) div $ctx) * $ctx").as("padded"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("real_tokens"),
+        sum(col("padded")).as("padded_tokens"))
+      .select(col("source"), col("n_docs"), col("real_tokens"), col("padded_tokens"),
+        expr("((padded_tokens - real_tokens) * 1000) div padded_tokens").as("waste_permille"))
+      .transform(ps(col("source")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1711,6 +1748,8 @@ object Queries {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_dedup_audit" -> (qDedupAudit _),
     "q_langid_confusion" -> (qLangidConfusion _),
+    "q_cluster_sizes" -> (qClusterSizes _),
+    "q_padding_waste" -> (qPaddingWaste _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2381,5 +2420,24 @@ object Queries {
         "ELSE 'en' END AS lang_pred FROM c) " +
         "SELECT lang, lang_pred, count(*) AS n FROM p " +
         "GROUP BY lang, lang_pred ORDER BY lang, lang_pred"),
+    "q_cluster_sizes" ->
+      (SIG_CTE +
+        ", melted AS (" +
+        (1 to 4).map(i => s"SELECT doc_id, $i AS band_idx, mh$i AS band_val FROM sig")
+          .mkString(" UNION ALL ") +
+        "), reps AS (SELECT band_idx, band_val, min(doc_id) AS rep FROM melted GROUP BY band_idx, band_val)" +
+        ", map AS (SELECT m.doc_id, min(r.rep) AS canonical_id FROM melted m " +
+        "JOIN reps r ON m.band_idx = r.band_idx AND m.band_val = r.band_val GROUP BY m.doc_id)" +
+        ", cs AS (SELECT canonical_id, count(*) AS cluster_size FROM map GROUP BY canonical_id) " +
+        "SELECT cluster_size, count(*) AS n_clusters, CAST(cluster_size * count(*) AS BIGINT) AS n_docs " +
+        "FROM cs GROUP BY cluster_size ORDER BY cluster_size"),
+    "q_padding_waste" ->
+      ("""WITH nr AS (SELECT source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents), """ +
+        "tk AS (SELECT source, CAST(len(list_filter(string_split(t, ' '), x -> x <> '')) AS BIGINT) AS n FROM nr), " +
+        "p AS (SELECT source, n, ((n + 255) // 256) * 256 AS padded FROM tk) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS real_tokens, " +
+        "CAST(sum(padded) AS BIGINT) AS padded_tokens, " +
+        "((CAST(sum(padded) AS BIGINT) - CAST(sum(n) AS BIGINT)) * 1000) // CAST(sum(padded) AS BIGINT) AS waste_permille " +
+        "FROM p GROUP BY source ORDER BY source"),
   )
 }
