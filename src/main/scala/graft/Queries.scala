@@ -1628,6 +1628,65 @@ object Queries {
       .transform(ps(col("source")))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the src0 and
+    * src1 document-length distributions — the distribution-drift check a
+    * training pipeline runs between corpus snapshots. Exact and float-free:
+    * D is maximized over the integer cross-scaled ECDF gap
+    * `|cum0·n1 − cum1·n0|` and reported as `(max · 10⁶) div (n0·n1)` ppm.
+    * The cumulative window runs over the per-length aggregate (bounded by
+    * distinct lengths, not docs); the argmax row comes off a 1-row
+    * TakeOrdered. */
+  def qKsDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .where(col("source").isin("src0", "src1"))
+      .select(col("source"),
+        size(filter(split(Ops.normalizeText(col("text")), " "), t => t =!= ""))
+          .cast("long").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum0", sum(col("c0")).over(w))
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("n0", sum(col("c0")).over(Window.partitionBy()))
+      .withColumn("n1", sum(col("c1")).over(Window.partitionBy()))
+      .withColumn("gap", abs(col("cum0") * col("n1") - col("cum1") * col("n0")))
+      .orderBy(col("gap").desc, col("v"))
+      .limit(1)
+      .select(col("v").as("v_at_max"), col("n0"), col("n1"),
+        expr("(gap * 1000000) div (n0 * n1)").as("d_ppm"))
+  }
+
+  /** Winsorized per-cohort mean: event value-cents clamped to their
+    * event-type's [p05, p95] before averaging — the robust-mean
+    * preprocessing step. The bounds are EXACT ORDER STATISTICS (the
+    * ⌈p·n⌉-th smallest cents, all-integer `(p·n + 99) div 100` rank — no
+    * interpolated percentile whose last-ulp float could flip a clamp
+    * comparison), so clamp and sum stay in exact long arithmetic and the
+    * only float op is the final mean's single IEEE division. The 5-row
+    * bounds table broadcasts back; the rank window is type-partitioned. */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val bounds = ev
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy("event_type")
+      .agg(min(when(col("rn") === expr("(5 * n + 99) div 100"), col("cents"))).as("lo"),
+        min(when(col("rn") === expr("(95 * n + 99) div 100"), col("cents"))).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("wc", least(greatest(col("cents"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(col("wc")).as("w_sum"))
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        round(col("w_sum").cast("double") / col("n").cast("double"), 4).as("wmean"))
+      .transform(ps(col("event_type")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1750,6 +1809,8 @@ object Queries {
     "q_langid_confusion" -> (qLangidConfusion _),
     "q_cluster_sizes" -> (qClusterSizes _),
     "q_padding_waste" -> (qPaddingWaste _),
+    "q_ks_drift" -> (qKsDrift _),
+    "q_winsorize" -> (qWinsorize _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2439,5 +2500,26 @@ object Queries {
         "CAST(sum(padded) AS BIGINT) AS padded_tokens, " +
         "((CAST(sum(padded) AS BIGINT) - CAST(sum(n) AS BIGINT)) * 1000) // CAST(sum(padded) AS BIGINT) AS waste_permille " +
         "FROM p GROUP BY source ORDER BY source"),
+    "q_ks_drift" ->
+      ("""WITH tk AS (SELECT source, CAST(len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')) AS BIGINT) AS v """ +
+        "FROM documents WHERE source IN ('src0', 'src1')), " +
+        "cnt AS (SELECT v, CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+        "CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1 FROM tk GROUP BY v), " +
+        "cum AS (SELECT v, CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS cum0, " +
+        "CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1, " +
+        "CAST(sum(c0) OVER () AS BIGINT) AS n0, CAST(sum(c1) OVER () AS BIGINT) AS n1 FROM cnt), " +
+        "g AS (SELECT v, n0, n1, abs(cum0 * n1 - cum1 * n0) AS gap FROM cum) " +
+        "SELECT v AS v_at_max, n0, n1, (gap * 1000000) // (n0 * n1) AS d_ppm " +
+        "FROM g ORDER BY gap DESC, v LIMIT 1"),
+    "q_winsorize" ->
+      ("WITH c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), " +
+        "r AS (SELECT event_type, cents, CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM c), " +
+        "b AS (SELECT event_type, min(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END) AS lo, " +
+        "min(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS hi FROM r GROUP BY event_type), " +
+        "w AS (SELECT c.event_type, lo, hi, least(greatest(cents, lo), hi) AS wc FROM c JOIN b USING (event_type)) " +
+        "SELECT event_type, count(*) AS n, min(lo) AS lo, min(hi) AS hi, " +
+        "round(CAST(CAST(sum(wc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS wmean " +
+        "FROM w GROUP BY event_type ORDER BY event_type"),
   )
 }
