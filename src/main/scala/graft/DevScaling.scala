@@ -52,7 +52,12 @@ object DevScaling {
       "q_semi_join", "q_bloom_semi_join", "q_window_topk", "q_percentiles",
       "q_asof_join", "q_sessionize", "q_cdc_apply", "q_monthly_revenue",
       "q_quality_filter", "q_tfidf", "q_minhash_dedup_map",
-      "q_kmeans_step", "q_vector_quantize", "q_ngram_counts")
+      "q_kmeans_step", "q_vector_quantize", "q_ngram_counts",
+      // round-5 late additions: linear (chunking, rarity, global rank) and
+      // bounded-output (split table, KS stat, next-token table, winsorize,
+      // padding waste) shapes
+      "q_chunk_windows", "q_global_rank", "q_rarity_score", "q_train_split",
+      "q_ks_drift", "q_next_token", "q_winsorize", "q_padding_waste")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

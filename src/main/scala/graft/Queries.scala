@@ -1687,6 +1687,55 @@ object Queries {
       .transform(ps(col("event_type")))
   }
 
+  /** Distinctive terms per source: top-5 tokens by relative-frequency lift
+    * `(tf_s/n_s) / (tf_c/T)` against the whole corpus, as the
+    * rank-preserving integer `(tf_s · T · 10⁴) div (n_s · tf_c)`, min
+    * support 5 — the "what characterizes this slice" table of a corpus
+    * explorer. Per-source counts shuffle once; the vocabulary-sized corpus
+    * table and 20-row source totals broadcast; the ranking window is
+    * source-partitioned. */
+  def qSourceTerms(s: SparkSession, d: String): DataFrame = {
+    val tfsAll = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("tf_s"))
+    val srcTot = tfsAll.groupBy("source").agg(sum(col("tf_s")).as("n_s"))
+    val tfs = tfsAll.where(col("tf_s") >= 5)
+    val corp = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+      .groupBy(col("shingle").as("token")).agg(count(lit(1)).as("tf_c"))
+    val tot = corp.agg(sum(col("tf_c")).as("t_tot"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_e4").desc, col("token"))
+    tfs.join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(corp), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_e4", expr("(tf_s * t_tot * 10000) div (n_s * tf_c)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("source"), col("token"), col("tf_s"), col("lift_e4"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  /** Corpus token-frequency Gini coefficient (vocabulary concentration —
+    * the "how head-heavy is this corpus" diversity metric), integer-exact:
+    * with tokens ranked ascending by count via
+    * [[graft.operators.Ops.globalRowNumberScalable]] (the two-phase bucket
+    * ranker — the vocabulary never collapses to one task),
+    * `gini_ppm = ((2·Σ(rank·c) − (n+1)·Σc) · 10⁶) div (n · Σc)`. One
+    * bounded 1-row output. */
+  def qTokenGini(s: SparkSession, d: String): DataFrame = {
+    val uni = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+      .groupBy(col("shingle").as("token")).agg(count(lit(1)).as("c"))
+    Ops.globalRowNumberScalable(uni, "c", Seq("token"), "rank")
+      .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("total_tokens"),
+        sum(col("rank") * col("c")).as("s1"))
+      .select(col("n_vocab"), col("total_tokens"),
+        expr("((2 * s1 - (n_vocab + 1) * total_tokens) * 1000000) div (n_vocab * total_tokens)")
+          .as("gini_ppm"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1811,6 +1860,8 @@ object Queries {
     "q_padding_waste" -> (qPaddingWaste _),
     "q_ks_drift" -> (qKsDrift _),
     "q_winsorize" -> (qWinsorize _),
+    "q_source_terms" -> (qSourceTerms _),
+    "q_token_gini" -> (qTokenGini _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2521,5 +2572,24 @@ object Queries {
         "SELECT event_type, count(*) AS n, min(lo) AS lo, min(hi) AS hi, " +
         "round(CAST(CAST(sum(wc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS wmean " +
         "FROM w GROUP BY event_type ORDER BY event_type"),
+    "q_source_terms" ->
+      (TP_TOK_CTE +
+        ", tfa AS (SELECT source, token, count(*) AS tf_s FROM tok GROUP BY source, token)" +
+        ", st AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s FROM tfa GROUP BY source)" +
+        ", tfs AS (SELECT * FROM tfa WHERE tf_s >= 5)" +
+        ", corp AS (SELECT token, count(*) AS tf_c FROM tok GROUP BY token)" +
+        ", tt AS (SELECT CAST(sum(tf_c) AS BIGINT) AS t_tot FROM corp)" +
+        ", sc AS (SELECT tfs.source, tfs.token, tf_s, (tf_s * t_tot * 10000) // (n_s * tf_c) AS lift_e4 " +
+        "FROM tfs JOIN st USING (source) JOIN corp USING (token) CROSS JOIN tt)" +
+        ", r AS (SELECT source, token, tf_s, lift_e4, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY lift_e4 DESC, token) AS BIGINT) AS rk FROM sc) " +
+        "SELECT source, token, tf_s, lift_e4, rk FROM r WHERE rk <= 5 ORDER BY source, rk"),
+    "q_token_gini" ->
+      (TP_TOK_CTE +
+        ", uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token)" +
+        ", r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, token) AS BIGINT) AS rank FROM uni) " +
+        "SELECT count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS total_tokens, " +
+        "((2 * CAST(sum(rank * c) AS BIGINT) - (count(*) + 1) * CAST(sum(c) AS BIGINT)) * 1000000) " +
+        "// (count(*) * CAST(sum(c) AS BIGINT)) AS gini_ppm FROM r"),
   )
 }

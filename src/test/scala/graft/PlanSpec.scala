@@ -351,4 +351,26 @@ class PlanSpec extends SparkSuite {
       s"the prediction must be computed in the scan projection, not joined back:\n$p")
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
+
+  test("q_source_terms / q_token_gini: vocab broadcast, ranking never single-task") {
+    val pTerms = plan(Queries.qSourceTerms(spark, SF))
+    assert(pTerms.contains("BroadcastHashJoin") && !pTerms.contains("SortMergeJoin"),
+      s"corpus vocab and source totals must broadcast:\n$pTerms")
+    // the 1-row corpus-total aggregate legitimately single-partitions;
+    // the RANKING window itself must be source-partitioned
+    val termWins = pTerms.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(termWins.nonEmpty && termWins.forall(_.contains("source")),
+      s"lift ranking must be source-partitioned:\n$pTerms")
+    // the vocab ranking must run inside __bucket partitions (the two-phase
+    // ranker); the only unpartitioned exchange allowed is the final
+    // 1-row aggregate's
+    val gini = Queries.qTokenGini(spark, SF)
+    val pGini = plan(gini)
+    assert(pGini.contains("__bucket"),
+      s"vocab rank must use the bucket ranker, not a global window:\n$pGini")
+    val winSpecs = pGini.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.forall(_.contains("__bucket")),
+      s"every window must be bucket-partitioned:\n$pGini")
+  }
 }
