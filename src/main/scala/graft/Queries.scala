@@ -1736,6 +1736,73 @@ object Queries {
           .as("gini_ppm"))
   }
 
+  /** Top event trigram paths: the 10 most common 3-step per-user event
+    * sequences (two leads over one user-partitioned window → bounded
+    * ≤ 5³ aggregate → TakeOrdered 10) — sequence mining one step past
+    * q_event_transitions' bigrams. */
+  def qTrigramPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
+
+  /** Product stickiness: per calendar day, DAU and trailing-7-day WAU
+    * (exact distinct users) and the integer-exact DAU/WAU permille. WAU
+    * comes from a distinct (user, day) grid range-joined to a 7-day
+    * window — the grid is |users|·|active days|, far below the event
+    * count, and both distinct aggregates combine map-side. */
+  def qStickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud.as("a")
+      .join(dau.select(col("day").as("anchor")).as("d"),
+        col("a.day") <= col("d.anchor") &&
+          col("a.day") > date_sub(col("d.anchor"), 7))
+      .groupBy(col("d.anchor").as("day"))
+      .agg(count_distinct(col("a.user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000) div wau").as("stickiness_permille"))
+      .orderBy("day")
+  }
+
+  /** RFM segmentation: users quartiled per recency/frequency/monetary over
+    * the user-level aggregate, then the bounded 64-cell segment census.
+    * NOT ntile — a global ntile is a single-task window; instead each
+    * metric is ranked by [[graft.operators.Ops.globalRowNumberScalable]]
+    * (bucket-partitioned) and the quartile is the positional
+    * `((rank−1)·4) div n + 1`, restated identically in the oracle, with
+    * user_id as tiebreak so the census is deterministic. Cents keep
+    * monetary integer-exact. */
+  def qRfmCells(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(datediff(max(col("ts").cast("date")), lit("1990-01-01").cast("date"))
+          .cast("long").as("r_days"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val n = users.count()
+    val ranked = Seq("r_days", "freq", "cents").foldLeft(users)((df, m) =>
+      Ops.globalRowNumberScalable(df, m, Seq("user_id"), s"__rk_$m"))
+    def quart(rankCol: String): Column =
+      expr(s"(($rankCol - 1) * 4) div $n + 1")
+    ranked
+      .select(quart("__rk_r_days").as("r_q"), quart("__rk_freq").as("f_q"),
+        quart("__rk_cents").as("m_q"), col("cents"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+      .transform(ps(col("r_q"), col("f_q"), col("m_q")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1862,6 +1929,9 @@ object Queries {
     "q_winsorize" -> (qWinsorize _),
     "q_source_terms" -> (qSourceTerms _),
     "q_token_gini" -> (qTokenGini _),
+    "q_trigram_paths" -> (qTrigramPaths _),
+    "q_stickiness" -> (qStickiness _),
+    "q_rfm_cells" -> (qRfmCells _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2591,5 +2661,32 @@ object Queries {
         "SELECT count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS total_tokens, " +
         "((2 * CAST(sum(rank * c) AS BIGINT) - (count(*) + 1) * CAST(sum(c) AS BIGINT)) * 1000000) " +
         "// (count(*) * CAST(sum(c) AS BIGINT)) AS gini_ppm FROM r"),
+    "q_trigram_paths" ->
+      ("WITH tr AS (SELECT user_id, event_type AS e1, " +
+        "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT e1, e2, e3, count(*) AS n, count(DISTINCT user_id) AS n_users " +
+        "FROM tr WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY e1, e2, e3 " +
+        "ORDER BY n DESC, e1, e2, e3 LIMIT 10"),
+    "q_stickiness" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day), " +
+        "wau AS (SELECT d.day, count(DISTINCT a.user_id) AS wau FROM dau d " +
+        "JOIN ud a ON a.day <= d.day AND a.day > d.day - INTERVAL 7 DAY GROUP BY d.day) " +
+        "SELECT day, dau, wau, (dau * 1000) // wau AS stickiness_permille " +
+        "FROM dau JOIN wau USING (day) ORDER BY day"),
+    "q_rfm_cells" ->
+      ("WITH u AS (SELECT user_id, " +
+        "CAST(date_diff('day', DATE '1990-01-01', max(CAST(ts AS DATE))) AS BIGINT) AS r_days, " +
+        "count(*) AS freq, CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY user_id), " +
+        "r AS (SELECT cents, " +
+        "CAST(row_number() OVER (ORDER BY r_days, user_id) AS BIGINT) AS rk_r, " +
+        "CAST(row_number() OVER (ORDER BY freq, user_id) AS BIGINT) AS rk_f, " +
+        "CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rk_m, " +
+        "count(*) OVER () AS n FROM u) " +
+        "SELECT ((rk_r - 1) * 4) // n + 1 AS r_q, ((rk_f - 1) * 4) // n + 1 AS f_q, " +
+        "((rk_m - 1) * 4) // n + 1 AS m_q, count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS cents " +
+        "FROM r GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q"),
   )
 }
