@@ -1803,6 +1803,73 @@ object Queries {
       .transform(ps(col("r_q"), col("f_q"), col("m_q")))
   }
 
+  /** Shipping-priority top-10 (TPC-H Q3 shape): unshipped-revenue ranking
+    * of BUILDING-segment orders around a cutoff date. Revenue is the
+    * integer cent-percent `price_c · (100 − disc_pct)` — exact long sums,
+    * no float accumulation order to drift. Both probe-side filters reach
+    * their scans; the customer key join is a plain equi-join (AQE
+    * broadcasts it at fixture scale, shuffles it at warehouse scale); the
+    * top-10 is TakeOrderedAndProject. */
+  def qShipPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("date")
+    val cust = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate").cast("date") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate").cast("date") > cutoff)
+      .select(col("l_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue_cp"))
+      .orderBy(col("revenue_cp").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Supplier-nation market share (TPC-H Q8 shape): per order-year within
+    * the ASIA customer region, the revenue share of lineitems supplied by
+    * CHINA-nation suppliers, as the integer-exact
+    * `(nation_cents · 10⁶) div total_cents` over exact cent-percent sums.
+    * All four dimension joins broadcast (region→nation→{customer,
+    * supplier} are tiny at every scale); the fact table shuffles once for
+    * the per-year aggregate. */
+  def qMarketShare(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+    val custAsia = Tables.customer(s, d)
+      .join(broadcast(nat
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNat = Tables.supplier(s, d)
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sum(col("rev")).as("total_cp"),
+        sum(when(col("supp_nation") === "CHINA", col("rev")).otherwise(0L))
+          .as("nation_cp"))
+      .select(col("o_year"), col("total_cp"), col("nation_cp"),
+        expr("(nation_cp * 1000000) div total_cp").as("share_ppm"))
+      .transform(ps(col("o_year")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -1932,6 +1999,8 @@ object Queries {
     "q_trigram_paths" -> (qTrigramPaths _),
     "q_stickiness" -> (qStickiness _),
     "q_rfm_cells" -> (qRfmCells _),
+    "q_ship_priority" -> (qShipPriority _),
+    "q_market_share" -> (qMarketShare _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2688,5 +2757,27 @@ object Queries {
         "SELECT ((rk_r - 1) * 4) // n + 1 AS r_q, ((rk_f - 1) * 4) // n + 1 AS f_q, " +
         "((rk_m - 1) * 4) // n + 1 AS m_q, count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS cents " +
         "FROM r GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q"),
+    "q_ship_priority" ->
+      ("WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+        "o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority " +
+        "FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-06-01'), " +
+        "l AS (SELECT l_orderkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) > DATE '1998-06-01') " +
+        "SELECT o_orderkey, o_orderdate, o_orderpriority, CAST(sum(rev) AS BIGINT) AS revenue_cp " +
+        "FROM l JOIN o ON l_orderkey = o_orderkey JOIN c ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue_cp DESC, o_orderdate, o_orderkey LIMIT 10"),
+    "q_market_share" ->
+      ("WITH ca AS (SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), " +
+        "sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN nation ON s_nationkey = n_nationkey), " +
+        "l AS (SELECT l_orderkey, l_suppkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev FROM lineitem) " +
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(sum(rev) AS BIGINT) AS total_cp, " +
+        "CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0 END) AS BIGINT) AS nation_cp, " +
+        "(CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0 END) AS BIGINT) * 1000000) // " +
+        "CAST(sum(rev) AS BIGINT) AS share_ppm " +
+        "FROM l JOIN orders ON l_orderkey = o_orderkey JOIN ca ON o_custkey = c_custkey " +
+        "JOIN sn ON l_suppkey = s_suppkey GROUP BY 1 ORDER BY o_year"),
   )
 }

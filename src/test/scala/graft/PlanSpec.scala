@@ -373,4 +373,26 @@ class PlanSpec extends SparkSuite {
     assert(winSpecs.forall(_.contains("__bucket")),
       s"every window must be bucket-partitioned:\n$pGini")
   }
+
+  test("q_ship_priority: date filters pushed to scans, top-10 via TakeOrdered") {
+    val p = plan(Queries.qShipPriority(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)")
+      || p.contains("LessThan(o_orderdate") || p.contains("PushedFilters"),
+      s"order-date filter must reach the scan:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"revenue must combine map-side:\n$p")
+  }
+
+  test("q_market_share: dims broadcast; only the fact-fact join merges") {
+    val p = plan(Queries.qMarketShare(spark, SF))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"region/nation/supplier joins must broadcast:\n$p")
+    // lineitem ⋈ orders is two fact tables: a sort-merge (or shuffled
+    // hash) join is the CORRECT plan at scale — but there must be at most
+    // that one; a second merge join would mean a dim failed to broadcast
+    val smjNodes = p.linesIterator
+      .count(l => l.matches("""\(\d+\) SortMergeJoin.*"""))
+    assert(smjNodes <= 1, s"only the fact-fact join may sort-merge:\n$p")
+  }
 }
