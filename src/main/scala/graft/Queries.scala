@@ -1870,6 +1870,80 @@ object Queries {
       .transform(ps(col("o_year")))
   }
 
+  /** Market-basket affinity: top-20 part pairs co-purchased within an
+    * order, ranked by integer lift `(c_xy · n_orders · 10⁴) div (c_x·c_y)`
+    * at min support 5. The pair expansion is the within-order self-join of
+    * DISTINCT (order, part) — bounded by order size (≤ 7 lineitems), so
+    * pairs grow linearly with orders, never quadratically with parts; the
+    * per-part counts broadcast back onto the pair aggregate. */
+  def qPartAffinity(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c1"))
+    val tot = op.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
+    op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= 5)
+      .join(broadcast(cnt.select(col("l_partkey").as("part_a"), col("c1").as("cx"))), Seq("part_a"))
+      .join(broadcast(cnt.select(col("l_partkey").as("part_b"), col("c1").as("cy"))), Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("c_xy"),
+        expr("(c_xy * n_orders * 10000) div (cx * cy)").as("lift_e4"))
+      .orderBy(col("lift_e4").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Source-vocabulary overlap matrix: pairwise Jaccard (ppm) of the
+    * distinct-token sets of every source pair — the corpus-comparison
+    * table behind mixture design. Pairs are generated PER TOKEN from the
+    * ≤ |sources| list that contains it (≤ C(20,2) per token — linear in
+    * vocab, never |vocab|² ), intersections aggregate map-side, and set
+    * sizes broadcast back onto the bounded 190-row pair table. */
+  def qVocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_tok"))
+    val inter = st.as("a")
+      .join(st.as("b"), col("a.token") === col("b.token") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_tok").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_tok").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"),
+        expr("(n_common * 1000000) div (na + nb - n_common)").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** One-pass data profiling of the event log: per column, null count and
+    * exact distinct cardinality — the schema-quality census a warehouse
+    * job emits before load. ONE scan computes every stat (multiple
+    * aggregates in a single Aggregate node); `stack` reshapes the 1-row
+    * result to the 6-row report, so the profile costs one pass regardless
+    * of column count. */
+  def qNullProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"))
+    }
+    val stackExpr = "stack(" + cols.size + ", " +
+      cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct").mkString(", ") +
+      ") AS (column_name, n_null, n_distinct)"
+    ev.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+      .orderBy("column_name")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2001,6 +2075,9 @@ object Queries {
     "q_rfm_cells" -> (qRfmCells _),
     "q_ship_priority" -> (qShipPriority _),
     "q_market_share" -> (qMarketShare _),
+    "q_part_affinity" -> (qPartAffinity _),
+    "q_vocab_overlap" -> (qVocabOverlap _),
+    "q_null_profile" -> (qNullProfile _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2779,5 +2856,35 @@ object Queries {
         "CAST(sum(rev) AS BIGINT) AS share_ppm " +
         "FROM l JOIN orders ON l_orderkey = o_orderkey JOIN ca ON o_custkey = c_custkey " +
         "JOIN sn ON l_suppkey = s_suppkey GROUP BY 1 ORDER BY o_year"),
+    "q_part_affinity" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "cnt AS (SELECT l_partkey, count(*) AS c1 FROM op GROUP BY l_partkey), " +
+        "tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op), " +
+        "pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_xy " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT part_a, part_b, c_xy, (c_xy * n_orders * 10000) // (x.c1 * y.c1) AS lift_e4 " +
+        "FROM pr JOIN cnt x ON pr.part_a = x.l_partkey JOIN cnt y ON pr.part_b = y.l_partkey CROSS JOIN tot " +
+        "ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20"),
+    "q_vocab_overlap" ->
+      (TP_TOK_CTE +
+        ", st AS (SELECT DISTINCT source, token FROM tok)" +
+        ", sz AS (SELECT source, count(*) AS n_tok FROM st GROUP BY source)" +
+        ", i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common " +
+        "FROM st a JOIN st b ON a.token = b.token AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, n_common, x.n_tok + y.n_tok - n_common AS n_union, " +
+        "(n_common * 1000000) // (x.n_tok + y.n_tok - n_common) AS jaccard_ppm " +
+        "FROM i JOIN sz x ON src_a = x.source JOIN sz y ON src_b = y.source " +
+        "ORDER BY src_a, src_b"),
+    "q_null_profile" ->
+      ("WITH s AS (SELECT count(*) AS n_rows, " +
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props").map(c =>
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_n, " +
+            s"count(DISTINCT $c) AS ${c}_d").mkString(", ") +
+        " FROM events) " +
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props").map(c =>
+          s"SELECT '$c' AS column_name, n_rows, ${c}_n AS n_null, ${c}_d AS n_distinct FROM s")
+          .mkString(" UNION ALL ") +
+        " ORDER BY column_name"),
   )
 }
