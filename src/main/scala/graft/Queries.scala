@@ -1944,6 +1944,53 @@ object Queries {
       .orderBy("column_name")
   }
 
+  /** LSH tuning audit — precision of MinHash-band candidate generation:
+    * for every candidate pair, grouped by how many of the 4 bands matched,
+    * the fraction that is a TRUE near-dup by exact 3-shingle Jaccard ≥ 0.5
+    * (the all-integer test `3·|A∩B| ≥ |A|+|B|`, no float threshold). The
+    * table that picks the band count before a 100 TB dedup run. Candidates
+    * come bucket-capped from the band join; the exact-intersection join
+    * only touches candidate docs' shingles; output is ≤ 4 rows. */
+  def qLshPrecision(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
+    val est = TextOps.minhashEstimatedJaccard(sig, "doc_id", 4)
+      .select("id_a", "id_b", "matches")
+    val sh = TextOps.explodedShingles(docs, "doc_id", "text", 3).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = est.select("id_a", "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+      .withColumn("is_true",
+        when(col("inter") * 3 >= col("sza") + col("szb"), 1L).otherwise(0L))
+      .groupBy("matches")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
+      .select(col("matches"), col("n_pairs"), col("n_true"),
+        expr("(n_true * 1000000) div n_pairs").as("precision_ppm"))
+      .transform(ps(col("matches")))
+  }
+
+  /** Cumulative user-acquisition curve: per day, first-seen ("new") users
+    * and the running total of distinct users ever seen — growth reporting.
+    * First-seen collapses the event log to |users| rows (map-side-combined
+    * min), the daily aggregate is calendar-bounded, and the running sum's
+    * window is over ≤ |days| rows. */
+  def qUserGrowth(s: SparkSession, d: String): DataFrame = {
+    val firstDay = Tables.events(s, d)
+      .groupBy("user_id").agg(min(col("ts").cast("date")).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2078,6 +2125,8 @@ object Queries {
     "q_part_affinity" -> (qPartAffinity _),
     "q_vocab_overlap" -> (qVocabOverlap _),
     "q_null_profile" -> (qNullProfile _),
+    "q_lsh_precision" -> (qLshPrecision _),
+    "q_user_growth" -> (qUserGrowth _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2886,5 +2935,31 @@ object Queries {
           s"SELECT '$c' AS column_name, n_rows, ${c}_n AS n_null, ${c}_d AS n_distinct FROM s")
           .mkString(" UNION ALL ") +
         " ORDER BY column_name"),
+    "q_lsh_precision" ->
+      (SIG_CTE + ", pairs AS (" +
+        (1 to 4).map(i =>
+          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id " +
+            s"WHERE a.mh$i IN (SELECT mh$i FROM sig GROUP BY mh$i HAVING count(*) <= 1000)")
+          .mkString(" UNION ") + ")" +
+        ", dist AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
+        ", szs AS (SELECT doc_id, count(*) AS sz FROM dist GROUP BY doc_id)" +
+        ", pm AS (SELECT p.id_a, p.id_b, CAST(" +
+        (1 to 4).map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS matches FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id)" +
+        ", iv AS (SELECT p.id_a, p.id_b, count(*) AS inter FROM pairs p " +
+        "JOIN dist x ON p.id_a = x.doc_id JOIN dist y ON p.id_b = y.doc_id AND x.shingle = y.shingle " +
+        "GROUP BY 1, 2)" +
+        ", j AS (SELECT pm.matches, coalesce(iv.inter, 0) AS inter, sa.sz AS sza, sb.sz AS szb " +
+        "FROM pm LEFT JOIN iv ON pm.id_a = iv.id_a AND pm.id_b = iv.id_b " +
+        "JOIN szs sa ON pm.id_a = sa.doc_id JOIN szs sb ON pm.id_b = sb.doc_id) " +
+        "SELECT matches, count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN inter * 3 >= sza + szb THEN 1 ELSE 0 END) AS BIGINT) AS n_true, " +
+        "(CAST(sum(CASE WHEN inter * 3 >= sza + szb THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS precision_ppm " +
+        "FROM j GROUP BY matches ORDER BY matches"),
+    "q_user_growth" ->
+      ("WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id), " +
+        "d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day) " +
+        "SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users " +
+        "FROM d ORDER BY day"),
   )
 }
