@@ -1991,6 +1991,67 @@ object Queries {
       .orderBy("day")
   }
 
+  /** LSH recall audit (the complement of [[qLshPrecision]]): the fraction
+    * of TRUE near-dup pairs (exact integer 3-shingle Jaccard ≥ 0.5, via
+    * df-capped [2,1000] posting lists — bounded expansion, never an
+    * all-pairs join) that the 4-band MinHash candidate generation
+    * captures. One summary row; together with the precision table this is
+    * the band-count tuning loop a dedup pipeline runs (at 100 TB, on a
+    * corpus sample) before committing the full pass. */
+  def qLshRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = TextOps.explodedShingles(docs, "doc_id", "text", 3).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dft = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 1000))
+    val inter = sh.join(dft.select("shingle"), Seq("shingle"))
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val truePairs = inter
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+      .where(col("inter") * 3 >= col("sza") + col("szb"))
+      .select("id_a", "id_b")
+    val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
+    val cand = TextOps.lshCandidatePairs(sig, "doc_id", 4)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    truePairs.join(cand, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_captured"))
+      .select(col("n_true"), col("n_captured"),
+        expr("CASE WHEN n_true = 0 THEN 0 ELSE (n_captured * 1000000) div n_true END")
+          .as("recall_ppm"))
+  }
+
+  /** Customer order-cadence percentiles: per market segment, the p25/p50/
+    * p90 of days between a customer's consecutive orders — the
+    * inter-arrival profile behind replenishment forecasting. The lag
+    * window is customer-partitioned; gaps are exact integer days; the
+    * percentile is the same exact distributed interpolation q_percentiles
+    * pins, rounded for presentation. */
+  def qOrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"), col("o_orderkey"))
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"))
+      .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)).cast("long"))
+      .where(col("gap").isNotNull)
+    // plain equi-join: customer is a large dim at warehouse scale — AQE
+    // broadcasts it at fixture scale, shuffles it when it outgrows the
+    // threshold
+    gaps.join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.25)"), 2).as("p25"),
+        round(expr("percentile(gap, 0.5)"), 2).as("p50"),
+        round(expr("percentile(gap, 0.9)"), 2).as("p90"))
+      .transform(ps(col("c_mktsegment")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2127,6 +2188,8 @@ object Queries {
     "q_null_profile" -> (qNullProfile _),
     "q_lsh_precision" -> (qLshPrecision _),
     "q_user_growth" -> (qUserGrowth _),
+    "q_lsh_recall" -> (qLshRecall _),
+    "q_order_gaps" -> (qOrderGaps _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -2961,5 +3024,38 @@ object Queries {
         "d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day) " +
         "SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users " +
         "FROM d ORDER BY day"),
+    "q_lsh_recall" ->
+      ("""WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)""" +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)" +
+        ", sh AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))" +
+        ", dig AS (SELECT doc_id, md5(shingle) AS h FROM sh WHERE shingle IS NOT NULL)" +
+        ", sig AS (SELECT doc_id, min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2, min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4 FROM dig GROUP BY doc_id)" +
+        ", dist AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
+        ", szs AS (SELECT doc_id, count(*) AS sz FROM dist GROUP BY doc_id)" +
+        ", dft AS (SELECT shingle FROM dist GROUP BY shingle HAVING count(*) BETWEEN 2 AND 1000)" +
+        ", iv AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter " +
+        "FROM dist x JOIN dist y ON x.shingle = y.shingle AND x.doc_id < y.doc_id " +
+        "WHERE x.shingle IN (SELECT shingle FROM dft) GROUP BY 1, 2)" +
+        ", tp AS (SELECT id_a, id_b FROM iv JOIN szs sa ON iv.id_a = sa.doc_id " +
+        "JOIN szs sb ON iv.id_b = sb.doc_id WHERE inter * 3 >= sa.sz + sb.sz)" +
+        ", cand AS (" +
+        (1 to 4).map(i =>
+          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id " +
+            s"WHERE a.mh$i IN (SELECT mh$i FROM sig GROUP BY mh$i HAVING count(*) <= 1000)")
+          .mkString(" UNION ") + ") " +
+        "SELECT count(*) AS n_true, " +
+        "CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_captured, " +
+        "CASE WHEN count(*) = 0 THEN 0 ELSE (CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) END AS recall_ppm " +
+        "FROM tp LEFT JOIN cand c ON tp.id_a = c.id_a AND tp.id_b = c.id_b"),
+    "q_order_gaps" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d2 FROM orders), " +
+        "g AS (SELECT o_custkey, CAST(date_diff('day', lag(d2, 1) OVER " +
+        "(PARTITION BY o_custkey ORDER BY d2, o_orderkey), d2) AS BIGINT) AS gap FROM o), " +
+        "gg AS (SELECT c_mktsegment, gap FROM g JOIN customer ON o_custkey = c_custkey WHERE gap IS NOT NULL) " +
+        "SELECT c_mktsegment, count(*) AS n_gaps, " +
+        "round(quantile_cont(CAST(gap AS DOUBLE), 0.25), 2) AS p25, " +
+        "round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 2) AS p50, " +
+        "round(quantile_cont(CAST(gap AS DOUBLE), 0.9), 2) AS p90 " +
+        "FROM gg GROUP BY 1 ORDER BY 1"),
   )
 }
