@@ -2052,6 +2052,42 @@ object Queries {
       .transform(ps(col("c_mktsegment")))
   }
 
+  /** Dedup candidate-graph health: the degree distribution of the LSH
+    * candidate-pair graph (how many candidate partners each doc has, then
+    * how many docs have each degree). A skewed tail here is the early
+    * warning that a band is degenerating toward quadratic buckets. Two
+    * bounded aggregates over the capped pair table. */
+  def qDupDegree(s: SparkSession, d: String): DataFrame = {
+    val sig = TextOps.minhashSignatureMd5(Tables.documents(s, d), "doc_id", "text", 3, 4)
+    val cand = TextOps.lshCandidatePairs(sig, "doc_id", 4)
+    cand.select(col("id_a").as("doc_id"))
+      .unionAll(cand.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .transform(ps(col("degree")))
+  }
+
+  /** Corpus length profile: per language, power-of-2 token-length buckets
+    * (the largest b ≤ 11 with 2^b ≤ n) with doc counts and total tokens —
+    * the length histogram a context-window/packing decision reads. The
+    * log2 bucket is an integer comparison chain, not `floor(ln n / ln 2)`,
+    * so no float can misbucket a boundary length. One map-side-combinable
+    * aggregate, ≤ |langs|·12 output rows. */
+  def qLenProfile(s: SparkSession, d: String): DataFrame = {
+    val n = size(filter(split(Ops.normalizeText(col("text")), " "), t => t =!= ""))
+      .cast("long")
+    // integer-exact log2 bucket: the largest b with 2^b <= n (n >= 1)
+    val bucket = (0 to 11).foldLeft(lit(-1L)) { (acc, b) =>
+      when(n >= (1L << b), lit(b.toLong)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("lang"), n.as("n_tokens"), bucket.as("len_bucket"))
+      .where(col("n_tokens") > 0)
+      .groupBy("lang", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .transform(ps(col("lang"), col("len_bucket")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2190,6 +2226,8 @@ object Queries {
     "q_user_growth" -> (qUserGrowth _),
     "q_lsh_recall" -> (qLshRecall _),
     "q_order_gaps" -> (qOrderGaps _),
+    "q_dup_degree" -> (qDupDegree _),
+    "q_len_profile" -> (qLenProfile _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -3057,5 +3095,23 @@ object Queries {
         "round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 2) AS p50, " +
         "round(quantile_cont(CAST(gap AS DOUBLE), 0.9), 2) AS p90 " +
         "FROM gg GROUP BY 1 ORDER BY 1"),
+    "q_dup_degree" ->
+      (SIG_CTE + ", pairs AS (" +
+        (1 to 4).map(i =>
+          s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id " +
+            s"WHERE a.mh$i IN (SELECT mh$i FROM sig GROUP BY mh$i HAVING count(*) BETWEEN 2 AND 1000)")
+          .mkString(" UNION ") + ")" +
+        ", deg AS (SELECT doc_id, count(*) AS degree FROM (" +
+        "SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs) u GROUP BY doc_id) " +
+        "SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree"),
+    "q_len_profile" ->
+      (NORM_CTE +
+        ", tk AS (SELECT lang, CAST(len(list_filter(string_split(t, ' '), x -> x <> '')) AS BIGINT) AS n FROM norm)" +
+        ", b AS (SELECT lang, n, CASE " +
+        (11 to 0 by -1).map(i => s"WHEN n >= ${1L << i} THEN $i").mkString(" ") +
+        " ELSE -1 END AS len_bucket FROM tk WHERE n > 0) " +
+        "SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket, count(*) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS total_tokens " +
+        "FROM b GROUP BY lang, len_bucket ORDER BY lang, len_bucket"),
   )
 }
