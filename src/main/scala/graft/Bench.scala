@@ -10,7 +10,10 @@ object Bench {
     // are still each query's own wall time (slightly inflated by
     // contention); `value` is the batch's wall time and `sum_sequential`
     // the contention-inflated per-query sum, reported for transparency.
-    val par = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "8").toInt.max(1)
+    // 14 measured best on local[32] for the ~138-query batch: wall 17.8 s
+    // vs 26.4 s at 8 (job-floor gaps overlap; per-query sequential-pass
+    // times unchanged). Override with SPARK_GRAFT_BENCH_PAR.
+    val par = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "14").toInt.max(1)
     val spark = Sessions.local(cpus)
     // noop sink forces full computation of every column (count() would let
     // Catalyst prune the projections and under-measure). A query that

@@ -2088,6 +2088,25 @@ object Queries {
       .transform(ps(col("lang"), col("len_bucket")))
   }
 
+  /** Categorical drift between month halves: per event type, the two
+    * periods' counts and the cross-scaled mix gap, plus the total
+    * variation distance `TVD = Σ|p1 − p2| / 2` as the integer-exact
+    * `(Σ|c1·n2 − c2·n1| · 10⁶) div (2·n1·n2)` ppm carried on every row —
+    * the categorical companion to q_ks_drift's numeric ECDF test. One
+    * bounded (≤ |types|) aggregate; the totals ride a 1-row broadcast. */
+  def qTvdDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("h1"))
+    val cnt = ev.groupBy("event_type")
+      .agg(sum(col("h1")).as("c1"), sum(lit(1L) - col("h1")).as("c2"))
+    cnt.crossJoin(broadcast(cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
+      .withColumn("gap", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .withColumn("tvd_ppm",
+        expr("(sum(gap) OVER () * 1000000) div (2 * n1 * n2)"))
+      .select(col("event_type"), col("c1"), col("c2"), col("gap"), col("tvd_ppm"))
+      .transform(ps(col("event_type")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2228,6 +2247,7 @@ object Queries {
     "q_order_gaps" -> (qOrderGaps _),
     "q_dup_degree" -> (qDupDegree _),
     "q_len_profile" -> (qLenProfile _),
+    "q_tvd_drift" -> (qTvdDrift _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -3113,5 +3133,15 @@ object Queries {
         "SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket, count(*) AS n_docs, " +
         "CAST(sum(n) AS BIGINT) AS total_tokens " +
         "FROM b GROUP BY lang, len_bucket ORDER BY lang, len_bucket"),
+    "q_tvd_drift" ->
+      ("WITH c AS (SELECT event_type, " +
+        "CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS c2 " +
+        "FROM events GROUP BY event_type), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "g AS (SELECT event_type, c1, c2, abs(c1 * n2 - c2 * n1) AS gap, n1, n2 FROM c CROSS JOIN t) " +
+        "SELECT event_type, c1, c2, gap, " +
+        "CAST((CAST(sum(gap) OVER () AS BIGINT) * 1000000) // (2 * n1 * n2) AS BIGINT) AS tvd_ppm " +
+        "FROM g ORDER BY event_type"),
   )
 }
