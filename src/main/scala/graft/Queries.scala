@@ -2107,6 +2107,55 @@ object Queries {
       .transform(ps(col("event_type")))
   }
 
+  /** Debounce dedup census: events collapsed to the FIRST per (user, type,
+    * 5-minute epoch window) — the batch twin of the streaming
+    * dropDuplicatesWithinWatermark path, as an oracle-checkable kept/
+    * dropped census per type. The first-wins window is (user, type,
+    * window)-partitioned; the epoch bucket is integer `floor(epoch) div
+    * 300`, identical in both engines. */
+  def qWindowDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("wb"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        expr("unix_timestamp(ts) div 300").as("wb"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("event_type"), col("n_events"), col("n_kept"),
+        expr("((n_events - n_kept) * 1000) div n_events").as("drop_permille"))
+      .transform(ps(col("event_type")))
+  }
+
+  /** Revenue concentration (Pareto point): the smallest top-customer
+    * prefix holding ≥ 80% of order revenue — reported as customer count,
+    * its corpus share, and the revenue share actually reached. Composes
+    * BOTH scalable numbering operators: revenue-descending global rank via
+    * [[graft.operators.Ops.globalRowNumberScalable]] and the cumulative
+    * sum via [[graft.operators.Ops.prefixSumScalable]] — no single-task
+    * window touches the |customers|-sized frame; the 80% cut is the
+    * integer test `5·cum ≥ 4·total`. */
+  def qPareto(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"))
+    val ranked = Ops.globalRowNumberScalable(
+        cust.withColumn("neg", -col("cents")), "neg", Seq("o_custkey"), "rank")
+      .drop("neg")
+    val withCum = Ops.prefixSumScalable(ranked, "rank", "cents", "cum_excl")
+    val tot = cust.agg(sum(col("cents")).as("total_cents"),
+      count(lit(1)).as("n_customers"))
+    withCum.crossJoin(broadcast(tot))
+      .withColumn("cum", col("cum_excl") + col("cents"))
+      .where(col("cum") * 5 >= col("total_cents") * 4)
+      .orderBy("rank")
+      .limit(1)
+      .select(col("rank").as("top_customers"), col("n_customers"),
+        expr("(cum * 1000000) div total_cents").as("share_ppm"),
+        expr("(rank * 1000000) div n_customers").as("pct_customers_ppm"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2248,6 +2297,8 @@ object Queries {
     "q_dup_degree" -> (qDupDegree _),
     "q_len_profile" -> (qLenProfile _),
     "q_tvd_drift" -> (qTvdDrift _),
+    "q_window_dedup" -> (qWindowDedup _),
+    "q_pareto" -> (qPareto _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -3143,5 +3194,23 @@ object Queries {
         "SELECT event_type, c1, c2, gap, " +
         "CAST((CAST(sum(gap) OVER () AS BIGINT) * 1000000) // (2 * n1 * n2) AS BIGINT) AS tvd_ppm " +
         "FROM g ORDER BY event_type"),
+    "q_window_dedup" ->
+      ("WITH b AS (SELECT event_id, user_id, event_type, ts, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) // 300 AS wb FROM events), " +
+        "r AS (SELECT event_type, row_number() OVER " +
+        "(PARTITION BY user_id, event_type, wb ORDER BY ts, event_id) AS rn FROM b) " +
+        "SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "((count(*) - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)) * 1000) // count(*) AS drop_permille " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
+    "q_pareto" ->
+      ("WITH c AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "r AS (SELECT o_custkey, cents, CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rank FROM c), " +
+        "t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents, count(*) AS n_customers FROM c), " +
+        "cum AS (SELECT rank, CAST(sum(cents) OVER (ORDER BY rank) AS BIGINT) AS cum FROM r) " +
+        "SELECT rank AS top_customers, n_customers, (cum * 1000000) // total_cents AS share_ppm, " +
+        "(rank * 1000000) // n_customers AS pct_customers_ppm " +
+        "FROM cum CROSS JOIN t WHERE cum * 5 >= total_cents * 4 ORDER BY rank LIMIT 1"),
   )
 }
