@@ -57,7 +57,11 @@ object DevScaling {
       // bounded-output (split table, KS stat, next-token table, winsorize,
       // padding waste) shapes
       "q_chunk_windows", "q_global_rank", "q_rarity_score", "q_train_split",
-      "q_ks_drift", "q_next_token", "q_winsorize", "q_padding_waste")
+      "q_ks_drift", "q_next_token", "q_winsorize", "q_padding_waste",
+      // final round-5 wave: composed scalable-numbering ops and the
+      // bounded audit/analytics shapes
+      "q_pareto", "q_window_dedup", "q_tvd_drift", "q_rfm_cells",
+      "q_ship_priority", "q_market_share", "q_stickiness", "q_user_growth")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

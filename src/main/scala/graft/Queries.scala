@@ -30,6 +30,18 @@ object Queries {
   private def ps(cols: Column*)(df: DataFrame): DataFrame =
     Ops.presentSorted(df, cols: _*)
 
+  /** Overflow-safe exact ppm: `floor(num·10⁶ / den)` via two-step long
+    * division (`a = num·1000; a div den · 1000 + (a mod den)·1000 div den`)
+    * — exact for any `num, den ≤ 2⁶³/1000`, where the naive `num · 10⁶`
+    * overflows once `num > 9.2·10¹²` (ANSI mode turns that into a runtime
+    * error — caught live by the 10× scale study on cent totals). The SQL
+    * twin below keeps the oracle expression-identical. */
+  private def ppmDiv(num: String, den: String): String =
+    s"(($num * 1000) div $den) * 1000 + ((($num * 1000) % $den) * 1000) div $den"
+
+  private def ppmDivSql(num: String, den: String): String =
+    s"(($num * 1000) // $den) * 1000 + ((($num * 1000) % $den) * 1000) // $den"
+
   private val STOPWORDS = Seq("the", "and", "of", "to", "a", "is")
   private val STOP_SQL = STOPWORDS.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -1732,8 +1744,8 @@ object Queries {
       .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("total_tokens"),
         sum(col("rank") * col("c")).as("s1"))
       .select(col("n_vocab"), col("total_tokens"),
-        expr("((2 * s1 - (n_vocab + 1) * total_tokens) * 1000000) div (n_vocab * total_tokens)")
-          .as("gini_ppm"))
+        expr(ppmDiv("(2 * s1 - (n_vocab + 1) * total_tokens)",
+          "(n_vocab * total_tokens)")).as("gini_ppm"))
   }
 
   /** Top event trigram paths: the 10 most common 3-step per-user event
@@ -1866,7 +1878,7 @@ object Queries {
         sum(when(col("supp_nation") === "CHINA", col("rev")).otherwise(0L))
           .as("nation_cp"))
       .select(col("o_year"), col("total_cp"), col("nation_cp"),
-        expr("(nation_cp * 1000000) div total_cp").as("share_ppm"))
+        expr(ppmDiv("nation_cp", "total_cp")).as("share_ppm"))
       .transform(ps(col("o_year")))
   }
 
@@ -2101,8 +2113,8 @@ object Queries {
       .agg(sum(col("h1")).as("c1"), sum(lit(1L) - col("h1")).as("c2"))
     cnt.crossJoin(broadcast(cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
       .withColumn("gap", abs(col("c1") * col("n2") - col("c2") * col("n1")))
-      .withColumn("tvd_ppm",
-        expr("(sum(gap) OVER () * 1000000) div (2 * n1 * n2)"))
+      .withColumn("gap_sum", expr("sum(gap) OVER ()"))
+      .withColumn("tvd_ppm", expr(ppmDiv("gap_sum", "(2 * n1 * n2)")))
       .select(col("event_type"), col("c1"), col("c2"), col("gap"), col("tvd_ppm"))
       .transform(ps(col("event_type")))
   }
@@ -2152,7 +2164,7 @@ object Queries {
       .orderBy("rank")
       .limit(1)
       .select(col("rank").as("top_customers"), col("n_customers"),
-        expr("(cum * 1000000) div total_cents").as("share_ppm"),
+        expr(ppmDiv("cum", "total_cents")).as("share_ppm"),
         expr("(rank * 1000000) div n_customers").as("pct_customers_ppm"))
   }
 
@@ -3024,10 +3036,12 @@ object Queries {
     "q_token_gini" ->
       (TP_TOK_CTE +
         ", uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token)" +
-        ", r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, token) AS BIGINT) AS rank FROM uni) " +
-        "SELECT count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS total_tokens, " +
-        "((2 * CAST(sum(rank * c) AS BIGINT) - (count(*) + 1) * CAST(sum(c) AS BIGINT)) * 1000000) " +
-        "// (count(*) * CAST(sum(c) AS BIGINT)) AS gini_ppm FROM r"),
+        ", r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, token) AS BIGINT) AS rank FROM uni)" +
+        ", fin AS (SELECT count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(rank * c) AS BIGINT) AS s1 FROM r) " +
+        "SELECT n_vocab, total_tokens, " +
+        ppmDivSql("(2 * s1 - (n_vocab + 1) * total_tokens)", "(n_vocab * total_tokens)") +
+        " AS gini_ppm FROM fin"),
     "q_trigram_paths" ->
       ("WITH tr AS (SELECT user_id, event_type AS e1, " +
         "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 " +
@@ -3071,12 +3085,11 @@ object Queries {
         "sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN nation ON s_nationkey = n_nationkey), " +
         "l AS (SELECT l_orderkey, l_suppkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
         "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev FROM lineitem) " +
-        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(sum(rev) AS BIGINT) AS total_cp, " +
-        "CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0 END) AS BIGINT) AS nation_cp, " +
-        "(CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0 END) AS BIGINT) * 1000000) // " +
-        "CAST(sum(rev) AS BIGINT) AS share_ppm " +
+        "SELECT o_year, total_cp, nation_cp, " + ppmDivSql("nation_cp", "total_cp") + " AS share_ppm " +
+        "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(sum(rev) AS BIGINT) AS total_cp, " +
+        "CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev ELSE 0 END) AS BIGINT) AS nation_cp " +
         "FROM l JOIN orders ON l_orderkey = o_orderkey JOIN ca ON o_custkey = c_custkey " +
-        "JOIN sn ON l_suppkey = s_suppkey GROUP BY 1 ORDER BY o_year"),
+        "JOIN sn ON l_suppkey = s_suppkey GROUP BY 1) yr ORDER BY o_year"),
     "q_part_affinity" ->
       ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
         "cnt AS (SELECT l_partkey, count(*) AS c1 FROM op GROUP BY l_partkey), " +
@@ -3190,10 +3203,11 @@ object Queries {
         "CAST(sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS c2 " +
         "FROM events GROUP BY event_type), " +
         "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
-        "g AS (SELECT event_type, c1, c2, abs(c1 * n2 - c2 * n1) AS gap, n1, n2 FROM c CROSS JOIN t) " +
+        "g AS (SELECT event_type, c1, c2, abs(c1 * n2 - c2 * n1) AS gap, n1, n2 FROM c CROSS JOIN t), " +
+        "g2 AS (SELECT event_type, c1, c2, gap, CAST(sum(gap) OVER () AS BIGINT) AS gap_sum, n1, n2 FROM g) " +
         "SELECT event_type, c1, c2, gap, " +
-        "CAST((CAST(sum(gap) OVER () AS BIGINT) * 1000000) // (2 * n1 * n2) AS BIGINT) AS tvd_ppm " +
-        "FROM g ORDER BY event_type"),
+        "CAST(" + ppmDivSql("gap_sum", "(2 * n1 * n2)") + " AS BIGINT) AS tvd_ppm " +
+        "FROM g2 ORDER BY event_type"),
     "q_window_dedup" ->
       ("WITH b AS (SELECT event_id, user_id, event_type, ts, " +
         "CAST(floor(epoch(ts)) AS BIGINT) // 300 AS wb FROM events), " +
@@ -3209,7 +3223,8 @@ object Queries {
         "r AS (SELECT o_custkey, cents, CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rank FROM c), " +
         "t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents, count(*) AS n_customers FROM c), " +
         "cum AS (SELECT rank, CAST(sum(cents) OVER (ORDER BY rank) AS BIGINT) AS cum FROM r) " +
-        "SELECT rank AS top_customers, n_customers, (cum * 1000000) // total_cents AS share_ppm, " +
+        "SELECT rank AS top_customers, n_customers, " +
+        ppmDivSql("cum", "total_cents") + " AS share_ppm, " +
         "(rank * 1000000) // n_customers AS pct_customers_ppm " +
         "FROM cum CROSS JOIN t WHERE cum * 5 >= total_cents * 4 ORDER BY rank LIMIT 1"),
   )
