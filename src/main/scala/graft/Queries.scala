@@ -32,15 +32,23 @@ object Queries {
 
   /** Overflow-safe exact ppm: `floor(num·10⁶ / den)` via two-step long
     * division (`a = num·1000; a div den · 1000 + (a mod den)·1000 div den`)
-    * — exact for any `num, den ≤ 2⁶³/1000`, where the naive `num · 10⁶`
-    * overflows once `num > 9.2·10¹²` (ANSI mode turns that into a runtime
-    * error — caught live by the 10× scale study on cent totals). The SQL
-    * twin below keeps the oracle expression-identical. */
-  private def ppmDiv(num: String, den: String): String =
-    s"(($num * 1000) div $den) * 1000 + ((($num * 1000) % $den) * 1000) div $den"
+    * — exact for any `num, den ≤ 2⁶³/1000` whose scaled quotient itself
+    * fits in a long (always true for share semantics, num ≤ den), where
+    * the naive `num · 10⁶` overflows once `num > 9.2·10¹²` (ANSI mode
+    * turns that into a runtime error — caught live by the 10× scale study
+    * on cent totals). The SQL twin below keeps the oracle
+    * expression-identical. */
+  private[graft] def scaledDiv(num: String, den: String, s1: Long, s2: Long): String =
+    s"(($num * $s1) div $den) * $s2 + ((($num * $s1) % $den) * $s2) div $den"
+
+  private[graft] def scaledDivSql(num: String, den: String, s1: Long, s2: Long): String =
+    s"(($num * $s1) // $den) * $s2 + ((($num * $s1) % $den) * $s2) // $den"
+
+  private[graft] def ppmDiv(num: String, den: String): String =
+    scaledDiv(num, den, 1000L, 1000L)
 
   private def ppmDivSql(num: String, den: String): String =
-    s"(($num * 1000) // $den) * 1000 + ((($num * 1000) % $den) * 1000) // $den"
+    scaledDivSql(num, den, 1000L, 1000L)
 
   private val STOPWORDS = Seq("the", "and", "of", "to", "a", "is")
   private val STOP_SQL = STOPWORDS.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -1723,7 +1731,8 @@ object Queries {
     tfs.join(broadcast(srcTot), Seq("source"))
       .join(broadcast(corp), Seq("token"))
       .crossJoin(broadcast(tot))
-      .withColumn("lift_e4", expr("(tf_s * t_tot * 10000) div (n_s * tf_c)"))
+      .withColumn("lift_e4",
+        expr(scaledDiv("(tf_s * t_tot)", "(n_s * tf_c)", 100L, 100L)))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 5)
       .select(col("source"), col("token"), col("tf_s"), col("lift_e4"), col("rk"))
@@ -3028,7 +3037,8 @@ object Queries {
         ", tfs AS (SELECT * FROM tfa WHERE tf_s >= 5)" +
         ", corp AS (SELECT token, count(*) AS tf_c FROM tok GROUP BY token)" +
         ", tt AS (SELECT CAST(sum(tf_c) AS BIGINT) AS t_tot FROM corp)" +
-        ", sc AS (SELECT tfs.source, tfs.token, tf_s, (tf_s * t_tot * 10000) // (n_s * tf_c) AS lift_e4 " +
+        ", sc AS (SELECT tfs.source, tfs.token, tf_s, " +
+        scaledDivSql("(tf_s * t_tot)", "(n_s * tf_c)", 100L, 100L) + " AS lift_e4 " +
         "FROM tfs JOIN st USING (source) JOIN corp USING (token) CROSS JOIN tt)" +
         ", r AS (SELECT source, token, tf_s, lift_e4, CAST(row_number() OVER " +
         "(PARTITION BY source ORDER BY lift_e4 DESC, token) AS BIGINT) AS rk FROM sc) " +

@@ -105,4 +105,25 @@ class QueriesSpec extends SparkSuite {
     val got = out.select("l_orderkey").distinct().as[Long].collect()
     assert(got.forall(okKeys.contains))
   }
+
+  test("two-step ppm division is exact where the naive *10^6 would overflow") {
+    // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
+    // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
+    // den (share semantics), so the ppm result itself always fits.
+    val rnd = new scala.util.Random(42)
+    val bound = 9_000_000_000_000_000L
+    val cases = Seq((0L, 1L), (1L, 1L), (bound, bound),
+      (9_223_372_036_854_775L, 9_223_372_036_854_775L)) ++
+      (1 to 200).map { _ =>
+        val d = 1L + rnd.nextLong(bound)
+        (rnd.nextLong(d + 1), d)
+      }
+    val out = cases.toDF("num", "den")
+      .selectExpr("num", "den", Queries.ppmDiv("num", "den") + " AS got")
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (n, d, got) =>
+      val want = (BigInt(n) * 1000000 / BigInt(d)).toLong
+      assert(got == want, s"num=$n den=$d got=$got want=$want")
+    }
+  }
 }
