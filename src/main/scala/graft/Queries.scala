@@ -1428,7 +1428,10 @@ object Queries {
     * hash-reproducible). The unigram table is vocabulary-sized (bounded,
     * broadcastable at any corpus scale); the corpus total rides along as a
     * broadcast 1-row cross join, so the token stream is shuffled once for
-    * the per-doc tf aggregate and never again. */
+    * the per-doc tf aggregate and never again. HEADROOM: the rarity value
+    * `(T·10⁶) div c_t` itself scales with corpus size — exact to
+    * T ≤ 9.2·10¹² tokens (≈ 35 TB of text); past that drop the scale to
+    * 10³ (same query shape, smaller constant). */
   def qRarityScore(s: SparkSession, d: String): DataFrame = {
     val tf = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
       .groupBy(col("doc_id"), col("shingle").as("token"))
@@ -1451,7 +1454,11 @@ object Queries {
     * c_xy ≥ 5. Bigram and unigram counts are both map-side-combinable;
     * the vocabulary-sized unigram table is broadcast to the bigram side
     * twice (left and right token), so nothing large ever shuffles twice.
-    * Final top-k plans as TakeOrderedAndProject. */
+    * Final top-k plans as TakeOrderedAndProject. HEADROOM: the
+    * `c_xy·T·10⁵` numerator is exact to c_xy·T ≤ 9.2·10¹³ — ample for the
+    * declared scales; for a 100 TB corpus reorder to
+    * `((c_xy·10⁵) div c_x)·T div c_y` (same engines-identical floor
+    * arithmetic, unconditionally overflow-free). */
   def qPmiTopk(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val uni = TextOps.explodedShingles(docs, "doc_id", "text", 1)
@@ -1552,7 +1559,7 @@ object Queries {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("context"), col("next_tok"), col("cxy").as("n"),
-        expr("(cxy * 1000000) div cx").as("cond_ppm"))
+        expr(ppmDiv("cxy", "cx")).as("cond_ppm"))
       .orderBy("context")
   }
 
@@ -1576,7 +1583,7 @@ object Queries {
       .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("covered"))
       .crossJoin(broadcast(tot))
       .select(col("k"), col("n_vocab"), col("covered"),
-        expr("(covered * 1000000) div t_tot").as("share_ppm"))
+        expr(ppmDiv("covered", "t_tot")).as("share_ppm"))
       .orderBy("k")
   }
 
@@ -2957,7 +2964,7 @@ object Queries {
         ", bc AS (SELECT context, y, count(*) AS cxy FROM bg WHERE y IS NOT NULL GROUP BY context, y)" +
         ", r AS (SELECT bc.context, y, cxy, cx, row_number() OVER " +
         "(PARTITION BY bc.context ORDER BY cxy DESC, y) AS rn FROM bc JOIN uni USING (context)) " +
-        "SELECT context, y AS next_tok, cxy AS n, (cxy * 1000000) // cx AS cond_ppm " +
+        "SELECT context, y AS next_tok, cxy AS n, " + ppmDivSql("cxy", "cx") + " AS cond_ppm " +
         "FROM r WHERE rn = 1 ORDER BY context"),
     "q_vocab_coverage" ->
       (TP_TOK_CTE +
@@ -2965,9 +2972,9 @@ object Queries {
         ", tt AS (SELECT CAST(sum(c) AS BIGINT) AS t_tot FROM uni)" +
         ", r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rn FROM uni)" +
         ", ks AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k) " +
-        "SELECT k, count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS covered, " +
-        "(CAST(sum(c) AS BIGINT) * 1000000) // t_tot AS share_ppm " +
-        "FROM ks JOIN r ON r.rn <= ks.k CROSS JOIN tt GROUP BY k, t_tot ORDER BY k"),
+        "SELECT k, n_vocab, covered, " + ppmDivSql("covered", "t_tot") + " AS share_ppm " +
+        "FROM (SELECT k, count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS covered, t_tot " +
+        "FROM ks JOIN r ON r.rn <= ks.k CROSS JOIN tt GROUP BY k, t_tot) g ORDER BY k"),
     "q_dedup_audit" ->
       ("""WITH fp AS (SELECT doc_id, source, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f FROM documents), """ +
         "d AS (SELECT source, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY f) THEN 0 ELSE 1 END AS is_dup FROM fp) " +
