@@ -2184,6 +2184,46 @@ object Queries {
         expr("(rank * 1000000) div n_customers").as("pct_customers_ppm"))
   }
 
+  /** Document novelty: per doc, the share of its distinct 3-shingles whose
+    * FIRST corpus occurrence (min doc_id) is this doc — the
+    * contribution-of-new-content metric a curation pass ranks by
+    * (near-dups score ≈ 0 against their earlier twin). Two shingle-keyed
+    * map-side-combinable aggregates + one join that reuses the shingle
+    * hash partitioning; no windows, no pair expansion. */
+  def qDocNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 3)
+      .distinct()
+    val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000) div n_shingles").as("novelty_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Traffic burstiness per event type: the Fano factor (variance/mean) of
+    * events-per-hour, from integer power sums over the bounded
+    * (type × hour) grid — `((n·Σx² − (Σx)²) · 10⁶) div (n · Σx)` with
+    * population variance, all-long arithmetic (x = hourly count ≤ total
+    * events; sums over ≤ 24·31 buckets). ≫ 10⁶ means bursty, ≈ 10⁶
+    * Poisson-like, ≪ 10⁶ regular — the traffic-shape classifier.
+    * HEADROOM: exact while `n_hours·Σx²·10⁶` fits a long — hourly counts
+    * to ~10⁶, i.e. billions of events per type-month. */
+  def qBurstiness(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("n_events"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        expr("((n_hours * sxx - n_events * n_events) * 1000000) div (n_hours * n_events)")
+          .as("fano_ppm"))
+      .transform(ps(col("event_type")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2325,6 +2365,8 @@ object Queries {
     "q_dup_degree" -> (qDupDegree _),
     "q_len_profile" -> (qLenProfile _),
     "q_tvd_drift" -> (qTvdDrift _),
+    "q_doc_novelty" -> (qDocNovelty _),
+    "q_burstiness" -> (qBurstiness _),
     "q_window_dedup" -> (qWindowDedup _),
     "q_pareto" -> (qPareto _),
   )
@@ -3163,6 +3205,23 @@ object Queries {
         "d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day) " +
         "SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users " +
         "FROM d ORDER BY day"),
+    "q_doc_novelty" ->
+      (NORM_CTE +
+        """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)""" +
+        """, sh AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""" +
+        ", dist AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
+        ", fo AS (SELECT shingle, min(doc_id) AS first_doc FROM dist GROUP BY shingle) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS novelty_permille " +
+        "FROM dist JOIN fo USING (shingle) GROUP BY doc_id ORDER BY doc_id"),
+    "q_burstiness" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh, count(*) AS x FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, count(*) AS n_hours, CAST(sum(x) AS BIGINT) AS n_events, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM h GROUP BY event_type) " +
+        "SELECT event_type, n_hours, n_events, " +
+        "((n_hours * sxx - n_events * n_events) * 1000000) // (n_hours * n_events) AS fano_ppm " +
+        "FROM s ORDER BY event_type"),
     "q_lsh_recall" ->
       ("""WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)""" +
         ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)" +
