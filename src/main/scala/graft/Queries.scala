@@ -2224,6 +2224,42 @@ object Queries {
       .transform(ps(col("event_type")))
   }
 
+  /** Equi-height histogram boundaries for the optimizer-stats use case
+    * (ANALYZE TABLE): the 8 exact order-statistic bucket upper bounds of
+    * lineitem price cents, each the `⌈i·n/8⌉`-th smallest value via
+    * [[graft.operators.Ops.globalRowNumberScalable]] — integer ranks, no
+    * interpolation, no single-task window over the fact table; the 8
+    * boundary ranks are selected with a broadcast join against a
+    * range(1..8)-built frame. */
+  def qEquiHeight(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
+    val n = cents.count()
+    val ranked = Ops.globalRowNumberScalable(cents, "c", Seq("c"), "rank")
+    val targets = s.range(1, 9)
+      .select(col("id").as("bucket"), expr(s"(id * $n + 7) div 8").as("target"))
+    ranked.join(broadcast(targets), col("rank") === col("target"))
+      .groupBy("bucket")
+      .agg(min(col("c")).as("upper_cents"), min(col("target")).as("rank_at"))
+      .transform(ps(col("bucket")))
+  }
+
+  /** Funnel conversion latency: among users completing the
+    * view→click→purchase funnel ([[graft.operators.EventAnalytics
+    * .funnelStages]] — ONE actor-keyed shuffle), the p25/p50/p90 of
+    * view-to-purchase seconds. Latencies are exact integer seconds
+    * (epoch-floor subtraction); the percentile is the pinned exact
+    * distributed interpolation, rounded for presentation. */
+  def qConversionTime(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.funnelStages(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id", Seq("view", "click", "purchase"))
+      .where(col("t3").isNotNull)
+      .select((unix_timestamp(col("t3")) - unix_timestamp(col("t1"))).as("secs"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(secs, 0.25)"), 2).as("p25"),
+        round(expr("percentile(secs, 0.5)"), 2).as("p50"),
+        round(expr("percentile(secs, 0.9)"), 2).as("p90"))
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2367,6 +2403,8 @@ object Queries {
     "q_tvd_drift" -> (qTvdDrift _),
     "q_doc_novelty" -> (qDocNovelty _),
     "q_burstiness" -> (qBurstiness _),
+    "q_equi_height" -> (qEquiHeight _),
+    "q_conversion_time" -> (qConversionTime _),
     "q_window_dedup" -> (qWindowDedup _),
     "q_pareto" -> (qPareto _),
   )
@@ -3222,6 +3260,26 @@ object Queries {
         "SELECT event_type, n_hours, n_events, " +
         "((n_hours * sxx - n_events * n_events) * 1000000) // (n_hours * n_events) AS fano_ppm " +
         "FROM s ORDER BY event_type"),
+    "q_equi_height" ->
+      ("WITH cents AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), " +
+        "r AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT) AS rank FROM cents), " +
+        "t AS (SELECT count(*) AS n FROM cents), " +
+        "b AS (SELECT CAST(i AS BIGINT) AS bucket, (CAST(i AS BIGINT) * n + 7) // 8 AS target " +
+        "FROM generate_series(1, 8) AS g(i) CROSS JOIN t) " +
+        "SELECT bucket, min(c) AS upper_cents, min(target) AS rank_at " +
+        "FROM r JOIN b ON r.rank = b.target GROUP BY bucket ORDER BY bucket"),
+    "q_conversion_time" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id), " +
+        "d AS (SELECT CAST(floor(epoch(s3.t3)) AS BIGINT) - CAST(floor(epoch(s1.t1)) AS BIGINT) AS secs " +
+        "FROM s3 JOIN s1 USING (user_id)) " +
+        "SELECT count(*) AS n_converted, " +
+        "round(quantile_cont(CAST(secs AS DOUBLE), 0.25), 2) AS p25, " +
+        "round(quantile_cont(CAST(secs AS DOUBLE), 0.5), 2) AS p50, " +
+        "round(quantile_cont(CAST(secs AS DOUBLE), 0.9), 2) AS p90 FROM d"),
     "q_lsh_recall" ->
       ("""WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)""" +
         ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)" +
