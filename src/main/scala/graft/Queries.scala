@@ -1923,6 +1923,76 @@ object Queries {
       .limit(20)
   }
 
+  /** Small-quantity revenue loss per brand (TPC-H Q17 shape): for every
+    * brand, the cent revenue of lineitems whose quantity is below 20% of
+    * that part's average order quantity. The correlated `avg` is exact
+    * integer arithmetic — `qty < 0.2·(sum/cnt)` ⟺ `5·qty·cnt < sum` (the
+    * fixture quantities are integral) — so no float comparison can flip a
+    * row. One shuffle builds the per-part (cnt, sum) aggregate; the fact
+    * re-join lands on the same `l_partkey` hash partitioning (no second
+    * fact shuffle); the part dimension broadcasts for the brand label.
+    * Output is the bounded 25-brand table. */
+  def qSmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("price_c"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
+    li.join(perPart, Seq("l_partkey"))
+      .where(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"), sum(col("price_c")).as("loss_c"))
+      .transform(ps(col("p_brand")))
+  }
+
+  /** Top supplier(s) by quarterly revenue (TPC-H Q15 shape): exact
+    * cent-percent revenue per supplier over 1998Q1 shipments, returning
+    * every supplier tied at the maximum (the view + HAVING max semantics
+    * of the original). The global max is a 1-row aggregate broadcast back
+    * onto the bounded per-supplier table — no global sort, no window over
+    * an unpartitioned frame; the supplier dimension broadcasts. */
+  def qTopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_shipdate").cast("date") >= lit("1998-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1998-04-01").cast("date"))
+      .select(col("l_suppkey"),
+        (expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100, 0) AS BIGINT)"))).as("rev"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("rev")).as("revenue_cp"))
+    val top = rev.agg(max(col("revenue_cp")).as("max_cp"))
+    rev.crossJoin(broadcast(top))
+      .where(col("revenue_cp") === col("max_cp"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cp"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total lineitem
+    * quantity exceeds 280 units, with their customer and exact cent value.
+    * The quantity screen is a map-side-combinable sum + HAVING on the
+    * order key (one fact shuffle); only the surviving ~1% of orders join
+    * to the orders/customer tables, so the probe side is pre-shrunk
+    * before any dimension touch. Quantities are integral longs — the
+    * threshold can never flip on accumulation order. */
+  def qLargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .where(col("total_qty") > 280L)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("total_cents"),
+        col("total_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+  }
+
   /** Source-vocabulary overlap matrix: pairwise Jaccard (ppm) of the
     * distinct-token sets of every source pair — the corpus-comparison
     * table behind mixture design. Pairs are generated PER TOKEN from the
@@ -2392,6 +2462,9 @@ object Queries {
     "q_ship_priority" -> (qShipPriority _),
     "q_market_share" -> (qMarketShare _),
     "q_part_affinity" -> (qPartAffinity _),
+    "q_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q_top_supplier" -> (qTopSupplier _),
+    "q_large_orders" -> (qLargeOrders _),
     "q_vocab_overlap" -> (qVocabOverlap _),
     "q_null_profile" -> (qNullProfile _),
     "q_lsh_precision" -> (qLshPrecision _),
@@ -3197,6 +3270,27 @@ object Queries {
         "SELECT part_a, part_b, c_xy, (c_xy * n_orders * 10000) // (x.c1 * y.c1) AS lift_e4 " +
         "FROM pr JOIN cnt x ON pr.part_a = x.l_partkey JOIN cnt y ON pr.part_b = y.l_partkey CROSS JOIN tot " +
         "ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20"),
+    "q_small_qty_revenue" ->
+      ("WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c FROM lineitem), " +
+        "pa AS (SELECT l_partkey, count(*) AS cnt, CAST(sum(qty) AS BIGINT) AS sum_qty FROM li GROUP BY 1) " +
+        "SELECT p_brand, count(*) AS n_small_lines, CAST(sum(price_c) AS BIGINT) AS loss_c " +
+        "FROM li JOIN pa USING (l_partkey) JOIN part ON l_partkey = p_partkey " +
+        "WHERE qty * 5 * cnt < sum_qty GROUP BY p_brand ORDER BY p_brand"),
+    "q_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_cp " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' " +
+        "AND CAST(l_shipdate AS DATE) < DATE '1998-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, revenue_cp FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE revenue_cp = (SELECT max(revenue_cp) FROM rev) ORDER BY s_suppkey"),
+    "q_large_orders" ->
+      ("WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +
+        "FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 280) " +
+        "SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents, total_qty " +
+        "FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY total_cents DESC, o_orderkey"),
     "q_vocab_overlap" ->
       (TP_TOK_CTE +
         ", st AS (SELECT DISTINCT source, token FROM tok)" +
