@@ -916,6 +916,23 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of join: each event picks the customer's order closest in
+    * time on either side (backward preferred on exact ties), with the
+    * winning |distance| in µs. One |L|+|R| shuffle computes both
+    * directional carries over a single window sort
+    * ([[graft.operators.AsOfJoin.asOfNearest]]); the oracle restates the
+    * semantics as the naive pair ranking, which the operator must match
+    * without ever materializing the pairs. */
+  def qAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val ord = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    graft.operators.AsOfJoin.asOfNearest(ev, ord, "user_id", "ts",
+        "o_orderdate", "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "dist_us")
+      .orderBy("event_id")
+  }
+
   /** Exact interpolated percentiles + median per group (≡ DuckDB
     * `quantile_cont`), via [[graft.operators.Ops.exactPercentiles]] —
     * distributed sort + window arithmetic. Spark's built-in exact
@@ -1923,6 +1940,58 @@ object Queries {
       .limit(20)
   }
 
+  /** Simpson concentration of the per-source token distribution —
+    * `λ_ppm = ⌊Σc² · 10⁶ / T²⌋` plus the inverse-Simpson effective type
+    * count `⌊T² / Σc²⌋` (the "how many equally-common tokens would look
+    * like this corpus" diversity number behind mixture design). All
+    * integer-exact: the ppm divides by T twice (nested floor division is
+    * exact), with the first step the overflow-safe two-step lift. Exact
+    * headroom: per-source `Σc² ≤ 9.2·10¹⁷` (worst case T ≈ 9.6·10⁸ tokens
+    * in one source if a single token dominates) and `T ≤ 3·10⁹` for the
+    * `T²` numerator — beyond that, shard sources into subgroups and
+    * combine. Token counts aggregate map-side twice (token, then source);
+    * output is the bounded source list. */
+  def qSimpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("t_tok"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("source"), col("t_tok"), col("n_types"), col("sum_c2"),
+        expr("(" + scaledDiv("sum_c2", "t_tok", 10L, 100000L) + ") div t_tok")
+          .as("simpson_ppm"),
+        expr("(t_tok * t_tok) div sum_c2").as("eff_types"))
+      .transform(ps(col("source")))
+  }
+
+  /** Per-source type-token-ratio profile: each document's TTR
+    * (`distinct tokens · 10⁶ div tokens` — the classic lexical-diversity
+    * quality signal), aggregated to min/max/mean per source. Both
+    * aggregation levels are map-side combinable; the per-doc distinct is
+    * a (doc, token) pre-aggregate, never a `collect_set`. Empty documents
+    * carry no tokens and drop out (same contract as every TP_TOK oracle). */
+  def qTtrProfile(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .groupBy(col("doc_id"), col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"))
+      .select(col("source"),
+        expr("(n_types * 1000000) div n_tok").as("ttr_ppm"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("ttr_ppm")).as("min_ttr_ppm"),
+        max(col("ttr_ppm")).as("max_ttr_ppm"),
+        expr("CAST(sum(ttr_ppm) AS BIGINT) div count(1)").as("avg_ttr_ppm"))
+      .transform(ps(col("source")))
+  }
+
   /** Small-quantity revenue loss per brand (TPC-H Q17 shape): for every
     * brand, the cent revenue of lineitems whose quantity is below 20% of
     * that part's average order quantity. The correlated `avg` is exact
@@ -2363,6 +2432,7 @@ object Queries {
     "q_cosine_topk" -> (qCosineTopk _),
     "q_simhash_dedup" -> (qSimhashDedup _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_rollup" -> (qRollup _),
     "q_token_count" -> (qTokenCount _),
     "q_window_range" -> (qWindowRange _),
@@ -2463,6 +2533,8 @@ object Queries {
     "q_market_share" -> (qMarketShare _),
     "q_part_affinity" -> (qPartAffinity _),
     "q_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q_simpson_diversity" -> (qSimpsonDiversity _),
+    "q_ttr_profile" -> (qTtrProfile _),
     "q_top_supplier" -> (qTopSupplier _),
     "q_large_orders" -> (qLargeOrders _),
     "q_vocab_overlap" -> (qVocabOverlap _),
@@ -2582,6 +2654,15 @@ object Queries {
       ("SELECT event_id, user_id, o_orderkey FROM (SELECT e.event_id, e.user_id, o.o_orderkey, " +
         "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
         "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t " +
+        "WHERE rn = 1 ORDER BY event_id"),
+    "q_asof_nearest" ->
+      ("WITH p AS (SELECT e.event_id, e.user_id, o.o_orderkey, " +
+        "abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(o.o_orderdate)) AS dist_us, " +
+        "CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END AS fwd, " +
+        "CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey ELSE o.o_orderkey END AS tb " +
+        "FROM events e JOIN orders o ON o.o_custkey = e.user_id) " +
+        "SELECT event_id, user_id, o_orderkey, dist_us FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist_us, fwd, tb) AS rn FROM p) t " +
         "WHERE rn = 1 ORDER BY event_id"),
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n " +
@@ -3270,6 +3351,22 @@ object Queries {
         "SELECT part_a, part_b, c_xy, (c_xy * n_orders * 10000) // (x.c1 * y.c1) AS lift_e4 " +
         "FROM pr JOIN cnt x ON pr.part_a = x.l_partkey JOIN cnt y ON pr.part_b = y.l_partkey CROSS JOIN tot " +
         "ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20"),
+    "q_simpson_diversity" ->
+      (TP_TOK_CTE +
+        ", c AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2)" +
+        ", a AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_tok, count(*) AS n_types, " +
+        "CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM c GROUP BY 1) " +
+        "SELECT source, t_tok, n_types, sum_c2, " +
+        "(" + scaledDivSql("sum_c2", "t_tok", 10L, 100000L) + ") // t_tok AS simpson_ppm, " +
+        "(t_tok * t_tok) // sum_c2 AS eff_types FROM a ORDER BY source"),
+    "q_ttr_profile" ->
+      (TP_TOK_CTE +
+        ", dc AS (SELECT doc_id, source, count(*) AS n_tok, " +
+        "CAST(count(DISTINCT token) AS BIGINT) AS n_types FROM tok GROUP BY 1, 2)" +
+        ", tt AS (SELECT source, (n_types * 1000000) // n_tok AS ttr_ppm FROM dc) " +
+        "SELECT source, count(*) AS n_docs, min(ttr_ppm) AS min_ttr_ppm, " +
+        "max(ttr_ppm) AS max_ttr_ppm, CAST(sum(ttr_ppm) AS BIGINT) // count(*) AS avg_ttr_ppm " +
+        "FROM tt GROUP BY source ORDER BY source"),
     "q_small_qty_revenue" ->
       ("WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, " +
         "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c FROM lineitem), " +

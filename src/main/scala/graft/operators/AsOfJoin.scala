@@ -39,9 +39,13 @@ object AsOfJoin {
     * @param inner      true → drop left rows with no prior right row;
     *                   false → keep them with null right payload
     */
-  def asOf(left: DataFrame, right: DataFrame, key: String,
-           leftTime: String, rightTime: String, rightTieBreak: String,
-           inner: Boolean = true): DataFrame = {
+  /** Tags both sides and unions them on (key, time) — the shared prefix of
+    * every as-of variant. Right rows order before left rows at the same
+    * instant (side 0 < 1) so a same-instant right row is visible to the
+    * left row's backward carry. */
+  private def tagAndUnion(left: DataFrame, right: DataFrame, key: String,
+                          leftTime: String, rightTime: String,
+                          rightTieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayloadCols = right.columns.toSeq.filterNot(_ == key)
 
@@ -65,15 +69,22 @@ object AsOfJoin {
         .fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
         .as("__l"),
       struct(rightPayloadCols.map(col): _*).as("__r"))
+    l.unionByName(r)
+  }
 
-    // Right rows order before left at the same instant (side 0 < 1); among
-    // right rows at the same instant the greatest tiebreak sorts last and
-    // is what `last` carries.
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String, rightTieBreak: String,
+           inner: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightPayloadCols = right.columns.toSeq.filterNot(_ == key)
+
+    // Among right rows at the same instant the greatest tiebreak sorts
+    // last and is what `last` carries.
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = l.unionByName(r)
+    val carried = tagAndUnion(left, right, key, leftTime, rightTime, rightTieBreak)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
@@ -81,5 +92,66 @@ object AsOfJoin {
     kept.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightPayloadCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Nearest as-of join: for each left row, the right row minimizing
+    * `|rightTime − leftTime|` for the same key, preferring the backward
+    * (at-or-before) candidate on an exact distance tie. Deterministic under
+    * same-instant ties: the backward candidate is the greatest
+    * `(rightTime, tiebreak)` at-or-before, the forward candidate the least
+    * `(rightTime, tiebreak)` strictly after the backward horizon — so every
+    * winner is totally ordered.
+    *
+    * Execution is the same union + one-shuffle carry as [[asOf]], with BOTH
+    * directional carries computed over one window sort (`last` over the
+    * preceding frame, `first` over the following frame — same partitioning
+    * and ordering, so Catalyst plans a single exchange + sort). Cost is
+    * |L|+|R| shuffled once, independent of right-rows-per-key — the naive
+    * `join + abs-distance rank` materializes every (left, right) key pair.
+    *
+    * @param distCol output column: the winning absolute distance in
+    *                microseconds (timestamp-µs precision, matching
+    *                `unix_micros`)
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String, rightTieBreak: String,
+                  distCol: String = "dist_us",
+                  inner: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightPayloadCols = right.columns.toSeq.filterNot(_ == key)
+
+    val order = Seq(col("__t"), col("__side"), col("__tie").asc_nulls_last)
+    val wBack = Window.partitionBy(col("__key")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("__key")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    // Backward: latest at-or-before, greatest tie last in sort order →
+    // `last` carries it. Forward: `first` non-null strictly after the
+    // current left row in sort order — the earliest later right row,
+    // smallest tie first (same-instant right rows sort BEFORE the left row
+    // and so belong to the backward carry, at distance zero).
+    val carried = tagAndUnion(left, right, key, leftTime, rightTime, rightTieBreak)
+      .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(col("__r"), ignoreNulls = true).over(wFwd))
+      .where(col("__side") === 1)
+
+    val distBack = abs(unix_micros(col("__t")) -
+      unix_micros(col(s"__back.$rightTime").cast("timestamp")))
+    val distFwd = abs(unix_micros(col(s"__fwd.$rightTime").cast("timestamp")) -
+      unix_micros(col("__t")))
+    // Null-safe preference: missing forward → backward; missing backward →
+    // forward; both present → smaller distance, backward on ties.
+    val useBack = col("__fwd").isNull ||
+      (col("__back").isNotNull && distBack <= distFwd)
+    val chosen = carried
+      .withColumn("__match", when(useBack, col("__back")).otherwise(col("__fwd")))
+      .withColumn("__dist", when(useBack, distBack).otherwise(distFwd))
+
+    val kept = if (inner) chosen.where(col("__match").isNotNull) else chosen
+    kept.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayloadCols.map(c => col(s"__match.$c").as(c)) :+
+        col("__dist").as(distCol): _*)
   }
 }
