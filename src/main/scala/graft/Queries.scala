@@ -1940,6 +1940,68 @@ object Queries {
       .limit(20)
   }
 
+  /** Order-independent table checksum per month — the replica-validation /
+    * migration-audit primitive: each row canonicalized to a typed string
+    * (integers, cents, ISO dates — no float formatting to diverge between
+    * engines), md5'd, the first 15 hex chars (60 bits, always positive in
+    * a long) XOR-folded per group. XOR is commutative, associative and
+    * overflow-free, so the aggregate is map-side combinable and identical
+    * under any row order or partitioning — two tables match iff (count,
+    * checksum) match per partition-month. */
+  def qTableChecksum(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        expr("CAST(conv(substr(md5(concat_ws('|', o_orderkey, o_custkey, " +
+          "o_orderstatus, CAST(round(o_totalprice * 100, 0) AS BIGINT), " +
+          "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("ym"))
+
+  /** Triangle participation in the co-purchase graph: parts ranked by how
+    * many co-purchase triangles (3 parts pairwise co-ordered ≥ 2 times)
+    * they close. Execution is the degree-ordered orientation algorithm:
+    * every edge points from its lower-(degree, id) endpoint, bounding
+    * out-degree by O(√m) — so the wedge self-join is Σ outdeg² ≈ m^1.5
+    * worst-case instead of the naive hub-degree square, and each triangle
+    * is enumerated exactly once. The oracle states the naive canonical
+    * a<b<c triple join; both must produce the identical top-20. */
+  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("pa", "pb")
+    val deg = e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("n").as("pb"), col("d").as("db")), Seq("pb"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+          .otherwise(col("pb")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+          .otherwise(col("pa")).as("dst"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.src") === col("y.src") &&
+        col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("w"), col("x.dst").as("u"), col("y.dst").as("v"))
+    val tri = wedges.join(e,
+      col("pa") === least(col("u"), col("v")) &&
+        col("pb") === greatest(col("u"), col("v")))
+      .select(col("w"), col("u"), col("v"))
+    tri.select(explode(array(col("w"), col("u"), col("v"))).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("l_partkey"))
+      .limit(20)
+  }
+
   /** Simpson concentration of the per-source token distribution —
     * `λ_ppm = ⌊Σc² · 10⁶ / T²⌋` plus the inverse-Simpson effective type
     * count `⌊T² / Σc²⌋` (the "how many equally-common tokens would look
@@ -2534,6 +2596,8 @@ object Queries {
     "q_part_affinity" -> (qPartAffinity _),
     "q_small_qty_revenue" -> (qSmallQtyRevenue _),
     "q_simpson_diversity" -> (qSimpsonDiversity _),
+    "q_table_checksum" -> (qTableChecksum _),
+    "q_triangle_count" -> (qTriangleCount _),
     "q_ttr_profile" -> (qTtrProfile _),
     "q_top_supplier" -> (qTopSupplier _),
     "q_large_orders" -> (qLargeOrders _),
@@ -3351,6 +3415,23 @@ object Queries {
         "SELECT part_a, part_b, c_xy, (c_xy * n_orders * 10000) // (x.c1 * y.c1) AS lift_e4 " +
         "FROM pr JOIN cnt x ON pr.part_a = x.l_partkey JOIN cnt y ON pr.part_b = y.l_partkey CROSS JOIN tot " +
         "ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20"),
+    "q_table_checksum" ->
+      ("WITH r AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym, " +
+        "CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT), strftime(o_orderdate, '%Y-%m-%d'), " +
+        "o_orderpriority)), 1, 15) AS BIGINT) AS h FROM orders) " +
+        "SELECT ym, count(*) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS checksum " +
+        "FROM r GROUP BY ym ORDER BY ym"),
+    "q_triangle_count" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "t AS (SELECT x.pa AS a, x.pb AS b, y.pb AS c FROM e x " +
+        "JOIN e y ON x.pb = y.pa JOIN e z ON z.pa = x.pa AND z.pb = y.pb), " +
+        "m AS (SELECT unnest([a, b, c]) AS l_partkey FROM t) " +
+        "SELECT l_partkey, count(*) AS n_tri FROM m GROUP BY 1 " +
+        "ORDER BY n_tri DESC, l_partkey LIMIT 20"),
     "q_simpson_diversity" ->
       (TP_TOK_CTE +
         ", c AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2)" +

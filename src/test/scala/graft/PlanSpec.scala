@@ -395,4 +395,71 @@ class PlanSpec extends SparkSuite {
       .count(l => l.matches("""\(\d+\) SortMergeJoin.*"""))
     assert(smjNodes <= 1, s"only the fact-fact join may sort-merge:\n$p")
   }
+
+  test("q_small_qty_revenue: part dim broadcasts; correlated avg combines map-side") {
+    val p = plan(Queries.qSmallQtyRevenue(spark, SF))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part/brand dimension must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the per-part (cnt, sum) aggregate must combine map-side:\n$p")
+    // the fact ⋈ per-part-agg join is fact-shaped: at most that one may merge
+    val smj = p.linesIterator.count(l => l.matches("""\(\d+\) SortMergeJoin.*"""))
+    assert(smj <= 1, s"only the fact/per-part join may sort-merge:\n$p")
+  }
+
+  test("q_top_supplier: shipdate pushed to scan, no sort-merge join anywhere") {
+    val p = plan(Queries.qTopSupplier(spark, SF))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"quarter filter must reach the lineitem scan:\n$p")
+    // global-max (1 row) and supplier dim both broadcast; revenue table is
+    // already per-supplier (bounded) — nothing may sort-merge
+    assert(!p.contains("SortMergeJoin"),
+      s"both probe sides are broadcast-sized:\n$p")
+  }
+
+  test("q_large_orders: quantity screen combines map-side before any join") {
+    val p = plan(Queries.qLargeOrders(spark, SF))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"the per-order quantity sum must combine map-side:\n$p")
+  }
+
+  test("q_simpson_diversity / q_ttr_profile: pure two-level map-side aggregates") {
+    for ((name, df) <- Seq(
+        "q_simpson_diversity" -> Queries.qSimpsonDiversity(spark, SF),
+        "q_ttr_profile" -> Queries.qTtrProfile(spark, SF))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), s"$name must not plan any join:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$name must not plan any window:\n$p")
+      assert(p.contains("partial_count") || p.contains("Partial"),
+        s"$name aggregates must combine map-side:\n$p")
+    }
+  }
+
+  test("q_asof_nearest: no join, both directional carries over one key shuffle") {
+    val p = plan(Queries.qAsofNearest(spark, SF))
+    assert(!p.contains("Join"),
+      s"nearest as-of must not plan a join (pair expansion):\n$p")
+    val hashEx = p.linesIterator
+      .count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1,
+      s"both window frames must reuse ONE __key exchange (got $hashEx):\n$p")
+  }
+
+  test("q_table_checksum: XOR fold combines map-side, no shuffle of raw rows twice") {
+    val p = plan(Queries.qTableChecksum(spark, SF))
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the checksum must fold map-side:\n$p")
+    val hashEx = p.linesIterator
+      .count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"one grouped exchange of (ym, partial) only:\n$p")
+  }
+
+  test("q_triangle_count: top-20 via TakeOrdered, never a global sort") {
+    val p = plan(Queries.qTriangleCount(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"the bounded top-20 must not range-shuffle:\n$p")
+  }
 }
