@@ -61,7 +61,16 @@ object DevScaling {
       // final round-5 wave: composed scalable-numbering ops and the
       // bounded audit/analytics shapes
       "q_pareto", "q_window_dedup", "q_tvd_drift", "q_rfm_cells",
-      "q_ship_priority", "q_market_share", "q_stickiness", "q_user_growth")
+      "q_ship_priority", "q_market_share", "q_stickiness", "q_user_growth",
+      // round-5 closing wave: TPC-H classic shapes (bounded/row-bound),
+      // diversity aggregates (bounded), dual-carry as-of (linear), XOR
+      // checksum (bounded). q_triangle_count is EXCLUDED by design: under
+      // identical-payload replication every support-1 pair saturates the
+      // support-2 threshold, so the edge set itself grows 30×+ — the ratio
+      // would measure a different graph, not the operator's scaling
+      "q_small_qty_revenue", "q_top_supplier", "q_large_orders",
+      "q_simpson_diversity", "q_ttr_profile", "q_asof_nearest",
+      "q_table_checksum", "q_power_iteration", "q_zipf_profile")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)
@@ -73,8 +82,12 @@ object DevScaling {
       }.min
     }
 
+    // optional 3rd arg: comma-separated query-name filter for focused reruns
+    val onlyArg = if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val selected = onlyArg.map(o => picks.filter(o)).getOrElse(picks)
+
     println(f"[scaling] ${"query"}%-20s ${"t_1x"}%8s ${"t_" + reps + "x"}%8s ratio")
-    picks.foreach { q =>
+    selected.foreach { q =>
       val t1 = time(q, src)
       val tN = time(q, dst)
       println(f"[scaling] $q%-20s $t1%8.2f $tN%8.2f ${tN / t1}%5.1f")

@@ -1940,6 +1940,55 @@ object Queries {
       .limit(20)
   }
 
+  /** One PCA power-iteration step over the embedding corpus:
+    * `w = Σ_rows (x·v)·x` for a deterministic Knuth-hash seed direction v
+    * — the distributed Gram-matrix-times-vector kernel behind spectral
+    * methods, without ever materializing the d×d Gram matrix. The per-row
+    * dot is row-local (zip_with/aggregate HOFs, zero shuffle); the only
+    * exchange carries dim-bounded (pos, partial-sum) rows. Output doubles
+    * are rounded (summation-order drift), per the file contract. */
+  def qPowerIteration(s: SparkSession, d: String): DataFrame = {
+    val vExpr = "transform(sequence(1, 64), j -> " +
+      "CAST((j * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)"
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("dot",
+        expr(s"aggregate(zip_with(emb, $vExpr, (a, b) -> a * b), " +
+          "0D, (acc, x) -> acc + x)"))
+      .select(col("dot"), posexplode(col("emb")).as(Seq("pos0", "val")))
+      .groupBy((col("pos0") + 1).cast("long").as("pos"))
+      .agg(round(sum(col("dot") * col("val")), 2).as("w"))
+      .transform(ps(col("pos")))
+  }
+
+  /** Zipf rank-bucket profile of the corpus token distribution: tokens
+    * ranked globally by (frequency desc, token) via the two-phase bucket
+    * ranker (never a SinglePartition window), then folded into power-of-2
+    * rank buckets — the log-log frequency curve as exact integers. The
+    * bucket is an integer CASE chain (2^b ≤ rank), no float log2 to flip
+    * a boundary; the corpus total rides a 1-row broadcast. ≤ 41 output
+    * rows at any scale. */
+  def qZipfProfile(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(explode(graft.functions.Shingles.shingles(
+        Ops.normalizeText(col("text")), 1)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .withColumn("neg_c", -col("c"))
+    val ranked = Ops.globalRowNumberScalable(cnt, "neg_c", Seq("token"), "rank")
+    val bucket = (0 to 40).foldLeft(lit(-1L)) { (acc, b) =>
+      when(col("rank") >= (1L << b), lit(b.toLong)).otherwise(acc)
+    }
+    val total = cnt.agg(sum(col("c")).as("total"))
+    ranked.select(bucket.as("rank_bucket"), col("c"))
+      .groupBy("rank_bucket")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("freq"))
+      .crossJoin(broadcast(total))
+      .select(col("rank_bucket"), col("n_tokens"), col("freq"),
+        expr(ppmDiv("freq", "total")).as("freq_ppm"))
+      .transform(ps(col("rank_bucket")))
+  }
+
   /** Order-independent table checksum per month — the replica-validation /
     * migration-audit primitive: each row canonicalized to a typed string
     * (integers, cents, ISO dates — no float formatting to diverge between
@@ -2597,6 +2646,8 @@ object Queries {
     "q_small_qty_revenue" -> (qSmallQtyRevenue _),
     "q_simpson_diversity" -> (qSimpsonDiversity _),
     "q_table_checksum" -> (qTableChecksum _),
+    "q_power_iteration" -> (qPowerIteration _),
+    "q_zipf_profile" -> (qZipfProfile _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_ttr_profile" -> (qTtrProfile _),
     "q_top_supplier" -> (qTopSupplier _),
@@ -3415,6 +3466,28 @@ object Queries {
         "SELECT part_a, part_b, c_xy, (c_xy * n_orders * 10000) // (x.c1 * y.c1) AS lift_e4 " +
         "FROM pr JOIN cnt x ON pr.part_a = x.l_partkey JOIN cnt y ON pr.part_b = y.l_partkey CROSS JOIN tot " +
         "ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20"),
+    "q_power_iteration" ->
+      ("WITH v AS (SELECT list_transform(generate_series(1, 64), j -> " +
+        "CAST((j * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5) AS v), " +
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "z AS (SELECT vec_id, unnest(emb) AS val, unnest(v) AS vv, " +
+        "CAST(generate_subscripts(emb, 1) AS BIGINT) AS pos FROM e CROSS JOIN v), " +
+        "dot AS (SELECT vec_id, sum(val * vv) AS dot FROM z GROUP BY vec_id) " +
+        "SELECT z.pos AS pos, round(sum(dot * val), 2) AS w " +
+        "FROM z JOIN dot USING (vec_id) GROUP BY z.pos ORDER BY pos"),
+    "q_zipf_profile" ->
+      (TP_TOK_CTE +
+        ", c AS (SELECT token, count(*) AS c FROM tok GROUP BY 1)" +
+        ", r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rank FROM c)" +
+        ", t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c)" +
+        ", b AS (SELECT " +
+        (0 to 40).reverse.map(b => s"WHEN rank >= ${1L << b} THEN $b")
+          .mkString("CASE ", " ", " ELSE -1 END") +
+        " AS rank_bucket, c FROM r) " +
+        "SELECT CAST(rank_bucket AS BIGINT) AS rank_bucket, n_tokens, freq, " +
+        ppmDivSql("freq", "total") + " AS freq_ppm FROM " +
+        "(SELECT rank_bucket, count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS freq " +
+        "FROM b GROUP BY 1) g CROSS JOIN t ORDER BY rank_bucket"),
     "q_table_checksum" ->
       ("WITH r AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym, " +
         "CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +

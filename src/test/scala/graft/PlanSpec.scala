@@ -456,6 +456,26 @@ class PlanSpec extends SparkSuite {
     assert(hashEx == 1, s"one grouped exchange of (ym, partial) only:\n$p")
   }
 
+  test("q_power_iteration: row-local dot (no shuffle), one dim-bounded exchange") {
+    val p = plan(Queries.qPowerIteration(spark, SF))
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"),
+      s"the Gram-times-vector kernel must be join- and window-free:\n$p")
+    val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1,
+      s"only the (pos, partial) rows may shuffle (got $hashEx exchanges):\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"per-pos sums must combine map-side:\n$p")
+  }
+
+  test("q_zipf_profile: global rank via bucket ranker, total broadcast back") {
+    val p = plan(Queries.qZipfProfile(spark, SF))
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("__bucket")),
+      s"the Zipf ranking must be bucket-partitioned, never SinglePartition:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row corpus total must broadcast:\n$p")
+  }
+
   test("q_triangle_count: top-20 via TakeOrdered, never a global sort") {
     val p = plan(Queries.qTriangleCount(spark, SF))
     assert(p.contains("TakeOrderedAndProject"), p)
