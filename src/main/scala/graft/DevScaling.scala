@@ -70,7 +70,10 @@ object DevScaling {
       // would measure a different graph, not the operator's scaling
       "q_small_qty_revenue", "q_top_supplier", "q_large_orders",
       "q_simpson_diversity", "q_ttr_profile", "q_asof_nearest",
-      "q_table_checksum", "q_power_iteration", "q_zipf_profile")
+      "q_table_checksum", "q_power_iteration", "q_zipf_profile",
+      // q_fuzzy_match is EXCLUDED: it reads only the customer dim, which
+      // this study copies (not replicates) — both sides would be identical
+      "q_reagg_audit")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

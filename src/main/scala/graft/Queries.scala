@@ -1940,6 +1940,58 @@ object Queries {
       .limit(20)
   }
 
+  /** Fuzzy self-match (edit distance 1) via deletion-neighborhood
+    * blocking — the scalable spell-correction / fuzzy-dedup pattern: each
+    * name emits itself plus its |name| single-character deletions as block
+    * keys (row-local explode); any two strings within one edit share a
+    * block, so candidates come from an equi-join on the block key instead
+    * of the O(n²) all-pairs scan, and every candidate is verified with
+    * the codegen'd `levenshtein`. Block sizes are bounded by the alphabet
+    * (≤ 10 digit variants here), so candidate pairs grow linearly with
+    * rows — the oracle states the naive quadratic join; results must be
+    * identical. */
+  def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.customer(s, d).select(col("c_name").as("name")).distinct()
+    val blocks = names.select(col("name"),
+      explode(expr("array_union(array(name), transform(sequence(1, length(name)), " +
+        "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))))"))
+        .as("blk"))
+    blocks.as("x")
+      .join(blocks.as("y"), col("x.blk") === col("y.blk") &&
+        col("x.name") < col("y.name"))
+      .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+      .distinct()
+      .where(expr("levenshtein(name_a, name_b) = 1"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Algebraic re-aggregation audit: quarter totals computed by MERGING
+    * monthly partials (sum/min/max/count re-aggregate, XOR checksums
+    * fold) — the cube-materialization / incremental-rollup primitive. The
+    * oracle computes the quarters DIRECTLY from rows, so the hash match
+    * itself proves merge(partials) ≡ direct for every aggregate, checksum
+    * included. Both levels combine map-side; nothing rescans the fact. */
+  def qReaggAudit(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.orders(s, d).select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      concat(date_format(col("o_orderdate"), "yyyy"), lit("-Q"),
+        quarter(col("o_orderdate"))).as("qtr"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+      expr("CAST(conv(substr(md5(concat_ws('|', o_orderkey, o_custkey, " +
+        "o_orderstatus, CAST(round(o_totalprice * 100, 0) AS BIGINT), " +
+        "date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority)), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+    val monthly = rows.groupBy(col("qtr"), col("ym"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+        expr("bit_xor(h)").as("xs"))
+    monthly.groupBy(col("qtr"))
+      .agg(count(lit(1)).as("n_months"), sum(col("n")).as("n_rows"),
+        sum(col("sc")).as("total_cents"), min(col("mn")).as("min_cents"),
+        max(col("mx")).as("max_cents"), expr("bit_xor(xs)").as("checksum"))
+      .transform(ps(col("qtr")))
+  }
+
   /** One PCA power-iteration step over the embedding corpus:
     * `w = Σ_rows (x·v)·x` for a deterministic Knuth-hash seed direction v
     * — the distributed Gram-matrix-times-vector kernel behind spectral
@@ -2647,6 +2699,8 @@ object Queries {
     "q_simpson_diversity" -> (qSimpsonDiversity _),
     "q_table_checksum" -> (qTableChecksum _),
     "q_power_iteration" -> (qPowerIteration _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_reagg_audit" -> (qReaggAudit _),
     "q_zipf_profile" -> (qZipfProfile _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_ttr_profile" -> (qTtrProfile _),
@@ -3466,6 +3520,22 @@ object Queries {
         "SELECT part_a, part_b, c_xy, (c_xy * n_orders * 10000) // (x.c1 * y.c1) AS lift_e4 " +
         "FROM pr JOIN cnt x ON pr.part_a = x.l_partkey JOIN cnt y ON pr.part_b = y.l_partkey CROSS JOIN tot " +
         "ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20"),
+    "q_fuzzy_match" ->
+      ("WITH c AS (SELECT DISTINCT c_name AS name FROM customer) " +
+        "SELECT a.name AS name_a, b.name AS name_b FROM c a JOIN c b " +
+        "ON a.name < b.name AND levenshtein(a.name, b.name) = 1 " +
+        "ORDER BY name_a, name_b"),
+    "q_reagg_audit" ->
+      ("WITH r AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym, " +
+        "strftime(o_orderdate, '%Y') || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS qtr, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, " +
+        "CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT), strftime(o_orderdate, '%Y-%m-%d'), " +
+        "o_orderpriority)), 1, 15) AS BIGINT) AS h FROM orders) " +
+        "SELECT qtr, CAST(count(DISTINCT ym) AS BIGINT) AS n_months, count(*) AS n_rows, " +
+        "CAST(sum(cents) AS BIGINT) AS total_cents, min(cents) AS min_cents, " +
+        "max(cents) AS max_cents, CAST(bit_xor(h) AS BIGINT) AS checksum " +
+        "FROM r GROUP BY qtr ORDER BY qtr"),
     "q_power_iteration" ->
       ("WITH v AS (SELECT list_transform(generate_series(1, 64), j -> " +
         "CAST((j * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5) AS v), " +

@@ -476,6 +476,26 @@ class PlanSpec extends SparkSuite {
       s"the 1-row corpus total must broadcast:\n$p")
   }
 
+  test("q_fuzzy_match: block-key equi-join, never a cartesian/NL all-pairs") {
+    val p = plan(Queries.qFuzzyMatch(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"deletion blocking must make this an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"the candidate join must be key-based:\n$p")
+  }
+
+  test("q_reagg_audit: both aggregation levels combine map-side, fact read once") {
+    val p = plan(Queries.qReaggAudit(spark, SF))
+    assert(!p.contains("Join"), s"the merge must not re-join the fact:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"monthly partials must combine map-side:\n$p")
+    // one scan only (detail-header lines — the tree echoes each node):
+    // the quarter level re-aggregates the monthly partials
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"the orders fact must be scanned exactly once:\n$p")
+  }
+
   test("q_triangle_count: top-20 via TakeOrdered, never a global sort") {
     val p = plan(Queries.qTriangleCount(spark, SF))
     assert(p.contains("TakeOrderedAndProject"), p)
