@@ -1940,6 +1940,68 @@ object Queries {
       .limit(20)
   }
 
+  /** CUSUM change-point per order priority: the day where the cumulative
+    * deviation of daily revenue from a flat baseline peaks —
+    * `dev_k = |n·P_k − k·total|` over day-ordered prefix sums, all exact
+    * integer cents (the classic mean-shift detector with the rational
+    * mean lifted to integers: n·P_k − k·total = n·(P_k − k·mean)).
+    * Per-priority windows are calendar-bounded (≤ days rows per group),
+    * the (n, total) baseline rides a broadcast, and the argmax day is a
+    * deterministic (dev desc, day) rank. Headroom: `n_days·total_cents`
+    * ≤ 2⁶³ holds to ~10¹⁴ cents of revenue per priority across 10⁴ days. */
+  def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+    val base = daily.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total_cents"))
+    val wDay = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = daily
+      .withColumn("p", sum(col("x")).over(wDay))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))).cast("long"))
+      .join(broadcast(base), Seq("o_orderpriority"))
+      .withColumn("cusum_dev",
+        abs(col("n_days") * col("p") - col("k") * col("total_cents")))
+    dev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cusum_dev").desc, col("day"))))
+      .where(col("rn") === 1)
+      .select(col("o_orderpriority"), col("day"), col("n_days"),
+        col("total_cents"), col("cusum_dev"))
+      .transform(ps(col("o_orderpriority")))
+  }
+
+  /** Seasonal-baseline anomaly ranking: each (date, hour) event count
+    * against its (day-of-week, hour) baseline across all observed dates —
+    * `ratio_ppm = (count·n_dates_of_dow·10⁶) div cell_total`, exact via
+    * the two-step lift (headroom `count·n_dates ≤ 9.2·10¹⁵`). The dow
+    * calendar and the 7×24 baseline grid are bounded at any scale and
+    * broadcast back onto the hourly aggregate; the top-20 anomalies rank
+    * by TakeOrdered, never a global sort. */
+  def qSeasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("ts").cast("date").as("day"),
+      hour(col("ts")).cast("long").as("hr"))
+    val hourly = ev.groupBy("day", "hr").agg(count(lit(1)).as("cnt"))
+    val dowOf = dayofweek(col("day")).cast("long")
+    val dates = ev.select("day").distinct()
+    val dowN = dates.select(col("day"), dowOf.as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("n_dates"))
+    val cellTotal = hourly.select(dowOf.as("dow"), col("hr"), col("cnt"))
+      .groupBy("dow", "hr").agg(sum(col("cnt")).as("cell_total"))
+    hourly.select(col("day"), col("hr"), col("cnt"), dowOf.as("dow"))
+      .join(broadcast(dowN), Seq("dow"))
+      .join(broadcast(cellTotal), Seq("dow", "hr"))
+      .select(col("day"), col("hr"), col("cnt"), col("n_dates"),
+        col("cell_total"),
+        expr(scaledDiv("(cnt * n_dates)", "cell_total", 1000L, 1000L))
+          .as("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("day"), col("hr"))
+      .limit(20)
+  }
+
   /** Fuzzy self-match (edit distance 1) via deletion-neighborhood
     * blocking — the scalable spell-correction / fuzzy-dedup pattern: each
     * name emits itself plus its |name| single-character deletions as block
@@ -2700,6 +2762,8 @@ object Queries {
     "q_table_checksum" -> (qTableChecksum _),
     "q_power_iteration" -> (qPowerIteration _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_changepoint" -> (qChangepoint _),
+    "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_reagg_audit" -> (qReaggAudit _),
     "q_zipf_profile" -> (qZipfProfile _),
     "q_triangle_count" -> (qTriangleCount _),
@@ -3520,6 +3584,27 @@ object Queries {
         "SELECT part_a, part_b, c_xy, (c_xy * n_orders * 10000) // (x.c1 * y.c1) AS lift_e4 " +
         "FROM pr JOIN cnt x ON pr.part_a = x.l_partkey JOIN cnt y ON pr.part_b = y.l_partkey CROSS JOIN tot " +
         "ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20"),
+    "q_changepoint" ->
+      ("WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1, 2), " +
+        "base AS (SELECT o_orderpriority, count(*) AS n_days, CAST(sum(x) AS BIGINT) AS total_cents FROM daily GROUP BY 1), " +
+        "p AS (SELECT o_orderpriority, day, CAST(sum(x) OVER (PARTITION BY o_orderpriority ORDER BY day) AS BIGINT) AS p, " +
+        "CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY day) AS BIGINT) AS k FROM daily), " +
+        "dv AS (SELECT p.o_orderpriority, day, n_days, total_cents, " +
+        "abs(n_days * p - k * total_cents) AS cusum_dev FROM p JOIN base USING (o_orderpriority)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY cusum_dev DESC, day) AS rn FROM dv) " +
+        "SELECT o_orderpriority, day, n_days, total_cents, cusum_dev FROM r WHERE rn = 1 " +
+        "ORDER BY o_orderpriority"),
+    "q_seasonal_anomaly" ->
+      ("WITH ev AS (SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hr FROM events), " +
+        "hourly AS (SELECT day, hr, count(*) AS cnt FROM ev GROUP BY 1, 2), " +
+        "dn AS (SELECT dayofweek(day) AS dow, count(*) AS n_dates FROM (SELECT DISTINCT day FROM ev) GROUP BY 1), " +
+        "ct AS (SELECT dayofweek(day) AS dow, hr, CAST(sum(cnt) AS BIGINT) AS cell_total FROM hourly GROUP BY 1, 2) " +
+        "SELECT day, h.hr AS hr, cnt, n_dates, cell_total, " +
+        scaledDivSql("(cnt * n_dates)", "cell_total", 1000L, 1000L) + " AS ratio_ppm " +
+        "FROM hourly h JOIN dn ON dayofweek(h.day) = dn.dow " +
+        "JOIN ct ON dayofweek(h.day) = ct.dow AND h.hr = ct.hr " +
+        "ORDER BY ratio_ppm DESC, day, hr LIMIT 20"),
     "q_fuzzy_match" ->
       ("WITH c AS (SELECT DISTINCT c_name AS name FROM customer) " +
         "SELECT a.name AS name_a, b.name AS name_b FROM c a JOIN c b " +

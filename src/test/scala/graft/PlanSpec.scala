@@ -476,6 +476,23 @@ class PlanSpec extends SparkSuite {
       s"the 1-row corpus total must broadcast:\n$p")
   }
 
+  test("q_changepoint: priority-partitioned windows, baseline broadcast back") {
+    val p = plan(Queries.qChangepoint(spark, SF))
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("o_orderpriority")),
+      s"every CUSUM window must be priority-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the (n, total) baseline must broadcast:\n$p")
+  }
+
+  test("q_seasonal_anomaly: bounded grids broadcast, top-20 via TakeOrdered") {
+    val p = plan(Queries.qSeasonalAnomaly(spark, SF))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"dow calendar and 7x24 baseline must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-sized join exists here:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_fuzzy_match: block-key equi-join, never a cartesian/NL all-pairs") {
     val p = plan(Queries.qFuzzyMatch(spark, SF))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
