@@ -73,7 +73,8 @@ object DevScaling {
       "q_table_checksum", "q_power_iteration", "q_zipf_profile",
       // q_fuzzy_match is EXCLUDED: it reads only the customer dim, which
       // this study copies (not replicates) — both sides would be identical
-      "q_reagg_audit", "q_changepoint", "q_seasonal_anomaly")
+      "q_reagg_audit", "q_changepoint", "q_seasonal_anomaly",
+      "q_auc_per_class", "q_calibration_bins")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -1940,6 +1940,66 @@ object Queries {
       .limit(20)
   }
 
+  /** Shared scored-embeddings frame for the evaluation-metric queries:
+    * a deterministic integer score per vector — the Knuth-seed dot product
+    * with each elementwise product rounded to an integer BEFORE summing,
+    * so the total is an order-free exact long (a raw double dot would rank
+    * differently across engines on a last-ulp tie). */
+  private def scoredEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val vExpr = "transform(sequence(1, 64), j -> " +
+      "CAST((j * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)"
+    Tables.embeddings(s, d).select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      expr(s"aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+        s"$vExpr, (a, b) -> CAST(round(a * b * 1000000, 0) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("score"))
+  }
+
+  /** One-vs-rest AUC per class via the Mann-Whitney rank-sum — the
+    * model-evaluation metric computed from ONE global ranking pass (the
+    * two-phase bucket ranker, never a single-task window):
+    * `U_c = Σ_{label=c} rank − n_c(n_c+1)/2`, `AUC_ppm = ⌊U_c·10⁶ /
+    * (n_c·(N−n_c))⌋` — all exact integers, ties resolved by the
+    * deterministic (score, vec_id) total order. Headroom: the two-step
+    * ppm lift is exact to `U ≤ 9.2·10¹⁵` (N ≈ 1.9·10⁸ rows); shard the
+    * ranking beyond that. */
+  def qAucPerClass(s: SparkSession, d: String): DataFrame = {
+    val scored = scoredEmbeddings(s, d)
+    val ranked = Ops.globalRowNumberScalable(scored, "score", Seq("vec_id"), "rank")
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    ranked.groupBy(col("label").as("class"))
+      .agg(count(lit(1)).as("n_pos"), sum(col("rank")).as("rank_sum"))
+      .crossJoin(broadcast(tot))
+      .select(col("class"), col("n_pos"),
+        expr("rank_sum - (n_pos * (n_pos + 1)) div 2").as("u_stat"),
+        col("n_total"))
+      .select(col("class"), col("n_pos"), col("u_stat"),
+        expr(ppmDiv("u_stat", "(n_pos * (n_total - n_pos))")).as("auc_ppm"))
+      .transform(ps(col("class")))
+  }
+
+  /** Score-decile reliability table (calibration curve): rows bucketed by
+    * exact global score decile `((rank−1)·10) div N + 1`, per-decile row
+    * count, positive count (label ≥ 5), positive rate ppm and the exact
+    * integer score sum (no mean division — scores may be negative and
+    * floor-vs-truncate would diverge between engines). Same single
+    * ranking pass as the AUC; 10 output rows at any scale. */
+  def qCalibrationBins(s: SparkSession, d: String): DataFrame = {
+    val scored = scoredEmbeddings(s, d)
+    val ranked = Ops.globalRowNumberScalable(scored, "score", Seq("vec_id"), "rank")
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(tot))
+      .select(expr("((rank - 1) * 10) div n_total + 1").as("decile"),
+        col("label"), col("score"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") >= 5L, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score")).as("sum_score"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr(ppmDiv("n_pos", "n")).as("pos_ppm"), col("sum_score"))
+      .transform(ps(col("decile")))
+  }
+
   /** CUSUM change-point per order priority: the day where the cumulative
     * deviation of daily revenue from a flat baseline peaks —
     * `dev_k = |n·P_k − k·total|` over day-ordered prefix sums, all exact
@@ -2763,6 +2823,8 @@ object Queries {
     "q_power_iteration" -> (qPowerIteration _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_changepoint" -> (qChangepoint _),
+    "q_auc_per_class" -> (qAucPerClass _),
+    "q_calibration_bins" -> (qCalibrationBins _),
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_reagg_audit" -> (qReaggAudit _),
     "q_zipf_profile" -> (qZipfProfile _),
@@ -2794,6 +2856,20 @@ object Queries {
     """WITH norm AS (SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)""" +
     ", tok AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS token, " +
     "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm WHERE t <> '')"
+
+  /** Shared CTE chain for the evaluation-metric oracles: deterministic
+    * integer score (elementwise-rounded Knuth-seed dot), global
+    * (score, vec_id) ranking and the corpus total. */
+  private val SCORED_EMB_CTE =
+    "WITH v AS (SELECT list_transform(generate_series(1, 64), j -> " +
+      "CAST((j * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5) AS v), " +
+      "e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+      "z AS (SELECT vec_id, label, unnest(emb) AS val, unnest(v) AS vv FROM e CROSS JOIN v), " +
+      "sc AS (SELECT vec_id, label, CAST(sum(CAST(round(val * vv * 1000000, 0) AS BIGINT)) AS BIGINT) AS score " +
+      "FROM z GROUP BY 1, 2), " +
+      "r AS (SELECT vec_id, label, score, CAST(row_number() OVER (ORDER BY score, vec_id) AS BIGINT) AS rank FROM sc), " +
+      "t AS (SELECT count(*) AS n_total FROM sc)"
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" ->
@@ -3584,6 +3660,20 @@ object Queries {
         "SELECT part_a, part_b, c_xy, (c_xy * n_orders * 10000) // (x.c1 * y.c1) AS lift_e4 " +
         "FROM pr JOIN cnt x ON pr.part_a = x.l_partkey JOIN cnt y ON pr.part_b = y.l_partkey CROSS JOIN tot " +
         "ORDER BY lift_e4 DESC, part_a, part_b LIMIT 20"),
+    "q_auc_per_class" ->
+      (SCORED_EMB_CTE +
+        " SELECT class, n_pos, u_stat, " +
+        ppmDivSql("u_stat", "(n_pos * (n_total - n_pos))") + " AS auc_ppm FROM " +
+        "(SELECT label AS class, count(*) AS n_pos, " +
+        "CAST(sum(rank) AS BIGINT) - (count(*) * (count(*) + 1)) // 2 AS u_stat " +
+        "FROM r GROUP BY 1) g CROSS JOIN t ORDER BY class"),
+    "q_calibration_bins" ->
+      (SCORED_EMB_CTE +
+        " SELECT decile, n, n_pos, " + ppmDivSql("n_pos", "n") + " AS pos_ppm, sum_score FROM " +
+        "(SELECT ((rank - 1) * 10) // n_total + 1 AS decile, count(*) AS n, " +
+        "CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+        "CAST(sum(score) AS BIGINT) AS sum_score FROM r CROSS JOIN t GROUP BY 1) g " +
+        "ORDER BY decile"),
     "q_changepoint" ->
       ("WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, " +
         "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1, 2), " +

@@ -476,6 +476,19 @@ class PlanSpec extends SparkSuite {
       s"the 1-row corpus total must broadcast:\n$p")
   }
 
+  test("q_auc_per_class / q_calibration_bins: rank via bucket ranker, total broadcast") {
+    for ((name, df) <- Seq(
+        "q_auc_per_class" -> Queries.qAucPerClass(spark, SF),
+        "q_calibration_bins" -> Queries.qCalibrationBins(spark, SF))) {
+      val p = plan(df)
+      val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("__bucket")),
+        s"$name must rank via the bucket ranker, never one task:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name joins only broadcast-sized tables:\n$p")
+    }
+  }
+
   test("q_changepoint: priority-partitioned windows, baseline broadcast back") {
     val p = plan(Queries.qChangepoint(spark, SF))
     val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
