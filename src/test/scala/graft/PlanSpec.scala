@@ -506,13 +506,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_fuzzy_match: block-key equi-join, never a cartesian/NL all-pairs") {
+  test("q_fuzzy_match: in-block pair expansion — no join of any kind") {
     val p = plan(Queries.qFuzzyMatch(spark, SF))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"deletion blocking must make this an equi-join:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
-      || p.contains("ShuffledHashJoin"),
-      s"the candidate join must be key-based:\n$p")
+    assert(!p.contains("Join"),
+      s"deletion blocking groups by block key; an all-pairs join would be " +
+        s"the quadratic form:\n$p")
+    // name dedup + block groupBy + true-pair distinct — nothing else
+    val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx <= 3, s"only name-dedup, block groupBy and pair distinct " +
+      s"may shuffle (got $hashEx):\n$p")
   }
 
   test("q_reagg_audit: both aggregation levels combine map-side, fact read once") {
