@@ -74,7 +74,12 @@ object DevScaling {
       // q_fuzzy_match is EXCLUDED: it reads only the customer dim, which
       // this study copies (not replicates) — both sides would be identical
       "q_reagg_audit", "q_changepoint", "q_seasonal_anomaly",
-      "q_auc_per_class", "q_calibration_bins")
+      "q_auc_per_class", "q_calibration_bins",
+      // round-5 window/time-series wave: linear one-sort window folds and
+      // the calendar-bounded rolling moments. q_pagerank_step is EXCLUDED
+      // for the q_triangle_count reason: identical-payload replication
+      // inflates co-purchase edge support, changing the graph itself
+      "q_clamped_balance", "q_ewma_decay", "q_rolling_corr")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

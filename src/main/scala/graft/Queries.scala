@@ -2694,6 +2694,120 @@ object Queries {
         round(expr("percentile(secs, 0.5)"), 2).as("p50"),
         round(expr("percentile(secs, 0.9)"), 2).as("p90"))
 
+  /** Clamped-at-zero running balance (inventory / credit-ledger / queue
+    * semantics) in ONE window pass. The Lindley recurrence
+    * `B_n = max(0, B_{n-1} + x_n)` looks inherently sequential, but has
+    * the closed form `B_n = P_n − min(0, min_{k≤n} P_k)` over prefix sums
+    * `P` — so the stateful fold becomes two window aggregates (running
+    * sum + running min of that sum) over the SAME (user, ts) sort: one
+    * exchange, one sort, no mapGroups state, growing frames only (never
+    * the O(rows²) UnboundedFollowing re-scan). Deltas are signed integer
+    * cents (credits for signup/purchase, debits otherwise) — exact at any
+    * scale; per-user partitions keep the window distributed. */
+  def qClampedBalance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CASE WHEN event_type IN ('signup', 'purchase') " +
+          "THEN CAST(round(value * 100, 0) AS BIGINT) " +
+          "ELSE -CAST(round(value * 100, 0) AS BIGINT) END").as("delta"))
+      .withColumn("pref", sum(col("delta")).over(w))
+      .withColumn("runmin", min(col("pref")).over(w))
+      .select(col("user_id"), col("event_id"), col("delta"),
+        (col("pref") - least(lit(0L), col("runmin"))).as("balance"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** EWMA (α = ½) per user as an 8-tap FIR filter: the IIR recurrence is
+    * truncated at 8 lags so the smoother becomes a STATELESS window
+    * expression — 8 `lag()` taps sharing one window sort, with
+    * power-of-two weights 2⁷‥2⁰ keeping everything integer-exact (Q8
+    * fixed point: ewma ≈ ewma_q8 / 2⁸; truncation error ≤ 2⁻⁸ of the
+    * oldest mass). One exchange + one sort per user partition; headroom
+    * cents·2⁷·8 ≈ 10¹² per row even at 100 TB event volumes. */
+  def qEwmaDecay(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val taps = (0 to 7).map(k =>
+      coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(1L << (7 - k)))
+    Tables.events(s, d)
+      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        taps.reduce(_ + _).as("ewma_q8"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Trailing-7-day rolling correlation between daily revenue (whole
+    * dollars) and daily order count per priority. The five moment sums
+    * (Σx, Σy, Σx², Σxy, Σy²) are exact BIGINTs over a 7-ROW frame —
+    * bounded frames re-scan ≤ 7 rows per output, one exchange + sort per
+    * priority — and the single r² division happens once at the very end
+    * in doubles with the identical expression shape in both engines
+    * (signed by the covariance, rounded to 6; zero-variance frames →
+    * NULL). Headroom: dollars/day ≤ 3·10⁹ keeps 7·x² < 2⁶³ — past that,
+    * de-scale the unit, not the algorithm. */
+  def qRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice, 0) AS BIGINT)")).as("x"),
+        count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    // all six frame aggregates in ONE select — interleaving them through
+    // withColumn inserts Projects that defeat CollapseWindow and plan six
+    // stacked Window nodes instead of one
+    daily
+      .select(col("o_orderpriority"), col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("o_orderpriority"), col("day"), col("n"),
+        col("num"), col("d1"), col("d2"),
+        expr("CASE WHEN d1 = 0 OR d2 = 0 THEN NULL " +
+          "WHEN num < 0 THEN -round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / " +
+          "(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) " +
+          "ELSE round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / " +
+          "(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) END").as("signed_r2"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  /** One PageRank superstep over the ≥2-co-ordered part graph (damping
+    * 0.85, unnormalized start rank 10⁶ per node): `rank' = 150000 +
+    * (85·Σ_{u→v} (10⁶ div deg_u)) div 100`, all deterministic integer
+    * truncation. Execution is the standard relational PageRank step —
+    * symmetric edge expansion, one degree aggregate joined back, one
+    * contribution shuffle keyed by destination — with top-20 via
+    * TakeOrdered (ties broken by part key). Iterating at scale = looping
+    * this plan with localCheckpoint between supersteps, exactly the
+    * [[graft.operators.TextOps.minHashDedupMap]] connected-components
+    * discipline. Headroom: 85·Σcontrib ≤ 85·deg·10⁶ < 2⁶³ up to 10¹¹
+    * neighbors per node. */
+  def qPagerankStep(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("pa", "pb")
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    sym.join(deg, Seq("src"))
+      .select(col("dst"), expr("1000000 div deg").as("contrib"))
+      .groupBy(col("dst")).agg(sum(col("contrib")).as("sc"))
+      .select(col("dst").as("l_partkey"),
+        (lit(150000L) + expr("(85 * sc) div 100")).as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("l_partkey")).limit(20)
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2857,6 +2971,10 @@ object Queries {
     "q_conversion_time" -> (qConversionTime _),
     "q_window_dedup" -> (qWindowDedup _),
     "q_pareto" -> (qPareto _),
+    "q_clamped_balance" -> (qClampedBalance _),
+    "q_ewma_decay" -> (qEwmaDecay _),
+    "q_rolling_corr" -> (qRollingCorr _),
+    "q_pagerank_step" -> (qPagerankStep _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -3961,5 +4079,59 @@ object Queries {
         ppmDivSql("cum", "total_cents") + " AS share_ppm, " +
         "(rank * 1000000) // n_customers AS pct_customers_ppm " +
         "FROM cum CROSS JOIN t WHERE cum * 5 >= total_cents * 4 ORDER BY rank LIMIT 1"),
+    "q_clamped_balance" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN event_type IN ('signup', 'purchase') " +
+        "THEN CAST(round(value * 100, 0) AS BIGINT) " +
+        "ELSE -CAST(round(value * 100, 0) AS BIGINT) END AS delta FROM events), " +
+        "p AS (SELECT user_id, event_id, ts, delta, CAST(sum(delta) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref FROM e), " +
+        "m AS (SELECT user_id, event_id, delta, pref, min(pref) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin FROM p) " +
+        "SELECT user_id, event_id, delta, pref - least(0, runmin) AS balance " +
+        "FROM m ORDER BY user_id, event_id"),
+    "q_ewma_decay" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, " +
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events) " +
+        "SELECT user_id, event_id, cents, " +
+        (0 to 7).map(k =>
+          s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (7 - k)}")
+          .mkString(" + ") + " AS ewma_q8 " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, event_id"),
+    "q_rolling_corr" ->
+      ("WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS x, " +
+        "count(*) AS y FROM orders GROUP BY 1, 2), " +
+        "s AS (SELECT o_orderpriority, day, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n, " +
+        "CAST(sum(x) OVER w AS BIGINT) AS sx, CAST(sum(y) OVER w AS BIGINT) AS sy, " +
+        "CAST(sum(x * x) OVER w AS BIGINT) AS sxx, " +
+        "CAST(sum(x * y) OVER w AS BIGINT) AS sxy, " +
+        "CAST(sum(y * y) OVER w AS BIGINT) AS syy " +
+        "FROM daily WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), " +
+        "m AS (SELECT o_orderpriority, day, n, " +
+        "n * sxy - sx * sy AS num, n * sxx - sx * sx AS d1, " +
+        "n * syy - sy * sy AS d2 FROM s) " +
+        "SELECT o_orderpriority, day, n, num, d1, d2, " +
+        "CASE WHEN d1 = 0 OR d2 = 0 THEN NULL " +
+        "WHEN num < 0 THEN -round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / " +
+        "(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) " +
+        "ELSE round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / " +
+        "(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) END AS signed_r2 " +
+        "FROM m ORDER BY o_orderpriority, day"),
+    "q_pagerank_step" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "d AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1), " +
+        "c AS (SELECT dst, 1000000 // deg AS contrib FROM sym JOIN d USING (src)) " +
+        "SELECT dst AS l_partkey, 150000 + (85 * CAST(sum(contrib) AS BIGINT)) // 100 AS rank_ppm " +
+        "FROM c GROUP BY dst ORDER BY rank_ppm DESC, l_partkey LIMIT 20"),
   )
 }

@@ -534,4 +534,47 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange rangepartitioning"),
       s"the bounded top-20 must not range-shuffle:\n$p")
   }
+
+  test("q_clamped_balance: Lindley fold is ONE window pass over one exchange") {
+    val p = plan(Queries.qClampedBalance(spark, SF))
+    // running-min-of-running-sum necessarily stacks two Window nodes
+    // (the second consumes the first's output) — but both share ONE
+    // user_id exchange and ONE sort; the only other exchange/sort pair
+    // is the presentation orderBy
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 2, s"exactly the two Lindley passes (got $winNodes):\n$p")
+    val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"one user_id shuffle only (got $hashEx):\n$p")
+    val sorts = p.linesIterator.count(_.matches("""\(\d+\) Sort.*"""))
+    assert(sorts <= 2, s"windows must share one sort (+1 presentation sort):\n$p")
+    assert(!p.contains("UnboundedFollowing"),
+      s"growing frames only — never the O(rows²) following re-scan:\n$p")
+  }
+
+  test("q_ewma_decay: all 8 FIR taps share one window sort and one exchange") {
+    val p = plan(Queries.qEwmaDecay(spark, SF))
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 1, s"8 lag taps must fuse into one Window (got $winNodes):\n$p")
+    val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"one user_id shuffle only (got $hashEx):\n$p")
+  }
+
+  test("q_rolling_corr: five moment sums fuse into one bounded-frame window") {
+    val p = plan(Queries.qRollingCorr(spark, SF))
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 1, s"all frame sums must share one Window (got $winNodes):\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"the daily pre-aggregate must combine map-side:\n$p")
+    assert(!p.contains("UnboundedPreceding"),
+      s"the frame is bounded (7 rows) — growing frames would re-state it:\n$p")
+  }
+
+  test("q_pagerank_step: top-20 via TakeOrdered; degree join never broadcasts the fact") {
+    val p = plan(Queries.qPagerankStep(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"the bounded top-20 must not range-shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"degree + contribution aggregates must combine map-side:\n$p")
+  }
 }
