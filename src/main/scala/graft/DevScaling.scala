@@ -79,7 +79,11 @@ object DevScaling {
       // the calendar-bounded rolling moments. q_pagerank_step is EXCLUDED
       // for the q_triangle_count reason: identical-payload replication
       // inflates co-purchase edge support, changing the graph itself
-      "q_clamped_balance", "q_ewma_decay", "q_rolling_corr")
+      "q_clamped_balance", "q_ewma_decay", "q_rolling_corr",
+      // retrieval/sketch wave: both bounded-output (≤5·|vocab| postings,
+      // exact heavy-hitter set). q_label_prop EXCLUDED for the graph-
+      // support-inflation reason above
+      "q_inverted_index", "q_heavy_hitters")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

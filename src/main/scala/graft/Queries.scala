@@ -2808,6 +2808,83 @@ object Queries {
       .orderBy(col("rank_ppm").desc, col("l_partkey")).limit(20)
   }
 
+  /** One synchronous label-propagation superstep over the ≥2-co-ordered
+    * part graph, seeded with the part's brand: each node adopts the most
+    * frequent neighbor label (ties → lexicographically smallest) — the
+    * community-detection LPA step as pure relational ops. The bounded
+    * brand dim broadcasts onto the edge stream twice (neighbor label,
+    * old label); the vote count is ONE map-side-combinable (dst, label)
+    * aggregate and the argmax a dst-partitioned window — no collect, no
+    * driver state. Iterating = looping this plan with localCheckpoint,
+    * the minhash-CC discipline. */
+  def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("pa", "pb")
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val lbl = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val votes = sym
+      .join(broadcast(lbl.select(col("p_partkey").as("src"),
+        col("p_brand").as("nlabel"))), Seq("src"))
+      .groupBy(col("dst"), col("nlabel")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(broadcast(lbl.select(col("p_partkey").as("dst"),
+        col("p_brand").as("old_label"))), Seq("dst"))
+      .select(col("dst").as("l_partkey"), col("old_label"),
+        col("nlabel").as("new_label"), col("votes"),
+        when(col("old_label") === col("nlabel"), 0L).otherwise(1L).as("changed"))
+      .orderBy("l_partkey")
+  }
+
+  /** Search-index build: the top-5 posting entries per token ranked by
+    * (tf desc, doc_id), with the full posting length carried alongside —
+    * the inverted-index materialization step of a retrieval pipeline.
+    * Two shuffles total: the (doc, token) tf aggregate (map-side
+    * combinable) and the token-keyed ranking window; posting length is a
+    * second window aggregate over the SAME token partitioning (stacked
+    * on one exchange + sort). Token keys are high-cardinality, so the
+    * window parallelizes; output is ≤ 5·|vocab| rows at any corpus
+    * scale. */
+  def qInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    val tf = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+      .groupBy(col("shingle").as("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val wRank = Window.partitionBy(col("token"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("token"))
+    tf.select(col("token"), col("doc_id"), col("tf"),
+        row_number().over(wRank).cast("long").as("pos"),
+        count(lit(1)).over(wAll).as("posting_len"))
+      .where(col("pos") <= 5)
+      .orderBy("token", "pos")
+  }
+
+  /** Exact heavy hitters over the document token stream at support 1/200
+    * via [[graft.operators.Ops.heavyHitters]] — per-partition Misra-Gries
+    * summaries (k = 400 counters, bounded memory) whose survivor union
+    * provably contains every token at the threshold, then an exact
+    * broadcast-restricted re-count. The declared result is the EXACT set
+    * `cnt·200 ≥ N` (partition-independent; the sketch only prunes the
+    * key space), so the oracle is the plain HAVING aggregate. At 100 TB
+    * this shape replaces a full token-vocabulary shuffle with a
+    * candidates·partitions one. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+      .select(col("shingle").as("token"))
+    Ops.heavyHitters(toks, "token", 200, 400)
+      .select(col("token"), col("cnt"), col("total"),
+        expr(ppmDiv("cnt", "total")).as("share_ppm"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -2975,6 +3052,9 @@ object Queries {
     "q_ewma_decay" -> (qEwmaDecay _),
     "q_rolling_corr" -> (qRollingCorr _),
     "q_pagerank_step" -> (qPagerankStep _),
+    "q_label_prop" -> (qLabelProp _),
+    "q_inverted_index" -> (qInvertedIndex _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4133,5 +4213,32 @@ object Queries {
         "c AS (SELECT dst, 1000000 // deg AS contrib FROM sym JOIN d USING (src)) " +
         "SELECT dst AS l_partkey, 150000 + (85 * CAST(sum(contrib) AS BIGINT)) // 100 AS rank_ppm " +
         "FROM c GROUP BY dst ORDER BY rank_ppm DESC, l_partkey LIMIT 20"),
+    "q_label_prop" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "v AS (SELECT dst, p_brand AS nlabel, count(*) AS votes " +
+        "FROM sym JOIN part ON src = p_partkey GROUP BY 1, 2), " +
+        "r AS (SELECT dst, nlabel, votes, row_number() OVER " +
+        "(PARTITION BY dst ORDER BY votes DESC, nlabel) AS rn FROM v) " +
+        "SELECT dst AS l_partkey, p_brand AS old_label, nlabel AS new_label, votes, " +
+        "CAST(CASE WHEN p_brand = nlabel THEN 0 ELSE 1 END AS BIGINT) AS changed " +
+        "FROM r JOIN part ON dst = p_partkey WHERE rn = 1 ORDER BY l_partkey"),
+    "q_inverted_index" ->
+      (TP_TOK_CTE +
+        ", tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "r AS (SELECT token, doc_id, tf, " +
+        "CAST(row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS BIGINT) AS pos, " +
+        "CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS posting_len FROM tf) " +
+        "SELECT token, doc_id, tf, pos, posting_len FROM r WHERE pos <= 5 " +
+        "ORDER BY token, pos"),
+    "q_heavy_hitters" ->
+      (TP_TOK_CTE +
+        ", t AS (SELECT count(*) AS n FROM tok), " +
+        "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1) " +
+        "SELECT token, cnt, n AS total, " + ppmDivSql("cnt", "n") + " AS share_ppm " +
+        "FROM c CROSS JOIN t WHERE cnt * 200 >= n ORDER BY cnt DESC, token"),
   )
 }

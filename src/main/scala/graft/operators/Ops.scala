@@ -416,4 +416,44 @@ object Ops {
       .where(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop("__bin")
   }
+
+  /** Exact frequent items ("heavy hitters") above support `1/s`, found
+    * with BOUNDED MEMORY instead of a full key-space aggregate: each
+    * partition runs a Misra-Gries summary with `k` counters (classic
+    * decrement-all stream sketch), and the union of per-partition
+    * survivors is re-counted EXACTLY and thresholded at `cnt·s ≥ N`.
+    *
+    * Why the two-pass result is exact and partition-order independent:
+    * any key with global frequency `f > N/(k+1)` exceeds `N_p/(k+1)` on
+    * at least one partition (averaging), and Misra-Gries never evicts a
+    * key while its residual count is positive — so with `k ≥ s` the
+    * candidate union is a SUPERSET of every key at the threshold, and
+    * the exact re-count then makes the final set independent of how the
+    * sketch got there. At 100 TB this is the operator for key spaces too
+    * large to hash-aggregate: the shuffle carries only
+    * candidates·partitions rows, never the raw key stream. The candidate
+    * re-count join broadcasts the (≤ k·partitions)-row candidate list. */
+  def heavyHitters(df: DataFrame, keyCol: String, s: Int, k: Int): DataFrame = {
+    require(k >= s, s"Misra-Gries needs k >= s for the superset guarantee (k=$k, s=$s)")
+    import df.sparkSession.implicits._
+    val keys = df.select(col(keyCol).cast("string")).as[String]
+    val candidates = keys.mapPartitions { it =>
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        if (cnt.contains(x)) cnt(x) += 1L
+        else if (cnt.size < k) cnt(x) = 1L
+        else {
+          cnt.mapValuesInPlace((_, v) => v - 1L)
+          cnt.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      cnt.keysIterator
+    }.distinct().toDF(keyCol)
+    val n = keys.count()
+    df.select(col(keyCol).cast("string").as(keyCol))
+      .join(broadcast(candidates), Seq(keyCol))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * s >= n)
+      .withColumn("total", lit(n))
+  }
 }

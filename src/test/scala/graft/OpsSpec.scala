@@ -213,4 +213,33 @@ class OpsSpec extends SparkSuite {
       .orderBy("k").select("k", "v").as[(Long, Double)].collect().toSeq
     assert(out == Seq((1L, 11.0), (3L, 30.0)))
   }
+
+  test("heavyHitters: exact at the threshold, invariant to partitioning") {
+    // 'hot' = 30/100 rows, 'warm' = 20/100; 50 singletons. s=5 (support
+    // 20%) with the minimum legal k=5 sketch must return exactly
+    // {hot, warm} no matter how the stream is split or ordered.
+    val rows = Seq.fill(30)("hot") ++ Seq.fill(20)("warm") ++
+      (0 until 50).map(i => s"cold_$i")
+    val expected = Seq(("hot", 30L), ("warm", 20L))
+    for (seed <- Seq(1, 2); parts <- Seq(1, 7, 32)) {
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      val df = shuffled.toDF("k").repartition(parts)
+      val out = Ops.heavyHitters(df, "k", 5, 5)
+        .orderBy($"cnt".desc, $"k")
+        .select("k", "cnt").as[(String, Long)].collect().toSeq
+      assert(out == expected, s"seed=$seed parts=$parts -> $out")
+    }
+  }
+
+  test("heavyHitters: adversarial spread — a heavy key diluted across partitions survives") {
+    // each partition sees the heavy key only a few times amid local noise;
+    // the averaging argument says at least one partition retains it
+    val rows = (0 until 32).flatMap { p =>
+      Seq.fill(4)(s"heavy") ++ (0 until 12).map(i => s"p${p}_n$i")
+    } // heavy = 128/512 = 25% support
+    val df = rows.toDF("k").repartition(32)
+    val out = Ops.heavyHitters(df, "k", 4, 8)
+      .select("k", "cnt").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("heavy", 128L)), out.toString)
+  }
 }

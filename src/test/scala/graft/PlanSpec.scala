@@ -577,4 +577,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"degree + contribution aggregates must combine map-side:\n$p")
   }
+
+  test("q_label_prop: brand dim broadcasts twice onto the edge stream") {
+    val p = plan(Queries.qLabelProp(spark, SF))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"neighbor-label and old-label joins must both broadcast the part dim:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the vote count must combine map-side:\n$p")
+  }
+
+  test("q_inverted_index: rank + posting-length windows stack on one token exchange") {
+    val p = plan(Queries.qInvertedIndex(spark, SF))
+    // (doc,token) tf shuffle + token window shuffle + presentation sort —
+    // the two window aggregates must NOT add a second token exchange
+    val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 2, s"tf aggregate + one token window exchange only (got $hashEx):\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the tf aggregate must combine map-side:\n$p")
+  }
+
+  test("q_heavy_hitters: candidate re-count join broadcasts; no full-vocab shuffle before pruning") {
+    val p = plan(Queries.qHeavyHitters(spark, SF))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded candidate list must broadcast into the re-count scan:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the restricted re-count must combine map-side:\n$p")
+  }
 }
