@@ -83,7 +83,12 @@ object DevScaling {
       // retrieval/sketch wave: both bounded-output (≤5·|vocab| postings,
       // exact heavy-hitter set). q_label_prop EXCLUDED for the graph-
       // support-inflation reason above
-      "q_inverted_index", "q_heavy_hitters")
+      "q_inverted_index", "q_heavy_hitters",
+      // audit/diagnostics wave: all bounded-output (6 relations, top-20
+      // keys, |sources| rows). q_graph_components EXCLUDED: co-purchase
+      // edge support inflates under identical-payload replication (the
+      // q_triangle_count reason)
+      "q_fk_audit", "q_skew_profile", "q_dataset_card")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSim.cosine_sim
-import graft.operators.{EventAnalytics, Ops, Shuffles, Similarity, TextOps, TrainPrep}
+import graft.operators.{EventAnalytics, Graph, Ops, Shuffles, Similarity, TextOps, TrainPrep}
 
 /** The declared query inventory (SURVEY.md §2.3): each entry re-expresses a
   * surveyed operator of the reference pipeline on the harness tables, paired
@@ -2885,6 +2885,112 @@ object Queries {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Exact connected components of the co-purchase graph
+    * ([[graft.operators.Graph.connectedComponents]] — min-label
+    * propagation + pointer jumping, O(log n) rounds, localCheckpoint per
+    * round), labeled with component sizes. The fixpoint (min node id per
+    * component) is unique, so the output is deterministic; the oracle
+    * states the same components as a recursive-CTE transitive closure —
+    * quadratic in component size and only viable at oracle scale, which
+    * is exactly the point of shipping the relational-iteration form. */
+  def qGraphComponents(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("pa", "pb")
+    val cc = Graph.connectedComponents(e, "pa", "pb")
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("csize"))
+    cc.join(sizes, Seq("component"))
+      .select(col("node").as("l_partkey"), col("component"), col("csize"))
+      .orderBy("l_partkey")
+  }
+
+  /** Referential-integrity audit over every FK relation in the star
+    * schema: child rows, orphan rows (no parent), orphan ppm — each
+    * relation ONE left-join + conditional-count pass (never a separate
+    * anti-join re-scan), dims broadcast, fact relations shuffled once on
+    * the FK. Bounded output (one row per declared relation) makes this
+    * the load-verification primitive that runs after every 100 TB bulk
+    * append. */
+  def qFkAudit(s: SparkSession, d: String): DataFrame = {
+    def rel(name: String, child: DataFrame, fk: String,
+            parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(pk).as("__pk")).distinct()
+      child.select(col(fk).as("__fk"))
+        .join(if (bcast) broadcast(p) else p, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphan"))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphan"),
+          expr(ppmDiv("n_orphan", "n_child")).as("orphan_ppm"))
+    }
+    rel("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", bcast = true)
+      .unionAll(rel("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", bcast = false))
+      .unionAll(rel("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey", bcast = true))
+      .unionAll(rel("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", bcast = true))
+      .unionAll(rel("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true))
+      .unionAll(rel("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true))
+      .orderBy("relation")
+  }
+
+  /** Join-key skew profile for the lineitem→orders shuffle key: the
+    * top-20 heaviest keys with their row share, plus the global skew
+    * factor `max_cnt·n_keys div n_rows` (1 000 000 = perfectly uniform)
+    * carried on every row. This is the diagnostic that decides salting /
+    * AQE skew-join thresholds BEFORE a 100 TB shuffle: one map-side
+    * combinable count, top-20 via TakeOrdered, the two scalar baselines
+    * broadcast back. */
+  def qSkewProfile(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val base = cnt.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    cnt.crossJoin(broadcast(base))
+      .select(col("l_orderkey"), col("cnt"), col("n_keys"), col("n_rows"),
+        expr(ppmDiv("cnt", "n_rows")).as("share_ppm"),
+        expr("(max_cnt * n_keys * 1000000) div n_rows").as("skew_factor_ppm"))
+      .orderBy(col("cnt").desc, col("l_orderkey")).limit(20)
+  }
+
+  /** Dataset datasheet ("dataset card") per source: docs, empty docs,
+    * token totals, distinct token types, mean tokens/doc (ppm), distinct
+    * languages — the curation summary a training-data release ships
+    * with. Two map-side-combinable aggregation passes (doc grain, then
+    * token-type grain) merged on the bounded source key; nothing here
+    * exceeds |sources| rows after the partials. */
+  def qDatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val docStats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(Ops.normalizeText(col("text")) === "", 1L).otherwise(0L))
+        .as("n_empty"),
+      count_distinct(col("lang")).as("n_langs"))
+    // tokens carry `source` straight out of the scan (row-local explode) —
+    // never a doc_id join back onto the token stream
+    val tok = docs.select(col("source"),
+      explode(graft.functions.Shingles.shingles(
+        Ops.normalizeText(col("text")), 1)).as("shingle"))
+    val tokStats = tok.groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("total_tokens"), count(lit(1)).as("n_types"))
+    docStats.join(tokStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_empty"), col("n_langs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        expr(ppmDiv("coalesce(total_tokens, 0)", "n_docs")).as("mean_len_ppm"))
+      .transform(ps(col("source")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3055,6 +3161,10 @@ object Queries {
     "q_label_prop" -> (qLabelProp _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_graph_components" -> (qGraphComponents _),
+    "q_fk_audit" -> (qFkAudit _),
+    "q_skew_profile" -> (qSkewProfile _),
+    "q_dataset_card" -> (qDatasetCard _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4240,5 +4350,63 @@ object Queries {
         "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1) " +
         "SELECT token, cnt, n AS total, " + ppmDivSql("cnt", "n") + " AS share_ppm " +
         "FROM c CROSS JOIN t WHERE cnt * 200 >= n ORDER BY cnt DESC, token"),
+    "q_graph_components" ->
+      ("WITH RECURSIVE " +
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "r(node, reach) AS (SELECT src, src FROM (SELECT DISTINCT src FROM sym) " +
+        "UNION SELECT r.node, s.dst FROM r JOIN sym s ON r.reach = s.src), " +
+        "cc AS (SELECT node, min(reach) AS component FROM r GROUP BY node), " +
+        "sz AS (SELECT component, count(*) AS csize FROM cc GROUP BY 1) " +
+        "SELECT node AS l_partkey, component, csize FROM cc JOIN sz USING (component) " +
+        "ORDER BY l_partkey"),
+    "q_fk_audit" ->
+      ("WITH rels AS (" +
+        "SELECT 'orders->customer' AS relation, count(*) AS n_child, " +
+        "CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan " +
+        "FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON o_custkey = c_custkey " +
+        "UNION ALL SELECT 'lineitem->orders', count(*), " +
+        "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p ON l_orderkey = o_orderkey " +
+        "UNION ALL SELECT 'lineitem->part', count(*), " +
+        "CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l_partkey = p_partkey " +
+        "UNION ALL SELECT 'lineitem->supplier', count(*), " +
+        "CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p ON l_suppkey = s_suppkey " +
+        "UNION ALL SELECT 'customer->nation', count(*), " +
+        "CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON c_nationkey = n_nationkey " +
+        "UNION ALL SELECT 'supplier->nation', count(*), " +
+        "CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON s_nationkey = n_nationkey) " +
+        "SELECT relation, n_child, n_orphan, " + ppmDivSql("n_orphan", "n_child") +
+        " AS orphan_ppm FROM rels ORDER BY relation"),
+    "q_skew_profile" ->
+      ("WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1), " +
+        "b AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+        "max(cnt) AS max_cnt FROM c) " +
+        "SELECT l_orderkey, cnt, n_keys, n_rows, " +
+        ppmDivSql("cnt", "n_rows") + " AS share_ppm, " +
+        "(max_cnt * n_keys * 1000000) // n_rows AS skew_factor_ppm " +
+        "FROM c CROSS JOIN b ORDER BY cnt DESC, l_orderkey LIMIT 20"),
+    "q_dataset_card" ->
+      (TP_TOK_CTE +
+        ", ds AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = '' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents GROUP BY 1), " +
+        "tt AS (SELECT source, shingle_token AS token, count(*) AS c FROM " +
+        "(SELECT source, token AS shingle_token FROM tok) GROUP BY 1, 2), " +
+        "ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens, " +
+        "count(*) AS n_types FROM tt GROUP BY 1) " +
+        "SELECT ds.source AS source, n_docs, n_empty, n_langs, " +
+        "coalesce(total_tokens, 0) AS total_tokens, " +
+        "coalesce(n_types, 0) AS n_types, " +
+        ppmDivSql("coalesce(total_tokens, 0)", "n_docs") + " AS mean_len_ppm " +
+        "FROM ds LEFT JOIN ts ON ds.source = ts.source ORDER BY source"),
   )
 }

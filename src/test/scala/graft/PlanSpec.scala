@@ -603,4 +603,33 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"the restricted re-count must combine map-side:\n$p")
   }
+
+  test("q_fk_audit: every dim-parent join broadcasts; fact parents may sort-merge") {
+    val p = plan(Queries.qFkAudit(spark, SF))
+    // 5 of the 6 relations have dim-sized parents → broadcast; only
+    // lineitem->orders joins fact-to-fact
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 5,
+      s"dim parents must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"orphan counts must combine map-side:\n$p")
+  }
+
+  test("q_skew_profile: top-20 via TakeOrdered, baselines broadcast back") {
+    val p = plan(Queries.qSkewProfile(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"the bounded top-20 must not range-shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the key-count aggregate must combine map-side:\n$p")
+  }
+
+  test("q_dataset_card: token stats never join the token stream on doc_id") {
+    val p = plan(Queries.qDatasetCard(spark, SF))
+    // source rides the explode out of the scan; the only joins merge the
+    // two |sources|-bounded aggregate outputs
+    assert(!p.contains("SortMergeJoin"),
+      s"bounded per-source aggregates must not sort-merge:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"both aggregate grains must combine map-side:\n$p")
+  }
 }
