@@ -88,7 +88,12 @@ object DevScaling {
       // keys, |sources| rows). q_graph_components EXCLUDED: co-purchase
       // edge support inflates under identical-payload replication (the
       // q_triangle_count reason)
-      "q_fk_audit", "q_skew_profile", "q_dataset_card")
+      "q_fk_audit", "q_skew_profile", "q_dataset_card",
+      // experiment/dedup wave: O(1) readout and linear fp-window. The
+      // pair-generating q_containment and graph q_bfs_levels are excluded
+      // (superlinear pair output under identical-payload replication;
+      // edge-support inflation)
+      "q_abtest_chi2", "q_prefix_dup")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -2991,6 +2991,138 @@ object Queries {
       .transform(ps(col("source")))
   }
 
+  /** BFS distance layers from the highest-degree node of the co-purchase
+    * graph (hop cap 15 — the declared semantics is `min distance ≤ 15`,
+    * identically stated by the oracle's depth-capped recursive CTE).
+    * Distance relaxation `d(v) := min(d(v), min_u d(u)+1)` as one
+    * map-side-combinable aggregate per round with localCheckpoint
+    * lineage truncation and a convergence-count early exit; the 1-row
+    * seed (max degree, min node tie-break) rides a broadcast — the
+    * driver never sees node data. Unreached nodes are excluded. */
+  def qBfsLevels(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("pa", "pb")
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("node"), lit(0L).as("sd"))
+    var dist = sym.select(col("src").as("node")).distinct()
+      .join(broadcast(seed), Seq("node"), "left")
+      .select(col("node"), col("sd").as("d"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 15) {
+      val relaxed = sym
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .where(col("d").isNotNull)
+        .groupBy(col("dst").as("node")).agg(min(col("d") + 1).as("nd"))
+      val next = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint()
+      changed = next.join(dist.withColumnRenamed("d", "prev"), Seq("node"))
+        .where(!(col("d") <=> col("prev"))).count()
+      dist.unpersist()
+      dist = next
+      iter += 1
+    }
+    sym.unpersist()
+    dist.where(col("d").isNotNull)
+      .select(col("node").as("l_partkey"), col("d").as("level"))
+      .orderBy("l_partkey")
+  }
+
+  /** Deterministic A/B experiment readout: users split into two arms by
+    * the portable Knuth multiplicative hash (engine-independent, no RNG
+    * state), per-arm conversion (≥ 14 purchase events — a threshold the
+    * fixture doesn't saturate) as exact integer counts and ppm rates,
+    * and the 2×2 chi-square statistic computed ONCE at the end in
+    * doubles with the identical expression in both engines. One
+    * user-keyed aggregate (map-side combinable max) then a 4-cell
+    * aggregate — the readout is O(1) output at any event volume. */
+  def qAbtestChi2(s: SparkSession, d: String): DataFrame = {
+    val arms = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .geq(14), 1L).otherwise(0L).as("converted"))
+      .withColumn("arm",
+        expr("((user_id % 2147483648) * 2654435761) % 4294967296 % 2"))
+    arms.agg(
+        sum(when(col("arm") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0 && col("converted") === 1, 1L).otherwise(0L)).as("b"),
+        sum(when(col("arm") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("c"),
+        sum(when(col("arm") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        expr(ppmDiv("b", "(a + b)")).as("rate0_ppm"),
+        expr(ppmDiv("d", "(c + d)")).as("rate1_ppm"),
+        expr("CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL " +
+          "ELSE round(((a + b + c + d) * pow(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2)) / " +
+          "((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d) * " +
+          "(CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)), 4) END").as("chi2"))
+  }
+
+  /** Prefix-duplicate detection: documents grouped by the md5 of their
+    * first 16 normalized tokens — the cheap linear pass that catches
+    * boilerplate-prefix and truncated-copy near-dups that full-text
+    * fingerprints miss. One hash-partitioned window over the prefix
+    * fingerprint (same discipline as [[qExactDedup]]); emits only
+    * multi-member groups with the canonical (min) doc and group size. */
+  def qPrefixDup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("pfp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Ops.normalizeText(col("text")).as("t"))
+      .where(col("t") =!= "")
+      .select(col("doc_id"),
+        md5(array_join(slice(split(col("t"), " "), 1, 16), " ")).as("pfp"))
+      .select(col("doc_id"), col("pfp"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("grp_size"))
+      .where(col("grp_size") >= 2)
+      .select(col("doc_id"), col("canonical_id"), col("grp_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Asymmetric containment dedup: pairs where ≥ 60% of the SMALLER
+    * document's token set appears in the larger one — the
+    * quote/excerpt/truncation case symmetric Jaccard under-scores. Same
+    * df-capped posting-list expansion as [[qNgramJaccard]] (bounded
+    * in-bucket pairs, no self-join), with the exact integer containment
+    * `c·10⁶ div min(na, nb)` and a strict-size asymmetry filter. */
+  def qContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).where(col("doc_id") % 50 === 0)
+    val tok = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(Ops.normalizeText(col("text")), " ")).as("token"))
+      .where(col("token") =!= "").distinct()
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dft = tok.groupBy("lang", "token").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 1000))
+    val inter = tok.join(dft.select("lang", "token"), Seq("lang", "token"))
+      .groupBy("lang", "token")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("nb")), "id_b")
+      .where(col("na") =!= col("nb"))
+      .select(col("id_a"), col("id_b"), col("c"), col("na"), col("nb"),
+        expr(ppmDiv("c", "least(na, nb)")).as("containment_ppm"))
+      .where(col("containment_ppm") >= 600000)
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3165,6 +3297,10 @@ object Queries {
     "q_fk_audit" -> (qFkAudit _),
     "q_skew_profile" -> (qSkewProfile _),
     "q_dataset_card" -> (qDatasetCard _),
+    "q_bfs_levels" -> (qBfsLevels _),
+    "q_abtest_chi2" -> (qAbtestChi2 _),
+    "q_prefix_dup" -> (qPrefixDup _),
+    "q_containment" -> (qContainment _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4408,5 +4544,62 @@ object Queries {
         "coalesce(n_types, 0) AS n_types, " +
         ppmDivSql("coalesce(total_tokens, 0)", "n_docs") + " AS mean_len_ppm " +
         "FROM ds LEFT JOIN ts ON ds.source = ts.source ORDER BY source"),
+    "q_bfs_levels" ->
+      ("WITH RECURSIVE " +
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "dg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1), " +
+        "seedq AS (SELECT src FROM dg ORDER BY deg DESC, src LIMIT 1), " +
+        "r(node, dd) AS (SELECT src, CAST(0 AS BIGINT) FROM seedq " +
+        "UNION SELECT s.dst, r.dd + 1 FROM r JOIN sym s ON r.node = s.src WHERE r.dd < 15) " +
+        "SELECT node AS l_partkey, CAST(min(dd) AS BIGINT) AS level FROM r " +
+        "GROUP BY node ORDER BY l_partkey"),
+    "q_abtest_chi2" ->
+      ("WITH u AS (SELECT user_id, " +
+        "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 " +
+        "THEN 1 ELSE 0 END AS converted " +
+        "FROM events GROUP BY 1), " +
+        "arms AS (SELECT ((user_id % 2147483648) * 2654435761) % 4294967296 % 2 AS arm, " +
+        "converted FROM u), " +
+        "cells AS (SELECT " +
+        "CAST(sum(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM arms) " +
+        "SELECT a, b, c, d, " +
+        ppmDivSql("b", "(a + b)") + " AS rate0_ppm, " +
+        ppmDivSql("d", "(c + d)") + " AS rate1_ppm, " +
+        "CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL " +
+        "ELSE round(((a + b + c + d) * pow(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2)) / " +
+        "((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d) * " +
+        "(CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)), 4) END AS chi2 " +
+        "FROM cells"),
+    "q_prefix_dup" ->
+      ("WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents), " +
+        "f AS (SELECT doc_id, md5(array_to_string(list_slice(string_split(t, ' '), 1, 16), ' ')) AS pfp " +
+        "FROM n WHERE t <> ''), " +
+        "g AS (SELECT doc_id, pfp, min(doc_id) OVER (PARTITION BY pfp) AS canonical_id, " +
+        "CAST(count(*) OVER (PARTITION BY pfp) AS BIGINT) AS grp_size FROM f) " +
+        "SELECT doc_id, canonical_id, grp_size FROM g WHERE grp_size >= 2 ORDER BY doc_id"),
+    "q_containment" ->
+      ("WITH d0 AS (SELECT * FROM documents WHERE doc_id % 50 = 0), " +
+        "n AS (SELECT doc_id, lang, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM d0), " +
+        "tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(t, ' ')) AS token FROM n WHERE t <> ''), " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1), " +
+        "dft AS (SELECT lang, token FROM (SELECT lang, token, count(*) AS df FROM tok GROUP BY 1, 2) " +
+        "WHERE df BETWEEN 2 AND 1000), " +
+        "inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c " +
+        "FROM tok x JOIN dft USING (lang, token) JOIN tok y " +
+        "ON x.lang = y.lang AND x.token = y.token AND x.doc_id < y.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, c, na, nb, " + ppmDivSql("c", "least(na, nb)") + " AS containment_ppm " +
+        "FROM inter JOIN (SELECT doc_id AS id_a, sz AS na FROM sz) USING (id_a) " +
+        "JOIN (SELECT doc_id AS id_b, sz AS nb FROM sz) USING (id_b) " +
+        "WHERE na <> nb AND " + ppmDivSql("c", "least(na, nb)") + " >= 600000 " +
+        "ORDER BY id_a, id_b"),
   )
 }

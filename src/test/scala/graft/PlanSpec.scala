@@ -623,6 +623,27 @@ class PlanSpec extends SparkSuite {
       s"the key-count aggregate must combine map-side:\n$p")
   }
 
+  test("q_abtest_chi2: two map-side-combinable aggregates, O(1) output, no window") {
+    val p = plan(Queries.qAbtestChi2(spark, SF))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"per-user and per-cell aggregates must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window needed for the 2x2 readout:\n$p")
+  }
+
+  test("q_prefix_dup: one fingerprint-partitioned window, one hash exchange") {
+    val p = plan(Queries.qPrefixDup(spark, SF))
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 1, s"canonical + size share one Window (got $winNodes):\n$p")
+    val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"one pfp shuffle only (got $hashEx):\n$p")
+  }
+
+  test("q_containment: in-bucket expansion — never a cartesian or nested-loop join") {
+    val p = plan(Queries.qContainment(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"df-capped posting lists must keep this an equi-join/groupBy shape:\n$p")
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
