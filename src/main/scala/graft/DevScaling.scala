@@ -93,7 +93,10 @@ object DevScaling {
       // pair-generating q_containment and graph q_bfs_levels are excluded
       // (superlinear pair output under identical-payload replication;
       // edge-support inflation)
-      "q_abtest_chi2", "q_prefix_dup")
+      "q_abtest_chi2", "q_prefix_dup",
+      // trend/imputation wave: calendar-bounded pair join, fp-keyed
+      // incremental dedup (linear), LOCF window (linear)
+      "q_mann_kendall", "q_incremental_dedup", "q_locf_impute")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

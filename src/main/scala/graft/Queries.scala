@@ -3123,6 +3123,74 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Mann-Kendall trend test per order priority, entirely in exact
+    * integers: monthly revenue cents first (map-side combinable, bounded
+    * by the calendar), then the S statistic `Σ_{i<j} sign(x_j − x_i)`
+    * with concordant/discordant/tie counts from the in-priority month
+    * pair join — pairs are CALENDAR-bounded (months², independent of row
+    * volume), so the quadratic stays O(1) at any data scale while the
+    * scan stays linear. The classic nonparametric "is revenue trending"
+    * readout, no distributional assumption, no floats. */
+  def qMannKendall(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+    monthly.as("i")
+      .join(monthly.as("j"), col("i.o_orderpriority") === col("j.o_orderpriority") &&
+        col("i.ym") < col("j.ym"))
+      .groupBy(col("i.o_orderpriority").as("o_orderpriority"))
+      .agg(
+        sum(expr("CAST(sign(j.x - i.x) AS BIGINT)")).as("s_stat"),
+        sum(when(col("j.x") > col("i.x"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("j.x") < col("i.x"), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("j.x") === col("i.x"), 1L).otherwise(0L)).as("ties"),
+        (count(lit(1))).as("n_pairs"))
+      .transform(ps(col("o_orderpriority")))
+  }
+
+  /** Incremental-ingest dedup: a NEW document batch (odd doc ids)
+    * checked against the EXISTING corpus (even ids) by whole-text
+    * fingerprint — the nightly-append primitive: `dup_of_corpus` from a
+    * left join onto the corpus fingerprint index (min existing doc as
+    * canonical), `dup_in_batch` from a first-wins window WITHIN the
+    * batch. Both sides hash-partition on the fingerprint — one co-keyed
+    * exchange each, no full-corpus rescan of anything but the bounded
+    * fingerprint column. */
+  def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val corpus = fp.where(col("doc_id") % 2 === 0)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_canonical"))
+    val batch = fp.where(col("doc_id") % 2 === 1)
+    val w = Window.partitionBy(col("fp"))
+    batch
+      .withColumn("batch_first", min(col("doc_id")).over(w))
+      .join(corpus, Seq("fp"), "left")
+      .select(col("doc_id"),
+        col("corpus_canonical"),
+        when(col("corpus_canonical").isNotNull, 1L).otherwise(0L).as("dup_of_corpus"),
+        when(col("doc_id") =!= col("batch_first"), 1L).otherwise(0L).as("dup_in_batch"))
+      .orderBy("doc_id")
+  }
+
+  /** Last-observation-carried-forward imputation (LOCF): every event
+    * annotated with its user's most recent PURCHASE value at that point
+    * in time (null before the first purchase) — the sparse-feature
+    * forward-fill of a training-data pipeline. `last(…, ignoreNulls)`
+    * over a growing frame: one exchange + one sort per user, never the
+    * O(rows²) following-frame scan; the value passes through untouched
+    * (bit-identical doubles from the shared parquet). */
+  def qLocfImpute(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w).as("last_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3301,6 +3369,9 @@ object Queries {
     "q_abtest_chi2" -> (qAbtestChi2 _),
     "q_prefix_dup" -> (qPrefixDup _),
     "q_containment" -> (qContainment _),
+    "q_mann_kendall" -> (qMannKendall _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_locf_impute" -> (qLocfImpute _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4601,5 +4672,32 @@ object Queries {
         "JOIN (SELECT doc_id AS id_b, sz AS nb FROM sz) USING (id_b) " +
         "WHERE na <> nb AND " + ppmDivSql("c", "least(na, nb)") + " >= 600000 " +
         "ORDER BY id_a, id_b"),
+    "q_mann_kendall" ->
+      ("WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM orders GROUP BY 1, 2) " +
+        "SELECT i.o_orderpriority AS o_orderpriority, " +
+        "CAST(sum(CAST(sign(j.x - i.x) AS BIGINT)) AS BIGINT) AS s_stat, " +
+        "CAST(sum(CASE WHEN j.x > i.x THEN 1 ELSE 0 END) AS BIGINT) AS concordant, " +
+        "CAST(sum(CASE WHEN j.x < i.x THEN 1 ELSE 0 END) AS BIGINT) AS discordant, " +
+        "CAST(sum(CASE WHEN j.x = i.x THEN 1 ELSE 0 END) AS BIGINT) AS ties, " +
+        "count(*) AS n_pairs " +
+        "FROM m i JOIN m j ON i.o_orderpriority = j.o_orderpriority AND i.ym < j.ym " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_incremental_dedup" ->
+      ("""WITH fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f FROM documents), """ +
+        "corpus AS (SELECT f, min(doc_id) AS corpus_canonical FROM fp WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "batch AS (SELECT doc_id, f, min(doc_id) OVER (PARTITION BY f) AS batch_first " +
+        "FROM fp WHERE doc_id % 2 = 1) " +
+        "SELECT doc_id, corpus_canonical, " +
+        "CAST(CASE WHEN corpus_canonical IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS dup_of_corpus, " +
+        "CAST(CASE WHEN doc_id <> batch_first THEN 1 ELSE 0 END AS BIGINT) AS dup_in_batch " +
+        "FROM batch LEFT JOIN corpus USING (f) ORDER BY doc_id"),
+    "q_locf_impute" ->
+      ("SELECT user_id, event_id, event_type, " +
+        "last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value " +
+        "FROM events ORDER BY user_id, event_id"),
   )
 }

@@ -644,6 +644,35 @@ class PlanSpec extends SparkSuite {
       s"df-capped posting lists must keep this an equi-join/groupBy shape:\n$p")
   }
 
+  test("q_mann_kendall: pair join runs on the calendar-bounded monthly aggregate") {
+    val p = plan(Queries.qMannKendall(spark, SF))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"monthly cents must combine map-side before any pairing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the month pairing is priority-keyed, never all-pairs over rows:\n$p")
+    // the orders fact is scanned once; pairs come from the ym self-join of
+    // the bounded aggregate (exchange reuse dedups the second scan)
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans <= 2, s"pairing must not rescan the fact per side:\n$p")
+  }
+
+  test("q_incremental_dedup: batch window and corpus join share the fp key") {
+    val p = plan(Queries.qIncrementalDedup(spark, SF))
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 1, s"one first-wins window (got $winNodes):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_locf_impute: one growing-frame window, one exchange, never a following scan") {
+    val p = plan(Queries.qLocfImpute(spark, SF))
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 1, s"one LOCF window (got $winNodes):\n$p")
+    val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"one user_id shuffle only (got $hashEx):\n$p")
+    assert(!p.contains("UnboundedFollowing"),
+      s"growing frames only:\n$p")
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
