@@ -96,7 +96,9 @@ object DevScaling {
       "q_abtest_chi2", "q_prefix_dup",
       // trend/imputation wave: calendar-bounded pair join, fp-keyed
       // incremental dedup (linear), LOCF window (linear)
-      "q_mann_kendall", "q_incremental_dedup", "q_locf_impute")
+      "q_mann_kendall", "q_incremental_dedup", "q_locf_impute",
+      // TPC-H classics wave: bounded outputs (5 nations, top-20, 1 row)
+      "q_regional_revenue", "q_returned_customers", "q_promo_share")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -2704,20 +2704,16 @@ object Queries {
     * the O(rows²) UnboundedFollowing re-scan). Deltas are signed integer
     * cents (credits for signup/purchase, debits otherwise) — exact at any
     * scale; per-user partitions keep the window distributed. */
-  def qClampedBalance(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        expr("CASE WHEN event_type IN ('signup', 'purchase') " +
-          "THEN CAST(round(value * 100, 0) AS BIGINT) " +
-          "ELSE -CAST(round(value * 100, 0) AS BIGINT) END").as("delta"))
-      .withColumn("pref", sum(col("delta")).over(w))
-      .withColumn("runmin", min(col("pref")).over(w))
-      .select(col("user_id"), col("event_id"), col("delta"),
-        (col("pref") - least(lit(0L), col("runmin"))).as("balance"))
+  def qClampedBalance(s: SparkSession, d: String): DataFrame =
+    Ops.clampedRunningBalance(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            expr("CASE WHEN event_type IN ('signup', 'purchase') " +
+              "THEN CAST(round(value * 100, 0) AS BIGINT) " +
+              "ELSE -CAST(round(value * 100, 0) AS BIGINT) END").as("delta")),
+        "user_id", Seq(col("ts"), col("event_id")), "delta", "balance")
+      .select(col("user_id"), col("event_id"), col("delta"), col("balance"))
       .orderBy("user_id", "event_id")
-  }
 
   /** EWMA (α = ½) per user as an 8-tap FIR filter: the IIR recurrence is
     * truncated at 8 lags so the smoother becomes a STATELESS window
@@ -2726,16 +2722,13 @@ object Queries {
     * fixed point: ewma ≈ ewma_q8 / 2⁸; truncation error ≤ 2⁻⁸ of the
     * oldest mass). One exchange + one sort per user partition; headroom
     * cents·2⁷·8 ≈ 10¹² per row even at 100 TB event volumes. */
-  def qEwmaDecay(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val taps = (0 to 7).map(k =>
-      coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(1L << (7 - k)))
-    Tables.events(s, d)
-      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
-      .select(col("user_id"), col("event_id"), col("cents"),
-        taps.reduce(_ + _).as("ewma_q8"))
+  def qEwmaDecay(s: SparkSession, d: String): DataFrame =
+    Ops.firEwma(
+        Tables.events(s, d)
+          .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)")),
+        "user_id", Seq(col("ts"), col("event_id")), "cents", 8, "ewma_q8")
+      .select(col("user_id"), col("event_id"), col("cents"), col("ewma_q8"))
       .orderBy("user_id", "event_id")
-  }
 
   /** Trailing-7-day rolling correlation between daily revenue (whole
     * dollars) and daily order count per priority. The five moment sums
@@ -3191,6 +3184,91 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** TPC-H Q5 shape — local-supplier revenue per ASIA nation for 1997
+    * orders: the full six-table star join with the co-nationality
+    * constraint (customer and supplier in the SAME nation). All dims
+    * (region→nation→customer key set, supplier) broadcast; the only
+    * fact-fact shuffle is lineitem⋈orders on the order key; revenue is
+    * exact integer cent-percents `price_c·(100−disc_pct)`. The classic
+    * join-order stress test: Catalyst must push the region filter
+    * through two dims before any fact touches the plan. */
+  def qRegionalRevenue(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))").as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(asiaNations.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue_cp"), count(lit(1)).as("n_lines"))
+      .transform(ps(col("n_name")))
+  }
+
+  /** TPC-H Q10 shape — top-20 customers by revenue lost to returns
+    * (returnflag R) among 1997-H1 orders, with their nation. Exact
+    * integer cent-percent revenue; customer and nation dims broadcast
+    * onto the one lineitem⋈orders shuffle; the bounded top-20 ranks by
+    * TakeOrdered (revenue desc, custkey tie-break), never a global
+    * sort. */
+  def qReturnedCustomers(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-07-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))").as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev")).as("revenue_cp"))
+    rev
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue_cp"))
+      .orderBy(col("revenue_cp").desc, col("c_custkey")).limit(20)
+  }
+
+  /** TPC-H Q14 shape — promotional revenue share for 1997 shipments:
+    * `promo_rev·10⁶ div total_rev` from two conditional sums in ONE
+    * aggregate pass over the part-joined lineitem (part dim broadcast,
+    * shipdate pushed to the scan). O(1) output; the share is the exact
+    * two-step ppm division. */
+  def qPromoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))").as("rev"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L)).as("promo_cp"),
+        sum(col("rev")).as("total_cp"))
+      .select(col("promo_cp"), col("total_cp"),
+        expr(ppmDiv("promo_cp", "total_cp")).as("promo_share_ppm"))
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3372,6 +3450,9 @@ object Queries {
     "q_mann_kendall" -> (qMannKendall _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_locf_impute" -> (qLocfImpute _),
+    "q_regional_revenue" -> (qRegionalRevenue _),
+    "q_returned_customers" -> (qReturnedCustomers _),
+    "q_promo_share" -> (qPromoShare _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4699,5 +4780,37 @@ object Queries {
         "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value " +
         "FROM events ORDER BY user_id, event_id"),
+    "q_regional_revenue" ->
+      ("WITH an AS (SELECT n_nationkey, n_name FROM nation JOIN region " +
+        "ON n_regionkey = r_regionkey WHERE r_name = 'ASIA') " +
+        "SELECT n_name, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_cp, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+        "JOIN an ON c_nationkey = an.n_nationkey " +
+        "WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01' " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "q_returned_customers" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_cp " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= DATE '1997-01-01' " +
+        "AND o_orderdate < DATE '1997-07-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue_cp DESC, c_custkey LIMIT 20"),
+    "q_promo_share" ->
+      ("WITH r AS (SELECT " +
+        "CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_cp, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS total_cp " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01') " +
+        "SELECT promo_cp, total_cp, " + ppmDivSql("promo_cp", "total_cp") +
+        " AS promo_share_ppm FROM r"),
   )
 }

@@ -417,6 +417,37 @@ object Ops {
       .drop("__bin")
   }
 
+  /** Clamped-at-zero running balance (the Lindley recurrence
+    * `B_n = max(0, B_{n-1} + x_n)`) in ONE window pass via its closed
+    * form `B_n = P_n − min(0, min_{k≤n} P_k)` over prefix sums: two
+    * stacked window aggregates sharing one sort + one exchange, no
+    * mapGroups state, growing frames only. Property-tested against the
+    * sequential fold (OpsProps). */
+  def clampedRunningBalance(df: DataFrame, partCol: String,
+                            ordCols: Seq[Column], deltaCol: String,
+                            outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__pref", sum(col(deltaCol)).over(w))
+      .withColumn("__runmin", min(col("__pref")).over(w))
+      .withColumn(outCol, col("__pref") - least(lit(0L), col("__runmin")))
+      .drop("__pref", "__runmin")
+  }
+
+  /** EWMA (α = ½) truncated to an `nTaps`-tap FIR filter: integer
+    * power-of-two weights `2^(nTaps−1−k)` on the k-th lag, all taps
+    * sharing ONE window sort (fixed-point scale `2^nTaps`; truncation
+    * error ≤ 2^−nTaps of the oldest mass). Property-tested against the
+    * direct convolution (OpsProps). */
+  def firEwma(df: DataFrame, partCol: String, ordCols: Seq[Column],
+              valCol: String, nTaps: Int, outCol: String): DataFrame = {
+    require(nTaps >= 1 && nTaps <= 62, s"nTaps out of range: $nTaps")
+    val w = Window.partitionBy(col(partCol)).orderBy(ordCols: _*)
+    val taps = (0 until nTaps).map(k =>
+      coalesce(lag(col(valCol), k).over(w), lit(0L)) * lit(1L << (nTaps - 1 - k)))
+    df.withColumn(outCol, taps.reduce(_ + _))
+  }
+
   /** Exact frequent items ("heavy hitters") above support `1/s`, found
     * with BOUNDED MEMORY instead of a full key-space aggregate: each
     * partition runs a Misra-Gries summary with `k` counters (classic

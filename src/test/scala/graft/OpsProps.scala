@@ -66,4 +66,45 @@ object OpsProps extends Properties("Ops") {
       out == out.sorted && out.distinct == out &&
         out.toSet == vals.flatten.toSet
     }
+
+  property("clampedRunningBalance closed form == sequential Lindley fold") =
+    Prop.forAll(Gen.listOfN(40,
+      Gen.zip(Gen.choose(1, 4), Gen.choose(-50L, 50L)))) { rows =>
+      val indexed = rows.zipWithIndex.map { case ((k, x), i) =>
+        (k.toLong, i.toLong, x)
+      }
+      val df = indexed.toDF("k", "ord", "delta")
+      val out = Ops.clampedRunningBalance(df, "k", Seq($"ord"), "delta", "bal")
+        .select("k", "ord", "bal").as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // reference: per-key sequential fold B := max(0, B + x)
+      indexed.groupBy(_._1).forall { case (_, seq) =>
+        seq.sortBy(_._2).foldLeft((0L, true)) { case ((bal, ok), (k, ord, x)) =>
+          val nb = math.max(0L, bal + x)
+          (nb, ok && out((k, ord)) == nb)
+        }._2
+      }
+    }
+
+  property("firEwma == direct convolution of the trailing taps") =
+    Prop.forAll(Gen.choose(1, 10), Gen.listOfN(30,
+      Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 1000L)))) { (nTaps, rows) =>
+      val indexed = rows.zipWithIndex.map { case ((k, v), i) =>
+        (k.toLong, i.toLong, v)
+      }
+      val df = indexed.toDF("k", "ord", "v")
+      val out = Ops.firEwma(df, "k", Seq($"ord"), "v", nTaps, "e")
+        .select("k", "ord", "e").as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      indexed.groupBy(_._1).forall { case (_, seq) =>
+        val ordered = seq.sortBy(_._2)
+        ordered.indices.forall { i =>
+          val expect = (0 until nTaps).map { tap =>
+            val v = if (i - tap >= 0) ordered(i - tap)._3 else 0L
+            v * (1L << (nTaps - 1 - tap))
+          }.sum
+          out((ordered(i)._1, ordered(i)._2)) == expect
+        }
+      }
+    }
 }

@@ -673,6 +673,34 @@ class PlanSpec extends SparkSuite {
       s"growing frames only:\n$p")
   }
 
+  test("q_regional_revenue: all dims broadcast; only lineitem-orders shuffles; dates pushed down") {
+    val p = plan(Queries.qRegionalRevenue(spark, SF))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"customer/supplier/nation sides must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"at most the fact-fact join may sort-merge:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate"),
+      s"the 1997 filter must reach the orders scan:\n$p")
+  }
+
+  test("q_returned_customers: returnflag pushed to the scan, top-20 via TakeOrdered") {
+    val p = plan(Queries.qReturnedCustomers(spark, SF))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"the R filter must reach the lineitem scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"the bounded top-20 must not range-shuffle:\n$p")
+  }
+
+  test("q_promo_share: one aggregate pass, part broadcast, shipdate pushed down") {
+    val p = plan(Queries.qPromoShare(spark, SF))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"both conditional sums must combine map-side:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the shipdate filter must reach the scan:\n$p")
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
