@@ -98,7 +98,10 @@ object DevScaling {
       // incremental dedup (linear), LOCF window (linear)
       "q_mann_kendall", "q_incremental_dedup", "q_locf_impute",
       // TPC-H classics wave: bounded outputs (5 nations, top-20, 1 row)
-      "q_regional_revenue", "q_returned_customers", "q_promo_share")
+      "q_regional_revenue", "q_returned_customers", "q_promo_share",
+      // sequence/layout wave: O(1) funnel readout, linear two-window
+      // discovery curve, linear zone-map build
+      "q_funnel_bounded", "q_discovery_curve", "q_zone_map")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -3269,6 +3269,59 @@ object Queries {
       .select(col("promo_cp"), col("total_cp"),
         expr(ppmDiv("promo_cp", "total_cp")).as("promo_share_ppm"))
 
+  /** Time-boxed funnel census: users completing view→click→purchase with
+    * EACH step within 7 days of the previous
+    * ([[graft.operators.EventAnalytics.funnelStagesWithin]] — one
+    * actor-keyed shuffle, K-slot row-local fold, exact
+    * timestamp+interval deadlines). The oracle states the equivalent
+    * nested bounded-min joins; output is the O(1) per-stage completion
+    * count. */
+  def qFunnelBounded(s: SparkSession, d: String): DataFrame =
+    EventAnalytics.funnelStagesWithin(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click", "purchase"), 7L * 86400L)
+      .agg(count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_7d"),
+        count(col("t3")).as("n_purchase_7d"))
+
+  /** Per-user discovery curve: how many DISTINCT event types the user
+    * has seen up to each event — the scalable form of a running
+    * COUNT(DISTINCT) window (which Spark rightly refuses): a
+    * first-occurrence flag from a (user, type)-keyed row_number window,
+    * then a running sum of flags over the (user)-keyed time order. Two
+    * exchanges, both high-cardinality-keyed; state per row is one bit,
+    * never a per-row distinct set. */
+  def qDiscoveryCurve(s: SparkSession, d: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L).as("is_first"))
+      .withColumn("types_seen", sum(col("is_first")).over(wRun))
+      .select(col("user_id"), col("event_id"), col("types_seen"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Zone-map build: per 500-order batch (scalable two-phase global
+    * numbering, no single-task window), the min/max order key, date
+    * span, and cent range plus row count — the data-skipping statistics
+    * a 100 TB table layout maintains per file/row-group so point and
+    * range scans can prune without reading data. */
+  def qZoneMap(s: SparkSession, d: String): DataFrame =
+    Ops.batchAssignScalable(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("day"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")),
+        "o_orderkey", 500)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy("batch_id")
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3453,6 +3506,9 @@ object Queries {
     "q_regional_revenue" -> (qRegionalRevenue _),
     "q_returned_customers" -> (qReturnedCustomers _),
     "q_promo_share" -> (qPromoShare _),
+    "q_funnel_bounded" -> (qFunnelBounded _),
+    "q_discovery_curve" -> (qDiscoveryCurve _),
+    "q_zone_map" -> (qZoneMap _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4812,5 +4868,34 @@ object Queries {
         "WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01') " +
         "SELECT promo_cp, total_cp, " + ppmDivSql("promo_cp", "total_cp") +
         " AS promo_share_ppm FROM r"),
+    "q_funnel_bounded" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+        "WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 604800 SECOND " +
+        "GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 604800 SECOND " +
+        "GROUP BY e.user_id) " +
+        "SELECT (SELECT count(*) FROM s1) AS n_view, " +
+        "(SELECT count(*) FROM s2) AS n_click_7d, " +
+        "(SELECT count(*) FROM s3) AS n_purchase_7d"),
+    "q_discovery_curve" ->
+      ("WITH f AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first FROM events) " +
+        "SELECT user_id, event_id, CAST(sum(is_first) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS types_seen " +
+        "FROM f ORDER BY user_id, event_id"),
+    "q_zone_map" ->
+      ("WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, " +
+        "CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500) AS BIGINT) + 1 AS batch_id " +
+        "FROM orders) " +
+        "SELECT batch_id, count(*) AS n_rows, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key, min(day) AS min_day, max(day) AS max_day, " +
+        "min(cents) AS min_cents, max(cents) AS max_cents " +
+        "FROM b GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -61,6 +61,42 @@ object EventAnalytics {
       .select(col(actorCol) +: (1 to k).map(i => col(s"st.t$i").as(s"t$i")): _*)
   }
 
+  /** [[funnelStages]] with a per-step deadline: `t_i` is the minimal
+    * s_i-event timestamp with `t_{i-1} < ts ≤ t_{i-1} + maxGapSec` — the
+    * time-boxed conversion funnel ("clicked within 7 days of the view"),
+    * anchored at the FIRST stage-1 event so the semantics stay a
+    * deterministic nested-min an oracle can state. Same single
+    * actor-keyed shuffle and K-slot row-local fold as the unbounded
+    * form. */
+  def funnelStagesWithin(events: DataFrame, actorCol: String, tsCol: String,
+                         typeCol: String, tieCol: String, stages: Seq[String],
+                         maxGapSec: Long): DataFrame = {
+    require(stages.nonEmpty, "funnelStagesWithin: need at least one stage")
+    val k = stages.length
+    val relevant = events.where(col(typeCol).isin(stages.map(x => x: Any): _*))
+    val perActor = relevant.groupBy(col(actorCol))
+      .agg(array_sort(collect_list(struct(
+        col(tsCol).as("ts"), col(tieCol).as("tie"), col(typeCol).as("et")))).as("seq"))
+    val init = struct((1 to k).map(i => lit(null).cast("timestamp").as(s"t$i")): _*)
+    val folded = aggregate(col("seq"), init, (acc: Column, x: Column) => {
+      val fields = (1 to k).map { i =>
+        val gate =
+          if (i == 1) lit(true)
+          else acc(s"t${i - 1}").isNotNull && x("ts") > acc(s"t${i - 1}") &&
+            // exact timestamp+interval comparison (no epoch truncation —
+            // sub-second ts parts must compare identically in any engine)
+            x("ts") <= acc(s"t${i - 1}") +
+              make_dt_interval(lit(0), lit(0), lit(0), lit(maxGapSec.toDouble))
+        when(acc(s"t$i").isNull && x("et") === stages(i - 1) && gate, x("ts"))
+          .otherwise(acc(s"t$i")).as(s"t$i")
+      }
+      struct(fields: _*)
+    })
+    perActor
+      .select(col(actorCol), folded.as("st"))
+      .select(col(actorCol) +: (1 to k).map(i => col(s"st.t$i").as(s"t$i")): _*)
+  }
+
   /** Cohort retention grid: actors cohorted by their FIRST event date,
     * counted once per `(cohort_week, week_offset)` cell they are active in.
     *

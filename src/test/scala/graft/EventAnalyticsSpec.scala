@@ -56,6 +56,31 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(r.get(3) == ts("2024-01-01 12:00:00"))
   }
 
+  test("funnelStagesWithin: step deadline gates the chain; boundary is inclusive") {
+    val events = ev(
+      // user 1: click exactly AT the 1h deadline (inclusive) — qualifies
+      (1L, "2024-01-01 10:00:00", "view", 1L),
+      (1L, "2024-01-01 11:00:00", "click", 2L),
+      // user 2: click 1s past the deadline — chain stops after view
+      (2L, "2024-01-01 10:00:00", "view", 3L),
+      (2L, "2024-01-01 11:00:01", "click", 4L),
+      // user 3: first click late, but a LATER view cannot re-anchor
+      // (anchored at the FIRST view by declared semantics)
+      (3L, "2024-01-01 10:00:00", "view", 5L),
+      (3L, "2024-01-01 13:00:00", "view", 6L),
+      (3L, "2024-01-01 13:30:00", "click", 7L))
+    val out = EventAnalytics.funnelStagesWithin(events,
+        "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click"), 3600L)
+      .orderBy("user_id")
+      .select("user_id", "t1", "t2")
+      .as[(Long, Option[Timestamp], Option[Timestamp])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 11:00:00"))),
+      (2L, Some(ts("2024-01-01 10:00:00")), None),
+      (3L, Some(ts("2024-01-01 10:00:00")), None)))
+  }
+
   test("cohortRetention: first-touch cohort, distinct user per cell") {
     val events = ev(
       // user 1 first seen Mon Jan 1 (cohort week 1/1), active twice in week 0 and once in week 2

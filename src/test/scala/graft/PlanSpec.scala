@@ -701,6 +701,36 @@ class PlanSpec extends SparkSuite {
       s"the shipdate filter must reach the scan:\n$p")
   }
 
+  test("q_discovery_curve: two keyed windows, no distinct-set state, no single partition") {
+    val p = plan(Queries.qDiscoveryCurve(spark, SF))
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 2, s"first-occurrence + running-sum windows (got $winNodes):\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"both windows must stay user-keyed:\n$p")
+    assert(!p.toLowerCase.contains("collect_set"),
+      s"no per-row distinct sets — the flag+sum form is the point:\n$p")
+  }
+
+  test("q_funnel_bounded: one actor shuffle, partial collect_list, O(1) output") {
+    val p = plan(Queries.qFunnelBounded(spark, SF))
+    assert(p.contains("partial_collect_list") || p.contains("Partial"),
+      s"the per-actor fold state must combine map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"the bounded funnel is a single grouped fold, not nested joins:\n$p")
+  }
+
+  test("q_zone_map: two-phase numbering — no unpartitioned full-data window") {
+    val df = Queries.qZoneMap(spark, SF)
+    val p = plan(df)
+    // the bucket-base window runs over <= buckets rows; the per-bucket
+    // numbering window is bucket-keyed. No window may see all rows in
+    // one task.
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"zone stats must combine map-side:\n$p")
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
