@@ -101,7 +101,9 @@ object DevScaling {
       "q_regional_revenue", "q_returned_customers", "q_promo_share",
       // sequence/layout wave: O(1) funnel readout, linear two-window
       // discovery curve, linear zone-map build
-      "q_funnel_bounded", "q_discovery_curve", "q_zone_map")
+      "q_funnel_bounded", "q_discovery_curve", "q_zone_map",
+      // balance/yield wave: bounded outputs (classes, sources)
+      "q_balanced_sample", "q_dedup_report")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

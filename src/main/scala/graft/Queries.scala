@@ -3322,6 +3322,46 @@ object Queries {
         min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
       .orderBy("batch_id")
 
+  /** Class-balanced undersampling: every event_type capped at the
+    * MINORITY class size, members chosen by the deterministic Knuth-hash
+    * order (portable, seedable, no RNG state) — the imbalance fix before
+    * training a classifier. The bounded per-class count table and its
+    * min ride a broadcast; selection is one class-keyed ranking window
+    * over the hash order. Emits the per-class census (kept = min class
+    * size for every class — the balance proof). */
+  def qBalancedSample(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("h",
+        expr("((event_id % 2147483648) * 2654435761) % 4294967296"))
+    val minN = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("cap"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    ev.crossJoin(broadcast(minN))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("cap"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("kept"), min(col("cap")).as("cap"),
+        sum(col("h")).as("h_sum"))
+      .transform(ps(col("event_type")))
+  }
+
+  /** Dedup yield report per source: documents in, unique fingerprints,
+    * duplicate rows and ppm — the before/after census a 100 TB dedup
+    * pass publishes. One fingerprint-grain aggregate (map-side
+    * combinable count) re-aggregated to the bounded source key; the
+    * fingerprint never leaves its hash partition unreduced. */
+  def qDedupReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_unique"),
+        (sum(col("c")) - count(lit(1))).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("n_dups"),
+        expr(ppmDiv("n_dups", "n_docs")).as("dup_ppm"))
+      .transform(ps(col("source")))
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3509,6 +3549,8 @@ object Queries {
     "q_funnel_bounded" -> (qFunnelBounded _),
     "q_discovery_curve" -> (qDiscoveryCurve _),
     "q_zone_map" -> (qZoneMap _),
+    "q_balanced_sample" -> (qBalancedSample _),
+    "q_dedup_report" -> (qDedupReport _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4897,5 +4939,22 @@ object Queries {
         "max(o_orderkey) AS max_key, min(day) AS min_day, max(day) AS max_day, " +
         "min(cents) AS min_cents, max(cents) AS max_cents " +
         "FROM b GROUP BY 1 ORDER BY 1"),
+    "q_balanced_sample" ->
+      ("WITH ev AS (SELECT event_type, event_id, " +
+        "((event_id % 2147483648) * 2654435761) % 4294967296 AS h FROM events), " +
+        "cap AS (SELECT CAST(min(n) AS BIGINT) AS cap FROM " +
+        "(SELECT event_type, count(*) AS n FROM ev GROUP BY 1)), " +
+        "r AS (SELECT event_type, h, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY h, event_id) AS rk FROM ev) " +
+        "SELECT event_type, count(*) AS kept, min(cap) AS cap, " +
+        "CAST(sum(h) AS BIGINT) AS h_sum " +
+        "FROM r CROSS JOIN cap WHERE rk <= cap GROUP BY 1 ORDER BY 1"),
+    "q_dedup_report" ->
+      ("""WITH fp AS (SELECT source, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f FROM documents), """ +
+        "g AS (SELECT source, f, count(*) AS c FROM fp GROUP BY 1, 2), " +
+        "r AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_unique, " +
+        "CAST(sum(c) - count(*) AS BIGINT) AS n_dups FROM g GROUP BY 1) " +
+        "SELECT source, n_docs, n_unique, n_dups, " + ppmDivSql("n_dups", "n_docs") +
+        " AS dup_ppm FROM r ORDER BY source"),
   )
 }

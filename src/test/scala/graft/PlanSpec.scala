@@ -731,6 +731,25 @@ class PlanSpec extends SparkSuite {
       s"zone stats must combine map-side:\n$p")
   }
 
+  test("q_balanced_sample: cap broadcasts, selection window stays class-keyed") {
+    val p = plan(Queries.qBalancedSample(spark, SF))
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row cap must broadcast onto the event stream:\n$p")
+    // the 1-row cap aggregate legitimately uses a SinglePartition
+    // exchange; what must stay keyed is the ranking WINDOW itself
+    val winSpec = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpec.nonEmpty && winSpec.forall(_.contains("event_type")),
+      s"the ranking window must partition by event_type:\n$p")
+  }
+
+  test("q_dedup_report: fingerprint reduced in place, bounded source re-aggregate") {
+    val p = plan(Queries.qDedupReport(spark, SF))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the fp-grain count must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"a pure two-level aggregate, no joins:\n$p")
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
