@@ -103,7 +103,10 @@ object DevScaling {
       // discovery curve, linear zone-map build
       "q_funnel_bounded", "q_discovery_curve", "q_zone_map",
       // balance/yield wave: bounded outputs (classes, sources)
-      "q_balanced_sample", "q_dedup_report")
+      "q_balanced_sample", "q_dedup_report",
+      // robust time-series wave: all calendar-bounded after the monthly
+      // map-side aggregate
+      "q_theil_sen", "q_autocorr", "q_runs_test")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

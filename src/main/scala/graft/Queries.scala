@@ -3362,6 +3362,102 @@ object Queries {
         expr(ppmDiv("n_dups", "n_docs")).as("dup_ppm"))
       .transform(ps(col("source")))
 
+  /** Theil–Sen robust trend per priority: the MEDIAN of all pairwise
+    * monthly-revenue slopes, each slope lifted to the exact integer
+    * surrogate `(Δcents·10⁶) div Δmonths` so the ranking is
+    * engine-portable (no float ties). Pairs are calendar-bounded
+    * (months², invariant to row volume); the median is the exact
+    * (n+1)/2 order statistic by row_number — the breakdown-resistant
+    * alternative to the least-squares slope of q_regr_trend. */
+  def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        ((year(col("o_orderdate")) * 12) + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+    val slopes = monthly.as("i")
+      .join(monthly.as("j"), col("i.o_orderpriority") === col("j.o_orderpriority") &&
+        col("i.m") < col("j.m"))
+      .select(col("i.o_orderpriority").as("o_orderpriority"),
+        expr(scaledDiv("(j.x - i.x)", "(j.m - i.m)", 1000L, 1000L)).as("slope"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("slope"), col("o_orderpriority"))
+    slopes
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .where(col("rk") === expr("(n + 1) div 2"))
+      .select(col("o_orderpriority"), col("slope").as("theil_sen_slope"),
+        col("n").as("n_pairs"), col("rk").as("median_rank"))
+      .transform(ps(col("o_orderpriority")))
+  }
+
+  /** Lag-1 autocorrelation of monthly revenue per priority from exact
+    * BIGINT moment sums over the lag-paired series (one lag window +
+    * one bounded aggregate; the single Pearson division happens at the
+    * end in doubles with the identical expression both engines) — the
+    * "is this series momentum or noise" readout. Calendar-bounded
+    * state; the scan stays one linear map-side aggregate. Units are
+    * HUNDRED-dollar buckets (cents div 10⁴): `n·Σx²` must stay under
+    * 2⁶³, and the coarse unit buys headroom to ~10¹² of monthly revenue
+    * where cents would overflow at ~10⁷ (caught live by ANSI mode). */
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) div 10000")
+        .as("x"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("ym"))
+    monthly
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .where(col("xp").isNotNull)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("xp")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("xp") * col("xp")).as("syy"),
+        sum(col("x") * col("xp")).as("sxy"))
+      .select(col("o_orderpriority"), col("n"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("d1"),
+        expr("n * syy - sy * sy").as("d2"),
+        expr("CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL " +
+          "ELSE round((CAST(n * sxy - sx * sy AS DOUBLE)) / " +
+          "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END")
+          .as("r1"))
+      .transform(ps(col("o_orderpriority")))
+  }
+
+  /** Wald–Wolfowitz runs test inputs per priority: monthly revenue
+    * classified above/below its per-priority MEDIAN (exact (n+1)/2
+    * order statistic — no float percentile), then maximal same-side
+    * runs counted as sign-change transitions + 1 via a lag window.
+    * All exact integers over the calendar-bounded series; too many or
+    * too few runs versus n⁺/n⁻ flags cycling or clustering. */
+  def qRunsTest(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+    val wRank = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("x"), col("ym"))
+    val wpart = Window.partitionBy(col("o_orderpriority"))
+    val med = monthly
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wpart))
+      .where(col("rk") === expr("(n + 1) div 2"))
+      .select(col("o_orderpriority"), col("x").as("median_x"))
+    val wTime = Window.partitionBy(col("o_orderpriority")).orderBy(col("ym"))
+    monthly.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("side", when(col("x") > col("median_x"), 1L).otherwise(0L))
+      .withColumn("prev", lag(col("side"), 1).over(wTime))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("side")).as("n_above"),
+        (sum(when(col("prev").isNotNull && col("side") =!= col("prev"), 1L)
+          .otherwise(0L)) + 1L).as("n_runs"))
+      .transform(ps(col("o_orderpriority")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3551,6 +3647,9 @@ object Queries {
     "q_zone_map" -> (qZoneMap _),
     "q_balanced_sample" -> (qBalancedSample _),
     "q_dedup_report" -> (qDedupReport _),
+    "q_theil_sen" -> (qTheilSen _),
+    "q_autocorr" -> (qAutocorr _),
+    "q_runs_test" -> (qRunsTest _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4956,5 +5055,50 @@ object Queries {
         "CAST(sum(c) - count(*) AS BIGINT) AS n_dups FROM g GROUP BY 1) " +
         "SELECT source, n_docs, n_unique, n_dups, " + ppmDivSql("n_dups", "n_docs") +
         " AS dup_ppm FROM r ORDER BY source"),
+    "q_theil_sen" ->
+      ("WITH m AS (SELECT o_orderpriority, " +
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM orders GROUP BY 1, 2), " +
+        "sl AS (SELECT i.o_orderpriority, " +
+        scaledDivSql("(j.x - i.x)", "(j.m - i.m)", 1000L, 1000L) + " AS slope " +
+        "FROM m i JOIN m j ON i.o_orderpriority = j.o_orderpriority AND i.m < j.m), " +
+        "r AS (SELECT o_orderpriority, slope, " +
+        "CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY slope, o_orderpriority) AS BIGINT) AS rk, " +
+        "CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n FROM sl) " +
+        "SELECT o_orderpriority, slope AS theil_sen_slope, n AS n_pairs, rk AS median_rank " +
+        "FROM r WHERE rk = (n + 1) // 2 ORDER BY o_orderpriority"),
+    "q_autocorr" ->
+      ("WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) // 10000 AS x " +
+        "FROM orders GROUP BY 1, 2), " +
+        "l AS (SELECT o_orderpriority, x, lag(x) OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY ym) AS xp FROM m), " +
+        "a AS (SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(xp) AS BIGINT) AS sy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(xp * xp) AS BIGINT) AS syy, " +
+        "CAST(sum(x * xp) AS BIGINT) AS sxy FROM l WHERE xp IS NOT NULL GROUP BY 1) " +
+        "SELECT o_orderpriority, n, n * sxy - sx * sy AS num, " +
+        "n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2, " +
+        "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL " +
+        "ELSE round((CAST(n * sxy - sx * sy AS DOUBLE)) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r1 " +
+        "FROM a ORDER BY o_orderpriority"),
+    "q_runs_test" ->
+      ("WITH m AS (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM orders GROUP BY 1, 2), " +
+        "r AS (SELECT o_orderpriority, ym, x, " +
+        "CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY x, ym) AS BIGINT) AS rk, " +
+        "CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n FROM m), " +
+        "md AS (SELECT o_orderpriority, x AS median_x FROM r WHERE rk = (n + 1) // 2), " +
+        "sd AS (SELECT m.o_orderpriority, ym, " +
+        "CASE WHEN x > median_x THEN 1 ELSE 0 END AS side FROM m JOIN md USING (o_orderpriority)), " +
+        "lg AS (SELECT o_orderpriority, side, lag(side) OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY ym) AS prev FROM sd) " +
+        "SELECT o_orderpriority, count(*) AS n_months, " +
+        "CAST(sum(side) AS BIGINT) AS n_above, " +
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND side <> prev THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs " +
+        "FROM lg GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -750,6 +750,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"a pure two-level aggregate, no joins:\n$p")
   }
 
+  test("q_theil_sen: slope pairs form on the bounded monthly aggregate, fact scanned once per side max") {
+    val p = plan(Queries.qTheilSen(spark, SF))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"monthly cents must combine map-side before pairing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing is priority-keyed:\n$p")
+  }
+
+  test("q_autocorr / q_runs_test: calendar-bounded windows, map-side monthly partials") {
+    for (q <- Seq(Queries.qAutocorr(spark, SF), Queries.qRunsTest(spark, SF))) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("Partial"),
+        s"the monthly aggregate must combine map-side:\n$p")
+      val winSpec = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(winSpec.nonEmpty && winSpec.forall(_.contains("o_orderpriority")),
+        s"every window must stay priority-keyed:\n$p")
+    }
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
