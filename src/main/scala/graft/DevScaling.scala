@@ -106,7 +106,9 @@ object DevScaling {
       "q_balanced_sample", "q_dedup_report",
       // robust time-series wave: all calendar-bounded after the monthly
       // map-side aggregate
-      "q_theil_sen", "q_autocorr", "q_runs_test")
+      "q_theil_sen", "q_autocorr", "q_runs_test",
+      // waterfall/session wave: calendar- and bucket-bounded outputs
+      "q_revenue_bridge", "q_ab_quantiles", "q_session_lengths")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

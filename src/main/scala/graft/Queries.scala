@@ -3458,6 +3458,85 @@ object Queries {
       .transform(ps(col("o_orderpriority")))
   }
 
+  /** Month-over-month revenue bridge (the BI waterfall): each month's
+    * revenue change decomposed into NEW customers, REACTIVATED (gap >
+    * 1 month), EXPANSION / CONTRACTION of returning customers vs their
+    * prior month, and CHURN (prior-month actives gone this month) —
+    * `Δrev = new + react + expansion − contraction − churn` holds
+    * exactly in integer cents. One customer-keyed window (lag month,
+    * lag cents, lead month — one Window node) over the (customer,
+    * month) aggregate, then two calendar-bounded aggregates merged on
+    * the month key. */
+  def qRevenueBridge(s: SparkSession, d: String): DataFrame = {
+    val cm = Tables.orders(s, d)
+      .groupBy(col("o_custkey"),
+        ((year(col("o_orderdate")) * 12) + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    val e = cm.select(col("o_custkey"), col("m"), col("cents"),
+      lag(col("m"), 1).over(w).as("pm"),
+      lag(col("cents"), 1).over(w).as("pc"),
+      lead(col("m"), 1).over(w).as("nm"))
+    val inflow = e.groupBy(col("m")).agg(
+      sum(col("cents")).as("total_cents"),
+      sum(when(col("pm").isNull, col("cents")).otherwise(0L)).as("new_cents"),
+      sum(when(col("pm").isNotNull && col("pm") < col("m") - 1, col("cents"))
+        .otherwise(0L)).as("react_cents"),
+      sum(when(col("pm") === col("m") - 1 && col("cents") > col("pc"),
+        col("cents") - col("pc")).otherwise(0L)).as("expansion_cents"),
+      sum(when(col("pm") === col("m") - 1 && col("cents") < col("pc"),
+        col("pc") - col("cents")).otherwise(0L)).as("contraction_cents"))
+    val churn = e.where(col("nm").isNull || col("nm") =!= col("m") + 1)
+      .select((col("m") + 1).as("m"), col("cents"))
+      .groupBy(col("m")).agg(sum(col("cents")).as("churn_cents"))
+    inflow.join(churn, Seq("m"), "left")
+      .select(col("m"), col("total_cents"), col("new_cents"),
+        col("react_cents"), col("expansion_cents"), col("contraction_cents"),
+        coalesce(col("churn_cents"), lit(0L)).as("churn_cents"))
+      .orderBy("m")
+  }
+
+  /** Heterogeneous treatment readout: exact distributed order-value
+    * percentiles PER Knuth-hash experiment arm (the q_abtest_chi2
+    * assignment) — two bounded rows, the distributional companion to
+    * the scalar conversion test. Percentiles ride the pinned exact
+    * two-round selection ([[graft.operators.Ops.exactPercentiles]]) —
+    * over INTEGER CENTS at binary-exact quartile fractions (.25/.5/.75),
+    * so the interpolation `lo + frac·(hi−lo)` is bit-identical in any
+    * IEEE engine (a p90-style 0.9·(n−1) fraction is NOT binary-exact
+    * and can flip the last cent — caught live by the oracle). */
+  def qAbQuantiles(s: SparkSession, d: String): DataFrame = {
+    val armed = Tables.orders(s, d)
+      .select(expr("((o_custkey % 2147483648) * 2654435761) % 4294967296 % 2")
+        .as("arm"),
+        expr("CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE)").as("v"))
+    Ops.exactPercentiles(armed, Seq("arm"), "v",
+        Seq(("p25_c", 0.25), ("p50_c", 0.5), ("p75_c", 0.75)))
+      .select(col("arm"), round(col("p25_c"), 2).as("p25_c"),
+        round(col("p50_c"), 2).as("p50_c"), round(col("p75_c"), 2).as("p75_c"))
+      .transform(ps(col("arm")))
+  }
+
+  /** Session-duration histogram: 24h-gap sessions per user (the
+    * sessionize semantics), span measured min→max event (exact integer
+    * µs — gap padding excluded so the islands-reconstruction oracle
+    * states the identical number), bucketed into power-of-2 minutes
+    * (−1 = single-event sessions). Bounded output (≤ 1 + log₂ span
+    * buckets); the only exchange is the user-session key. */
+  def qSessionLengths(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(expr("(unix_micros(t1) - unix_micros(t0)) div 60000000").as("mins"))
+    val bucket = (0 to 20).foldLeft(lit(-1L)) { (acc, b) =>
+      when(col("mins") >= (1L << b), lit(b.toLong)).otherwise(acc)
+    }
+    spans.select(bucket.as("len_bucket"))
+      .groupBy("len_bucket").agg(count(lit(1)).as("n_sessions"))
+      .transform(ps(col("len_bucket")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3650,6 +3729,9 @@ object Queries {
     "q_theil_sen" -> (qTheilSen _),
     "q_autocorr" -> (qAutocorr _),
     "q_runs_test" -> (qRunsTest _),
+    "q_revenue_bridge" -> (qRevenueBridge _),
+    "q_ab_quantiles" -> (qAbQuantiles _),
+    "q_session_lengths" -> (qSessionLengths _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -5100,5 +5182,48 @@ object Queries {
         "CAST(sum(side) AS BIGINT) AS n_above, " +
         "CAST(sum(CASE WHEN prev IS NOT NULL AND side <> prev THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs " +
         "FROM lg GROUP BY 1 ORDER BY 1"),
+    "q_revenue_bridge" ->
+      ("WITH cm AS (SELECT o_custkey, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "e AS (SELECT o_custkey, m, cents, " +
+        "lag(m) OVER w AS pm, lag(cents) OVER w AS pc, lead(m) OVER w AS nm " +
+        "FROM cm WINDOW w AS (PARTITION BY o_custkey ORDER BY m)), " +
+        "inflow AS (SELECT m, CAST(sum(cents) AS BIGINT) AS total_cents, " +
+        "CAST(sum(CASE WHEN pm IS NULL THEN cents ELSE 0 END) AS BIGINT) AS new_cents, " +
+        "CAST(sum(CASE WHEN pm IS NOT NULL AND pm < m - 1 THEN cents ELSE 0 END) AS BIGINT) AS react_cents, " +
+        "CAST(sum(CASE WHEN pm = m - 1 AND cents > pc THEN cents - pc ELSE 0 END) AS BIGINT) AS expansion_cents, " +
+        "CAST(sum(CASE WHEN pm = m - 1 AND cents < pc THEN pc - cents ELSE 0 END) AS BIGINT) AS contraction_cents " +
+        "FROM e GROUP BY 1), " +
+        "churn AS (SELECT m + 1 AS m, CAST(sum(cents) AS BIGINT) AS churn_cents " +
+        "FROM e WHERE nm IS NULL OR nm <> m + 1 GROUP BY 1) " +
+        "SELECT m, total_cents, new_cents, react_cents, expansion_cents, " +
+        "contraction_cents, coalesce(churn_cents, 0) AS churn_cents " +
+        "FROM inflow LEFT JOIN churn USING (m) ORDER BY m"),
+    "q_ab_quantiles" ->
+      ("WITH a AS (SELECT ((o_custkey % 2147483648) * 2654435761) % 4294967296 % 2 AS arm, " +
+        "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE) AS v FROM orders) " +
+        "SELECT arm, round(quantile_cont(v, 0.25), 2) AS p25_c, " +
+        "round(quantile_cont(v, 0.5), 2) AS p50_c, " +
+        "round(quantile_cont(v, 0.75), 2) AS p75_c " +
+        "FROM a GROUP BY arm ORDER BY arm"),
+    "q_session_lengths" ->
+      ("WITH o AS (SELECT user_id, ts, lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events), " +
+        // session_window is half-open: an event exactly 24h after the
+        // previous one starts a NEW session → the islands break is `>=`
+        "f AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR " +
+        "ts >= pts + INTERVAL 24 HOUR THEN 1 ELSE 0 END AS brk FROM o), " +
+        "sid AS (SELECT user_id, ts, CAST(sum(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM f), " +
+        "sp AS (SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000 AS mins " +
+        "FROM sid GROUP BY user_id, sess), " +
+        "b AS (SELECT " +
+        (0 to 20).reverse.map(b => s"WHEN mins >= ${1L << b} THEN $b")
+          .mkString("CASE ", " ", " ELSE -1 END") +
+        " AS len_bucket FROM sp) " +
+        "SELECT CAST(len_bucket AS BIGINT) AS len_bucket, count(*) AS n_sessions " +
+        "FROM b GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -769,6 +769,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_revenue_bridge: one customer window (3 lag/lead fused), calendar-bounded merge") {
+    val p = plan(Queries.qRevenueBridge(spark, SF))
+    // the lag/lead trio fuses into ONE Window; the windowed frame feeds
+    // two aggregate branches (inflow + churn), so the fused node appears
+    // once per branch — anything above 2 means the trio stopped fusing
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes <= 2, s"one fused Window per consuming branch (got $winNodes):\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"the (customer, month) aggregate must combine map-side:\n$p")
+  }
+
+  test("q_session_lengths: session aggregate keyed by user, bounded histogram output") {
+    val p = plan(Queries.qSessionLengths(spark, SF))
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"session span min/max must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
