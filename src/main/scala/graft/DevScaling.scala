@@ -108,7 +108,9 @@ object DevScaling {
       // map-side aggregate
       "q_theil_sen", "q_autocorr", "q_runs_test",
       // waterfall/session wave: calendar- and bucket-bounded outputs
-      "q_revenue_bridge", "q_ab_quantiles", "q_session_lengths")
+      "q_revenue_bridge", "q_ab_quantiles", "q_session_lengths",
+      // robust-baseline wave: calendar-bounded frames and 9-row output
+      "q_rolling_median", "q_benford", "q_cohort_ltv")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -3537,6 +3537,70 @@ object Queries {
       .transform(ps(col("len_bucket")))
   }
 
+  /** Exact 7-day rolling MEDIAN of daily revenue per priority — the
+    * robust rolling baseline a spiky series needs where the rolling
+    * mean chases outliers. The bounded (≤7-row) frame makes the exact
+    * form cheap: collect the frame into a row-local array, sort it,
+    * take the (n+1)/2-th element — all integers, no percentile
+    * interpolation, state bounded by the frame length at any scale. */
+  def qRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list(col("x")).over(w)))
+      .select(col("o_orderpriority"), col("day"),
+        size(col("arr")).cast("long").as("n"),
+        expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))").as("med_cents"))
+      .orderBy("o_orderpriority", "day")
+  }
+
+  /** Benford first-digit profile of order totals (in cents): digit
+    * counts and ppm shares against the 30.1%/17.6%/… expectation — the
+    * classic fabricated-data screen, here as a data-quality primitive.
+    * The first digit comes from the decimal string (no float log10);
+    * one map-side-combinable 9-row aggregate. */
+  def qBenford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        "AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .where(col("digit") >= 1)
+    val total = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("cnt"), col("n_total"),
+        expr(ppmDiv("cnt", "n_total")).as("share_ppm"))
+      .transform(ps(col("digit")))
+  }
+
+  /** Cohort LTV curves: customers cohorted by FIRST-order month, then
+    * cumulative revenue per (cohort, month-offset) cell — the
+    * lifetime-value grid a subscription/commerce business reads
+    * horizontally. The first-order month is one customer-keyed min;
+    * the grid is calendar²-bounded, and the cumulative sum runs over
+    * the bounded offsets within each cohort. All exact integer cents. */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val om = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        ((year(col("o_orderdate")) * 12) + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    val cohort = om.groupBy(col("o_custkey")).agg(min(col("m")).as("c0"))
+    val grid = om.join(cohort, Seq("o_custkey"))
+      .groupBy(col("c0"), (col("m") - col("c0")).as("offset"))
+      .agg(sum(col("cents")).as("cents"), count_distinct(col("o_custkey")).as("n_cust"))
+    val w = Window.partitionBy(col("c0")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .select(col("c0").as("cohort_m"), col("offset"), col("n_cust"),
+        col("cents"), col("cum_cents"))
+      .orderBy("cohort_m", "offset")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3732,6 +3796,9 @@ object Queries {
     "q_revenue_bridge" -> (qRevenueBridge _),
     "q_ab_quantiles" -> (qAbQuantiles _),
     "q_session_lengths" -> (qSessionLengths _),
+    "q_rolling_median" -> (qRollingMedian _),
+    "q_benford" -> (qBenford _),
+    "q_cohort_ltv" -> (qCohortLtv _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -5225,5 +5292,34 @@ object Queries {
         " AS len_bucket FROM sp) " +
         "SELECT CAST(len_bucket AS BIGINT) AS len_bucket, count(*) AS n_sessions " +
         "FROM b GROUP BY 1 ORDER BY 1"),
+    "q_rolling_median" ->
+      ("WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM orders GROUP BY 1, 2), " +
+        "f AS (SELECT o_orderpriority, day, list_sort(list(x) OVER " +
+        "(PARTITION BY o_orderpriority ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr FROM daily) " +
+        "SELECT o_orderpriority, day, CAST(len(arr) AS BIGINT) AS n, " +
+        "arr[(len(arr) + 1) // 2] AS med_cents " +
+        "FROM f ORDER BY o_orderpriority, day"),
+    "q_benford" ->
+      ("WITH d AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+        "AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders), " +
+        "d1 AS (SELECT digit FROM d WHERE digit >= 1), " +
+        "t AS (SELECT count(*) AS n_total FROM d1) " +
+        "SELECT digit, count(*) AS cnt, n_total, " +
+        ppmDivSql("count(*)", "n_total") + " AS share_ppm " +
+        "FROM d1 CROSS JOIN t GROUP BY digit, n_total ORDER BY digit"),
+    "q_cohort_ltv" ->
+      ("WITH om AS (SELECT o_custkey, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders), " +
+        "c AS (SELECT o_custkey, min(m) AS c0 FROM om GROUP BY 1), " +
+        "g AS (SELECT c0, m - c0 AS \"offset\", CAST(sum(cents) AS BIGINT) AS cents, " +
+        "CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_cust " +
+        "FROM om JOIN c USING (o_custkey) GROUP BY 1, 2) " +
+        "SELECT c0 AS cohort_m, \"offset\", n_cust, cents, " +
+        "CAST(sum(cents) OVER (PARTITION BY c0 ORDER BY \"offset\" " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents " +
+        "FROM g ORDER BY cohort_m, \"offset\""),
   )
 }

@@ -787,6 +787,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_rolling_median: one bounded-frame window over the daily aggregate") {
+    val p = plan(Queries.qRollingMedian(spark, SF))
+    val winNodes = p.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 1, s"one collect_list frame window (got $winNodes):\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"daily cents must combine map-side:\n$p")
+    assert(!p.contains("UnboundedPreceding"),
+      s"the frame is bounded (7 rows):\n$p")
+  }
+
+  test("q_benford / q_cohort_ltv: map-side partials, broadcast scalar / bounded grid") {
+    val pb = plan(Queries.qBenford(spark, SF))
+    assert(pb.contains("partial_count") || pb.contains("Partial"), pb)
+    assert(pb.contains("BroadcastNestedLoopJoin Cross BuildRight") ||
+      pb.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$pb")
+    val pc = plan(Queries.qCohortLtv(spark, SF))
+    assert(pc.contains("partial_min") || pc.contains("Partial"),
+      s"the cohort min must combine map-side:\n$pc")
+    val winSpec = pc.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpec.nonEmpty && winSpec.forall(_.contains("c0")),
+      s"the cumulative window must stay cohort-keyed:\n$pc")
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
