@@ -110,7 +110,9 @@ object DevScaling {
       // waterfall/session wave: calendar- and bucket-bounded outputs
       "q_revenue_bridge", "q_ab_quantiles", "q_session_lengths",
       // robust-baseline wave: calendar-bounded frames and 9-row output
-      "q_rolling_median", "q_benford", "q_cohort_ltv")
+      "q_rolling_median", "q_benford", "q_cohort_ltv",
+      // order-statistics wave: value-cardinality-bounded windows
+      "q_weighted_median", "q_trimmed_mean")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -3601,6 +3601,59 @@ object Queries {
       .orderBy("cohort_m", "offset")
   }
 
+  /** Weighted median unit price per return flag (weight = quantity) —
+    * computed scalably by collapsing to the (flag, DISTINCT cents)
+    * weight table FIRST (map-side combinable; the window then runs over
+    * value cardinality, not row count) and taking the first value whose
+    * doubled cumulative weight reaches the total (the weighted lower
+    * median — rank crossing inside a tie run resolves to the same value
+    * under any order, so the min aggregate is deterministic). */
+  def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val vw = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .agg(sum(expr("CAST(round(l_quantity, 0) AS BIGINT)")).as("wt"))
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vw.withColumn("cum", sum(col("wt")).over(wOrd))
+      .withColumn("wtot", sum(col("wt")).over(Window.partitionBy(col("l_returnflag"))))
+      .where(col("cum") * 2 >= col("wtot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("wmed_cents"), min(col("wtot")).as("w_total"))
+      .transform(ps(col("l_returnflag")))
+  }
+
+  /** 10%-trimmed mean price per return flag, exactly, without ranking
+    * individual rows: collapse to the (flag, DISTINCT cents) count
+    * table, then each value's kept multiplicity is the overlap of its
+    * cumulative-rank interval with the kept band `(n/10, n − n/10]` —
+    * `greatest(0, least(cum, hi) − greatest(cum − wt, lo))`. All
+    * integer arithmetic to the final one-division mean; the robust-mean
+    * companion to q_winsorize (drop vs clamp). */
+  def qTrimmedMean(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("wt"))
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.withColumn("cum", sum(col("wt")).over(wOrd))
+      .withColumn("n", sum(col("wt")).over(Window.partitionBy(col("l_returnflag"))))
+      .withColumn("lo", expr("n div 10"))
+      .withColumn("hi", expr("n - n div 10"))
+      .withColumn("kept",
+        greatest(lit(0L), least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("wt"), col("lo"))))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("n")).as("n_rows"), min(expr("hi - lo")).as("n_kept"),
+        sum(col("cents") * col("kept")).as("trimmed_sum"))
+      .select(col("l_returnflag"), col("n_rows"), col("n_kept"),
+        col("trimmed_sum"),
+        round(col("trimmed_sum").cast("double") / col("n_kept").cast("double"), 4)
+          .as("trimmed_mean"))
+      .transform(ps(col("l_returnflag")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3799,6 +3852,8 @@ object Queries {
     "q_rolling_median" -> (qRollingMedian _),
     "q_benford" -> (qBenford _),
     "q_cohort_ltv" -> (qCohortLtv _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -5321,5 +5376,28 @@ object Queries {
         "CAST(sum(cents) OVER (PARTITION BY c0 ORDER BY \"offset\" " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents " +
         "FROM g ORDER BY cohort_m, \"offset\""),
+    "q_weighted_median" ->
+      ("WITH vw AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +
+        "CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS wt " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, cents, " +
+        "CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS wtot FROM vw) " +
+        "SELECT l_returnflag, min(cents) AS wmed_cents, min(wtot) AS w_total " +
+        "FROM c WHERE cum * 2 >= wtot GROUP BY 1 ORDER BY 1"),
+    "q_trimmed_mean" ->
+      ("WITH vc AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +
+        "count(*) AS wt FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, cents, wt, " +
+        "CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM vc), " +
+        "k AS (SELECT l_returnflag, cents, n, n // 10 AS lo, n - n // 10 AS hi, " +
+        "greatest(0, least(cum, n - n // 10) - greatest(cum - wt, n // 10)) AS kept FROM c) " +
+        "SELECT l_returnflag, min(n) AS n_rows, min(hi - lo) AS n_kept, " +
+        "CAST(sum(cents * kept) AS BIGINT) AS trimmed_sum, " +
+        "round(CAST(sum(cents * kept) AS DOUBLE) / CAST(min(hi - lo) AS DOUBLE), 4) AS trimmed_mean " +
+        "FROM k GROUP BY 1 ORDER BY 1"),
   )
 }

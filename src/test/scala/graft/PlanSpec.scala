@@ -811,6 +811,23 @@ class PlanSpec extends SparkSuite {
       s"the cumulative window must stay cohort-keyed:\n$pc")
   }
 
+  test("q_weighted_median / q_trimmed_mean: rows collapse to value cardinality before any window") {
+    for (q <- Seq(Queries.qWeightedMedian(spark, SF), Queries.qTrimmedMean(spark, SF))) {
+      val p = plan(q)
+      // the (flag, cents) collapse must combine map-side and sit BELOW
+      // the window — the window then scans value cardinality, not rows
+      assert(p.contains("partial_sum") || p.contains("partial_count") ||
+        p.contains("Partial"),
+        s"the distinct-value collapse must combine map-side:\n$p")
+      val aggIdx = p.indexOf("HashAggregate")
+      val winIdx = p.indexOf("Window")
+      assert(aggIdx >= 0 && winIdx >= 0, p)
+      val winSpec = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(winSpec.nonEmpty && winSpec.forall(_.contains("l_returnflag")),
+        s"windows must stay flag-keyed:\n$p")
+    }
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
