@@ -3654,6 +3654,54 @@ object Queries {
       .transform(ps(col("l_returnflag")))
   }
 
+  /** Statistical MODE of the quantity column per return flag (most
+    * frequent value, ties → smallest): one map-side value-collapse then
+    * a flag-keyed argmax window over value cardinality — the
+    * categorical/discrete summary mean and median miss. */
+  def qModeStat(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        expr("CAST(round(l_quantity, 0) AS BIGINT)").as("qty"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("freq").desc, col("qty"))
+    vc.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty").as("mode_qty"), col("freq"))
+      .transform(ps(col("l_returnflag")))
+  }
+
+  /** IQR outlier census per return flag: exact Q1/Q3 as cumulative-rank
+    * crossings over the DISTINCT-cents weight table (`4·cum ≥ n` /
+    * `4·cum ≥ 3n` — no interpolation), Tukey fences at 1.5·IQR in pure
+    * integer arithmetic (`2·cents < 2·q1 − 3·iqr`), and the outlier
+    * counts from one broadcast join of the 3-row fence table back onto
+    * the collapsed values. Never ranks an individual row. */
+  def qIqrOutliers(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("wt"))
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc
+      .withColumn("cum", sum(col("wt")).over(wOrd))
+      .withColumn("n", sum(col("wt")).over(Window.partitionBy(col("l_returnflag"))))
+    val fences = cum.groupBy(col("l_returnflag"))
+      .agg(min(when(col("cum") * 4 >= col("n"), col("cents"))).as("q1"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("cents"))).as("q3"),
+        min(col("n")).as("n"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    vc.join(broadcast(fences), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("q1")).as("q1"), min(col("q3")).as("q3"),
+        min(col("n")).as("n_rows"),
+        sum(when(col("cents") * 2 < col("q1") * 2 - col("iqr") * 3, col("wt"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("cents") * 2 > col("q3") * 2 + col("iqr") * 3, col("wt"))
+          .otherwise(0L)).as("n_high"))
+      .transform(ps(col("l_returnflag")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3854,6 +3902,8 @@ object Queries {
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_mode_stat" -> (qModeStat _),
+    "q_iqr_outliers" -> (qIqrOutliers _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -5399,5 +5449,25 @@ object Queries {
         "CAST(sum(cents * kept) AS BIGINT) AS trimmed_sum, " +
         "round(CAST(sum(cents * kept) AS DOUBLE) / CAST(min(hi - lo) AS DOUBLE), 4) AS trimmed_mean " +
         "FROM k GROUP BY 1 ORDER BY 1"),
+    "q_mode_stat" ->
+      ("WITH vc AS (SELECT l_returnflag, CAST(round(l_quantity, 0) AS BIGINT) AS qty, " +
+        "count(*) AS freq FROM lineitem GROUP BY 1, 2), " +
+        "r AS (SELECT l_returnflag, qty, freq, row_number() OVER " +
+        "(PARTITION BY l_returnflag ORDER BY freq DESC, qty) AS rn FROM vc) " +
+        "SELECT l_returnflag, qty AS mode_qty, freq FROM r WHERE rn = 1 ORDER BY 1"),
+    "q_iqr_outliers" ->
+      ("WITH vc AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +
+        "count(*) AS wt FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, cents, wt, " +
+        "CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM vc), " +
+        "f AS (SELECT l_returnflag, min(CASE WHEN cum * 4 >= n THEN cents END) AS q1, " +
+        "min(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS q3, min(n) AS n FROM c GROUP BY 1), " +
+        "f2 AS (SELECT l_returnflag, q1, q3, n, q3 - q1 AS iqr FROM f) " +
+        "SELECT vc.l_returnflag AS l_returnflag, min(q1) AS q1, min(q3) AS q3, min(f2.n) AS n_rows, " +
+        "CAST(sum(CASE WHEN cents * 2 < q1 * 2 - iqr * 3 THEN wt ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(sum(CASE WHEN cents * 2 > q3 * 2 + iqr * 3 THEN wt ELSE 0 END) AS BIGINT) AS n_high " +
+        "FROM vc JOIN f2 USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -828,6 +828,15 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_mode_stat / q_iqr_outliers: value collapse below flag-keyed windows, fences broadcast") {
+    val pm = plan(Queries.qModeStat(spark, SF))
+    assert(pm.contains("partial_count") || pm.contains("Partial"), pm)
+    val pi = plan(Queries.qIqrOutliers(spark, SF))
+    assert(pi.contains("BroadcastHashJoin"),
+      s"the 3-row fence table must broadcast back:\n$pi")
+    assert(!pi.contains("SortMergeJoin"), pi)
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
