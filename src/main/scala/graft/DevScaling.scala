@@ -112,7 +112,9 @@ object DevScaling {
       // robust-baseline wave: calendar-bounded frames and 9-row output
       "q_rolling_median", "q_benford", "q_cohort_ltv",
       // order-statistics wave: value-cardinality-bounded windows
-      "q_weighted_median", "q_trimmed_mean", "q_mode_stat", "q_iqr_outliers")
+      "q_weighted_median", "q_trimmed_mean", "q_mode_stat", "q_iqr_outliers",
+      // calendar-bounded interpolation (spine size is date-span-bound)
+      "q_gap_interp")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

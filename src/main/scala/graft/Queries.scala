@@ -3702,6 +3702,45 @@ object Queries {
       .transform(ps(col("l_returnflag")))
   }
 
+  /** Calendar gap-filling with LINEAR interpolation: the daily revenue
+    * series per priority densified over its full date span, missing
+    * days filled as `prev + (next−prev)·(d−d_prev) div (d_next−d_prev)`
+    * — exact integer interpolation between the nearest observed
+    * neighbors (edges fall back to the available side). Both carries
+    * are GROWING frames — forward on the day order, backward on the
+    * REVERSE order — never the O(rows²) UnboundedFollowing re-scan; the
+    * spine explodes from a 5-row span table. */
+  def qGapInterp(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("x"))
+    val spine = daily.groupBy(col("o_orderpriority"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("o_orderpriority"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wF = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy(col("o_orderpriority")).orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("o_orderpriority", "day"), "left")
+      .withColumn("pv", last(col("x"), ignoreNulls = true).over(wF))
+      .withColumn("pd", last(when(col("x").isNotNull, col("day")),
+        ignoreNulls = true).over(wF))
+      .withColumn("nv", last(col("x"), ignoreNulls = true).over(wB))
+      .withColumn("nd", last(when(col("x").isNotNull, col("day")),
+        ignoreNulls = true).over(wB))
+      .select(col("o_orderpriority"), col("day"),
+        when(col("x").isNotNull, 1L).otherwise(0L).as("observed"),
+        when(col("x").isNotNull, col("x"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + expr(
+            "((nv - pv) * CAST(datediff(day, pd) AS BIGINT)) div " +
+              "CAST(datediff(nd, pd) AS BIGINT)"))
+          .as("filled_cents"))
+      .orderBy("o_orderpriority", "day")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3904,6 +3943,7 @@ object Queries {
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_mode_stat" -> (qModeStat _),
     "q_iqr_outliers" -> (qIqrOutliers _),
+    "q_gap_interp" -> (qGapInterp _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -5469,5 +5509,28 @@ object Queries {
         "CAST(sum(CASE WHEN cents * 2 < q1 * 2 - iqr * 3 THEN wt ELSE 0 END) AS BIGINT) AS n_low, " +
         "CAST(sum(CASE WHEN cents * 2 > q3 * 2 + iqr * 3 THEN wt ELSE 0 END) AS BIGINT) AS n_high " +
         "FROM vc JOIN f2 USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+    "q_gap_interp" ->
+      ("WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM orders GROUP BY 1, 2), " +
+        "span AS (SELECT o_orderpriority, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+        "spine AS (SELECT o_orderpriority, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+        "CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+        "j AS (SELECT s.o_orderpriority, s.day, x FROM spine s " +
+        "LEFT JOIN daily USING (o_orderpriority, day)), " +
+        "c AS (SELECT o_orderpriority, day, x, " +
+        "last_value(x IGNORE NULLS) OVER wf AS pv, " +
+        "last_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS pd, " +
+        "last_value(x IGNORE NULLS) OVER wb AS nv, " +
+        "last_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS nd " +
+        "FROM j WINDOW wf AS (PARTITION BY o_orderpriority ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wb AS (PARTITION BY o_orderpriority ORDER BY day DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT o_orderpriority, day, " +
+        "CAST(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed, " +
+        "CASE WHEN x IS NOT NULL THEN x WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "ELSE pv + ((nv - pv) * CAST(day - pd AS BIGINT)) // CAST(nd - pd AS BIGINT) END AS filled_cents " +
+        "FROM c ORDER BY o_orderpriority, day"),
   )
 }

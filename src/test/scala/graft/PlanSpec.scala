@@ -837,6 +837,17 @@ class PlanSpec extends SparkSuite {
     assert(!pi.contains("SortMergeJoin"), pi)
   }
 
+  test("q_gap_interp: both carries are growing frames; never a following-frame scan") {
+    val p = plan(Queries.qGapInterp(spark, SF))
+    assert(!p.contains("UnboundedFollowing"),
+      s"the backward carry must ride the REVERSE-ordered growing frame:\n$p")
+    val winSpec = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpec.nonEmpty && winSpec.forall(_.contains("o_orderpriority")),
+      s"carries must stay priority-keyed:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"daily cents must combine map-side:\n$p")
+  }
+
   test("q_dataset_card: token stats never join the token stream on doc_id") {
     val p = plan(Queries.qDatasetCard(spark, SF))
     // source rides the explode out of the scan; the only joins merge the
