@@ -15,6 +15,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // sequential batch: sink done ⇒ quiescent; drop the checkpoint
+      // blocks the iterative operators strand (see operators.Checkpoints)
+      graft.operators.Checkpoints.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -22,8 +22,10 @@ object Graph {
     * [[TextOps.lshDedupClusters]] iteration discipline on a general
     * graph. The fixpoint (min node id per component) is unique, so the
     * result is deterministic regardless of partitioning or round count.
-    * Returns (node, component); callers should `.unpersist()` the result
-    * when done (it holds the final round's checkpoint blocks). */
+    * Returns (node, component); the result holds the final round's
+    * checkpoint blocks — `.unpersist()` it when done, or drop all
+    * stranded blocks at a quiescent point via [[Checkpoints.release]]
+    * (what the Bench/Verify batch harnesses do after each query). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -217,8 +217,20 @@ object Similarity {
     *    so each partition ships ≤ k·dim partial rows — output is k·dim
     *    regardless of corpus size.
     *
+    * The declared centroid semantics are the **mean of µ-quantized
+    * components**: each component is fixed-pointed to an exact integer
+    * `round(val·10⁶)` before summing, so the sum is associative (integer)
+    * and the mean is independent of partial-aggregation order — a plain
+    * `avg(double)` drifts in the last ulp with summation order and can
+    * flip a 4-dp rounding boundary between engines. One IEEE division at
+    * the end (`Σq / (n·10⁶)`) over bit-identical operands is
+    * deterministic. Headroom: Σq overflows 2⁶³ only past ~9·10¹²
+    * unit-scale members per (cluster, dim) cell — beyond any single
+    * cluster at 100 TB; drop the quantization to 10⁴ if vectors are
+    * unnormalized by >100×.
+    *
     * Returns (cluster_id, pos, c, n): dim-indexed new centroid coordinates
-    * (rounded) and member counts. */
+    * (quantized mean rounded to 4 dp) and member counts. */
   def kmeansStep(emb: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame =
     kmeansStepPrecomputed(emb, idCol, vecCol,
@@ -262,9 +274,11 @@ object Similarity {
     emb.withColumn("cluster_id", kmeansAssignCol(vecCol, cents))
       .select(col("cluster_id"), posexplode(vecD).as(Seq("pos", "val")))
       .groupBy("cluster_id", "pos")
-      .agg(round(avg(col("val")), 4).as("c"), count(lit(1)).as("n"))
+      .agg(sum(round(col("val") * lit(1e6), 0).cast("long")).as("__sq"),
+        count(lit(1)).as("n"))
       .select(col("cluster_id"), col("pos").cast("long").as("pos"),
-        col("c"), col("n"))
+        round(col("__sq").cast("double") / (col("n") * lit(1e6)), 4).as("c"),
+        col("n"))
   }
 
   /** Full Lloyd iteration: `iters` rounds of assign + update, each round
@@ -387,8 +401,16 @@ object Similarity {
     * Fully deterministic (seeded centroids, rounded sims, id-ordered
     * pairs), so an ANSI oracle reproduces it exactly. */
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int, threshold: Double): DataFrame = {
-    val cents = seedCentroids(emb, idCol, vecCol, k)
+                    k: Int, threshold: Double): DataFrame =
+    semDedupPairsPrecomputed(emb, idCol, vecCol,
+      seedCentroids(emb, idCol, vecCol, k), threshold)
+
+  /** [[semDedupPairs]] with the centroid state supplied by the caller —
+    * lets a session reuse one seed collect across the kmeans / blocked-kNN
+    * / SemDeDup family instead of re-collecting per query. */
+  def semDedupPairsPrecomputed(emb: DataFrame, idCol: String, vecCol: String,
+                               cents: Array[(Long, Array[Double])],
+                               threshold: Double): DataFrame = {
     val assigned = emb.select(col(idCol), col(vecCol),
       kmeansAssignCol(vecCol, cents).as("cluster_id"))
     val a = assigned.select(col("cluster_id"), col(idCol).as("id_a"),

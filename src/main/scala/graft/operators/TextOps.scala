@@ -277,7 +277,9 @@ object TextOps {
     // session. (At maxIter=0 the initial labels still reads THROUGH melted,
     // whose lineage a localCheckpoint cannot recompute — keep it.) The
     // RETURNED frame still holds checkpoint blocks: callers should
-    // .unpersist() it when done with the result.
+    // .unpersist() it when done with the result, or sweep all stranded
+    // blocks at a quiescent point via Checkpoints.release (the Bench/
+    // Verify batch harnesses do this after each query).
     if (iter > 0) melted.unpersist()
     labels
   }

@@ -184,6 +184,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q_kmeans_step: fused argmin projection + ONE centroid exchange") {
+    val p = plan(Queries.qKmeansStep(spark, SF))
+    // assignment is k fused least-of-structs expressions over the scan —
+    // never a join against a centroid table (k scans) or a cross product
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"argmin assignment must be a projection, not a per-centroid join:\n$p")
+    // posexplode stays pipelined (Generate above the scan, below the agg):
+    // the shuffle carries ≤ k·dim map-side partials, never exploded rows
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_sum"),
+      s"centroid update must combine map-side:\n$p")
+    val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx == 1,
+      s"centroid update is one (cluster,dim) exchange, found $hashEx:\n$p")
+  }
+
   test("q_bm25: AQE reuses the per-doc shuffle; top-k never global-sorts") {
     val df = Queries.qBm25(spark, SF)
     assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
