@@ -111,7 +111,11 @@ object Bench {
     // 1/5/15-min load recorded, that diagnosis is one look at the JSON.
     val loadEnd = loadavg()
     val passWalls = s"""{"warmup":$wallWarmup,"sequential":$wallSeq,"concurrent1":$w1,"concurrent2":$w2}"""
-    val line = s"""{"metric":"total","value":$wall,"unit":"sec","n_queries":${results.size},"concurrency":$par,"sum_sequential":$sumSeq,"pass_walls":$passWalls,"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // n_queries = declared batch size; n_completed = queries that actually
+    // produced a timing. They differ exactly when `errors` is non-empty, so
+    // the record is self-consistent without cross-referencing the error map.
+    val nCompleted = results.values.count(!_.isNaN)
+    val line = s"""{"metric":"total","value":$wall,"unit":"sec","n_queries":${results.size},"n_completed":$nCompleted,"concurrency":$par,"sum_sequential":$sumSeq,"pass_walls":$passWalls,"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The harness keeps only a stdout TAIL, which Spark's shutdown logging
     // can push the line out of — persist it and re-print LAST so the metric

@@ -407,10 +407,13 @@ object Queries {
     * centroids, exact argmin assignment, per-(cluster, dim) mean — output
     * is k·dim rows regardless of corpus size. The oracle re-ranks by
     * DuckDB's `list_distance` (monotone sqrt of the same double sum), so
-    * the assignment matches exactly; the centroid mean is the order-free
-    * µ-quantized integer mean (`Σ round(val·10⁶) / (n·10⁶)`) on BOTH
-    * engines — a plain `avg(double)` drifts with summation order and
-    * flips 4-dp rounding boundaries. */
+    * the assignment matches exactly; the centroid is the order-free
+    * µ-quantized integer sum reduced to EXACT 4-dp fixed point in pure
+    * integer arithmetic on BOTH engines (sign-adjusted truncating
+    * division — Spark `div` and DuckDB `//` both truncate toward zero).
+    * No double is ever rounded: `round(double, 4)` is engine-specific at
+    * boundary cells (BigDecimal vs multiply-round-divide) and cost two
+    * rounds of hash mismatches. */
   def qKmeansStep(s: SparkSession, d: String): DataFrame =
     Similarity.kmeansStepPrecomputed(Tables.embeddings(s, d), "vec_id",
         "embedding", cachedSeedCentroids(s, d, 8))
@@ -954,24 +957,40 @@ object Queries {
   }
 
   /** Exact interpolated percentiles + median per group (≡ DuckDB
-    * `quantile_cont`), via [[graft.operators.Ops.exactPercentiles]] —
-    * distributed sort + window arithmetic. Spark's built-in exact
-    * `percentile` aggregate buffers a whole group in one task (measured 7×
-    * slower at sf0.1, and an OOM at 100 TB); the sort-based form spills and
-    * parallelizes. Rounded against summation-order drift. */
+    * `quantile_cont` on the integer-unit inputs), via
+    * [[graft.operators.Ops.exactPercentileBounds]] — distributed
+    * two-round selection + EXACT integer interpolation. Spark's built-in
+    * exact `percentile` aggregate buffers a whole group in one task
+    * (measured 7× slower at sf0.1, and an OOM at 100 TB); the sort-based
+    * form spills and parallelizes.
+    *
+    * Determinism: inputs are integer units (price cents, whole qty), and
+    * since every requested p has p·20 integer (5/10/18), the interpolated
+    * value is EXACTLY `(lo·20 + (hi−lo)·((n−1)·p·20 mod 20)) / 20` —
+    * computed in long arithmetic and divided once at the end, identical
+    * in any engine. The previous `round(lo + frac·(hi−lo), 2)` flipped a
+    * cent at sf0.001 where the p50 midpoint landed on a .xx5 boundary
+    * (Spark BigDecimal-HALF_UP vs DuckDB multiply-round). */
   def qPercentiles(s: SparkSession, d: String): DataFrame = {
     // melt both metrics into one (group, metric) pass — one ranking
     // pipeline (and one pair of tiny stats/offset jobs) instead of two
     val melted = Tables.lineitem(s, d).select(col("l_returnflag"),
-      expr("stack(2, 'price', CAST(l_extendedprice AS DOUBLE), " +
-        "'qty', CAST(l_quantity AS DOUBLE)) AS (metric, v)"))
-    val pct = Ops.exactPercentiles(melted, Seq("l_returnflag", "metric"), "v",
+      expr("stack(2, 'price', CAST(round(l_extendedprice * 100, 0) AS DOUBLE), " +
+        "'qty', CAST(round(l_quantity, 0) AS DOUBLE)) AS (metric, v)"))
+    val b = Ops.exactPercentileBounds(melted, Seq("l_returnflag", "metric"), "v",
       Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+    def c20(name: String, p20: Int) =
+      col(s"${name}_lo").cast("long") * 20 +
+        (col(s"${name}_hi").cast("long") - col(s"${name}_lo").cast("long")) *
+          expr(s"((n - 1) * $p20) % 20")
+    val pct = b.select(col("l_returnflag"), col("metric"),
+      c20("p25", 5).as("p25_20"), c20("p50", 10).as("p50_20"),
+      c20("p90", 18).as("p90_20"))
     pct.groupBy("l_returnflag").agg(
-        round(max(when(col("metric") === "price", col("p25"))), 2).as("p25"),
-        round(max(when(col("metric") === "price", col("p50"))), 2).as("p50"),
-        round(max(when(col("metric") === "price", col("p90"))), 2).as("p90"),
-        round(max(when(col("metric") === "qty", col("p50"))), 2).as("med_qty"))
+        (max(when(col("metric") === "price", col("p25_20"))).cast("double") / 2000.0).as("p25"),
+        (max(when(col("metric") === "price", col("p50_20"))).cast("double") / 2000.0).as("p50"),
+        (max(when(col("metric") === "price", col("p90_20"))).cast("double") / 2000.0).as("p90"),
+        (max(when(col("metric") === "qty", col("p50_20"))).cast("double") / 20.0).as("med_qty"))
       .transform(ps(col("l_returnflag")))
   }
 
@@ -3761,6 +3780,121 @@ object Queries {
       .orderBy("o_orderpriority", "day")
   }
 
+  /** Order-count distribution (TPC-H Q13 shape): how many customers
+    * placed exactly k orders, INCLUDING the zero-order tail via a left
+    * join from the customer universe onto the per-customer aggregate.
+    * The heavy aggregate runs on orders alone (custkey-keyed, map-side
+    * combinable); the distribution re-aggregate is bounded by the max
+    * per-customer order count. */
+  def qOrderCountDist(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders")).agg(count(lit(1)).as("n_custs"))
+      .transform(ps(col("n_orders")))
+  }
+
+  /** Min-price supplier per part (TPC-H Q2's argmin re-expressed on the
+    * lineitem-derived offer catalog): the (part, supplier) offer table
+    * collapses map-side to its min observed price in exact cents, the
+    * per-part argmin is ONE min(struct) partial-mergeable aggregate
+    * (ties → smallest suppkey; no window rank pass over the offers),
+    * and the supplier dim broadcasts onto the O(parts) winner set. */
+  def qMinPriceSupplier(s: SparkSession, d: String): DataFrame = {
+    val offers = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as("best_c"))
+    val winners = offers
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("best_c"), col("l_suppkey"))).as("w"))
+      .select(col("l_partkey"), col("w.l_suppkey").as("s_suppkey"),
+        col("w.best_c").as("best_cents"))
+    winners
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        Seq("s_suppkey"))
+      .select(col("l_partkey"), col("s_suppkey"), col("s_name"), col("best_cents"))
+      .orderBy("l_partkey")
+  }
+
+  /** Character-trigram profile per language: top-15 trigrams of the
+    * normalized text by frequency (ties → trigram) — the below-token
+    * signal language-ID and gibberish filters read. The trigram stream
+    * is generated row-locally (sequence + transform, no join and no
+    * token shuffle), counts combine map-side, and the ranking window
+    * runs on the bounded (lang, distinct-trigram) table. */
+  def qCharNgrams(s: SparkSession, d: String): DataFrame = {
+    val norm = Tables.documents(s, d).select(col("lang"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .where(length(col("t")) >= 3)
+    val tri = norm.select(col("lang"), explode(expr(
+      "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
+    val cnt = tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))
+    cnt.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 15)
+      .orderBy("lang", "rk")
+  }
+
+  /** Inter-event arrival-gap distribution per event type: consecutive
+    * same-user gaps in whole seconds (one user-keyed sort window, gap
+    * attributed to the LATER event's type), collapsed to the
+    * (type, DISTINCT gap) weight table, then exact p50/p90/max as
+    * cumulative-rank crossings over VALUE cardinality — the
+    * arrival-process summary capacity planning reads, never ranking
+    * individual rows. */
+  def qInterarrival(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wU))
+      .where(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_s"))
+    val vw = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("wt"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vw.withColumn("cum", sum(col("wt")).over(wOrd))
+      .withColumn("n", sum(col("wt")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("gap_s"))).as("p50_s"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("gap_s"))).as("p90_s"),
+        max(col("gap_s")).as("max_s"), min(col("n")).as("n_gaps"))
+      .transform(ps(col("event_type")))
+  }
+
+  /** Embedding-norm outlier screen: each vector's squared L2 norm in
+    * exact integer milli-unit quantization (Σ round(x·10³)² — row-local,
+    * zero shuffle), coarsened to a BOUNDED grid (`div 10⁴` — the grid
+    * spans max‖x‖²·dim/10⁴ cells regardless of corpus size), fenced
+    * against the per-label median grid cell (rank crossing over the
+    * bounded (label, cell) table, label-row broadcast back). Flags
+    * > 2× / < ½× the median cell — the cheap corrupt-vector screen an
+    * embedding pipeline runs before indexing; all integer, no sqrt. */
+  def qNormOutliers(s: SparkSession, d: String): DataFrame = {
+    val n2 = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        expr("aggregate(transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)), " +
+          "0L, (acc, v) -> acc + v * v)").as("norm2_mu"))
+      .withColumn("q", expr("norm2_mu div 10000"))
+    val vw = n2.groupBy(col("label"), col("q")).agg(count(lit(1)).as("wt"))
+    val wOrd = Window.partitionBy(col("label")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = vw.withColumn("cum", sum(col("wt")).over(wOrd))
+      .withColumn("n", sum(col("wt")).over(Window.partitionBy(col("label"))))
+      .groupBy(col("label"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("q"))).as("med_q"))
+    n2.join(broadcast(med), Seq("label"))
+      .select(col("vec_id"), col("label"), col("norm2_mu"), col("q"),
+        when(col("q") > col("med_q") * 2, lit("high"))
+          .when(col("q") * 2 < col("med_q"), lit("low"))
+          .otherwise(lit("ok")).as("flag"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -3964,6 +4098,11 @@ object Queries {
     "q_mode_stat" -> (qModeStat _),
     "q_iqr_outliers" -> (qIqrOutliers _),
     "q_gap_interp" -> (qGapInterp _),
+    "q_order_count_dist" -> (qOrderCountDist _),
+    "q_min_price_supplier" -> (qMinPriceSupplier _),
+    "q_char_ngrams" -> (qCharNgrams _),
+    "q_interarrival" -> (qInterarrival _),
+    "q_norm_outliers" -> (qNormOutliers _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -4183,11 +4322,34 @@ object Queries {
         "WHEN fr >= en AND fr > 0 THEN 'fr' " +
         "ELSE 'en' END AS lang_pred FROM c ORDER BY doc_id"),
     "q_percentiles" ->
-      ("SELECT l_returnflag, round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 2) AS p25, " +
-        "round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS p50, " +
-        "round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 2) AS p90, " +
-        "round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 2) AS med_qty " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      // rank selection + exact 20th-unit integer interpolation restated
+      // value-for-value with the Spark side (p·20 ∈ {5,10,18} integers;
+      // quantile_cont's double `lo + frac·(hi−lo)` rounds engine-specific
+      // at .xx5 midpoints)
+      ("WITH m AS (SELECT l_returnflag, 'price' AS metric, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'qty', CAST(round(l_quantity) AS BIGINT) FROM lineitem), " +
+        "r AS (SELECT l_returnflag, metric, v, " +
+        "row_number() OVER (PARTITION BY l_returnflag, metric ORDER BY v) AS rn, " +
+        "count(*) OVER (PARTITION BY l_returnflag, metric) AS n FROM m), " +
+        "b AS (SELECT l_returnflag, metric, " +
+        "max(CASE WHEN rn = ((n-1)*5) // 20 + 1 THEN v END) AS p25_lo, " +
+        "max(CASE WHEN rn = ((n-1)*5 + 19) // 20 + 1 THEN v END) AS p25_hi, " +
+        "max(CASE WHEN rn = ((n-1)*10) // 20 + 1 THEN v END) AS p50_lo, " +
+        "max(CASE WHEN rn = ((n-1)*10 + 19) // 20 + 1 THEN v END) AS p50_hi, " +
+        "max(CASE WHEN rn = ((n-1)*18) // 20 + 1 THEN v END) AS p90_lo, " +
+        "max(CASE WHEN rn = ((n-1)*18 + 19) // 20 + 1 THEN v END) AS p90_hi, " +
+        "max(n) AS n FROM r GROUP BY l_returnflag, metric), " +
+        "p AS (SELECT l_returnflag, metric, " +
+        "p25_lo*20 + (p25_hi-p25_lo)*(((n-1)*5) % 20) AS p25_20, " +
+        "p50_lo*20 + (p50_hi-p50_lo)*(((n-1)*10) % 20) AS p50_20, " +
+        "p90_lo*20 + (p90_hi-p90_lo)*(((n-1)*18) % 20) AS p90_20 FROM b) " +
+        "SELECT l_returnflag, " +
+        "CAST(max(CASE WHEN metric = 'price' THEN p25_20 END) AS DOUBLE) / 2000.0 AS p25, " +
+        "CAST(max(CASE WHEN metric = 'price' THEN p50_20 END) AS DOUBLE) / 2000.0 AS p50, " +
+        "CAST(max(CASE WHEN metric = 'price' THEN p90_20 END) AS DOUBLE) / 2000.0 AS p90, " +
+        "CAST(max(CASE WHEN metric = 'qty' THEN p50_20 END) AS DOUBLE) / 20.0 AS med_qty " +
+        "FROM p GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_argmax" ->
       ("SELECT c_mktsegment, c_acctbal AS top_acctbal, c_custkey AS top_custkey, c_name AS top_name " +
         "FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey DESC) AS rn " +
@@ -4428,10 +4590,12 @@ object Queries {
         "FROM assigned a JOIN embeddings e USING (vec_id), " +
         "LATERAL (SELECT unnest(e.embedding::DOUBLE[]) AS val, " +
         "generate_subscripts(e.embedding, 1) AS pos) u) " +
+        ", agg AS (SELECT cluster_id, pos, " +
+        "CAST(sum(CAST(round(val * 1e6) AS BIGINT)) AS BIGINT) AS sq, count(*) AS n " +
+        "FROM exploded GROUP BY cluster_id, pos) " +
         "SELECT cluster_id, pos - 1 AS pos, " +
-        "round(CAST(CAST(sum(CAST(round(val * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) " +
-        "/ (count(*) * 1e6), 4) AS c, count(*) AS n " +
-        "FROM exploded GROUP BY cluster_id, pos ORDER BY cluster_id, pos"),
+        "CAST((sq + (CASE WHEN sq < 0 THEN -50 ELSE 50 END) * n) // (100 * n) AS BIGINT) AS c, " +
+        "n FROM agg ORDER BY cluster_id, pos"),
     "q_vector_quantize" ->
       ("WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
         "list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma FROM embeddings) " +
@@ -5554,5 +5718,56 @@ object Queries {
         "CASE WHEN x IS NOT NULL THEN x WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
         "ELSE pv + ((nv - pv) * CAST(day - pd AS BIGINT)) // CAST(nd - pd AS BIGINT) END AS filled_cents " +
         "FROM c ORDER BY o_orderpriority, day"),
+    "q_order_count_dist" ->
+      ("WITH per AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) " +
+        "SELECT coalesce(n, 0) AS n_orders, count(*) AS n_custs " +
+        "FROM customer LEFT JOIN per ON c_custkey = o_custkey " +
+        "GROUP BY 1 ORDER BY n_orders"),
+    "q_min_price_supplier" ->
+      ("WITH offers AS (SELECT l_partkey, l_suppkey, " +
+        "min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS best_c " +
+        "FROM lineitem GROUP BY l_partkey, l_suppkey), " +
+        "w AS (SELECT l_partkey, l_suppkey AS s_suppkey, best_c AS best_cents, " +
+        "row_number() OVER (PARTITION BY l_partkey ORDER BY best_c, l_suppkey) AS rn " +
+        "FROM offers) " +
+        "SELECT l_partkey, s_suppkey, s_name, best_cents " +
+        "FROM w JOIN supplier USING (s_suppkey) WHERE rn = 1 ORDER BY l_partkey"),
+    "q_char_ngrams" ->
+      ("WITH norm AS (SELECT lang, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t " +
+        "FROM documents), " +
+        "tri AS (SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS tri FROM norm, " +
+        "LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS i) u " +
+        "WHERE length(t) >= 3), " +
+        "cnt AS (SELECT lang, tri, count(*) AS n FROM tri GROUP BY lang, tri), " +
+        "rk AS (SELECT lang, tri, n, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY n DESC, tri) AS rk FROM cnt) " +
+        "SELECT lang, tri, n, rk FROM rk WHERE rk <= 15 ORDER BY lang, rk"),
+    "q_interarrival" ->
+      ("WITH g AS (SELECT event_type, (epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s FROM events), " +
+        "vw AS (SELECT event_type, gap_s, count(*) AS wt FROM g " +
+        "WHERE gap_s IS NOT NULL GROUP BY event_type, gap_s), " +
+        "c AS (SELECT event_type, gap_s, wt, " +
+        "sum(wt) OVER (PARTITION BY event_type ORDER BY gap_s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(wt) OVER (PARTITION BY event_type) AS n FROM vw) " +
+        "SELECT event_type, min(CASE WHEN cum * 2 >= n THEN gap_s END) AS p50_s, " +
+        "min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_s, " +
+        "max(gap_s) AS max_s, CAST(min(n) AS BIGINT) AS n_gaps " +
+        "FROM c GROUP BY event_type ORDER BY event_type"),
+    "q_norm_outliers" ->
+      ("WITH n2 AS (SELECT vec_id, label, " +
+        "CAST(list_sum(list_transform(embedding::DOUBLE[], " +
+        "x -> CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))) AS BIGINT) AS norm2_mu " +
+        "FROM embeddings), " +
+        "b AS (SELECT vec_id, label, norm2_mu, norm2_mu // 10000 AS q FROM n2), " +
+        "vw AS (SELECT label, q, count(*) AS wt FROM b GROUP BY label, q), " +
+        "c AS (SELECT label, q, wt, sum(wt) OVER (PARTITION BY label ORDER BY q " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(wt) OVER (PARTITION BY label) AS n FROM vw), " +
+        "med AS (SELECT label, min(CASE WHEN cum * 2 >= n THEN q END) AS med_q FROM c GROUP BY label) " +
+        "SELECT vec_id, b.label AS label, norm2_mu, q, " +
+        "CASE WHEN q > med_q * 2 THEN 'high' WHEN q * 2 < med_q THEN 'low' ELSE 'ok' END AS flag " +
+        "FROM b JOIN med ON b.label = med.label ORDER BY vec_id"),
   )
 }

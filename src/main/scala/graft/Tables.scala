@@ -21,15 +21,28 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * [[graft.Sessions]]). Convert to µs TimestampType with integer `div`
-    * (lossless — no double round-trip; the fixture is µs-aligned). */
+  /** `events.ts` has drifted across fixture generations; normalize every
+    * encoding to µs-precision `TimestampType` so downstream event-time code
+    * (`unix_micros`, `window()`, `withWatermark`) sees one stable type:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 reads it as a raw long under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    [[graft.Sessions]]) — integer `div` to µs, lossless (fixture is
+    *    µs-aligned);
+    *  - parquet `timestamp[us], isAdjustedToUTC=false`: Spark 4 reads it as
+    *    `TIMESTAMP_NTZ` — cast to `TimestampType`, lossless because the
+    *    session zone is UTC ([[graft.Sessions]]) and the DuckDB oracle's
+    *    timestamps are likewise naive;
+    *  - already `TimestampType`: pass through. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

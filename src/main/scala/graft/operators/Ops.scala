@@ -293,6 +293,50 @@ object Ops {
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[(String, Double)], bitShift: Int = 44): DataFrame = {
     val gcols = groupCols.map(col)
+    val aggs = ps.map { case (name, p) =>
+      val kRow = (col("__n") - 1) * lit(p) // per-row: __n is constant in a group
+      val vLo = max(when(col("__rn") === floor(kRow) + 1, col("__v")))
+      val vHi = max(when(col("__rn") === ceil(kRow) + 1, col("__v")))
+      val kAgg = (max(col("__n")) - 1) * lit(p) // group-level rank for the frac
+      val frac = kAgg - floor(kAgg)
+      (vLo + (vHi - vLo) * frac).as(name)
+    }
+    boundaryRanked(df, groupCols, valueCol, ps, bitShift)
+      .groupBy(gcols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[exactPercentiles]]' two-round selection, emitting the RAW boundary
+    * order statistics instead of interpolating: per requested p, the value
+    * at rank `floor((n−1)p)+1` (`<name>_lo`) and at `ceil((n−1)p)+1`
+    * (`<name>_hi`), plus the group count `n`. Callers whose `p·(n−1)`
+    * fractional part is rational with a small denominator D finish in
+    * EXACT integer arithmetic — `lo·D + (hi−lo)·m` with
+    * `m = ((n−1)·pD) mod D` — which is portable across engines where the
+    * double `lo + frac·(hi−lo)` is not (a non-dyadic frac like p90's 0.9
+    * lands on representation boundaries that round differently per
+    * engine — the q_kmeans_step lesson, order-statistics edition). */
+  def exactPercentileBounds(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, ps: Seq[(String, Double)],
+                            bitShift: Int = 44): DataFrame = {
+    val gcols = groupCols.map(col)
+    val aggs = ps.flatMap { case (name, p) =>
+      val kRow = (col("__n") - 1) * lit(p)
+      Seq(max(when(col("__rn") === floor(kRow) + 1, col("__v"))).as(s"${name}_lo"),
+        max(when(col("__rn") === ceil(kRow) + 1, col("__v"))).as(s"${name}_hi"))
+    } :+ max(col("__n")).as("n")
+    boundaryRanked(df, groupCols, valueCol, ps, bitShift)
+      .groupBy(gcols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared guts of the exact-percentile pair: the two-round bucket
+    * selection, returning only the rows holding some requested boundary
+    * rank, with `__v`, global rank `__rn`, and group count `__n`. */
+  private def boundaryRanked(df: DataFrame, groupCols: Seq[String],
+                             valueCol: String, ps: Seq[(String, Double)],
+                             bitShift: Int): DataFrame = {
+    val gcols = groupCols.map(col)
     // Both rounds scan the source independently (measured: cheaper than
     // forcing a shared 1.2M-row exchange, whose two consumers canonicalize
     // differently and defeat ReuseExchange anyway — and at scale a second
@@ -341,17 +385,7 @@ object Ops {
       val k = (col("__n") - 1) * lit(p)
       (col("__rn") === floor(k) + 1) || (col("__rn") === ceil(k) + 1)
     }.reduce(_ || _)
-    val aggs = ps.map { case (name, p) =>
-      val kRow = (col("__n") - 1) * lit(p) // per-row: __n is constant in a group
-      val vLo = max(when(col("__rn") === floor(kRow) + 1, col("__v")))
-      val vHi = max(when(col("__rn") === ceil(kRow) + 1, col("__v")))
-      val kAgg = (max(col("__n")) - 1) * lit(p) // group-level rank for the frac
-      val frac = kAgg - floor(kAgg)
-      (vLo + (vHi - vLo) * frac).as(name)
-    }
     ranked.where(isBoundary)
-      .groupBy(gcols: _*)
-      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** MERGE-INTO upsert semantics without a table format: apply `updates`

@@ -276,8 +276,16 @@ object Similarity {
       .groupBy("cluster_id", "pos")
       .agg(sum(round(col("val") * lit(1e6), 0).cast("long")).as("__sq"),
         count(lit(1)).as("n"))
+      // centroid as EXACT integer 4-dp fixed point (units of 1e-4), never
+      // materializing a double: µ-units → 4-dp units is ÷100 with
+      // round-half-away-from-zero, done as sign-adjusted truncating integer
+      // division — bit-identical on any engine whose integer division
+      // truncates toward zero (Spark `div`, DuckDB `//`). A final
+      // `round(double, 4)` is NOT portable: BigDecimal-rounding vs
+      // multiply-round-divide flip boundary cells.
       .select(col("cluster_id"), col("pos").cast("long").as("pos"),
-        round(col("__sq").cast("double") / (col("n") * lit(1e6)), 4).as("c"),
+        expr("(__sq + (CASE WHEN __sq < 0 THEN -50 ELSE 50 END) * n) div (100 * n)")
+          .as("c"),
         col("n"))
   }
 
@@ -295,7 +303,8 @@ object Similarity {
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+          // `c` is 4-dp fixed point (units of 1e-4) — rescale to double
+          cid -> rows.sortBy(_.getLong(1)).map(_.getLong(2) / 1e4)
         }
       cents = cents.map { case (cid, prev) =>
         (cid, byCluster.getOrElse(cid, prev))

@@ -26,18 +26,24 @@ object EventStreams {
 
   /** Open a parquet DIRECTORY as the events stream (FileStreamSource tails
     * directories — new files appear as new micro-batch input, the layout a
-    * landing zone actually has). `ts` arrives as raw nanos under
-    * `nanosAsLong` — converted here, matching [[graft.Tables.events]].
-    * `schemaFrom` points at any existing events parquet for the schema. */
+    * landing zone actually has). `ts` is normalized to µs `TimestampType`
+    * exactly as [[graft.Tables.events]] does for batch — the fixture has
+    * shipped both nanos-as-long and `TIMESTAMP_NTZ` encodings, and
+    * `withWatermark` hard-rejects anything but `TIMESTAMP`
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). `schemaFrom` points at any
+    * existing events parquet for the schema. */
   def readEventsStream(spark: SparkSession, streamDir: String,
                        schemaFrom: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val schema = spark.read.parquet(schemaFrom).schema
     val df = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** Tumbling-window event counts with a watermark bounding late data (and

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Fixture-encoding drift guard. The driver regenerates the parquet
+  * fixtures between rounds, and their physical encodings have already
+  * drifted once (`events.ts`: TIMESTAMP(NANOS) → `timestamp[us],
+  * isAdjustedToUTC=false`, which Spark 4 reads as `TIMESTAMP_NTZ`) —
+  * silently breaking 6 queries, 12 tests, and the bench before anything
+  * cheap failed. This spec pins the schema every loader is REQUIRED to
+  * present to the engine, so the next regeneration fails one test with a
+  * clear message instead.
+  *
+  * The pin is on the normalized [[Tables]] output, not the raw footer:
+  * the loaders own absorbing encoding drift; consumers own nothing.
+  */
+class FixturesSpec extends SparkSuite {
+
+  private def fieldTypes(name: String,
+                         df: org.apache.spark.sql.DataFrame): Map[String, DataType] =
+    df.schema.fields.map(f => f.name -> f.dataType).toMap
+
+  test("events: Tables.events always presents ts as µs TimestampType") {
+    val t = fieldTypes("events", Tables.events(spark, SF))
+    assert(t("ts") == TimestampType,
+      s"Tables.events must normalize every fixture encoding of ts to " +
+        s"TimestampType (got ${t("ts")}) — event-time queries " +
+        s"(window/session_window/unix_micros) and withWatermark depend on it; " +
+        s"add the new encoding's branch in Tables.events")
+    assert(t("user_id") == LongType && t("event_type") == StringType
+      && t("props") == StringType, s"events columns drifted: $t")
+  }
+
+  test("documents/embeddings: text and vector columns keep their types") {
+    val d = fieldTypes("documents", Tables.documents(spark, SF))
+    assert(d("doc_id") == LongType && d("text") == StringType, s"documents drifted: $d")
+    val e = fieldTypes("embeddings", Tables.embeddings(spark, SF))
+    assert(e("vec_id") == LongType, s"embeddings drifted: $e")
+    assert(e("embedding") == ArrayType(FloatType, true)
+      || e("embedding") == ArrayType(FloatType, false),
+      s"embedding must stay array<float> (got ${e("embedding")}) — " +
+        s"Similarity casts to double explicitly and the int8 quantizer " +
+        s"assumes float input")
+  }
+
+  test("TPC-H tables: join keys and measures keep their types") {
+    // date columns: every consumer works at to_date/date_trunc granularity,
+    // so either timestamp flavor is acceptable — but nothing else is
+    // (a raw long here would silently break every date filter)
+    def timestampish(t: DataType): Boolean =
+      t == TimestampType || t == TimestampNTZType
+    val li = fieldTypes("lineitem", Tables.lineitem(spark, SF))
+    assert(li("l_orderkey") == LongType && li("l_partkey") == LongType,
+      s"lineitem keys drifted: $li")
+    assert(li("l_quantity") == DoubleType && li("l_extendedprice") == DoubleType,
+      s"lineitem measures drifted: $li")
+    assert(timestampish(li("l_shipdate")),
+      s"l_shipdate must stay a timestamp type: $li")
+    val o = fieldTypes("orders", Tables.orders(spark, SF))
+    assert(o("o_orderkey") == LongType && o("o_custkey") == LongType,
+      s"orders keys drifted: $o")
+    assert(timestampish(o("o_orderdate")),
+      s"o_orderdate must stay a timestamp type: $o")
+    val c = fieldTypes("customer", Tables.customer(spark, SF))
+    assert(c("c_custkey") == LongType && c("c_nationkey") == IntegerType,
+      s"customer drifted: $c")
+  }
+}

@@ -131,6 +131,20 @@ class OpsSpec extends SparkSuite {
     assert(out(1) == (("b", 7.0, 7.0, 7.0)))
   }
 
+  test("exactPercentileBounds: raw boundary order statistics + group count") {
+    // group a: [1, 2, 100] → p50 ranks lo=hi=2 → (2, 2);
+    // p25: k=.5 → ranks 1,2 → (1, 2); p90: k=1.8 → ranks 2,3 → (2, 100)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 7.0)).toDF("g", "v")
+    val out = Ops.exactPercentileBounds(df, Seq("g"), "v",
+        Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+      .orderBy("g")
+      .select("g", "p25_lo", "p25_hi", "p50_lo", "p50_hi", "p90_lo", "p90_hi", "n")
+      .as[(String, Double, Double, Double, Double, Double, Double, Long)]
+      .collect()
+    assert(out(0) == (("a", 1.0, 2.0, 2.0, 2.0, 2.0, 100.0, 3L)))
+    assert(out(1) == (("b", 7.0, 7.0, 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
   test("exactPercentiles matches the built-in exact percentile aggregate") {
     val li = Tables.lineitem(spark, SF)
     val got = Ops.exactPercentiles(li, Seq("l_returnflag"), "l_extendedprice",

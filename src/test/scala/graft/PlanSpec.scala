@@ -141,9 +141,11 @@ class PlanSpec extends SparkSuite {
 
   test("q_kmeans_step ships only k*dim partial rows through its one exchange") {
     val p = plan(Queries.qKmeansStep(spark, SF))
-    // partial (map-side) average below the (cluster_id, pos) exchange —
-    // the property that caps the shuffle at k*dim rows per partition
-    assert(p.contains("partial_avg") || p.contains("Functions [partial"), p)
+    // partial (map-side) integer sum+count below the (cluster_id, pos)
+    // exchange — the property that caps the shuffle at k*dim rows per
+    // partition (the centroid itself is integer 4-dp fixed point computed
+    // above the final aggregate)
+    assert(p.contains("partial_sum") || p.contains("Functions [partial"), p)
     val exchanges = "hashpartitioning\\(".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
   }
@@ -872,5 +874,60 @@ class PlanSpec extends SparkSuite {
       s"bounded per-source aggregates must not sort-merge:\n$p")
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"both aggregate grains must combine map-side:\n$p")
+  }
+
+  test("q_order_count_dist: custkey aggregate combines map-side, no cartesian") {
+    val p = plan(Queries.qOrderCountDist(spark, SF))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the per-customer count must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the zero-tail left join must stay an equi-join:\n$p")
+  }
+
+  test("q_min_price_supplier: argmin is an aggregate (no window rank); supplier broadcasts") {
+    val p = plan(Queries.qMinPriceSupplier(spark, SF))
+    assert(!p.contains("Window"),
+      s"the per-part argmin must be a min(struct) aggregate, not a rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the supplier dim must broadcast onto the winner set:\n$p")
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"the offer collapse must combine map-side:\n$p")
+  }
+
+  test("q_char_ngrams: trigram stream stays pipelined; ranking window is lang-keyed") {
+    val df = Queries.qCharNgrams(spark, SF)
+    val p = plan(df)
+    // row-local generation: Generate above the scan, below the count agg —
+    // the shuffle carries (lang, trigram) partials, never the raw stream
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("windowspecdefinition(lang"),
+      s"ranking window must be partitioned by lang:\n$exec")
+  }
+
+  test("q_interarrival: one user-keyed lag window, then value-collapsed crossings") {
+    val df = Queries.qInterarrival(spark, SF)
+    val p = plan(df)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the (type, gap) collapse must combine map-side:\n$p")
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.exists(_.contains("user_id")),
+      s"the gap lag must be user-partitioned:\n$exec")
+    assert(specs.forall(s => s.contains("user_id") || s.contains("event_type")),
+      s"every window must be user- or type-keyed (no global window):\n$exec")
+  }
+
+  test("q_norm_outliers: row-local norm, bounded fence table broadcast back") {
+    val p = plan(Queries.qNormOutliers(spark, SF))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-label median fence must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the fence join must stay a broadcast equi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the (label, cell) collapse must combine map-side:\n$p")
   }
 }

@@ -110,10 +110,11 @@ class SimilaritySpec extends SparkSuite {
       (3L, Seq(0.0f, 2.0f)), (4L, Seq(9.0f, 10.0f))).toDF("vec_id", "embedding")
     val out = Similarity.kmeansStep(emb, "vec_id", "embedding", 2)
       .orderBy("cluster_id", "pos")
-      .as[(Long, Long, Double, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // `c` is 4-dp fixed point (units of 1e-4)
     assert(out == Seq(
-      (1L, 0L, 0.0, 2L), (1L, 1L, 1.0, 2L),    // mean of (0,0),(0,2)
-      (2L, 0L, 9.5, 2L), (2L, 1L, 10.0, 2L)))  // mean of (10,10),(9,10)
+      (1L, 0L, 0L, 2L), (1L, 1L, 10000L, 2L),      // mean of (0,0),(0,2)
+      (2L, 0L, 95000L, 2L), (2L, 1L, 100000L, 2L))) // mean of (10,10),(9,10)
   }
 
   test("kmeansStep: equidistant vector ties to the smaller cluster id") {
@@ -122,8 +123,8 @@ class SimilaritySpec extends SparkSuite {
       (5L, Seq(1.0f))).toDF("vec_id", "embedding") // exactly between
     val out = Similarity.kmeansStep(emb, "vec_id", "embedding", 2)
       .where($"pos" === 0).orderBy("cluster_id")
-      .as[(Long, Long, Double, Long)].collect().toSeq
-    assert(out == Seq((1L, 0L, 0.5, 2L), (2L, 0L, 2.0, 1L)))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 5000L, 2L), (2L, 0L, 20000L, 1L)))
   }
 
   test("kmeansIterate recovers well-separated blobs from bad seeds") {
