@@ -26,7 +26,9 @@ object DevPlans {
         "carries one partially-aggregated row per (doc, partition)."),
       "q_percentiles" -> ("Two-round distributed selection: count per " +
         "ordered-bits bucket, then a broadcast join filters to the ≤2 boundary " +
-        "buckets per (group, p) — the full data is never sorted."),
+        "buckets per (group, p) — the full data is never sorted; the " +
+        "interpolation itself finishes in exact 20th-unit integer arithmetic " +
+        "(no engine-specific double rounding)."),
       "q_bloom_semi_join" -> ("Runtime-filtered semi-join: the codegen'd " +
         "bloom_might_contain predicate sits INSIDE the fact scan's filter, so " +
         "only ~|matches| rows reach the shuffle; the exact LeftSemi behind it " +
@@ -61,6 +63,14 @@ object DevPlans {
       "q_regional_revenue" -> ("TPC-H Q5 shape: region filter pushes through " +
         "nation→customer before any fact is touched; every dim rides a " +
         "BroadcastHashJoin and only lineitem⋈orders shuffles."),
+      "q_min_price_supplier" -> ("Argmin as an aggregate: the per-part winner " +
+        "is min(struct(price, suppkey)) — partial-mergeable, so the offer " +
+        "collapse and the argmin ride map-side combines; no rank window ever " +
+        "sorts the offers, and the supplier dim broadcasts onto the winner set."),
+      "q_norm_outliers" -> ("Integer norm screen: the squared norm is one " +
+        "codegen'd higher-order-function projection inside the scan stage " +
+        "(zero shuffle); the only exchanges carry the bounded (label, cell) " +
+        "collapse, and the median fence broadcasts back as a label-keyed row."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -114,7 +114,12 @@ object DevScaling {
       // order-statistics wave: value-cardinality-bounded windows
       "q_weighted_median", "q_trimmed_mean", "q_mode_stat", "q_iqr_outliers",
       // calendar-bounded interpolation (spine size is date-span-bound)
-      "q_gap_interp")
+      "q_gap_interp",
+      // round-7 wave: bounded re-aggregates (order-count distribution,
+      // per-part argmin, trigram/gap cells all collapse map-side to the
+      // same key space at any replication) and the linear norm screen
+      "q_order_count_dist", "q_min_price_supplier", "q_char_ngrams",
+      "q_interarrival", "q_norm_outliers")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)
