@@ -119,7 +119,13 @@ object DevScaling {
       // per-part argmin, trigram/gap cells all collapse map-side to the
       // same key space at any replication) and the linear norm screen
       "q_order_count_dist", "q_min_price_supplier", "q_char_ngrams",
-      "q_interarrival", "q_norm_outliers")
+      "q_interarrival", "q_norm_outliers",
+      // round-7 second wave: bounded readouts (nation grid, source-pair
+      // matrix, calendar² grid, 4-row manifest, calendar-bounded bursts).
+      // q_cross_source_dup survives identical-payload replication because
+      // the distinct (fp, source) table is replication-invariant
+      "q_idle_customers", "q_cross_source_dup", "q_seasonality_index",
+      "q_snapshot_diff", "q_burst_days")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

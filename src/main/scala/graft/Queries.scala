@@ -3895,6 +3895,115 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** TPC-H Q22 shape: per nation, the count and balance total of "idle"
+    * high-value customers — positive balance ABOVE the global
+    * positive-average, who never placed an URGENT order (the fixture's
+    * FK coverage is dense, so literal zero-order Q22 is empty; the
+    * never-urgent predicate keeps the composed shape — scalar threshold
+    * + anti-join + group — non-degenerate at every scale). The average
+    * threshold never materializes as a double: the filter
+    * cross-multiplies in exact cents (`c_cents · n_pos > sum_pos_cents`),
+    * the 1-row stats broadcast, and the anti-join's priority filter is
+    * pushed below the join. */
+  def qIdleCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+      expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
+    val stats = c.where(col("cents") > 0)
+      .agg(sum(col("cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    c.crossJoin(broadcast(stats))
+      .where(col("cents") * col("n_pos") > col("sum_pos"))
+      .join(Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("bal_cents"))
+      .transform(ps(col("c_nationkey")))
+  }
+
+  /** Cross-source duplicate leakage: for every source pair, how many
+    * duplicated head fingerprints (md5 of the first 5 normalized tokens
+    * — the prefix-dup signal, which unlike whole-document equality
+    * actually fires across sources at every fixture scale) appear in
+    * BOTH — the contamination matrix a training-data curator reads
+    * before mixing sources. The pair expansion is per-fingerprint over
+    * its DISTINCT source set (≤ |sources| rows per fp — bounded), an
+    * equi-join on the fingerprint, never a corpus self-join. */
+  def qCrossSourceDup(s: SparkSession, d: String): DataFrame = {
+    val fs = Tables.documents(s, d)
+      .select(md5(concat_ws(" ",
+        slice(split(Ops.normalizeText(col("text")), " "), 1, 5))).as("fp"),
+        col("source"))
+      .distinct()
+    fs.as("a").join(fs.as("b"), Seq("fp"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .transform(ps(col("source_a"), col("source_b")))
+  }
+
+  /** Seasonality index: each calendar month's exact-ppm share of its
+    * priority's revenue (overflow-safe two-step long division, identical
+    * in the oracle) — the month-of-year profile demand planning reads.
+    * Calendar²-bounded output; one map-side-combined aggregate, one
+    * 12-row-per-priority window. */
+  def qSeasonalityIndex(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        month(col("o_orderdate")).cast("long").as("moy"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"))
+    m.withColumn("tot",
+        sum(col("cents")).over(Window.partitionBy(col("o_orderpriority"))))
+      .select(col("o_orderpriority"), col("moy"), col("cents"),
+        expr(ppmDiv("cents", "tot")).as("ppm"))
+      .transform(ps(col("o_orderpriority"), col("moy")))
+  }
+
+  /** Snapshot diff (the read side of CDC): two deterministic order
+    * snapshots — "old" drops every 7th key, "new" drops every 5th and
+    * bumps every 3rd key's price — reconciled into added / removed /
+    * changed / unchanged counts and the net cents delta. ONE full-outer
+    * equi-join on the key (both sides co-partition on one exchange
+    * each); the 4-row readout is what a warehouse emits as its change
+    * manifest between loads. */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    val old = o.where(expr("k % 7 != 0"))
+      .select(col("k"), col("cents").as("old_c"))
+    val nw = o.where(expr("k % 5 != 0")).select(col("k"),
+      expr("cents + CASE WHEN k % 3 = 0 THEN 1000 ELSE 0 END").as("new_c"))
+    old.join(nw, Seq("k"), "full_outer")
+      .select(
+        when(col("old_c").isNull, lit("added"))
+          .when(col("new_c").isNull, lit("removed"))
+          .when(col("old_c") === col("new_c"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("new_c"), lit(0L)) - coalesce(col("old_c"), lit(0L)))
+          .as("delta"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("delta")).as("delta_cents"))
+      .transform(ps(col("status")))
+  }
+
+  /** Burst-day detection: days whose event count exceeds 2× the mean of
+    * the previous 7 OBSERVED days (integer cross-multiply
+    * `n·7 > 2·trail`, full-window guard) per event type — the anomaly
+    * screen an ops dashboard runs on arrival counts. The window frame is
+    * row-bounded over the calendar-bounded daily table; nothing scans
+    * raw events twice. */
+  def qBurstDays(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily.withColumn("trail", sum(col("n")).over(w))
+      .withColumn("trail_days", count(col("n")).over(w).cast("long"))
+      .where(col("trail_days") === 7 && col("n") * 7 > col("trail") * 2)
+      .select(col("event_type"), col("day"), col("n"), col("trail"))
+      .orderBy("event_type", "day")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4103,6 +4212,11 @@ object Queries {
     "q_char_ngrams" -> (qCharNgrams _),
     "q_interarrival" -> (qInterarrival _),
     "q_norm_outliers" -> (qNormOutliers _),
+    "q_idle_customers" -> (qIdleCustomers _),
+    "q_cross_source_dup" -> (qCrossSourceDup _),
+    "q_seasonality_index" -> (qSeasonalityIndex _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_burst_days" -> (qBurstDays _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -5769,5 +5883,51 @@ object Queries {
         "SELECT vec_id, b.label AS label, norm2_mu, q, " +
         "CASE WHEN q > med_q * 2 THEN 'high' WHEN q * 2 < med_q THEN 'low' ELSE 'ok' END AS flag " +
         "FROM b JOIN med ON b.label = med.label ORDER BY vec_id"),
+    "q_idle_customers" ->
+      ("WITH c AS (SELECT c_custkey, c_nationkey, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer), " +
+        "s AS (SELECT CAST(sum(cents) AS BIGINT) AS sum_pos, count(*) AS n_pos " +
+        "FROM c WHERE cents > 0) " +
+        "SELECT c_nationkey, count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS bal_cents " +
+        "FROM c, s WHERE cents * n_pos > sum_pos " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT') " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "q_cross_source_dup" ->
+      ("WITH norm AS (SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t, source " +
+        "FROM documents), " +
+        "fs AS (SELECT DISTINCT " +
+        "md5(array_to_string(string_split(t, ' ')[1:5], ' ')) AS fp, source FROM norm) " +
+        "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_fp " +
+        "FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_seasonality_index" ->
+      ("WITH m AS (SELECT o_orderpriority, CAST(month(o_orderdate) AS BIGINT) AS moy, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1, 2), " +
+        "t AS (SELECT o_orderpriority, moy, cents, " +
+        "CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot FROM m) " +
+        "SELECT o_orderpriority, moy, cents, " +
+        ppmDivSql("cents", "tot") + " AS ppm " +
+        "FROM t ORDER BY 1, 2"),
+    "q_snapshot_diff" ->
+      ("WITH o AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "old AS (SELECT k, cents AS old_c FROM o WHERE k % 7 != 0), " +
+        "nw AS (SELECT k, cents + CASE WHEN k % 3 = 0 THEN 1000 ELSE 0 END AS new_c " +
+        "FROM o WHERE k % 5 != 0), " +
+        "j AS (SELECT old_c, new_c FROM old FULL OUTER JOIN nw ON old.k = nw.k) " +
+        "SELECT CASE WHEN old_c IS NULL THEN 'added' WHEN new_c IS NULL THEN 'removed' " +
+        "WHEN old_c = new_c THEN 'unchanged' ELSE 'changed' END AS status, " +
+        "count(*) AS n, CAST(sum(coalesce(new_c, 0) - coalesce(old_c, 0)) AS BIGINT) AS delta_cents " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
+    "q_burst_days" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, day, n, sum(n) OVER w AS trail, count(n) OVER w AS trail_days " +
+        "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_type, day, CAST(n AS BIGINT) AS n, CAST(trail AS BIGINT) AS trail " +
+        "FROM t WHERE trail_days = 7 AND n * 7 > trail * 2 ORDER BY event_type, day"),
   )
 }

@@ -930,4 +930,48 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("Partial"),
       s"the (label, cell) collapse must combine map-side:\n$p")
   }
+
+  test("q_idle_customers: 1-row threshold broadcasts; zero-order test is anti-join") {
+    val p = plan(Queries.qIdleCustomers(spark, SF))
+    assert(p.contains("Anti"),
+      s"the zero-order test must be an anti-join, not a distinct+subtract:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row stats must broadcast (threshold is integer cross-multiply):\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("q_cross_source_dup: pair expansion is an fp equi-join, never a cross join") {
+    val p = plan(Queries.qCrossSourceDup(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs must form per-fingerprint (bounded source sets):\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_seasonality_index: priority-keyed share window over the bounded grid") {
+    val df = Queries.qSeasonalityIndex(spark, SF)
+    assert(plan(df).contains("partial_sum") || plan(df).contains("Partial"),
+      s"monthly cents must combine map-side:\n${plan(df)}")
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("windowspecdefinition(o_orderpriority"),
+      s"the total window must stay priority-keyed:\n$exec")
+  }
+
+  test("q_snapshot_diff: one full-outer equi-join, map-side combined readout") {
+    val p = plan(Queries.qSnapshotDiff(spark, SF))
+    assert(p.contains("FullOuter"),
+      s"the reconciliation must be a single full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("q_burst_days: type-keyed bounded row frame, no unbounded-following scan") {
+    val df = Queries.qBurstDays(spark, SF)
+    assert(!plan(df).contains("UnboundedFollowing"), plan(df))
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type")),
+      s"the trailing window must stay type-keyed:\n$exec")
+  }
 }
