@@ -50,6 +50,22 @@ object Queries {
   private def ppmDivSql(num: String, den: String): String =
     scaledDivSql(num, den, 1000L, 1000L)
 
+  /** Exact ROUND-HALF-UP of the nonnegative integer ratio `num/den` into
+    * `pow` (= 10^k) fixed-point units, overflow-safe via the
+    * quotient+remainder split (the remainder product stays < 2·den·pow).
+    * Present as a double with ONE division by `pow` — an identical IEEE
+    * op in both engines. The double `round(num/den, k)` is NOT portable:
+    * an integer ratio lands EXACTLY on a .xx5 boundary whenever its
+    * reduced denominator carries a factor of 5 at rounding scale (group
+    * counts are routinely divisible by 5), and there BigDecimal-HALF_UP
+    * (Spark) and multiply-round-divide (DuckDB) disagree — the
+    * q_percentiles flip, generalized to every averaged ratio. */
+  private[graft] def roundDiv(num: String, den: String, pow: Long): String =
+    s"(($num div $den) * $pow + (2 * ($num % $den) * $pow + $den) div (2 * $den))"
+
+  private def roundDivSql(num: String, den: String, pow: Long): String =
+    s"(($num // $den) * $pow + (2 * ($num % $den) * $pow + $den) // (2 * $den))"
+
   private val STOPWORDS = Seq("the", "and", "of", "to", "a", "is")
   private val STOP_SQL = STOPWORDS.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -174,17 +190,31 @@ object Queries {
 
   /** TPC-H Q1-shaped pricing summary (the BigQuery-delegated tier). */
   def qAggPricing(s: SparkSession, d: String): DataFrame =
+    // TPC-H Q1 in EXACT integer units (qty, price cents, discount 1e-4):
+    // sums are exact longs (the discounted extension in 1e-6-dollar units
+    // — pc·(10⁴−d4) — is order-free where the double sum drifts with
+    // partitioning), averages are exact round-half-up integer division
+    // (roundDiv — a plain round(avg(x), 2) flips engines whenever the
+    // group count puts the mean exactly on a .xx5 boundary). Final
+    // presentation divisions are single IEEE ops, identical both engines.
     Tables.lineitem(s, d)
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(round(l_quantity, 0) AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("pc"),
+        expr("CAST(round(l_discount * 10000, 0) AS BIGINT)").as("d4"))
       .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+      .agg(sum(col("q")).as("sq"), sum(col("pc")).as("spc"),
+        sum(expr("pc * (10000 - d4)")).as("se6"), sum(col("d4")).as("sd4"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        (col("spc").cast("double") / 100.0).as("sum_base"),
+        (col("se6").cast("double") / 1000000.0).as("sum_disc"),
+        (expr(roundDiv("sq", "n", 100L)).cast("double") / 100.0).as("avg_qty"),
+        (expr(roundDiv("spc", "n", 1L)).cast("double") / 100.0).as("avg_price"),
+        (expr(roundDiv("sd4", "n", 1L)).cast("double") / 10000.0).as("avg_disc"),
+        col("n"))
       .transform(ps(col("l_returnflag"), col("l_linestatus")))
 
   /** Revenue per nation: 3-way join star query. `nation` (25 rows) is
@@ -321,9 +351,13 @@ object Queries {
     inter
       .join(sz.select(col("doc_id").as("id_a"), col("sz").as("na")), "id_a")
       .join(sz.select(col("doc_id").as("id_b"), col("sz").as("nb")), "id_b")
-      .where(col("c") / (col("na") + col("nb") - col("c")) >= 0.5)
+      // threshold and output both in exact integers: the union size can
+      // carry a factor of 5, putting c/union exactly on a 4-dp .5
+      // boundary where double rounding is engine-specific
+      .where(col("c") * 2 >= col("na") + col("nb") - col("c"))
+      .withColumn("u", col("na") + col("nb") - col("c"))
       .select(col("id_a"), col("id_b"),
-        round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
+        (expr(roundDiv("c", "u", 10000L)).cast("double") / 10000.0).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
@@ -1259,8 +1293,14 @@ object Queries {
   def qHistogram(s: SparkSession, d: String): DataFrame = {
     val bucket = floor(col("o_totalprice") / 50000).cast("long")
     Tables.orders(s, d)
-      .groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .select(bucket.as("bucket"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("pc"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("spc"))
+      // exact round-half-up mean in cents (roundDiv) — avg(double) lands
+      // on engine-divergent .xx5 boundaries when n carries a factor of 5
+      .withColumn("avg_price",
+        expr(roundDiv("spc", "n", 1L)).cast("double") / 100.0)
       .withColumn("range",
         format_string("[%d,%d)", col("bucket") * 50000, (col("bucket") + 1) * 50000))
       .select("bucket", "range", "n", "avg_price")
@@ -1766,7 +1806,7 @@ object Queries {
       .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"), min(col("hi")).as("hi"),
         sum(col("wc")).as("w_sum"))
       .select(col("event_type"), col("n"), col("lo"), col("hi"),
-        round(col("w_sum").cast("double") / col("n").cast("double"), 4).as("wmean"))
+        (expr(roundDiv("w_sum", "n", 10000L)).cast("double") / 10000.0).as("wmean"))
       .transform(ps(col("event_type")))
   }
 
@@ -3688,7 +3728,7 @@ object Queries {
         sum(col("cents") * col("kept")).as("trimmed_sum"))
       .select(col("l_returnflag"), col("n_rows"), col("n_kept"),
         col("trimmed_sum"),
-        round(col("trimmed_sum").cast("double") / col("n_kept").cast("double"), 4)
+        (expr(roundDiv("trimmed_sum", "n_kept", 10000L)).cast("double") / 10000.0)
           .as("trimmed_mean"))
       .transform(ps(col("l_returnflag")))
   }
@@ -4272,10 +4312,21 @@ object Queries {
       Tables.entityNames.map(n => s"SELECT '$n' AS entity, count(*) AS n FROM $n")
         .mkString("SELECT entity, n FROM (", " UNION ALL ", ") t ORDER BY entity"),
     "q_agg_pricing" ->
-      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(avg(l_quantity), 2) AS avg_qty, " +
-        "round(avg(l_extendedprice), 2) AS avg_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS n " +
-        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      ("WITH u AS (SELECT l_returnflag, l_linestatus, " +
+        "CAST(round(l_quantity) AS BIGINT) AS q, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc, " +
+        "CAST(round(l_discount * 10000) AS BIGINT) AS d4 " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'), " +
+        "b AS (SELECT l_returnflag, l_linestatus, CAST(sum(q) AS BIGINT) AS sq, " +
+        "CAST(sum(pc) AS BIGINT) AS spc, CAST(sum(pc * (10000 - d4)) AS BIGINT) AS se6, " +
+        "CAST(sum(d4) AS BIGINT) AS sd4, count(*) AS n FROM u GROUP BY 1, 2) " +
+        "SELECT l_returnflag, l_linestatus, CAST(sq AS DOUBLE) AS sum_qty, " +
+        "CAST(spc AS DOUBLE) / 100.0 AS sum_base, " +
+        "CAST(se6 AS DOUBLE) / 1000000.0 AS sum_disc, " +
+        "CAST(" + roundDivSql("sq", "n", 100L) + " AS DOUBLE) / 100.0 AS avg_qty, " +
+        "CAST(" + roundDivSql("spc", "n", 1L) + " AS DOUBLE) / 100.0 AS avg_price, " +
+        "CAST(" + roundDivSql("sd4", "n", 1L) + " AS DOUBLE) / 10000.0 AS avg_disc, " +
+        "n FROM b ORDER BY l_returnflag, l_linestatus"),
     "q_join_agg" ->
       ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
@@ -4314,9 +4365,11 @@ object Queries {
         ", tok3 AS (SELECT t.* FROM tok2 t JOIN dfc USING (lang, token))" +
         ", inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM tok3 a JOIN tok3 b " +
         "ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
-        "SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) AS jaccard FROM inter " +
-        "JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id " +
-        "WHERE c / (sa.sz + sb.sz - c) >= 0.5 ORDER BY id_a, id_b"),
+        ", ju AS (SELECT id_a, id_b, c, sa.sz + sb.sz - c AS u FROM inter " +
+        "JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id) " +
+        "SELECT id_a, id_b, " +
+        "CAST(" + roundDivSql("c", "u", 10000L) + " AS DOUBLE) / 10000.0 AS jaccard " +
+        "FROM ju WHERE c * 2 >= u ORDER BY id_a, id_b"),
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents ORDER BY doc_id""",
     "q_exact_dedup" ->
@@ -4543,9 +4596,10 @@ object Queries {
         "FROM orders ORDER BY o_orderkey"),
     "q_histogram" ->
       ("SELECT bucket, printf('[%d,%d)', bucket * 50000, (bucket + 1) * 50000) AS range, " +
-        "n, avg_price FROM (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, " +
-        "count(*) AS n, round(avg(o_totalprice), 2) AS avg_price FROM orders GROUP BY 1) t " +
-        "ORDER BY bucket"),
+        "n, CAST(" + roundDivSql("spc", "n", 1L) + " AS DOUBLE) / 100.0 AS avg_price " +
+        "FROM (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, " +
+        "count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spc " +
+        "FROM orders GROUP BY 1) t ORDER BY bucket"),
     "q_full_outer" ->
       ("WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS orders_n FROM orders GROUP BY 1), " +
         "e AS (SELECT CAST(ts AS DATE) AS day, count(*) AS events_n FROM events GROUP BY 1) " +
@@ -4973,10 +5027,12 @@ object Queries {
         "count(*) OVER (PARTITION BY event_type) AS n FROM c), " +
         "b AS (SELECT event_type, min(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END) AS lo, " +
         "min(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS hi FROM r GROUP BY event_type), " +
-        "w AS (SELECT c.event_type, lo, hi, least(greatest(cents, lo), hi) AS wc FROM c JOIN b USING (event_type)) " +
-        "SELECT event_type, count(*) AS n, min(lo) AS lo, min(hi) AS hi, " +
-        "round(CAST(CAST(sum(wc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS wmean " +
-        "FROM w GROUP BY event_type ORDER BY event_type"),
+        "w AS (SELECT c.event_type, lo, hi, least(greatest(cents, lo), hi) AS wc FROM c JOIN b USING (event_type)), " +
+        "g AS (SELECT event_type, count(*) AS n, min(lo) AS lo, min(hi) AS hi, " +
+        "CAST(sum(wc) AS BIGINT) AS w_sum FROM w GROUP BY event_type) " +
+        "SELECT event_type, n, lo, hi, " +
+        "CAST(" + roundDivSql("w_sum", "n", 10000L) + " AS DOUBLE) / 10000.0 AS wmean " +
+        "FROM g ORDER BY event_type"),
     "q_source_terms" ->
       (TP_TOK_CTE +
         ", tfa AS (SELECT source, token, count(*) AS tf_s FROM tok GROUP BY source, token)" +
@@ -5784,11 +5840,12 @@ object Queries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
         "CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM vc), " +
         "k AS (SELECT l_returnflag, cents, n, n // 10 AS lo, n - n // 10 AS hi, " +
-        "greatest(0, least(cum, n - n // 10) - greatest(cum - wt, n // 10)) AS kept FROM c) " +
-        "SELECT l_returnflag, min(n) AS n_rows, min(hi - lo) AS n_kept, " +
-        "CAST(sum(cents * kept) AS BIGINT) AS trimmed_sum, " +
-        "round(CAST(sum(cents * kept) AS DOUBLE) / CAST(min(hi - lo) AS DOUBLE), 4) AS trimmed_mean " +
-        "FROM k GROUP BY 1 ORDER BY 1"),
+        "greatest(0, least(cum, n - n // 10) - greatest(cum - wt, n // 10)) AS kept FROM c), " +
+        "g AS (SELECT l_returnflag, min(n) AS n_rows, min(hi - lo) AS n_kept, " +
+        "CAST(sum(cents * kept) AS BIGINT) AS trimmed_sum FROM k GROUP BY 1) " +
+        "SELECT l_returnflag, n_rows, n_kept, trimmed_sum, " +
+        "CAST(" + roundDivSql("trimmed_sum", "n_kept", 10000L) + " AS DOUBLE) / 10000.0 AS trimmed_mean " +
+        "FROM g ORDER BY 1"),
     "q_mode_stat" ->
       ("WITH vc AS (SELECT l_returnflag, CAST(round(l_quantity, 0) AS BIGINT) AS qty, " +
         "count(*) AS freq FROM lineitem GROUP BY 1, 2), " +
