@@ -14,8 +14,10 @@ object DevPlans {
         "orders/customer exceed the threshold and shuffle on their keys (AQE " +
         "re-plans at runtime). Aggregation is partial before the final exchange."),
       "q_agg_pricing" -> ("Scan-heavy aggregate: shipdate predicate reaches " +
-        "PushedFilters, ReadSchema carries only the 7 needed columns, " +
-        "HashAggregate runs map-side (partial_*) before one exchange."),
+        "PushedFilters, ReadSchema carries only the needed columns, " +
+        "HashAggregate runs map-side (partial_*) over exact integer units " +
+        "before one exchange; the averages finish in round-half-up integer " +
+        "division above the final aggregate."),
       "q_semi_join" -> ("FK-gated scan: LeftSemi — probe rows are filtered, " +
         "never multiplied; the orders side is filtered before the join."),
       "q_seeded_sample" -> ("Deterministic sample: TakeOrderedAndProject — " +
