@@ -125,7 +125,11 @@ object DevScaling {
       // q_cross_source_dup survives identical-payload replication because
       // the distinct (fp, source) table is replication-invariant
       "q_idle_customers", "q_cross_source_dup", "q_seasonality_index",
-      "q_snapshot_diff", "q_burst_days")
+      "q_snapshot_diff", "q_burst_days",
+      // round-7 closing pair: sweep-line over replication-invariant session
+      // boundaries (10× events collapse into the SAME sessions); linear
+      // fp-keyed survivorship aggregate
+      "q_max_concurrency", "q_dedup_survivorship")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

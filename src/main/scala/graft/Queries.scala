@@ -4044,6 +4044,52 @@ object Queries {
       .orderBy("event_type", "day")
   }
 
+  /** Max concurrent sessions per day — the classic sweep-line, made
+    * distributed: 24 h-gap sessions become ±1 boundary deltas, deltas
+    * collapse per INSTANT (map-side; same-instant start+end net out, a
+    * stated half-open convention), and the global running concurrency is
+    * the two-phase scalable prefix sum ([[graft.operators.Ops
+    * .prefixSumScalable]] — bucket bases + bucket-local windows, never
+    * the single-task global window). Output: per day with ≥1 boundary,
+    * the max concurrency reached at a boundary instant. */
+  def qMaxConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("session_window.start")).as("t0"),
+        unix_micros(col("session_window.end")).as("t1"))
+    val bounds = sess.select(col("t0").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("t1").as("t"), lit(-1L).as("delta")))
+      .groupBy("t").agg(sum(col("delta")).as("net"))
+    Ops.prefixSumScalable(bounds, "t", "net", "before")
+      .select(expr("CAST(timestamp_micros(t) AS DATE)").as("day"),
+        (col("before") + col("net")).as("conc"))
+      .groupBy("day")
+      .agg(max(col("conc")).as("max_conc"), count(lit(1)).as("n_boundaries"))
+      .orderBy("day")
+  }
+
+  /** Survivorship rules over the exact-dup clusters: the canonical
+    * member is the HIGHEST-QUALITY one (longest normalized text, tie →
+    * smallest doc_id) instead of [[qExactDedup]]'s arbitrary min-id —
+    * the curation-policy layer a production dedup applies when it must
+    * keep the best copy. One fp-keyed max(struct) aggregate
+    * (partial-mergeable, no rank window over members) + an fp equi-join
+    * back onto the corpus. */
+  def qDedupSurvivorship(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      length(Ops.normalizeText(col("text"))).cast("long").as("len"))
+    val win = t.groupBy("fp")
+      .agg(max(struct(col("len"), (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("fp"), col("w.len").as("best_len"),
+        (-col("w.nid")).as("canonical_id"))
+    t.join(win, Seq("fp"))
+      .select(col("doc_id"), col("canonical_id"), col("best_len"),
+        (col("doc_id") === col("canonical_id")).as("survives"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4257,6 +4303,8 @@ object Queries {
     "q_seasonality_index" -> (qSeasonalityIndex _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_burst_days" -> (qBurstDays _),
+    "q_max_concurrency" -> (qMaxConcurrency _),
+    "q_dedup_survivorship" -> (qDedupSurvivorship _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -5986,5 +6034,34 @@ object Queries {
         "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
         "SELECT event_type, day, CAST(n AS BIGINT) AS n, CAST(trail AS BIGINT) AS trail " +
         "FROM t WHERE trail_days = 7 AND n * 7 > trail * 2 ORDER BY event_type, day"),
+    "q_max_concurrency" ->
+      // islands-reconstructed 24h sessions (the q_sessionize half-open gap
+      // convention), session end = last event + gap (session_window
+      // semantics), then the sweep in one ordered window over the
+      // per-instant net deltas
+      ("WITH l AS (SELECT user_id, epoch_us(ts) AS tu, " +
+        "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS pt FROM events), " +
+        "f AS (SELECT user_id, tu, CASE WHEN pt IS NULL OR tu - pt >= 86400000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM l), " +
+        "s AS (SELECT user_id, tu, sum(brk) OVER (PARTITION BY user_id ORDER BY tu " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f), " +
+        "sess AS (SELECT user_id, sid, min(tu) AS t0, max(tu) + 86400000000 AS t1 " +
+        "FROM s GROUP BY user_id, sid), " +
+        "b AS (SELECT t, CAST(sum(delta) AS BIGINT) AS net FROM " +
+        "(SELECT t0 AS t, 1 AS delta FROM sess UNION ALL SELECT t1, -1 FROM sess) u " +
+        "GROUP BY t), " +
+        "p AS (SELECT t, net, CAST(coalesce(sum(net) OVER (ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + net AS BIGINT) AS conc FROM b) " +
+        "SELECT CAST(make_timestamp(t) AS DATE) AS day, max(conc) AS max_conc, " +
+        "count(*) AS n_boundaries FROM p GROUP BY 1 ORDER BY day"),
+    "q_dedup_survivorship" ->
+      ("WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, md5(norm) AS fp, CAST(length(norm) AS BIGINT) AS len FROM n), " +
+        "w AS (SELECT fp, len AS best_len, doc_id AS canonical_id, row_number() OVER " +
+        "(PARTITION BY fp ORDER BY len DESC, doc_id) AS rn FROM t) " +
+        "SELECT t.doc_id, w.canonical_id, w.best_len, " +
+        "t.doc_id = w.canonical_id AS survives " +
+        "FROM t JOIN w ON t.fp = w.fp AND w.rn = 1 ORDER BY t.doc_id"),
   )
 }

@@ -43,6 +43,21 @@ class FixturesSpec extends SparkSuite {
         s"assumes float input")
   }
 
+  test("measure columns stay nonnegative (fixed-point rounding precondition)") {
+    // the exact round-half-up integer divisions (Queries.roundDiv) assume
+    // nonnegative numerators; the sums they divide come from these columns.
+    // If a regeneration introduces negatives, extend roundDiv with the
+    // sign-adjusted form (see kmeansStepPrecomputed) before anything else.
+    import org.apache.spark.sql.functions.{col, min}
+    val vMin = Tables.events(spark, SF).agg(min(col("value"))).head.getDouble(0)
+    assert(vMin >= 0.0, s"events.value went negative ($vMin) — roundDiv sites " +
+      s"(q_winsorize) need the sign-adjusted division")
+    val pMin = Tables.lineitem(spark, SF)
+      .agg(min(col("l_extendedprice"))).head.getDouble(0)
+    assert(pMin >= 0.0, s"l_extendedprice went negative ($pMin) — roundDiv " +
+      s"sites (q_agg_pricing, q_trimmed_mean) need the sign-adjusted division")
+  }
+
   test("TPC-H tables: join keys and measures keep their types") {
     // date columns: every consumer works at to_date/date_trunc granularity,
     // so either timestamp flavor is acceptable — but nothing else is

@@ -965,6 +965,28 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("q_max_concurrency: sweep-line prefix sum never plans a global window") {
+    val df = Queries.qMaxConcurrency(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    // every window is bucket- or session-keyed; the single-task
+    // `row_number() OVER (ORDER BY ...)` shape must not appear
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, exec)
+    assert(specs.forall(s => s.contains("__bucket") || s.contains("user_id")
+      || s.contains("session_window")),
+      s"sweep prefix must ride bucket-local windows, not a global sort:\n$exec")
+  }
+
+  test("q_dedup_survivorship: winner is an aggregate, join stays fp-keyed") {
+    val p = plan(Queries.qDedupSurvivorship(spark, SF))
+    assert(!p.contains("Window"),
+      s"the survivorship winner must be max(struct), not a rank window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the map-back must be an fp equi-join:\n$p")
+    assert(p.contains("partial_max") || p.contains("Partial"), p)
+  }
+
   test("q_burst_days: type-keyed bounded row frame, no unbounded-following scan") {
     val df = Queries.qBurstDays(spark, SF)
     assert(!plan(df).contains("UnboundedFollowing"), plan(df))
