@@ -129,7 +129,10 @@ object DevScaling {
       // round-7 closing pair: sweep-line over replication-invariant session
       // boundaries (10× events collapse into the SAME sessions); linear
       // fp-keyed survivorship aggregate
-      "q_max_concurrency", "q_dedup_survivorship")
+      "q_max_concurrency", "q_dedup_survivorship",
+      // growth accounting collapses to the replication-invariant distinct
+      // (user, day) table; quantile-normalize is the linear two-phase rank
+      "q_growth_accounting", "q_quantile_normalize")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -4090,6 +4090,65 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Growth accounting: every active (user, day) classified as NEW
+    * (first-ever day), RETAINED (also active the previous calendar day),
+    * RESURRECTED (seen before, but not yesterday) — plus the day's
+    * CHURNED count (active yesterday, absent today, attributed to
+    * today) — the DAU decomposition every product dashboard leads with.
+    * One distinct (user, day) collapse (map-side), one user-keyed lag
+    * window, calendar-bounded output; churn is the same lag read
+    * forward (a user's next-day absence), never an anti-join per day. */
+  def qGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val tagged = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+    val states = tagged.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+        sum(when(expr("prev = day - INTERVAL 1 DAY"), 1L).otherwise(0L))
+          .as("retained"),
+        sum(when(col("prev").isNotNull
+          && expr("prev < day - INTERVAL 1 DAY"), 1L).otherwise(0L))
+          .as("resurrected"))
+    // churned on day D+1 = active on D with no activity on D+1
+    val churn = tagged
+      .where(col("next").isNull || expr("next > day + INTERVAL 1 DAY"))
+      .select(expr("day + INTERVAL 1 DAY").cast("date").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("churned"))
+    states.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy("day")
+  }
+
+  /** Quantile normalization of the event value — the rank-based feature
+    * transform ML preprocessing applies when magnitudes are unreliable:
+    * each event's value mapped to its exact global rank ppm
+    * `(rank−1)·10⁶ div (n−1)` over the (cents, event_id) total order.
+    * The rank is the two-phase scalable global row number
+    * ([[graft.operators.Ops.globalRowNumberScalable]] — never the
+    * single-task `row_number() OVER (ORDER BY …)`), the ppm is exact
+    * integer arithmetic, and the output is row-bound (one row per
+    * event). */
+  def qQuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val ranked = Ops.globalRowNumberScalable(ev, "cents", Seq("event_id"), "rk")
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("event_id"), col("cents"),
+        expr("CASE WHEN n_total = 1 THEN CAST(0 AS BIGINT) ELSE " +
+          ppmDiv("(rk - 1)", "(n_total - 1)") + " END").as("rank_ppm"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4305,6 +4364,8 @@ object Queries {
     "q_burst_days" -> (qBurstDays _),
     "q_max_concurrency" -> (qMaxConcurrency _),
     "q_dedup_survivorship" -> (qDedupSurvivorship _),
+    "q_growth_accounting" -> (qGrowthAccounting _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -6063,5 +6124,28 @@ object Queries {
         "SELECT t.doc_id, w.canonical_id, w.best_len, " +
         "t.doc_id = w.canonical_id AS survives " +
         "FROM t JOIN w ON t.fp = w.fp AND w.rn = 1 ORDER BY t.doc_id"),
+    "q_growth_accounting" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "t AS (SELECT user_id, day, lag(day) OVER w AS prev, lead(day) OVER w AS next " +
+        "FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)), " +
+        "st AS (SELECT day, count(*) AS dau, " +
+        "CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_users, " +
+        "CAST(sum(CASE WHEN prev = day - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS retained, " +
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS resurrected " +
+        "FROM t GROUP BY day), " +
+        "ch AS (SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day, count(*) AS churned " +
+        "FROM t WHERE next IS NULL OR next > day + INTERVAL 1 DAY GROUP BY 1) " +
+        "SELECT coalesce(st.day, ch.day) AS day, coalesce(dau, 0) AS dau, " +
+        "coalesce(new_users, 0) AS new_users, coalesce(retained, 0) AS retained, " +
+        "coalesce(resurrected, 0) AS resurrected, coalesce(churned, 0) AS churned " +
+        "FROM st FULL OUTER JOIN ch ON st.day = ch.day ORDER BY day"),
+    "q_quantile_normalize" ->
+      ("WITH ev AS (SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), " +
+        "r AS (SELECT event_id, cents, " +
+        "CAST(row_number() OVER (ORDER BY cents, event_id) AS BIGINT) AS rk, " +
+        "count(*) OVER () AS n_total FROM ev) " +
+        "SELECT event_id, cents, CASE WHEN n_total = 1 THEN 0 ELSE " +
+        ppmDivSql("(rk - 1)", "(n_total - 1)") + " END AS rank_ppm " +
+        "FROM r ORDER BY event_id"),
   )
 }

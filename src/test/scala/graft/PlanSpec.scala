@@ -987,6 +987,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_max") || p.contains("Partial"), p)
   }
 
+  test("q_growth_accounting: user-keyed lag/lead, calendar-bounded readout") {
+    val df = Queries.qGrowthAccounting(spark, SF)
+    assert(!plan(df).contains("CartesianProduct"), plan(df))
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"the activity lag/lead must stay user-keyed:\n$exec")
+  }
+
+  test("q_quantile_normalize: global rank rides bucket-local windows only") {
+    val df = Queries.qQuantileNormalize(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__bucket")),
+      s"ranking must be the two-phase bucket scheme, not a global window:\n$exec")
+  }
+
   test("q_burst_days: type-keyed bounded row frame, no unbounded-following scan") {
     val df = Queries.qBurstDays(spark, SF)
     assert(!plan(df).contains("UnboundedFollowing"), plan(df))
