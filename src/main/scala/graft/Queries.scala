@@ -204,6 +204,15 @@ object Queries {
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("pc"),
         expr("CAST(round(l_discount * 10000, 0) AS BIGINT)").as("d4"))
       .groupBy("l_returnflag", "l_linestatus")
+      // Headroom bound: the 1e-6-dollar discounted term pc·(10⁴−d4)
+      // reaches ~10¹¹ per row, so a per-group int64 sum holds to ~9·10⁷
+      // rows/group ≈ sf150–200 — two orders past this engine's proven
+      // range but ~100× tighter than the cents sums (DuckDB's BIGINT sum
+      // promotes to HUGEINT, so past the bound the engines would silently
+      // diverge rather than both fail). Before running beyond ~sf100,
+      // split the group (e.g. sub-aggregate by month then merge as
+      // DECIMAL(38,0)) or flip on spark.sql.ansi.enabled so overflow
+      // throws instead of wrapping.
       .agg(sum(col("q")).as("sq"), sum(col("pc")).as("spc"),
         sum(expr("pc * (10000 - d4)")).as("se6"), sum(col("d4")).as("sd4"),
         count(lit(1)).as("n"))
@@ -2152,20 +2161,34 @@ object Queries {
     * rows — the oracle states the naive quadratic join; results must be
     * identical. */
   def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    // Degenerate-block cap (the [[operators.TextOps.lshCandidatePairs]]
+    // guard, same constant): the in-block expansion is quadratic in block
+    // size, so a pathological corpus (thousands of names one deletion
+    // apart — NOT this fixture, whose blocks are digit-alphabet-bounded)
+    // must not build an unbounded in-task array. Blocks are sized with a
+    // count aggregate BEFORE any list is collected; oversized blocks are
+    // skipped, never materialized. Audit path at scale: the
+    // [[operators.TextOps.lshOversizedBuckets]] pattern (skipped keys as
+    // data) or an `Observation` on the size aggregate.
+    val maxBlock = 1000
     val names = Tables.customer(s, d).select(col("c_name").as("name")).distinct()
     val blocks = names.select(col("name"),
       explode(expr("array_union(array(name), transform(sequence(1, length(name)), " +
         "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name)))))"))
         .as("blk"))
     // One groupBy shuffle of the (block, name) rows, then IN-BLOCK pair
-    // expansion (the LSH-bucket pattern) — no self-join build side, no
-    // second shuffle of the block rows. Blocks are alphabet-bounded, so
-    // the expansion is ≤ C(alphabet, 2) per block; the codegen'd
+    // expansion (the LSH-bucket pattern) — no self-join build side. The
+    // size table and the probe hash-partition on the same `blk` key, so
+    // the shuffle_hash keep-join rides the existing exchange (a broadcast
+    // build would collect O(blocks) keys to the driver). The codegen'd
     // levenshtein verifies map-side BEFORE the distinct, which then only
     // shuffles true pairs. (Measured at sf0.1: self-join + distinct-first
     // 31 s → join + verify-first 25 s → this form ~14 s, all scratch-inclusive.)
-    blocks.groupBy(col("blk")).agg(collect_list(col("name")).as("names"))
-      .where(size(col("names")) >= 2)
+    val keep = blocks.groupBy(col("blk")).agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2, maxBlock))
+      .select("blk").hint("shuffle_hash")
+    blocks.join(keep, Seq("blk"))
+      .groupBy(col("blk")).agg(collect_list(col("name")).as("names"))
       .select(explode(expr(
         "flatten(transform(names, a -> filter(transform(names, b -> " +
           "struct(a AS name_a, b AS name_b)), p -> p.name_a < p.name_b)))"))
@@ -3068,7 +3091,10 @@ object Queries {
     * identically stated by the oracle's depth-capped recursive CTE).
     * Distance relaxation `d(v) := min(d(v), min_u d(u)+1)` as one
     * map-side-combinable aggregate per round with localCheckpoint
-    * lineage truncation and a convergence-count early exit; the 1-row
+    * lineage truncation; the convergence check is fused into that same
+    * materialization as a `Dataset.observe` changed-counter (one job per
+    * round — the [[operators.Graph.connectedComponents]] discipline,
+    * including its cluster-mode reliable-checkpoint note). The 1-row
     * seed (max degree, min node tie-break) rides a broadcast — the
     * driver never sees node data. Unreached nodes are excluded. */
   def qBfsLevels(s: SparkSession, d: String): DataFrame = {
@@ -3090,18 +3116,32 @@ object Queries {
       .join(broadcast(seed), Seq("node"), "left")
       .select(col("node"), col("sd").as("d"))
       .localCheckpoint()
-    var changed = 1L
+    // empty-graph guard (one limit-1 job): AQE's empty-relation propagation
+    // can eliminate a CollectMetrics node on a provably-empty plan, which
+    // would block the fused Observation below forever
+    var changed = if (dist.isEmpty) 0L else 1L
     var iter = 0
     while (changed > 0 && iter < 15) {
       val relaxed = sym
         .join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .where(col("d").isNotNull)
         .groupBy(col("dst").as("node")).agg(min(col("d") + 1).as("nd"))
+      // fused convergence check: the changed-count is an observed metric
+      // on the SAME plan the eager localCheckpoint materializes — one job
+      // per round, never checkpoint + count (distances only tighten, so a
+      // null-safe ≠ against the carried prev is exactly "progress")
+      val obs = org.apache.spark.sql.Observation()
       val next = dist.join(relaxed, Seq("node"), "left")
-        .select(col("node"), least(col("d"), col("nd")).as("d"))
+        .select(col("node"), col("d").as("prev"),
+          least(col("d"), col("nd")).as("d"))
+        .observe(obs, sum(when(!(col("d") <=> col("prev")), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("node"), col("d"))
         .localCheckpoint()
-      changed = next.join(dist.withColumnRenamed("d", "prev"), Seq("node"))
-        .where(!(col("d") <=> col("prev"))).count()
+      changed = obs.get.getOrElse("changed", 0L) match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
       dist.unpersist()
       dist = next
       iter += 1
@@ -4149,6 +4189,49 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Engine-semantics pin for SIGNED integer division: every fixed-point
+    * helper here (scaledDiv/roundDiv) and the k-means centroid
+    * ([[graft.operators.Similarity]] kmeansStepPrecomputed) relies on
+    * Spark's `div` and DuckDB's `//` BOTH truncating toward zero on
+    * negative operands — previously asserted only in a code comment. This
+    * bounded 25-row readout states the truncating quotient, remainder and
+    * the sign-adjusted round-half-away-from-zero form over a signed value
+    * grid (±137·k spans both signs and both rounding directions), so an
+    * engine semantics change to floor division flips the hash and fails
+    * the driver gate loudly instead of silently skewing boundary cells. */
+  def qDivConvention(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        ((col("n_nationkey") - lit(12)) * lit(137)).cast("long").as("v"))
+      .select(col("n_nationkey"), col("v"),
+        expr("v div 100").as("q_trunc"),
+        expr("v % 100").as("r_trunc"),
+        expr("(v + (CASE WHEN v < 0 THEN -50 ELSE 50 END)) div 100").as("q_half"))
+      .orderBy("n_nationkey")
+
+  /** Multimodal metadata summary on the driver board: a deterministic
+    * media corpus derived from `documents` (the fixture carries no binary
+    * column) — modality and duration keyed off `doc_id` ONLY, with the
+    * text bytes standing in as the opaque `content` column — summarized by
+    * [[graft.operators.Multimodal.metadataSummary]]. Because every
+    * metadata column derives from `doc_id`, columnar pruning must reduce
+    * the scan to the single `doc_id` column — `content` (the dominant
+    * chunk at 100 TB) is never read, which the plan pin asserts via
+    * ReadSchema. Output is bounded (3 modalities × 1 format each). */
+  def qMediaSummary(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END").as("kind"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' " +
+        "ELSE 'mp4' END").as("format"),
+      col("text").cast("binary").as("content"),
+      expr("CASE doc_id % 3 WHEN 1 THEN 1000 + (doc_id % 11) * 500 " +
+        "WHEN 2 THEN 4000 + (doc_id % 7) * 1000 ELSE 0 END").as("duration_ms"))
+    graft.operators.Multimodal.metadataSummary(media)
+      .transform(ps(col("kind"), col("format")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4366,6 +4449,8 @@ object Queries {
     "q_dedup_survivorship" -> (qDedupSurvivorship _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
+    "q_div_convention" -> (qDivConvention _),
+    "q_media_summary" -> (qMediaSummary _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -6036,9 +6121,12 @@ object Queries {
         "max(gap_s) AS max_s, CAST(min(n) AS BIGINT) AS n_gaps " +
         "FROM c GROUP BY event_type ORDER BY event_type"),
     "q_norm_outliers" ->
+      // coalesce matches Spark's aggregate() identity: an empty embedding
+      // array yields 0 in Spark but NULL from DuckDB's list_sum — pinned
+      // non-empty in FixturesSpec, and made divergence-proof here anyway
       ("WITH n2 AS (SELECT vec_id, label, " +
-        "CAST(list_sum(list_transform(embedding::DOUBLE[], " +
-        "x -> CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))) AS BIGINT) AS norm2_mu " +
+        "CAST(coalesce(list_sum(list_transform(embedding::DOUBLE[], " +
+        "x -> CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))), 0) AS BIGINT) AS norm2_mu " +
         "FROM embeddings), " +
         "b AS (SELECT vec_id, label, norm2_mu, norm2_mu // 10000 AS q FROM n2), " +
         "vw AS (SELECT label, q, count(*) AS wt FROM b GROUP BY label, q), " +
@@ -6147,5 +6235,19 @@ object Queries {
         "SELECT event_id, cents, CASE WHEN n_total = 1 THEN 0 ELSE " +
         ppmDivSql("(rk - 1)", "(n_total - 1)") + " END AS rank_ppm " +
         "FROM r ORDER BY event_id"),
+    "q_div_convention" ->
+      ("WITH s AS (SELECT n_nationkey, CAST((n_nationkey - 12) * 137 AS BIGINT) AS v FROM nation) " +
+        "SELECT n_nationkey, v, v // 100 AS q_trunc, v % 100 AS r_trunc, " +
+        "(v + (CASE WHEN v < 0 THEN -50 ELSE 50 END)) // 100 AS q_half " +
+        "FROM s ORDER BY n_nationkey"),
+    "q_media_summary" ->
+      ("WITH m AS (SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS kind, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format, " +
+        "CASE doc_id % 3 WHEN 1 THEN 1000 + (doc_id % 11) * 500 " +
+        "WHEN 2 THEN 4000 + (doc_id % 7) * 1000 ELSE 0 END AS duration_ms FROM documents) " +
+        "SELECT kind, format, count(*) AS n, " +
+        "CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms " +
+        "FROM m GROUP BY kind, format ORDER BY kind, format"),
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph kernels over plain edge-list DataFrames — the
@@ -17,11 +17,22 @@ object Graph {
     * combinable aggregate over the symmetric edges), then labels are
     * pointer-jumped (`label := label(label)`) so chains collapse
     * geometrically — O(log n) rounds on a path, not O(diameter). Lineage
-    * is truncated per round with localCheckpoint and the driver only
-    * sees one convergence COUNT per round — the
+    * is truncated per round with localCheckpoint, and the convergence
+    * check is FUSED into that same materialization: the changed-count is
+    * a `Dataset.observe` metric on the checkpointed plan, so each round
+    * is ONE job, never a checkpoint job plus a count job — the
     * [[TextOps.lshDedupClusters]] iteration discipline on a general
     * graph. The fixpoint (min node id per component) is unique, so the
     * result is deterministic regardless of partitioning or round count.
+    *
+    * Cluster-mode note: `localCheckpoint` pins blocks to executors and
+    * truncates lineage, so a lost executor fails the job rather than
+    * recomputing (acceptable in local mode / on static on-demand fleets).
+    * Under dynamic allocation, spot instances or preemption, swap both
+    * sites for reliable `df.checkpoint()` against a durable
+    * `sparkContext.setCheckpointDir` — identical semantics, survives
+    * executor loss, at the cost of a DFS write per round.
+    *
     * Returns (node, component); the result holds the final round's
     * checkpoint blocks — `.unpersist()` it when done, or drop all
     * stranded blocks at a quiescent point via [[Checkpoints.release]]
@@ -33,30 +44,51 @@ object Graph {
       .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr"))
-      val hop = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-      // pointer jump: adopt my label's own label (labels are node ids, so
-      // the self-join resolves; a label may itself be mid-update, which is
-      // fine — any monotone decrease stays inside the component)
-      val next = hop.join(
-          hop.select(col("node").as("__n"), col("label").as("__l")),
-          col("label") === col("__n"))
-        .select(col("node"), col("__l").as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .where(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
+    // Empty-graph guard (one limit-1 job, before the loop only): the fused
+    // observe metric below is reported by the round's materialization, and
+    // AQE's empty-relation propagation can eliminate the CollectMetrics
+    // node on a provably-empty plan — in which case Observation.get would
+    // block forever. An empty node set has nothing to propagate anyway.
+    if (labels.isEmpty) {
+      sym.unpersist()
+      labels.withColumnRenamed("label", "component")
+    } else {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = sym
+          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr"))
+        val hop = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        // pointer jump: adopt my label's own label (labels are node ids, so
+        // the self-join resolves; a label may itself be mid-update, which is
+        // fine — any monotone decrease stays inside the component)
+        val jumped = hop.join(
+            hop.select(col("node").as("__n"), col("label").as("__l")),
+            col("label") === col("__n"))
+          .select(col("node"), col("prev"), col("__l").as("label"))
+        // Fused convergence check: the changed-count rides the SAME plan
+        // the eager localCheckpoint materializes (labels only ever
+        // decrease, so label ≠ prev ⇔ progress). Observation.get blocks
+        // until that action reports — no separate count job, no extra scan.
+        val obs = Observation()
+        val next = jumped
+          .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
+            .otherwise(0L)).as("changed"))
+          .select(col("node"), col("label"))
+          .localCheckpoint()
+        changed = obs.get.getOrElse("changed", 0L) match {
+          case null => 0L
+          case x => x.asInstanceOf[Long]
+        }
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      sym.unpersist()
+      labels.withColumnRenamed("label", "component")
     }
-    if (iter > 0) sym.unpersist()
-    labels.withColumnRenamed("label", "component")
   }
 }

@@ -117,11 +117,15 @@ object Multimodal {
   }
 
   /** Metadata-only projection — must never read the `content` column chunk
-    * (verified in the spec via the physical plan's ReadSchema). */
+    * (verified in the spec via the physical plan's ReadSchema, and on the
+    * driver board by q_media_summary's oracle + plan pin). Integer-exact
+    * outputs only (count + sum): a `round(avg(...), 2)` here would flip
+    * engines on .xx5 boundaries — present averages with the roundDiv
+    * discipline downstream if needed. */
   def metadataSummary(media: DataFrame): DataFrame =
     media.groupBy("kind", "format")
       .agg(count(lit(1)).as("n"),
-        round(avg(col("duration_ms")), 2).as("avg_duration_ms"))
+        sum(col("duration_ms")).as("total_duration_ms"))
 
   /** Deterministic synthetic media corpus for tests/demos (no fixture table
     * carries binary content). Bytes are seeded per id — stable across runs,

@@ -238,35 +238,49 @@ object TextOps {
     * near-cliques (diameter 1-2, converges in ≤3 rounds) — an adversarial
     * chain-of-buckets corpus needs proportionally more (`maxIter` caps the
     * work; the result is then a valid PARTIAL merge: every doc still maps
-    * into its component, just possibly not to the global minimum). The
-    * driver only ever sees one COUNT per round; lineage is truncated per
-    * round by localCheckpoint. */
+    * into its component, just possibly not to the global minimum).
+    * Lineage is truncated per round by localCheckpoint, and the
+    * convergence check is FUSED into that materialization as a
+    * `Dataset.observe` changed-counter — one job per round, never
+    * checkpoint + count (see [[Graph.connectedComponents]], including its
+    * cluster-mode reliable-checkpoint note). */
   def lshDedupClusters(sig: DataFrame, idCol: String, numBands: Int,
                        maxIter: Int = 10): DataFrame = {
     val melted = meltBands(sig, idCol, numBands).localCheckpoint()
     var labels = melted.select(col("id")).distinct()
       .withColumn("canonical_id", col("id"))
-    var changed = 1L
+    // empty-corpus guard (one limit-1 job, pre-loop only): AQE's
+    // empty-relation propagation can eliminate a CollectMetrics node on a
+    // provably-empty plan, which would block Observation.get forever
+    var changed = if (labels.isEmpty) 0L else 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // bucket hop: each bucket's rep = min member label, each doc's new
       // label = min rep over its buckets. rep ≤ own label always (the doc
       // is a member of every bucket it probes), so this IS the new label —
-      // no least()/re-join against the old labels needed.
-      val hop = melted.join(labels, Seq("id"))
+      // no least()/re-join against the old labels needed; the old label is
+      // carried as `prev` only to feed the fused convergence metric.
+      val hop = melted.join(labels.withColumnRenamed("canonical_id", "prev"), Seq("id"))
         .groupBy("band_idx", "band_val")
-        .agg(min(col("canonical_id")).as("rep"))
+        .agg(min(col("prev")).as("rep"))
         .join(melted, Seq("band_idx", "band_val"))
         .groupBy("id").agg(min(col("rep")).as("canonical_id"))
       // pointer jumping: my new label's own new label (canonicals are doc
       // ids, so the self-join always resolves)
+      val obs = org.apache.spark.sql.Observation()
       val next = hop.join(
           hop.select(col("id").as("__cid"), col("canonical_id").as("__cc")),
           col("canonical_id") === col("__cid"))
-        .select(col("id"), col("__cc").as("canonical_id"))
-        .localCheckpoint() // truncate lineage each round
-      changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), Seq("id"))
-        .where(col("canonical_id") =!= col("prev")).count()
+        .join(labels.withColumnRenamed("canonical_id", "prev"), Seq("id"))
+        .select(col("id"), col("prev"), col("__cc").as("canonical_id"))
+        .observe(obs, sum(when(col("canonical_id") =!= col("prev"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("canonical_id"))
+        .localCheckpoint() // truncate lineage each round; reports `changed`
+      changed = obs.get.getOrElse("changed", 0L) match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
       labels.unpersist() // release the superseded round's checkpoint blocks
       labels = next
       iter += 1

@@ -49,13 +49,36 @@ class FixturesSpec extends SparkSuite {
     // If a regeneration introduces negatives, extend roundDiv with the
     // sign-adjusted form (see kmeansStepPrecomputed) before anything else.
     import org.apache.spark.sql.functions.{col, min}
-    val vMin = Tables.events(spark, SF).agg(min(col("value"))).head.getDouble(0)
-    assert(vMin >= 0.0, s"events.value went negative ($vMin) — roundDiv sites " +
+    // Option-read the mins: an all-NULL column or empty table after a bad
+    // regeneration must fail with THIS message, not a NullPointerException
+    val vMin = Option(Tables.events(spark, SF).agg(min(col("value"))).head.get(0))
+    assert(vMin.isDefined, "events.value min is NULL — table empty or column " +
+      "all-NULL after regeneration")
+    assert(vMin.get.asInstanceOf[Double] >= 0.0,
+      s"events.value went negative ($vMin) — roundDiv sites " +
       s"(q_winsorize) need the sign-adjusted division")
-    val pMin = Tables.lineitem(spark, SF)
-      .agg(min(col("l_extendedprice"))).head.getDouble(0)
-    assert(pMin >= 0.0, s"l_extendedprice went negative ($pMin) — roundDiv " +
+    val pMin = Option(Tables.lineitem(spark, SF)
+      .agg(min(col("l_extendedprice"))).head.get(0))
+    assert(pMin.isDefined, "l_extendedprice min is NULL — table empty or " +
+      "column all-NULL after regeneration")
+    assert(pMin.get.asInstanceOf[Double] >= 0.0,
+      s"l_extendedprice went negative ($pMin) — roundDiv " +
       s"sites (q_agg_pricing, q_trimmed_mean) need the sign-adjusted division")
+  }
+
+  test("embeddings stay non-empty (aggregate-identity precondition)") {
+    // Spark's aggregate(...) over an empty array returns the 0 identity
+    // while DuckDB's list_sum returns NULL — q_norm_outliers' oracle
+    // coalesces, but an empty vector would still silently score norm 0 and
+    // skew quantizer/ANN paths. A regeneration shipping empty embeddings
+    // should fail here with instructions, not drift downstream.
+    import org.apache.spark.sql.functions.{col, min, size}
+    val dMin = Option(Tables.embeddings(spark, SF)
+      .agg(min(size(col("embedding")))).head.get(0))
+    assert(dMin.isDefined, "embeddings table is empty after regeneration")
+    assert(dMin.get.asInstanceOf[Int] > 0,
+      s"an embedding array is empty (min size $dMin) — norm/ANN/quantizer " +
+      s"paths assume dim ≥ 1; fix the fixture generator")
   }
 
   test("TPC-H tables: join keys and measures keep their types") {

@@ -524,15 +524,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_fuzzy_match: in-block pair expansion — no join of any kind") {
+  test("q_fuzzy_match: capped in-block expansion, keep-join rides the blk exchange") {
     val p = plan(Queries.qFuzzyMatch(spark, SF))
-    assert(!p.contains("Join"),
-      s"deletion blocking groups by block key; an all-pairs join would be " +
-        s"the quadratic form:\n$p")
-    // name dedup + block groupBy + true-pair distinct — nothing else
+    // the ONLY join is the block-size keep-filter: a shuffle-hash equi-join
+    // on blk (co-partitioned with the groupBy) — never a name-pair join
+    assert(p.contains("ShuffledHashJoin"),
+      s"the size guard must keep-join on blk before any list is collected:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"no all-pairs or fact-sized join may exist:\n$p")
+    // the oversized-block cap must be applied to a COUNT, pre-collect
+    assert(p.contains("__n"), s"block sizes must be counted before expansion:\n$p")
+    // name dedup + blk exchange pair (sizes/probe) + list groupBy +
+    // true-pair distinct — nothing else
     val hashEx = p.linesIterator.count(_.startsWith("Arguments: hashpartitioning"))
-    assert(hashEx <= 3, s"only name-dedup, block groupBy and pair distinct " +
-      s"may shuffle (got $hashEx):\n$p")
+    assert(hashEx <= 5, s"only name-dedup, the blk-keyed size/collect pair and " +
+      s"the pair distinct may shuffle (got $hashEx):\n$p")
+  }
+
+  test("q_media_summary: metadata-only — the scan never reads the content bytes") {
+    val p = plan(Queries.qMediaSummary(spark, SF))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id"), p)
+    // text backs the opaque `content` column (the dominant chunk at scale)
+    // and every metadata column derives from doc_id only — columnar pruning
+    // must drop text from the parquet read entirely
+    assert(!readSchema.contains("text") && !readSchema.contains("n_chars"),
+      s"content bytes must be pruned from the metadata summary scan:\n$readSchema")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"the modality rollup must combine map-side:\n$p")
   }
 
   test("q_reagg_audit: both aggregation levels combine map-side, fact read once") {
