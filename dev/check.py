@@ -9,6 +9,7 @@ sorts columns by name on both sides, and compares shape + values exactly.
 Not part of the shipped engine (the Scala library has no Python dependency).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -20,8 +21,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written fixture (DevSfGen) = directory
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = []

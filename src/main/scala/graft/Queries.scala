@@ -4232,6 +4232,164 @@ object Queries {
       .transform(ps(col("kind"), col("format")))
   }
 
+  /** Forecasting-revenue-change aggregate (TPC-H Q6 shape): total
+    * discounted revenue that would be recovered by dropping discounts in a
+    * band — one fully-pushed scan filter (shipdate year + quantity reach
+    * the parquet scan as range predicates) into one map-side-combined
+    * 1-row sum. Exactness: discount is compared and summed as 4-dp fixed
+    * point (`d4 = round(l_discount·10⁴)` — the fixture's discounts are
+    * exact 2-dp multiples, so d4 is exact), revenue accumulates in
+    * 10⁻⁶-dollar units (cents · d4): per-row ≤ ~7·10⁹, so the int64 sum
+    * has headroom to ~10⁹ qualifying rows (≈ sf150) — same documented
+    * bound as Q1's micro-unit sum. */
+  def qForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .select(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("price_c"),
+        expr("CAST(round(l_discount * 10000, 0) AS BIGINT)").as("d4"))
+      .where(col("d4").between(500L, 700L))
+      .agg(sum(col("price_c") * col("d4")).as("revenue_u6"),
+        count(lit(1)).as("n_lines"))
+
+  /** Volume shipping between nations (TPC-H Q7 shape): bilateral
+    * cross-border revenue by (supplier nation, customer nation, ship
+    * year) — all nation pairs rather than Q7's two-literal filter so the
+    * smallest fixture still exercises the shape (output stays bounded at
+    * ≤ |nations|² × |years|). Join order is scale-honest: orders ⋈
+    * customer is the one big-big shuffle (customer grows with SF — NOT
+    * broadcast), lineitem then lands on the SAME `orderkey`
+    * co-partitioning, and only the genuinely bounded supplier→nation
+    * lookup broadcasts. Revenue in exact 10⁻⁶-dollar units
+    * (cents · (10⁴ − d4)). */
+  def qVolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val suppN = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))
+    val custN = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").as("cust_nation"))
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(custN, col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        (expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(round(l_discount * 10000, 0) AS BIGINT)")))
+          .as("rev_u6"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(col("rev_u6")).as("revenue_u6"), count(lit(1)).as("n_lines"))
+      .transform(ps(col("supp_nation"), col("cust_nation"), col("l_year")))
+
+  }
+
+  /** Discounted revenue for targeted (brand, size, quantity) segments
+    * (TPC-H Q19 shape): a 3-arm disjunctive predicate over part
+    * attributes × lineitem quantity. The part dimension pre-filters to
+    * the 3 brands BEFORE broadcasting (the broadcast side is 3/25 of the
+    * dim); the disjunction is evaluated post-join in one codegen stage;
+    * the quantity range filter (covering all arms) is pushed to the fact
+    * scan. Exact micro-unit revenue; 3-row output. */
+  def qBrandQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d)
+      .where(col("p_brand").isin("Brand#3", "Brand#9", "Brand#15"))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(s, d)
+      .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        (expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(round(l_discount * 10000, 0) AS BIGINT)")))
+          .as("rev_u6"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("qty").between(1L, 11L)) ||
+        (col("p_brand") === "Brand#9" && col("p_size").between(1, 25) &&
+          col("qty").between(10L, 20L)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+          col("qty").between(20L, 30L)))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("rev_u6")).as("revenue_u6"), count(lit(1)).as("n_lines"))
+      .transform(ps(col("p_brand")))
+  }
+
+  /** Power-of-2 document-length histogram per language — the corpus
+    * length profile every training-data curation pass starts from. The
+    * bucket bound is integer-exact (no float log2 whose exact-power
+    * boundaries round differently per engine): a 21-row bucket table
+    * [2^b, 2^(b+1)) broadcasts into a binned range join, then one
+    * map-side-combined (lang, bucket) count. Scales as a linear scan —
+    * the range join is against a CONSTANT 21-row side. */
+  def qDocLenHist(s: SparkSession, d: String): DataFrame = {
+    val buckets = s.range(0, 21).select(col("id").cast("long").as("b"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("lo"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(id + 1 AS INT))").as("hi"))
+    Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      .join(broadcast(buckets),
+        col("n_chars") >= col("lo") && col("n_chars") < col("hi"))
+      .groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .transform(ps(col("lang"), col("b")))
+  }
+
+  /** Language-mix matrix: per-source language distribution in exact ppm
+    * — the dataset-composition report for a multilingual corpus. Two
+    * map-side-combined aggregates over the SAME (source, lang) cells and
+    * one broadcast of the bounded per-source totals; ppm via the
+    * overflow-safe two-step integer division ([[scaledDiv]], restated
+    * identically in the oracle). Output bounded at |sources|·|langs|. */
+  def qLangMix(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+    cells.join(broadcast(totals), Seq("source"))
+      .withColumn("ppm", expr(scaledDiv("n", "tot", 1000L, 1000L)))
+      .select(col("source"), col("lang"), col("n"), col("ppm"))
+      .transform(ps(col("source"), col("lang")))
+  }
+
+  /** Deterministic round-robin source interleave — the training-order
+    * layout step that stripes a mixed corpus so no source forms a run.
+    * Per-source position = hash-order row number (a PARTITIONED window:
+    * each source sorts its own rows, never a global single-task sort);
+    * global position = (rn−1)·|sources| + source index, with the bounded
+    * source-index table broadcast. Row-linear output, deterministic in
+    * (doc_id, source) via the portable Knuth hash. */
+  def qInterleave(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val srcIdx = docs.select("source").distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1L)
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy()))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Ops.seededHash(col("doc_id"), 0L), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        ((col("rn") - 1L) * col("n_src") + col("src_idx")).as("pos"))
+      .transform(ps(col("pos")))
+  }
+
+  /** LSH band-health statistics: the bucket-size distribution per minhash
+    * band — the metric that says whether banding is splitting the corpus
+    * into join-safe buckets or drifting toward quadratic blowup (the
+    * thing [[graft.operators.TextOps.lshCandidatePairs]]'s maxBucket
+    * guard defends against, here made observable). Signature build is the
+    * linear minhash pass; each band's histogram is two map-side-combined
+    * aggregates over (bucket) then (size); output is bounded by the
+    * number of DISTINCT sizes per band. */
+  def qBandStats(s: SparkSession, d: String): DataFrame = {
+    val sig = TextOps.minhashSignatureMd5(Tables.documents(s, d), "doc_id", "text", 3, 4)
+    (1 to 4).map { i =>
+      sig.groupBy(col(s"mh$i").as("bucket")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_buckets"))
+        .select(lit(i.toLong).as("band"), col("size"), col("n_buckets"))
+    }.reduce(_ unionByName _)
+      .transform(ps(col("band"), col("size")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4451,6 +4609,13 @@ object Queries {
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_div_convention" -> (qDivConvention _),
     "q_media_summary" -> (qMediaSummary _),
+    "q_forecast_revenue" -> (qForecastRevenue _),
+    "q_volume_shipping" -> (qVolumeShipping _),
+    "q_brand_qty_revenue" -> (qBrandQtyRevenue _),
+    "q_doc_len_hist" -> (qDocLenHist _),
+    "q_lang_mix" -> (qLangMix _),
+    "q_interleave" -> (qInterleave _),
+    "q_band_stats" -> (qBandStats _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -6249,5 +6414,60 @@ object Queries {
         "SELECT kind, format, count(*) AS n, " +
         "CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms " +
         "FROM m GROUP BY kind, format ORDER BY kind, format"),
+    "q_forecast_revenue" ->
+      ("SELECT CAST(sum(price_c * d4) AS BIGINT) AS revenue_u6, count(*) AS n_lines FROM " +
+        "(SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c, " +
+        "CAST(round(l_discount * 10000, 0) AS BIGINT) AS d4 FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_quantity < 24) WHERE d4 BETWEEN 500 AND 700"),
+    "q_volume_shipping" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)) AS rev_u6 FROM lineitem), " +
+        "sn AS (SELECT s_suppkey, s_nationkey AS supp_nation FROM supplier), " +
+        "cn AS (SELECT c_custkey, c_nationkey AS cust_nation FROM customer), " +
+        "o AS (SELECT o_orderkey, cust_nation FROM orders JOIN cn ON o_custkey = c_custkey) " +
+        "SELECT supp_nation, cust_nation, l_year, CAST(sum(rev_u6) AS BIGINT) AS revenue_u6, " +
+        "count(*) AS n_lines FROM li JOIN sn ON l_suppkey = s_suppkey " +
+        "JOIN o ON l_orderkey = o_orderkey WHERE supp_nation <> cust_nation " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_brand_qty_revenue" ->
+      ("WITH pt AS (SELECT p_partkey, p_brand, p_size FROM part " +
+        "WHERE p_brand IN ('Brand#3', 'Brand#9', 'Brand#15')), " +
+        "li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+        "(10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)) AS rev_u6 FROM lineitem " +
+        "WHERE l_quantity BETWEEN 1 AND 30) " +
+        "SELECT p_brand, CAST(sum(rev_u6) AS BIGINT) AS revenue_u6, count(*) AS n_lines " +
+        "FROM li JOIN pt ON l_partkey = p_partkey WHERE " +
+        "(p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 1 AND 11) OR " +
+        "(p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 25 AND qty BETWEEN 10 AND 20) OR " +
+        "(p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND qty BETWEEN 20 AND 30) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_doc_len_hist" ->
+      ("WITH b2 AS (SELECT range AS b, (CAST(1 AS BIGINT) << range) AS lo, " +
+        "(CAST(1 AS BIGINT) << (range + 1)) AS hi FROM range(0, 21)) " +
+        "SELECT lang, b, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents JOIN b2 ON n_chars >= lo AND n_chars < hi " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_lang_mix" ->
+      ("WITH cells AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2), " +
+        "totals AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY 1) " +
+        "SELECT source, lang, n, " + ppmDivSql("n", "tot") + " AS ppm " +
+        "FROM cells JOIN totals USING (source) ORDER BY source, lang"),
+    "q_interleave" ->
+      ("WITH srcs AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx, " +
+        "count(*) OVER () AS n_src FROM (SELECT DISTINCT source FROM documents)), " +
+        "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn FROM documents) " +
+        "SELECT doc_id, r.source, (rn - 1) * n_src + src_idx AS pos " +
+        "FROM r JOIN srcs ON r.source = srcs.source ORDER BY pos"),
+    "q_band_stats" ->
+      (SIG_CTE + " " +
+        (1 to 4).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS band, size, count(*) AS n_buckets FROM " +
+            s"(SELECT count(*) AS size FROM sig GROUP BY mh$i) GROUP BY size")
+          .mkString(" UNION ALL ") +
+        " ORDER BY band, size"),
   )
 }
