@@ -89,7 +89,12 @@ object Queries {
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // every output column participates in the sort: the fixture does NOT
+      // guarantee (l_orderkey, l_linenumber) unique, so a shorter prefix is
+      // not a total order and tied rows could legally differ between
+      // engines (first seen live at sf1 — 1.18 M duplicate key pairs)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
 
   /** S2/S9 — predicate filters (pushed down to the scan). */
   def qFilterNonnull(s: SparkSession, d: String): DataFrame =
@@ -164,7 +169,9 @@ object Queries {
       .join(Tables.orders(s, d).where(col("o_orderstatus") === "F").select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      // l_quantity joins the sort: (l_orderkey, l_linenumber) is not unique
+      // in the fixture, so the full column set makes the order total
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   // -------------------------------------------------------- partitioning
 
@@ -942,7 +949,9 @@ object Queries {
     Shuffles.bloomSemiJoin(Tables.lineitem(s, d), highValue,
         "l_orderkey", "o_orderkey", expectedItems = 100000L)
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // full-column sort: (l_orderkey, l_linenumber) is not unique in the
+      // fixture, so the price column must participate for a total order
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
   /** Session windows in BATCH: events within 24 h of the previous event
@@ -4642,7 +4651,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" ->
-      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice, l_returnflag",
     "q_filter_nonnull" ->
       "SELECT event_id, user_id, event_type, value FROM events WHERE props IS NOT NULL AND event_type <> 'error' ORDER BY event_id",
     "q_distinct_ids" ->
@@ -4654,7 +4663,7 @@ object Queries {
     "q_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "q_seeded_sample" ->
-      "SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS h FROM customer ORDER BY h, c_custkey LIMIT 20",
+      "SELECT c_custkey, ((c_custkey % 2147483648) * 2654435761) % 4294967296 AS h FROM customer ORDER BY h, c_custkey LIMIT 20",
     "q_batch_assign" ->
       "SELECT c_custkey, c_name, CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 500) AS BIGINT) + 1 AS batch_id FROM customer ORDER BY c_custkey",
     "q_normalize_text" ->
@@ -4664,7 +4673,7 @@ object Queries {
     "q_bridge_table" ->
       "SELECT DISTINCT o_orderkey, c_custkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
     "q_semi_join" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') ORDER BY l_orderkey, l_linenumber, l_quantity",
     "q_partitioned_counts" ->
       "SELECT CAST(ts AS DATE) AS event_date, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
     "q_entity_counts" ->
@@ -4972,7 +4981,7 @@ object Queries {
         "ORDER BY c_custkey"),
     "q_stratified_sample" ->
       ("SELECT c_custkey, c_mktsegment, rn FROM (SELECT c_custkey, c_mktsegment, " +
-        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY (c_custkey * 2654435761) % 4294967296, c_custkey) AS rn " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY ((c_custkey % 2147483648) * 2654435761) % 4294967296, c_custkey) AS rn " +
         "FROM customer) t WHERE rn <= 5 ORDER BY c_mktsegment, rn"),
     "q_scd2" ->
       ("SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS valid_from, " +
@@ -4996,7 +5005,7 @@ object Queries {
     "q_bloom_semi_join" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000) " +
-        "ORDER BY l_orderkey, l_linenumber"),
+        "ORDER BY l_orderkey, l_linenumber, l_extendedprice"),
     "q_date_series" ->
       ("WITH months AS (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01', INTERVAL 1 MONTH)) AS DATE) AS month), " +
         "rev AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, " +

@@ -57,7 +57,9 @@ class SimilaritySpec extends SparkSuite {
         nBits = 12, hamming = 4)
       .select("vec_id").as[Long].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall too low; got=$approx want=$exact")
+    // exact-value pin: seeded hyperplanes + fixed fixture make this fully
+    // deterministic — a silent bucketing/probing regression moves the value
+    assert(recall == 0.8, s"recall $recall != pinned 0.8; got=$approx want=$exact")
   }
 
   test("embeddingNearDupPairs finds planted near-duplicates only") {
@@ -100,7 +102,9 @@ class SimilaritySpec extends SparkSuite {
         emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10)
       .select("vec_id").as[Long].collect().toSet
     val recall = (exact intersect a.toSet).size.toDouble / exact.size
-    assert(recall > 0.0, s"pruned IVF scan found none of the true top-10")
+    // exact-value pin: seeded centroids + total tie order make the pruned
+    // scan deterministic — a regression in list assignment moves the value
+    assert(recall == 0.4, s"pruned-IVF recall $recall != pinned 0.4")
   }
 
   test("kmeansStep: exact assignment and per-dim means on a known fixture") {
