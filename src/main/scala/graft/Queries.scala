@@ -2518,18 +2518,35 @@ object Queries {
   }
 
   /** LSH tuning audit — precision of MinHash-band candidate generation:
-    * for every candidate pair, grouped by how many of the 4 bands matched,
-    * the fraction that is a TRUE near-dup by exact 3-shingle Jaccard ≥ 0.5
-    * (the all-integer test `3·|A∩B| ≥ |A|+|B|`, no float threshold). The
-    * table that picks the band count before a 100 TB dedup run. Candidates
-    * come bucket-capped from the band join; the exact-intersection join
-    * only touches candidate docs' shingles; output is ≤ 4 rows. */
+    * candidate pairs, grouped by how many of the 4 bands matched, scored
+    * for the fraction that is a TRUE near-dup by exact 3-shingle Jaccard
+    * ≥ 0.5 (the all-integer test `3·|A∩B| ≥ |A|+|B|`, no float
+    * threshold). The table that picks the band count before a 100 TB
+    * dedup run. Scale design: a dup-dense corpus makes the candidate set
+    * quadratic in cluster size (325 M pairs on the 100× study fixture),
+    * and pair-level exact verification is Ω(pairs) in ANY join shape — so
+    * the audit runs on a deterministic ≤100 k-pair thinning
+    * ([[graft.operators.TextOps.samplePairsDeterministic]]; the identity
+    * below 100 k pairs, so oracle fixtures are verified exactly), BEFORE
+    * the signature joins and the shingle expansion pay per-pair cost. */
   def qLshPrecision(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
-    val est = TextOps.minhashEstimatedJaccard(sig, "doc_id", 4)
+    val pairs = TextOps.samplePairsDeterministic(
+      TextOps.lshCandidatePairs(sig, "doc_id", 4), 100000L)
+    val est = TextOps.estimatedJaccardForPairs(pairs, sig, "doc_id", 4)
       .select("id_a", "id_b", "matches")
-    val sh = TextOps.explodedShingles(docs, "doc_id", "text", 3).distinct()
+    // The exact-Jaccard audit below only ever reads shingles of docs that
+    // appear in a sampled pair, so restrict the corpus BEFORE the shingle
+    // explosion: the unrestricted explosion is |corpus| x |doc| rows
+    // re-shuffled three times (measured: >77 GB of transient shuffle at
+    // 100x sf0.1, killing the run; sample-bounded it is ≤ 2·target docs'
+    // shingles). The signature subplan feeding both `est` uses is
+    // identical, so ReuseExchange materializes it once.
+    val candDocs = est.select(col("id_a").as("doc_id"))
+      .union(est.select(col("id_b").as("doc_id"))).distinct()
+    val docsC = docs.join(candDocs, Seq("doc_id"), "left_semi")
+    val sh = TextOps.explodedShingles(docsC, "doc_id", "text", 3).distinct()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = est.select("id_a", "id_b")
       .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
@@ -5629,11 +5646,16 @@ object Queries {
           .mkString(" UNION ALL ") +
         " ORDER BY column_name"),
     "q_lsh_precision" ->
-      (SIG_CTE + ", pairs AS (" +
+      (SIG_CTE + ", allpairs AS (" +
         (1 to 4).map(i =>
           s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id " +
             s"WHERE a.mh$i IN (SELECT mh$i FROM sig GROUP BY mh$i HAVING count(*) <= 1000)")
           .mkString(" UNION ") + ")" +
+        // deterministic scale-adaptive thinning (identity below 100k pairs)
+        ", np AS (SELECT count(*) AS n FROM allpairs)" +
+        ", pairs AS (SELECT id_a, id_b FROM allpairs, np " +
+        "WHERE CAST('0x' || substr(md5(concat_ws('|', id_a, id_b)), 1, 15) AS BIGINT) " +
+        "% greatest(1, n // 100000) = 0)" +
         ", dist AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
         ", szs AS (SELECT doc_id, count(*) AS sz FROM dist GROUP BY doc_id)" +
         ", pm AS (SELECT p.id_a, p.id_b, CAST(" +

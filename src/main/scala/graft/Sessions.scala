@@ -22,6 +22,17 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Start every shuffle 8x wider than the core count and let AQE
+      // coalesce down to its advisory byte size: small inputs still end up
+      // at a handful of partitions (no task-overhead cost), while a 100x
+      // input keeps the extra width so per-task join/sort state stays
+      // bounded — the 100x heavy-tail study OOM'd a sort-merge build at
+      // width=cores (per-task state = partition bytes x in-memory
+      // expansion; 32 concurrent tasks exceeded the heap's execution
+      // pool). On a cluster this is the same dial: initial width sized to
+      // data volume, AQE owning the runtime coalesce.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -190,8 +190,15 @@ object TextOps {
     * Emits (id_a, id_b, matches, est_jaccard); deterministic and exactly
     * restatable in ANSI SQL (md5 is engine-portable). */
   def minhashEstimatedJaccard(sig: DataFrame, idCol: String,
-                              numHashes: Int): DataFrame = {
-    val pairs = lshCandidatePairs(sig, idCol, numHashes)
+                              numHashes: Int): DataFrame =
+    estimatedJaccardForPairs(lshCandidatePairs(sig, idCol, numHashes),
+      sig, idCol, numHashes)
+
+  /** Core of [[minhashEstimatedJaccard]] over an externally supplied
+    * (id_a, id_b) pair frame — so audit paths can THIN the pairs (see
+    * [[samplePairsDeterministic]]) before paying the two signature joins. */
+  def estimatedJaccardForPairs(pairs: DataFrame, sig: DataFrame,
+                               idCol: String, numHashes: Int): DataFrame = {
     val a = sig.select(col(idCol).as("id_a") +:
       (1 to numHashes).map(i => col(s"mh$i").as(s"__a$i")): _*)
     val b = sig.select(col(idCol).as("id_b") +:
@@ -203,6 +210,30 @@ object TextOps {
       .withColumn("matches", matches)
       .select(col("id_a"), col("id_b"), col("matches"),
         (col("matches") / numHashes.toDouble).as("est_jaccard"))
+  }
+
+  /** Deterministic scale-adaptive pair thinning for AUDIT queries over a
+    * candidate-pair frame. A dup-dense corpus makes the candidate set
+    * quadratic in cluster size (every doc with c near-copies contributes
+    * ~c²/2 pairs — measured 325 M pairs on the 100× study fixture, where
+    * pair-level exact verification fans out to pairs × shingles ≈ 17 B
+    * rows); no join strategy fixes Ω(pairs) work, so a scale-correct audit
+    * ESTIMATES over a bounded pair sample. The keep-one-in-K rule is a
+    * pure function of the pair ids (60-bit md5 prefix mod K), K adapts as
+    * greatest(1, n_pairs div target) via a 1-row count broadcast — below
+    * `target` pairs the sample is the identity, so small-fixture oracle
+    * runs are exact and unchanged — and the whole rule restates in ANSI
+    * SQL, keeping the sampled audit DuckDB-checkable at every scale.
+    * Uniform hash thinning is stratum-unbiased: per-band-match precision
+    * estimated on the sample converges to the full-set value. */
+  def samplePairsDeterministic(pairs: DataFrame, target: Long): DataFrame = {
+    val n = pairs.agg(count(lit(1)).as("__n"))
+    val k = greatest(lit(1L), expr(s"__n div ${target}L"))
+    val h = expr(
+      "CAST(conv(substr(md5(concat_ws('|', id_a, id_b)), 1, 15), 16, 10) AS BIGINT)")
+    pairs.crossJoin(broadcast(n))
+      .where(h % k === 0)
+      .select("id_a", "id_b")
   }
 
   /** LSH dedup MAP — the scale path past [[lshCandidatePairs]]: instead of
