@@ -8,6 +8,10 @@ object DevDiag {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/tmp/graft_sf10"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    if (args.length > 1 && args(1) == "plan") {
+      Queries.all(args(2))(spark, d).explain("formatted")
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, d)
     val sig = operators.TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
     sig.persist()

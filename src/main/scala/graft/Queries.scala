@@ -2525,15 +2525,25 @@ object Queries {
     * dedup run. Scale design: a dup-dense corpus makes the candidate set
     * quadratic in cluster size (325 M pairs on the 100× study fixture),
     * and pair-level exact verification is Ω(pairs) in ANY join shape — so
-    * the audit runs on a deterministic ≤100 k-pair thinning
-    * ([[graft.operators.TextOps.samplePairsDeterministic]]; the identity
-    * below 100 k pairs, so oracle fixtures are verified exactly), BEFORE
-    * the signature joins and the shingle expansion pay per-pair cost. */
+    * the audit runs on a deterministic ~100 k-pair thinning
+    * ([[graft.operators.TextOps.lshCandidatePairsSampled]]; the identity
+    * below 100 k pairs, so oracle fixtures are verified exactly, with K
+    * sized from the band-bucket histogram, never by counting the
+    * materialized pair set), BEFORE the signature joins and the shingle
+    * expansion pay per-pair cost. */
   def qLshPrecision(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // The signature frame is read five times in this DAG (band pipeline,
+    // K-sizing histogram, the a/b estimate sides); a single declarative
+    // plan re-derives it per reference STATICALLY, but AQE's runtime
+    // stage reuse dedupes the identical exchanges (measured at the 100×
+    // study scale: 3.9 GB shuffle written vs 17.7 GB read — each written
+    // stage re-read, not recomputed), so no materialization step is
+    // needed or wanted (a localCheckpoint of the 325 M-row candidate set
+    // was measured strictly worse: ~25 GB of cache serialization, and at
+    // MEMORY_AND_DISK it starves the execution pool that builds it).
     val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
-    val pairs = TextOps.samplePairsDeterministic(
-      TextOps.lshCandidatePairs(sig, "doc_id", 4), 100000L)
+    val pairs = TextOps.lshCandidatePairsSampled(sig, "doc_id", 4, 100000L)
     val est = TextOps.estimatedJaccardForPairs(pairs, sig, "doc_id", 4)
       .select("id_a", "id_b", "matches")
     // The exact-Jaccard audit below only ever reads shingles of docs that
@@ -5651,11 +5661,17 @@ object Queries {
           s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id " +
             s"WHERE a.mh$i IN (SELECT mh$i FROM sig GROUP BY mh$i HAVING count(*) <= 1000)")
           .mkString(" UNION ") + ")" +
-        // deterministic scale-adaptive thinning (identity below 100k pairs)
-        ", np AS (SELECT count(*) AS n FROM allpairs)" +
+        // deterministic scale-adaptive thinning: keep-one-in-K by 60-bit
+        // md5 prefix, K sized from the band-bucket histogram (identity
+        // below the 100k budget)
+        ", bs AS (" +
+        (1 to 4).map(i =>
+          s"SELECT count(*) AS n FROM sig GROUP BY mh$i HAVING count(*) BETWEEN 2 AND 1000")
+          .mkString(" UNION ALL ") + ")" +
+        ", np AS (SELECT greatest(1, coalesce(sum((n * (n - 1)) // 2), 0) // 100000) AS k FROM bs)" +
         ", pairs AS (SELECT id_a, id_b FROM allpairs, np " +
         "WHERE CAST('0x' || substr(md5(concat_ws('|', id_a, id_b)), 1, 15) AS BIGINT) " +
-        "% greatest(1, n // 100000) = 0)" +
+        "% k = 0)" +
         ", dist AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
         ", szs AS (SELECT doc_id, count(*) AS sz FROM dist GROUP BY doc_id)" +
         ", pm AS (SELECT p.id_a, p.id_b, CAST(" +

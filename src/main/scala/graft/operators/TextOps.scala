@@ -212,27 +212,40 @@ object TextOps {
         (col("matches") / numHashes.toDouble).as("est_jaccard"))
   }
 
-  /** Deterministic scale-adaptive pair thinning for AUDIT queries over a
-    * candidate-pair frame. A dup-dense corpus makes the candidate set
-    * quadratic in cluster size (every doc with c near-copies contributes
-    * ~c²/2 pairs — measured 325 M pairs on the 100× study fixture, where
-    * pair-level exact verification fans out to pairs × shingles ≈ 17 B
-    * rows); no join strategy fixes Ω(pairs) work, so a scale-correct audit
-    * ESTIMATES over a bounded pair sample. The keep-one-in-K rule is a
-    * pure function of the pair ids (60-bit md5 prefix mod K), K adapts as
-    * greatest(1, n_pairs div target) via a 1-row count broadcast — below
-    * `target` pairs the sample is the identity, so small-fixture oracle
-    * runs are exact and unchanged — and the whole rule restates in ANSI
-    * SQL, keeping the sampled audit DuckDB-checkable at every scale.
-    * Uniform hash thinning is stratum-unbiased: per-band-match precision
-    * estimated on the sample converges to the full-set value. */
-  def samplePairsDeterministic(pairs: DataFrame, target: Long): DataFrame = {
-    val n = pairs.agg(count(lit(1)).as("__n"))
-    val k = greatest(lit(1L), expr(s"__n div ${target}L"))
+  /** Deterministic scale-adaptive CANDIDATE-PAIR SAMPLE for audit queries.
+    * A dup-dense corpus makes the LSH candidate set quadratic in cluster
+    * size (every doc with c near-copies contributes ~c²/2 pairs — measured
+    * 325 M pairs on the 100× study fixture, where pair-level exact
+    * verification fans out to pairs × shingles ≈ 17 B rows); no join
+    * strategy fixes Ω(pairs) work, so a scale-correct audit ESTIMATES over
+    * a bounded pair sample. The keep-one-in-K rule is a pure function of
+    * the pair ids (60-bit md5 prefix mod K); K is sized from the band
+    * BUCKET HISTOGRAM — K = greatest(1, Σ_kept C(n,2) div target), one
+    * tiny aggregate over per-band bucket sizes, broadcast as a 1-row
+    * frame — NOT by counting the materialized pair set (a 100 TB audit
+    * never enumerates 10¹² candidates just to size its sample, and a
+    * count branch would force a second pass over the expansion). Since
+    * Σ C(n,2) counts a pair once per SHARED band, K is an overestimate
+    * under band overlap — the sample lands at or under `target`, which is
+    * the right direction for a budget. Below `target` the rule is the
+    * identity, so small-fixture oracle runs audit the exact full set; the
+    * whole rule restates in ANSI SQL, keeping the sampled audit
+    * DuckDB-checkable at every scale. Uniform hash thinning is
+    * stratum-unbiased: per-band-match precision estimated on the sample
+    * converges to the full-set value. */
+  def lshCandidatePairsSampled(sig: DataFrame, idCol: String, numBands: Int,
+                               target: Long, maxBucket: Int = 1000): DataFrame = {
+    val sizes = meltBands(sig, idCol, numBands)
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("__n"))
+    val kFrame = sizes.where(col("__n").between(2, maxBucket))
+      .agg(greatest(lit(1L),
+        expr(s"coalesce(sum((__n * (__n - 1)) div 2), 0L) div ${target}L"))
+        .as("__k"))
     val h = expr(
       "CAST(conv(substr(md5(concat_ws('|', id_a, id_b)), 1, 15), 16, 10) AS BIGINT)")
-    pairs.crossJoin(broadcast(n))
-      .where(h % k === 0)
+    lshCandidatePairs(sig, idCol, numBands, maxBucket)
+      .crossJoin(broadcast(kFrame))
+      .where(h % col("__k") === 0)
       .select("id_a", "id_b")
   }
 
