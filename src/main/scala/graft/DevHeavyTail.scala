@@ -59,6 +59,7 @@ object DevHeavyTail {
     "q_fuzzy_match",      // deletion-neighborhood blocking (now capped)
     "q_trimmed_mean",     // distinct-value weight-table window
     "q_lsh_precision",    // banded minhash candidate pairs vs exact
+    "q_lsh_recall",       // df-capped true pairs vs banded candidates
     "q_char_ngrams",      // per-char trigram explosion
     "q_max_concurrency",  // sweep-line two-phase prefix sum
     "q_minhash_est",      // signature build + per-pair estimate

@@ -2595,20 +2595,45 @@ object Queries {
     * of TRUE near-dup pairs (exact integer 3-shingle Jaccard ≥ 0.5, via
     * df-capped [2,1000] posting lists — bounded expansion, never an
     * all-pairs join) that the 4-band MinHash candidate generation
-    * captures. One summary row; together with the precision table this is
-    * the band-count tuning loop a dedup pipeline runs (at 100 TB, on a
-    * corpus sample) before committing the full pass. */
+    * captures — estimated over a deterministic ~100 k sample of the
+    * true-pair universe once it outgrows that budget (identity below it;
+    * see the in-body comment). One summary row; together with the
+    * precision table this is the band-count tuning loop a dedup pipeline
+    * runs (at 100 TB, on a corpus sample) before committing the full
+    * pass. */
   def qLshRecall(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val sh = TextOps.explodedShingles(docs, "doc_id", "text", 3).distinct()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val dft = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, 1000))
-    val inter = sh.join(dft.select("shingle"), Seq("shingle"))
-      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+    // Same sample-bounded audit design as [[qLshPrecision]], on the
+    // TRUE-pair universe: its enumeration is Σ C(df,2) over the capped
+    // shingle-df histogram — quadratic in dup-cluster size — so BOTH
+    // sides of the recall join are thinned by one deterministic
+    // keep-one-in-K pair rule (60-bit md5 prefix of the ids; K sized
+    // from the df histogram, a metadata-scale aggregate; identity below
+    // the 100 k budget so small fixtures audit the exact full set).
+    // Because the rule is a pure function of the PAIR ids, thinning
+    // commutes with the per-pair intersection count (every occurrence of
+    // a kept pair is kept), and applying it BEFORE the pair aggregation
+    // keeps the quadratic expansion inside one codegen stage — generated,
+    // filtered, never shuffled. Recall over a uniform pair sample is an
+    // unbiased estimate of full-set recall.
+    val kT = dft.agg(greatest(lit(1L),
+      expr("coalesce(sum((df * (df - 1)) div 2), 0L) div 100000L")).as("__k"))
+    def keepSampled(pairs: DataFrame): DataFrame =
+      pairs.crossJoin(broadcast(kT))
+        .where(expr(
+          "CAST(conv(substr(md5(concat_ws('|', id_a, id_b)), 1, 15), 16, 10) AS BIGINT)")
+          % col("__k") === 0)
+        .drop("__k")
+    val inter = keepSampled(
+      sh.join(dft.select("shingle"), Seq("shingle"))
+        .groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .where(col("id_a") < col("id_b")))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val truePairs = inter
       .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
@@ -2616,7 +2641,7 @@ object Queries {
       .where(col("inter") * 3 >= col("sza") + col("szb"))
       .select("id_a", "id_b")
     val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
-    val cand = TextOps.lshCandidatePairs(sig, "doc_id", 4)
+    val cand = keepSampled(TextOps.lshCandidatePairs(sig, "doc_id", 4))
       .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
     truePairs.join(cand, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_true"),
@@ -5737,17 +5762,25 @@ object Queries {
         ", sig AS (SELECT doc_id, min(substr(h, 1, 8)) AS mh1, min(substr(h, 9, 8)) AS mh2, min(substr(h, 17, 8)) AS mh3, min(substr(h, 25, 8)) AS mh4 FROM dig GROUP BY doc_id)" +
         ", dist AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
         ", szs AS (SELECT doc_id, count(*) AS sz FROM dist GROUP BY doc_id)" +
-        ", dft AS (SELECT shingle FROM dist GROUP BY shingle HAVING count(*) BETWEEN 2 AND 1000)" +
+        ", dft AS (SELECT shingle, count(*) AS df FROM dist GROUP BY shingle HAVING count(*) BETWEEN 2 AND 1000)" +
+        // deterministic sample of the true-pair universe: keep-one-in-K by
+        // 60-bit md5 prefix of the pair ids, K from the df histogram
+        // (identity below the 100k budget); the SAME rule thins both sides
+        ", np AS (SELECT greatest(1, coalesce(sum((df * (df - 1)) // 2), 0) // 100000) AS k FROM dft)" +
         ", iv AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter " +
-        "FROM dist x JOIN dist y ON x.shingle = y.shingle AND x.doc_id < y.doc_id " +
-        "WHERE x.shingle IN (SELECT shingle FROM dft) GROUP BY 1, 2)" +
+        "FROM dist x JOIN dist y ON x.shingle = y.shingle AND x.doc_id < y.doc_id, np " +
+        "WHERE x.shingle IN (SELECT shingle FROM dft) " +
+        "AND CAST('0x' || substr(md5(concat_ws('|', x.doc_id, y.doc_id)), 1, 15) AS BIGINT) % k = 0 " +
+        "GROUP BY 1, 2)" +
         ", tp AS (SELECT id_a, id_b FROM iv JOIN szs sa ON iv.id_a = sa.doc_id " +
         "JOIN szs sb ON iv.id_b = sb.doc_id WHERE inter * 3 >= sa.sz + sb.sz)" +
-        ", cand AS (" +
+        ", candraw AS (" +
         (1 to 4).map(i =>
           s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id " +
             s"WHERE a.mh$i IN (SELECT mh$i FROM sig GROUP BY mh$i HAVING count(*) <= 1000)")
-          .mkString(" UNION ") + ") " +
+          .mkString(" UNION ") + ")" +
+        ", cand AS (SELECT id_a, id_b FROM candraw, np " +
+        "WHERE CAST('0x' || substr(md5(concat_ws('|', id_a, id_b)), 1, 15) AS BIGINT) % k = 0) " +
         "SELECT count(*) AS n_true, " +
         "CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_captured, " +
         "CASE WHEN count(*) = 0 THEN 0 ELSE (CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) END AS recall_ppm " +

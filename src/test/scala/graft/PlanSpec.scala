@@ -1035,4 +1035,19 @@ class PlanSpec extends SparkSuite {
     assert(specs.nonEmpty && specs.forall(_.contains("event_type")),
       s"the trailing window must stay type-keyed:\n$exec")
   }
+
+  test("LSH audits: the sample-K frame is a 1-row BROADCAST nest, never a cartesian") {
+    // The scale-adaptive pair thinning crossJoins a 1-row aggregate (K
+    // from a bucket/df histogram) against the pair stream. The pin: that
+    // nest is a BroadcastNestedLoopJoin (broadcast 1-row side — free), and
+    // NO CartesianProduct exists anywhere in either audit plan; a
+    // cartesian here would mean the K frame lost its 1-row aggregate and
+    // the "thinning" multiplied the pair stream instead.
+    for (q <- Seq(Queries.qLshPrecision(spark, SF), Queries.qLshRecall(spark, SF))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"K-frame must broadcast into the pair stream:\n$p")
+    }
+  }
 }
