@@ -12,6 +12,18 @@ object DevDiag {
       Queries.all(args(2))(spark, d).explain("formatted")
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "semdiag") {
+      val emb = Tables.embeddings(spark, d)
+      val n = emb.count()
+      val k = math.max(8L, n / 2500L).toInt
+      println(s"[semdiag] n=$n k=$k")
+      val cents = operators.Similarity.seedCentroids(emb, "vec_id", "embedding", k)
+      val assigned = operators.Similarity
+        .kmeansAssignJoined(emb, "vec_id", "embedding", cents)
+      assigned.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .orderBy(desc("sz")).show(15, false)
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, d)
     val sig = operators.TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
     sig.persist()

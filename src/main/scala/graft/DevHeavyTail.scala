@@ -63,7 +63,8 @@ object DevHeavyTail {
     "q_char_ngrams",      // per-char trigram explosion
     "q_max_concurrency",  // sweep-line two-phase prefix sum
     "q_minhash_est",      // signature build + per-pair estimate
-    "q_quantile_normalize") // two-phase global rank, row-linear output
+    "q_quantile_normalize", // two-phase global rank, row-linear output
+    "q_sem_dedup")        // adaptive-k cluster blocking + triangular blocked self-join
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

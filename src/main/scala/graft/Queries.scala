@@ -452,6 +452,14 @@ object Queries {
       Similarity.seedCentroids(Tables.embeddings(s, d), "vec_id",
         "embedding", k))
 
+  /** Cached embeddings row count per data dir — sizes [[qSemDedup]]'s
+    * adaptive cluster count (same immutable-snapshot assumption and
+    * bounded-driver-round-trip class as the seed-centroid cache above). */
+  private val embCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def cachedEmbCount(s: SparkSession, d: String): Long =
+    embCountCache.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+
   /** One Lloyd k-means iteration over the embeddings
     * ([[graft.operators.Similarity.kmeansStep]]): deterministic k=8 seed
     * centroids, exact argmin assignment, per-(cluster, dim) mean — output
@@ -509,15 +517,27 @@ object Queries {
   }
 
   /** SemDeDup-style semantic near-dup pairs ([[graft.operators.Similarity
-    * .semDedupPairs]]): k-means-assign every embedding to its nearest of 8
-    * seed centroids, compare pairs only WITHIN a cluster (equi-join on the
+    * .semDedupPairs]]): k-means-assign every embedding to its nearest seed
+    * centroid, compare pairs only WITHIN a cluster (equi-join on the
     * cluster id — n²/k compares, never a cross join), keep cosine ≥ 0.3.
-    * At 100 TB, k grows with the corpus and the cluster id is a
-    * materialized partition key — each cluster's pair pass is local I/O. */
-  def qSemDedup(s: SparkSession, d: String): DataFrame =
-    Similarity.semDedupPairsPrecomputed(Tables.embeddings(s, d), "vec_id",
-        "embedding", cachedSeedCentroids(s, d, 8), threshold = 0.3)
+    * The cluster count is the scale dial and is DECLARED adaptive:
+    * k = max(8, n div 2500), so the expected cluster size — and with it
+    * the per-cluster quadratic pair pass AND the join's parallelism (one
+    * task per cluster id) — stays constant as the corpus grows, which is
+    * the SemDeDup production posture (k ∝ n; the cluster id becomes a
+    * materialized partition key and each cluster's pair pass is local
+    * I/O). The rule is the identity (k = 8) at every oracle fixture up to
+    * sf1 and is restated in the oracle's LIMIT, so a 100× check exercises
+    * the adaptive path on both engines. The n lookup is one cached
+    * driver-side count — same bounded round-trip class as the seed
+    * collect it feeds. */
+  def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val k = math.max(8L, cachedEmbCount(s, d) / 2500L).toInt
+    Similarity.semDedupPairsPrecomputed(emb, "vec_id",
+        "embedding", cachedSeedCentroids(s, d, k), threshold = 0.3)
       .orderBy("id_a", "id_b")
+  }
 
   /** MinHash-estimated Jaccard for the LSH candidate pairs
     * ([[graft.operators.TextOps.minhashEstimatedJaccard]]): est = matching
@@ -5213,7 +5233,10 @@ object Queries {
         "SELECT q_id, n_id, sim, rk FROM r WHERE rk <= 3 ORDER BY q_id, rk"),
     "q_sem_dedup" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "cents AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8), " +
+        // adaptive cluster count (identity k=8 up to 20k vectors): the
+        // same k = max(8, n div 2500) rule the Spark side declares
+        "cents AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id " +
+        "LIMIT greatest(8, (SELECT count(*) FROM e) // 2500)), " +
         "assigned AS (SELECT vec_id, cid AS cluster_id FROM (" +
         "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
         "ORDER BY list_distance(e.v, c.c), c.cid) AS rn FROM e CROSS JOIN cents c) t WHERE rn = 1), " +

@@ -245,9 +245,48 @@ object Similarity {
       .collect().map(r => (r.getLong(0), toDoubleVec(r)))
   }
 
+  /** Exact argmin cluster assignment via a BROADCAST CENTROID TABLE:
+    * expand each vector against the k broadcast centroids (a broadcast
+    * nest of n×k DATA rows — never k expression nodes), compute the same
+    * index-order squared-L2 as [[kmeansAssignCol]], and fold to one
+    * struct-min per vector (map-side partial: the shuffle carries one row
+    * per (vector, partition), the n×k expansion never shuffles). Same
+    * numerics and tie-break as the inlined form — the distance is the
+    * identical zip_with/aggregate expression and min over struct(d, cid)
+    * is the same lexicographic (distance, smallest-cid) order — so the
+    * two forms are result-interchangeable and oracle-stable.
+    *
+    * Why a second form exists: [[kmeansAssignCol]] inlines the centroids
+    * as literals — at small fixed k that keeps assignment a pure
+    * projection, but the PLAN is O(k·dim) nodes, and at the adaptive
+    * cluster counts a corpus-proportional k implies (k = 80 at the 100×
+    * study scale) the single-threaded optimizer/codegen spun for tens of
+    * minutes before any task ran. Plan size must stay constant in k;
+    * only DATA may scale with k. Emits (idCol, vecCol, cluster_id). */
+  def kmeansAssignJoined(emb: DataFrame, idCol: String, vecCol: String,
+                         cents: Array[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val s = emb.sparkSession
+    val centDF = s.createDataFrame(cents.toSeq.map(c => (c._1, c._2.toSeq)))
+      .toDF("__cid", "__c")
+    val vecD = col(vecCol).cast("array<double>")
+    val d = aggregate(
+      zip_with(vecD, col("__c"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    emb.crossJoin(broadcast(centDF))
+      .select(col(idCol), col(vecCol),
+        struct(d.as("d"), col("__cid").as("cid")).as("__dc"))
+      .groupBy(idCol)
+      // first(vecCol) is deterministic here: every row of a vector's
+      // group carries the SAME vector (the expansion only varied __cid)
+      .agg(first(col(vecCol)).as(vecCol), min(col("__dc")).as("__m"))
+      .select(col(idCol), col(vecCol), col("__m").getField("cid").as("cluster_id"))
+  }
+
   /** Exact argmin cluster assignment against driver-held centroids:
     * least-of-structs over k fused squared-L2 expressions (each distance
-    * evaluated once, ties to the smallest cluster id). */
+    * evaluated once, ties to the smallest cluster id). Plan size is
+    * O(k·dim) — for ADAPTIVE k use [[kmeansAssignJoined]]. */
   def kmeansAssignCol(vecCol: String,
                       cents: Array[(Long, Array[Double])]): Column = {
     val vecD = col(vecCol).cast("array<double>")
@@ -420,17 +459,40 @@ object Similarity {
   def semDedupPairsPrecomputed(emb: DataFrame, idCol: String, vecCol: String,
                                cents: Array[(Long, Array[Double])],
                                threshold: Double): DataFrame = {
-    val assigned = emb.select(col(idCol), col(vecCol),
-      kmeansAssignCol(vecCol, cents).as("cluster_id"))
-    val a = assigned.select(col("cluster_id"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
-    val b = assigned.select(col("cluster_id"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
-    a.join(b, Seq("cluster_id"))
-      .where(col("id_a") < col("id_b"))
+    // join-form assignment: k is adaptive here (k ∝ n), so plan size must
+    // not grow with it — see [[kmeansAssignJoined]]
+    val assigned = kmeansAssignJoined(emb, idCol, vecCol, cents)
+    // TRIANGULAR BLOCKED self-join. A plain within-cluster self-join puts
+    // each cluster's whole quadratic pair pass on ONE join key = one task;
+    // real embedding corpora have dense modes (the 100× study fixture's
+    // largest cluster holds 14 % of the corpus → ~400 M cosines in one
+    // task while 31 cores idle). Salting each member into one of B hash
+    // blocks and joining BLOCK PAIRS keeps the result set bit-identical —
+    // pair (x,y) with blocks (i ≤ j) meets at exactly key (cluster,i,j):
+    // the a-side emits its upper wedge (j ∈ [b, B)), the b-side its lower
+    // (i ∈ [0, b]) — while the per-task work drops to (cluster/B)² and
+    // the key space grows to clusters × B(B+1)/2. The same-block diagonal
+    // dedupes by id order; cross blocks canonicalize via least/greatest.
+    // B is a static dial (expansion is (B+1)/2 copies per side — data,
+    // not plan); 8 suits the study scale, grow it ~√(cluster size) on a
+    // larger corpus. The oracle is untouched: this changes the execution
+    // shape of the SAME pair set.
+    val B = 8
+    val blocked = assigned.withColumn("__b",
+      pmod(xxhash64(col(idCol)), lit(B.toLong)).cast("int"))
+    val a = blocked.select(col("cluster_id"), col(idCol).as("id_a"),
+        col(vecCol).as("__va"), col("__b").as("__i"),
+        explode(sequence(col("__b"), lit(B - 1))).as("__j"))
+    val b = blocked.select(col("cluster_id"), col(idCol).as("id_b"),
+        col(vecCol).as("__vb"), col("__b").as("__j"),
+        explode(sequence(lit(0), col("__b"))).as("__i"))
+    a.join(b, Seq("cluster_id", "__i", "__j"))
+      .where(col("__i") =!= col("__j") || col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine_sim(col("__va"), col("__vb")), 4))
       .where(col("sim") >= threshold)
-      .select(col("cluster_id"), col("id_a"), col("id_b"), col("sim"))
+      .select(col("cluster_id"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
   }
 
   /** All-pairs near-duplicate vectors above a cosine threshold, LSH-blocked:
