@@ -2,8 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Throwaway dev diagnostic: intermediate cardinalities of the
-  * q_lsh_precision pipeline at a given fixture dir. Not shipped. */
+/** Dev diagnostic for the scale studies (not shipped): default mode dumps
+  * the intermediate cardinalities of the LSH audit pipeline at a fixture
+  * dir (bucket histogram, candidate pairs, shingle rows, join fan-out —
+  * the numbers behind SCALING.md's quadratic-candidate adjudications);
+  * `plan <query>` prints a query's formatted physical plan; `semdiag`
+  * prints the adaptive-k SemDeDup cluster-size histogram (the skew
+  * evidence behind the triangular blocked self-join). */
 object DevDiag {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/tmp/graft_sf10"

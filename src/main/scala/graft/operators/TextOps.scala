@@ -196,7 +196,7 @@ object TextOps {
 
   /** Core of [[minhashEstimatedJaccard]] over an externally supplied
     * (id_a, id_b) pair frame — so audit paths can THIN the pairs (see
-    * [[samplePairsDeterministic]]) before paying the two signature joins. */
+    * [[lshCandidatePairsSampled]]) before paying the two signature joins. */
   def estimatedJaccardForPairs(pairs: DataFrame, sig: DataFrame,
                                idCol: String, numHashes: Int): DataFrame = {
     val a = sig.select(col(idCol).as("id_a") +:

@@ -251,6 +251,19 @@ class SimilaritySpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("kmeansAssignJoined ≡ kmeansAssignCol: the broadcast-table and inlined " +
+      "assignment forms agree on every vector (numerics and tie-break)") {
+    val emb = Tables.embeddings(spark, SF)
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val joined = Similarity
+      .kmeansAssignJoined(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cluster_id"))
+    val inlined = emb.select(col("vec_id"),
+      Similarity.kmeansAssignCol("embedding", cents).as("cluster_id"))
+    assert(joined.except(inlined).count() == 0
+      && inlined.except(joined).count() == 0)
+  }
+
   test("hyperplanes are deterministic for a given seed") {
     val a = Similarity.hyperplanes(8, 16, 42L)
     val b = Similarity.hyperplanes(8, 16, 42L)
