@@ -77,6 +77,10 @@ object DevSkew {
     }
 
     def time(dir: String, salted: Boolean, aqeSkew: Boolean): Double = {
+      // capture-then-restore (not hardcoded defaults): if the session
+      // default ever changes, the tool must not silently rewrite it
+      val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
       try {
@@ -87,8 +91,8 @@ object DevSkew {
           (System.nanoTime() - t0) / 1e9
         }.min
       } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
       }
     }
 

@@ -2563,7 +2563,8 @@ object Queries {
     // was measured strictly worse: ~25 GB of cache serialization, and at
     // MEMORY_AND_DISK it starves the execution pool that builds it).
     val sig = TextOps.minhashSignatureMd5(docs, "doc_id", "text", 3, 4)
-    val pairs = TextOps.lshCandidatePairsSampled(sig, "doc_id", 4, 100000L)
+    val pairs = TextOps.lshCandidatePairsSampled(sig, "doc_id", 4,
+      TextOps.DefaultPairBudget)
     val est = TextOps.estimatedJaccardForPairs(pairs, sig, "doc_id", 4)
       .select("id_a", "id_b", "matches")
     // The exact-Jaccard audit below only ever reads shingles of docs that
@@ -2630,9 +2631,9 @@ object Queries {
     // Same sample-bounded audit design as [[qLshPrecision]], on the
     // TRUE-pair universe: its enumeration is Σ C(df,2) over the capped
     // shingle-df histogram — quadratic in dup-cluster size — so BOTH
-    // sides of the recall join are thinned by one deterministic
-    // keep-one-in-K pair rule (60-bit md5 prefix of the ids; K sized
-    // from the df histogram, a metadata-scale aggregate; identity below
+    // sides of the recall join are thinned by the shared keep-one-in-K
+    // pair rule (TextOps.pairSampleKeep; K from the df histogram via
+    // TextOps.pairBudgetK, a metadata-scale aggregate; identity below
     // the 100 k budget so small fixtures audit the exact full set).
     // Because the rule is a pure function of the PAIR ids, thinning
     // commutes with the per-pair intersection count (every occurrence of
@@ -2640,14 +2641,9 @@ object Queries {
     // keeps the quadratic expansion inside one codegen stage — generated,
     // filtered, never shuffled. Recall over a uniform pair sample is an
     // unbiased estimate of full-set recall.
-    val kT = dft.agg(greatest(lit(1L),
-      expr("coalesce(sum((df * (df - 1)) div 2), 0L) div 100000L")).as("__k"))
+    val kT = TextOps.pairBudgetK(dft, "df", TextOps.DefaultPairBudget)
     def keepSampled(pairs: DataFrame): DataFrame =
-      pairs.crossJoin(broadcast(kT))
-        .where(expr(
-          "CAST(conv(substr(md5(concat_ws('|', id_a, id_b)), 1, 15), 16, 10) AS BIGINT)")
-          % col("__k") === 0)
-        .drop("__k")
+      TextOps.pairSampleKeep(pairs, kT)
     val inter = keepSampled(
       sh.join(dft.select("shingle"), Seq("shingle"))
         .groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
@@ -5716,7 +5712,7 @@ object Queries {
         (1 to 4).map(i =>
           s"SELECT count(*) AS n FROM sig GROUP BY mh$i HAVING count(*) BETWEEN 2 AND 1000")
           .mkString(" UNION ALL ") + ")" +
-        ", np AS (SELECT greatest(1, coalesce(sum((n * (n - 1)) // 2), 0) // 100000) AS k FROM bs)" +
+        ", np AS (SELECT greatest(1, (coalesce(sum((n * (n - 1)) // 2), 0) + 99999) // 100000) AS k FROM bs)" +
         ", pairs AS (SELECT id_a, id_b FROM allpairs, np " +
         "WHERE CAST('0x' || substr(md5(concat_ws('|', id_a, id_b)), 1, 15) AS BIGINT) " +
         "% k = 0)" +
@@ -5789,7 +5785,7 @@ object Queries {
         // deterministic sample of the true-pair universe: keep-one-in-K by
         // 60-bit md5 prefix of the pair ids, K from the df histogram
         // (identity below the 100k budget); the SAME rule thins both sides
-        ", np AS (SELECT greatest(1, coalesce(sum((df * (df - 1)) // 2), 0) // 100000) AS k FROM dft)" +
+        ", np AS (SELECT greatest(1, (coalesce(sum((df * (df - 1)) // 2), 0) + 99999) // 100000) AS k FROM dft)" +
         ", iv AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter " +
         "FROM dist x JOIN dist y ON x.shingle = y.shingle AND x.doc_id < y.doc_id, np " +
         "WHERE x.shingle IN (SELECT shingle FROM dft) " +

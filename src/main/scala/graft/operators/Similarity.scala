@@ -262,7 +262,13 @@ object Similarity {
     * cluster counts a corpus-proportional k implies (k = 80 at the 100×
     * study scale) the single-threaded optimizer/codegen spun for tens of
     * minutes before any task ran. Plan size must stay constant in k;
-    * only DATA may scale with k. Emits (idCol, vecCol, cluster_id). */
+    * only DATA may scale with k. Emits (idCol, vecCol, cluster_id).
+    *
+    * PRECONDITION: `idCol` must be unique per row. The fold groups by id
+    * and keeps `first(vecCol)` — safe only because every row of an id's
+    * group carries the same vector; rows SHARING an id would collapse to
+    * one output row with an arbitrary survivor's vector (unlike
+    * [[kmeansAssignCol]], which preserves every input row). */
   def kmeansAssignJoined(emb: DataFrame, idCol: String, vecCol: String,
                          cents: Array[(Long, Array[Double])]): DataFrame = {
     require(cents.nonEmpty, "need at least one centroid")

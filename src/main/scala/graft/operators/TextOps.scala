@@ -220,13 +220,14 @@ object TextOps {
     * strategy fixes Ω(pairs) work, so a scale-correct audit ESTIMATES over
     * a bounded pair sample. The keep-one-in-K rule is a pure function of
     * the pair ids (60-bit md5 prefix mod K); K is sized from the band
-    * BUCKET HISTOGRAM — K = greatest(1, Σ_kept C(n,2) div target), one
-    * tiny aggregate over per-band bucket sizes, broadcast as a 1-row
-    * frame — NOT by counting the materialized pair set (a 100 TB audit
-    * never enumerates 10¹² candidates just to size its sample, and a
-    * count branch would force a second pass over the expansion). Since
-    * Σ C(n,2) counts a pair once per SHARED band, K is an overestimate
-    * under band overlap — the sample lands at or under `target`, which is
+    * BUCKET HISTOGRAM — K = greatest(1, ⌈Σ_kept C(n,2) / target⌉) via
+    * [[pairBudgetK]], one tiny aggregate over per-band bucket sizes,
+    * broadcast as a 1-row frame — NOT by counting the materialized pair
+    * set (a 100 TB audit never enumerates 10¹² candidates just to size
+    * its sample, and a count branch would force a second pass over the
+    * expansion). Ceiling division makes K ≥ pairs/target, and since
+    * Σ C(n,2) additionally counts a pair once per SHARED band, K only
+    * overestimates — the expected sample lands at or under `target`,
     * the right direction for a budget. Below `target` the rule is the
     * identity, so small-fixture oracle runs audit the exact full set; the
     * whole rule restates in ANSI SQL, keeping the sampled audit
@@ -237,16 +238,42 @@ object TextOps {
                                target: Long, maxBucket: Int = 1000): DataFrame = {
     val sizes = meltBands(sig, idCol, numBands)
       .groupBy("band_idx", "band_val").agg(count(lit(1)).as("__n"))
-    val kFrame = sizes.where(col("__n").between(2, maxBucket))
-      .agg(greatest(lit(1L),
-        expr(s"coalesce(sum((__n * (__n - 1)) div 2), 0L) div ${target}L"))
-        .as("__k"))
+    pairSampleKeep(lshCandidatePairs(sig, idCol, numBands, maxBucket),
+      pairBudgetK(sizes.where(col("__n").between(2, maxBucket)), "__n", target))
+      .select("id_a", "id_b")
+  }
+
+  /** The ~100 k default pair budget every sampled audit shares. */
+  val DefaultPairBudget = 100000L
+
+  /** Sizes the keep-one-in-K divisor from a bucket/df histogram:
+    * K = greatest(1, ⌈Σ C(n,2) / target⌉) over `nCol` of `hist` — one
+    * metadata-scale aggregate returned as a 1-row `__k` frame for
+    * [[pairSampleKeep]]. CEILING division makes K ≥ pairs/target, so the
+    * expected sample size is genuinely ≤ `target` (floor division would
+    * leave K = 1 until the pair universe reaches 2× target). Identity
+    * (K = 1) below `target` pairs, so small-fixture oracle runs audit the
+    * exact full set. Restate verbatim in any oracle:
+    * `greatest(1, (coalesce(sum((n*(n-1)) // 2), 0) + target-1) // target)`. */
+  def pairBudgetK(hist: DataFrame, nCol: String, target: Long): DataFrame =
+    hist.agg(greatest(lit(1L),
+      expr(s"(coalesce(sum(($nCol * ($nCol - 1)) div 2), 0L) + ${target - 1}L)" +
+        s" div ${target}L"))
+      .as("__k"))
+
+  /** The deterministic keep-one-in-K pair rule shared by every sampled
+    * audit (candidate side AND true-pair side — Spark and the DuckDB
+    * oracles restate the identical expression): keep a pair iff the
+    * 60-bit md5 prefix of `id_a|id_b` is ≡ 0 (mod K), K supplied as the
+    * 1-row broadcast `__k` frame from [[pairBudgetK]]. A pure function of
+    * the pair ids, so it commutes with any per-pair aggregation applied
+    * after it. */
+  def pairSampleKeep(pairs: DataFrame, kFrame: DataFrame): DataFrame = {
     val h = expr(
       "CAST(conv(substr(md5(concat_ws('|', id_a, id_b)), 1, 15), 16, 10) AS BIGINT)")
-    lshCandidatePairs(sig, idCol, numBands, maxBucket)
-      .crossJoin(broadcast(kFrame))
+    pairs.crossJoin(broadcast(kFrame))
       .where(h % col("__k") === 0)
-      .select("id_a", "id_b")
+      .drop("__k")
   }
 
   /** LSH dedup MAP — the scale path past [[lshCandidatePairs]]: instead of
