@@ -4467,6 +4467,97 @@ object Queries {
       .transform(ps(col("band"), col("size")))
   }
 
+  /** Order-priority check (TPC-H Q4 shape, adapted to the fixture's
+    * columns — the reference schema's commit/receipt date pair is absent,
+    * so "late" is DECLARED as a lineitem shipped more than 30 days after
+    * its order date). One quarter of orders, each kept iff at least one
+    * late line exists: a LEFT SEMI join on the order key with the date
+    * residual evaluated inside the join — the correlated EXISTS rewritten
+    * so lineitem is scanned ONCE, never re-scanned per order. The quarter
+    * filter is pushed to the orders scan (pruning most of the probe before
+    * the shuffle); the final aggregate is a bounded priority census. */
+  def qOrderPriority(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate").cast("date") < lit("1996-04-01").cast("date"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("sd") > date_add(col("od"), 30), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .transform(ps(col("o_orderpriority")))
+  }
+
+  /** Suppliers who kept orders waiting (TPC-H Q21 shape, adapted: "late"
+    * = shipped more than 60 days after the order date, on finished
+    * orders). The textbook form is TWO correlated EXISTS over lineitem
+    * (another supplier exists / no other supplier was late) — three scans
+    * of the fact; this is the one-pass aggregate rewrite: group the
+    * finished-order fact once by order key, count distinct suppliers and
+    * distinct LATE suppliers, and emit a blame row only when the order
+    * had ≥2 suppliers and EXACTLY one was late (the max over the
+    * late-supplier set is then that supplier). One fact shuffle on the
+    * order key replaces both self-joins; the supplier dim broadcasts;
+    * the top-10 is TakeOrderedAndProject with a total (numwait desc,
+    * suppkey) order. */
+  def qLateSuppliers(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate").cast("date").as("sd"))
+    val perOrder = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("sd") > date_add(col("od"), 60)).as("late"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("blame"))
+    perOrder.where(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("blame").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        Seq("s_suppkey"))
+      .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  /** Bollinger-band breach screen over the daily revenue series per order
+    * priority: a day breaches when its revenue leaves the ±2σ band of its
+    * trailing 7 OBSERVED days (itself excluded; at least 4 required). The
+    * band test is exact integer arithmetic end to end — revenue quantizes
+    * to hundred-dollar units (`rev_h`, int64 headroom past sf10³) and
+    * `v ≷ μ ± 2σ` cross-multiplies to `sign(n·v − S)` plus
+    * `(n·v − S)² > 4·(n·Σx² − S²)` — no sqrt, no float boundary for the
+    * two engines to disagree on. The series is one calendar-bounded
+    * aggregate; the window is priority-partitioned with a bounded ROWS
+    * frame (constant state per row at any scale); output is breach rows
+    * only. */
+  def qBollinger(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("rev_c"))
+      .select(col("o_orderpriority"), col("day"),
+        expr("rev_c div 10000").as("rev_h"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("rev_h")).over(w))
+      .withColumn("s2", sum(col("rev_h") * col("rev_h")).over(w))
+      .where(col("n") >= 4)
+      .withColumn("dev", col("n") * col("rev_h") - col("s"))
+      .withColumn("var4", lit(4L) * (col("n") * col("s2") - col("s") * col("s")))
+      .where(col("dev") =!= 0L && col("dev") * col("dev") > col("var4"))
+      .select(col("o_orderpriority"), col("day"), col("rev_h"),
+        col("n").as("win_n"),
+        when(col("dev") > 0, lit("hi")).otherwise(lit("lo")).as("band"))
+      .transform(ps(col("o_orderpriority"), col("day")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4693,6 +4784,9 @@ object Queries {
     "q_lang_mix" -> (qLangMix _),
     "q_interleave" -> (qInterleave _),
     "q_band_stats" -> (qBandStats _),
+    "q_order_priority" -> (qOrderPriority _),
+    "q_late_suppliers" -> (qLateSuppliers _),
+    "q_bollinger" -> (qBollinger _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -6568,5 +6662,38 @@ object Queries {
             s"(SELECT count(*) AS size FROM sig GROUP BY mh$i) GROUP BY size")
           .mkString(" UNION ALL ") +
         " ORDER BY band, size"),
+    "q_order_priority" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+        "WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' " +
+        "AND CAST(o_orderdate AS DATE) < DATE '1996-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_late_suppliers" ->
+      ("WITH po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp, " +
+        "count(DISTINCT CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 " +
+        "THEN l_suppkey END) AS n_late, " +
+        "max(CASE WHEN CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 " +
+        "THEN l_suppkey END) AS blame " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F' GROUP BY l_orderkey) " +
+        "SELECT s_name, s_suppkey, count(*) AS numwait " +
+        "FROM po JOIN supplier ON blame = s_suppkey " +
+        "WHERE n_supp >= 2 AND n_late = 1 " +
+        "GROUP BY s_name, s_suppkey ORDER BY numwait DESC, s_suppkey LIMIT 10"),
+    "q_bollinger" ->
+      ("WITH daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) // 10000 AS rev_h " +
+        "FROM orders GROUP BY 1, 2), " +
+        "w AS (SELECT o_orderpriority, day, rev_h, " +
+        "count(*) OVER tw AS n, sum(rev_h) OVER tw AS s, sum(rev_h * rev_h) OVER tw AS s2 " +
+        "FROM daily WINDOW tw AS (PARTITION BY o_orderpriority ORDER BY day " +
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), " +
+        "b AS (SELECT o_orderpriority, day, rev_h, n, " +
+        "n * rev_h - s AS dev, 4 * (n * s2 - s * s) AS var4 FROM w WHERE n >= 4) " +
+        "SELECT o_orderpriority, day, rev_h, n AS win_n, " +
+        "CASE WHEN dev > 0 THEN 'hi' ELSE 'lo' END AS band " +
+        "FROM b WHERE dev <> 0 AND dev * dev > var4 " +
+        "ORDER BY o_orderpriority, day"),
   )
 }
