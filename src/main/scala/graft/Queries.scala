@@ -4558,6 +4558,95 @@ object Queries {
       .transform(ps(col("o_orderpriority"), col("day")))
   }
 
+  /** Retrieval-quality NDCG@10: ten probe vectors score the candidate
+    * corpus by cosine, relevance = label agreement, and each probe gets
+    * its normalized discounted cumulative gain — the ranking-eval metric
+    * a similarity-search index is tuned against. Ranking is by the
+    * ROUNDED similarity with a vec_id tie-break (the q_cosine_topk
+    * determinism convention, so both engines rank identically); the
+    * log2 discount and the final NDCG are continuous doubles rounded at
+    * presentation (measure-zero boundary risk). The probe side is a
+    * 10-row broadcast; candidates are scanned once and the per-probe
+    * top-10 is a rank window under the probe key — candidate×probe rows
+    * never shuffle more than once. IDCG folds over sequence(1, n_rel)
+    * row-locally (guarded: n_rel = 0 → NDCG 0). */
+  def qNdcg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("simr").desc, col("vec_id"))
+    emb.where(col("vec_id") >= 10)
+      .crossJoin(broadcast(probes))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), col("q_emb")), 4).as("simr"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .withColumn("rel",
+        when(col("label") === col("q_label"), 1.0).otherwise(0.0))
+      .groupBy("q_id")
+      .agg(sum(col("rel") / log2(col("rank").cast("double") + 1.0)).as("dcg"),
+        sum(col("rel")).cast("long").as("n_rel"))
+      .withColumn("idcg", when(col("n_rel") > 0,
+        expr("aggregate(sequence(1L, n_rel), CAST(0 AS DOUBLE), " +
+          "(acc, i) -> acc + CAST(1 AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0))"))
+        .otherwise(lit(1.0)))
+      .select(col("q_id"), col("n_rel"), round(col("dcg"), 4).as("dcg"),
+        when(col("n_rel") === 0, 0.0)
+          .otherwise(round(col("dcg") / col("idcg"), 4)).as("ndcg"))
+      .transform(ps(col("q_id")))
+  }
+
+  /** Hashing-trick collision audit: every corpus token maps to one of 64
+    * feature buckets by a PORTABLE md5 hash (the engine-neutral stand-in
+    * for the murmur hashing a feature-hashed model uses), and the audit
+    * reports per-bucket occupancy — occurrences, distinct token types
+    * (the collision count), and load share in exact ppm. The decision
+    * input for sizing a hashed feature space: heavy buckets mean
+    * gradient collisions. Token counts aggregate map-side twice (token,
+    * then bucket); the corpus total is a 1-row broadcast; output is the
+    * constant 64-row bucket table at any scale. */
+  def qFeatureHash(s: SparkSession, d: String): DataFrame = {
+    val perTok = Tables.documents(s, d)
+      .select(explode(
+        graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val bucketed = perTok
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT) % 64"))
+      .groupBy("bucket")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    bucketed
+      .crossJoin(broadcast(bucketed.agg(sum(col("n_tokens")).as("__t"))))
+      .select(col("bucket"), col("n_tokens"), col("n_types"),
+        expr("(n_tokens * 1000000) div __t").as("load_ppm"))
+      .transform(ps(col("bucket")))
+  }
+
+  /** Per-document token Shannon entropy (bits): `H = log2(n) − Σc·log2(c)/n`
+    * over the doc's token counts — the lexical-diversity signal that
+    * separates natural prose from degenerate repetition (a spam/boilerplate
+    * screen complementing the Gopher repetition fractions, which count
+    * only top-k duplication). Two map-side-combinable aggregate levels
+    * ((doc, token) then doc) — no windows, no collect; entropy is a
+    * continuous double rounded at presentation. */
+  def qDocEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(
+          graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("__clog"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(log2(col("n_tokens").cast("double")) - col("__clog") / col("n_tokens"), 4)
+          .as("entropy_bits"))
+      .transform(ps(col("doc_id")))
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4787,6 +4876,9 @@ object Queries {
     "q_order_priority" -> (qOrderPriority _),
     "q_late_suppliers" -> (qLateSuppliers _),
     "q_bollinger" -> (qBollinger _),
+    "q_ndcg" -> (qNdcg _),
+    "q_feature_hash" -> (qFeatureHash _),
+    "q_doc_entropy" -> (qDocEntropy _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -6695,5 +6787,38 @@ object Queries {
         "CASE WHEN dev > 0 THEN 'hi' ELSE 'lo' END AS band " +
         "FROM b WHERE dev <> 0 AND dev * dev > var4 " +
         "ORDER BY o_orderpriority, day"),
+    "q_ndcg" ->
+      ("WITH p AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings WHERE vec_id >= 10), " +
+        "sc AS (SELECT q_id, q_label, vec_id, label, " +
+        "round(list_cosine_similarity(emb, q_emb), 4) AS simr FROM c CROSS JOIN p), " +
+        "r AS (SELECT q_id, q_label, vec_id, label, simr, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY simr DESC, vec_id) AS rank FROM sc), " +
+        "t AS (SELECT q_id, CASE WHEN label = q_label THEN 1.0 ELSE 0.0 END AS rel, rank " +
+        "FROM r WHERE rank <= 10), " +
+        "g AS (SELECT q_id, sum(rel / log2(rank + 1)) AS dcg, CAST(sum(rel) AS BIGINT) AS n_rel " +
+        "FROM t GROUP BY q_id) " +
+        "SELECT q_id, n_rel, round(dcg, 4) AS dcg, " +
+        "CASE WHEN n_rel = 0 THEN 0.0 ELSE round(dcg / list_sum(" +
+        "list_transform(generate_series(1, n_rel), i -> 1.0 / log2(i + 1.0))), 4) END AS ndcg " +
+        "FROM g ORDER BY q_id"),
+    "q_feature_hash" ->
+      (TP_TOK_CTE +
+        ", tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token)" +
+        ", bk AS (SELECT CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 64 AS bucket, " +
+        "CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types FROM tc GROUP BY 1)" +
+        ", t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM bk) " +
+        "SELECT bucket, n_tokens, n_types, (n_tokens * 1000000) // tt AS load_ppm " +
+        "FROM bk CROSS JOIN t ORDER BY bucket"),
+    "q_doc_entropy" ->
+      (TP_TOK_CTE +
+        ", tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)" +
+        ", g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types, " +
+        "sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clog FROM tc GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, n_types, " +
+        "round(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 4) AS entropy_bits " +
+        "FROM g ORDER BY doc_id"),
   )
 }
