@@ -2332,6 +2332,19 @@ object Queries {
     * is enumerated exactly once. The oracle states the naive canonical
     * a<b<c triple join; both must produce the identical top-20. */
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val (e, _) = coPurchaseGraph(s, d)
+    coPurchaseTriangles(e)
+      .select(explode(array(col("w"), col("u"), col("v"))).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  /** The co-purchase graph shared by the graph-analytics queries: an edge
+    * joins two parts that co-occur in ≥2 orders (canonical pa < pb), plus
+    * the per-node degree table. Edge build is one self-equi-join under the
+    * order key (expansion bounded by order size), never a cross join. */
+  private def coPurchaseGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val e = op.as("a")
@@ -2340,6 +2353,16 @@ object Queries {
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("c"))
       .where(col("c") >= 2).select("pa", "pb")
+    val deg = e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    (e, deg)
+  }
+
+  /** Triangle enumeration via degree-ordered orientation (each edge points
+    * low→high degree, so out-degree is O(√m) and the wedge join is
+    * skew-proof); emits each triangle once as (w, u, v). The wedge side is
+    * equi-joined back to the edge set — never a cartesian. */
+  private def coPurchaseTriangles(e: DataFrame): DataFrame = {
     val deg = e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val oriented = e
@@ -2356,14 +2379,10 @@ object Queries {
       .join(oriented.as("y"), col("x.src") === col("y.src") &&
         col("x.dst") < col("y.dst"))
       .select(col("x.src").as("w"), col("x.dst").as("u"), col("y.dst").as("v"))
-    val tri = wedges.join(e,
+    wedges.join(e,
       col("pa") === least(col("u"), col("v")) &&
         col("pb") === greatest(col("u"), col("v")))
       .select(col("w"), col("u"), col("v"))
-    tri.select(explode(array(col("w"), col("u"), col("v"))).as("l_partkey"))
-      .groupBy("l_partkey").agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("l_partkey"))
-      .limit(20)
   }
 
   /** Simpson concentration of the per-source token distribution —
@@ -4647,6 +4666,91 @@ object Queries {
           .as("entropy_bits"))
       .transform(ps(col("doc_id")))
 
+  /** Maximum-inner-product top-10 (the recommender-scoring variant of
+    * [[qCosineTopk]]: rank by the raw dot product, no normalization — the
+    * metric a trained two-tower model retrieves against, where vector
+    * NORM carries popularity signal that cosine would erase). The probe
+    * is a literal array folded into the scan projection (one driver
+    * round-trip for one vector); the dot is the index-ordered zip_with/
+    * aggregate fold (both engines accumulate left-to-right in double, so
+    * the rounded score matches bit-for-bit); the top-10 is
+    * TakeOrderedAndProject under the (dot desc, vec_id) total order —
+    * no global sort at any scale. */
+  def qMips(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
+    val dot = aggregate(
+      zip_with(col("embedding").cast("array<double>"), probeCol, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    emb.where(col("vec_id") =!= 1)
+      .select(col("vec_id"), round(dot, 4).as("dot"), col("label"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** One BPE-training count step: the top-20 adjacent character-pair merge
+    * candidates over the corpus token stream (the argmax of this table IS
+    * the first merge a byte-pair-encoding tokenizer learns; iterating
+    * count→merge is BPE training). Pair generation is row-local
+    * (sequence + substring over each token occurrence — no joins, no
+    * windows), counts combine map-side, and the top-20 is TakeOrdered
+    * under the (count desc, pair) total order. At 100 TB this is the
+    * canonical map-side-combinable heavy-hitter shape. */
+  def qBpeMerges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(
+        graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+        .as("token"))
+      .where(length(col("token")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(20)
+
+  /** Local clustering coefficient over the co-purchase graph: per part,
+    * `triangles · 10⁶ div C(deg, 2)` — how close the node's neighborhood
+    * is to a clique (the community-structure signal behind hub/bridge
+    * classification). Triangles reuse the degree-ordered orientation
+    * (out-degree O(√m), skew-proof wedge join); the per-node count is one
+    * bounded aggregate over the triangle set; degree ≥ 2 nodes left-join
+    * the count (0-triangle nodes kept). Top-20 by the (coeff desc,
+    * partkey) total order. Oracle = naive triple-join enumeration. */
+  def qClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val (e, deg) = coPurchaseGraph(s, d)
+    val triPerNode = coPurchaseTriangles(e)
+      .select(explode(array(col("w"), col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.where(col("d") >= 2)
+      .join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("l_partkey"), col("d").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_ppm",
+        expr("(n_tri * 1000000) div ((deg * (deg - 1)) div 2)"))
+      .orderBy(col("coeff_ppm").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  /** Video frame-sampling schedule ([[graft.operators.Multimodal
+    * .frameSchedule]]) over the synthetic media metadata (same
+    * documents-derived media frame as [[qMediaSummary]]): one row per
+    * frame to decode — every second, capped at 8 per asset — computed
+    * from METADATA alone (the binary content column is never touched; the
+    * schedule joins back to bytes only for frames actually decoded). Pure
+    * row-local sequence+explode map stage; the frame hash is portable md5
+    * so the schedule cross-checks in DuckDB. */
+  def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+        expr("4000 + (doc_id % 7) * 1000").as("duration_ms"))
+    graft.operators.Multimodal.frameSchedule(media, 1000L, 8)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4879,6 +4983,10 @@ object Queries {
     "q_ndcg" -> (qNdcg _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_doc_entropy" -> (qDocEntropy _),
+    "q_mips" -> (qMips _),
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_clustering_coeff" -> (qClusteringCoeff _),
+    "q_frame_sample" -> (qFrameSample _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -6820,5 +6928,41 @@ object Queries {
         "SELECT doc_id, n_tokens, n_types, " +
         "round(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 4) AS entropy_bits " +
         "FROM g ORDER BY doc_id"),
+    "q_mips" ->
+      ("WITH probe AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p " +
+        "FROM embeddings WHERE vec_id = 1) " +
+        "SELECT vec_id, round(list_inner_product(" +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)), p), 4) AS dot, label " +
+        "FROM embeddings, probe WHERE vec_id <> 1 ORDER BY dot DESC, vec_id LIMIT 20"),
+    "q_bpe_merges" ->
+      (TP_TOK_CTE +
+        ", t2 AS (SELECT token FROM tok WHERE length(token) >= 2)" +
+        ", pr AS (SELECT unnest(list_transform(generate_series(1, length(token) - 1), " +
+        "i -> substr(token, CAST(i AS INTEGER), 2))) AS pair FROM t2) " +
+        "SELECT pair, count(*) AS n_occ FROM pr GROUP BY pair " +
+        "ORDER BY n_occ DESC, pair LIMIT 20"),
+    "q_clustering_coeff" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "t AS (SELECT x.pa AS a, x.pb AS b, y.pb AS c FROM e x " +
+        "JOIN e y ON x.pb = y.pa JOIN e z ON z.pa = x.pa AND z.pb = y.pb), " +
+        "m AS (SELECT unnest([a, b, c]) AS n FROM t), " +
+        "tc AS (SELECT n, count(*) AS n_tri FROM m GROUP BY n), " +
+        "dg AS (SELECT n, count(*) AS deg FROM " +
+        "(SELECT pa AS n FROM e UNION ALL SELECT pb AS n FROM e) GROUP BY n) " +
+        "SELECT dg.n AS l_partkey, deg, coalesce(n_tri, 0) AS n_tri, " +
+        "(coalesce(n_tri, 0) * 1000000) // ((deg * (deg - 1)) // 2) AS coeff_ppm " +
+        "FROM dg LEFT JOIN tc ON dg.n = tc.n WHERE deg >= 2 " +
+        "ORDER BY coeff_ppm DESC, l_partkey LIMIT 20"),
+    "q_frame_sample" ->
+      ("WITH m AS (SELECT doc_id AS media_id, 4000 + (doc_id % 7) * 1000 AS duration_ms " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT media_id, unnest(generate_series(0, " +
+        "CAST(least(greatest(duration_ms // 1000, 1), 8) AS BIGINT) - 1)) AS frame_idx FROM m) " +
+        "SELECT media_id, frame_idx, frame_idx * 1000 AS offset_ms, " +
+        "CAST('0x' || substr(md5(concat_ws('|', media_id, frame_idx * 1000)), 1, 15) AS BIGINT) AS frame_hash " +
+        "FROM f ORDER BY media_id, frame_idx"),
   )
 }

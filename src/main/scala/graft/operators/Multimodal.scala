@@ -127,6 +127,27 @@ object Multimodal {
       .agg(count(lit(1)).as("n"),
         sum(col("duration_ms")).as("total_duration_ms"))
 
+  /** Declarative frame-sampling SCHEDULE over a media metadata frame: for
+    * each video, one row per frame to sample — every `everyMs` of the
+    * declared duration, at most `maxFrames` per asset (at least one). This
+    * is the PLANNING half of [[sampleFrames]] as a pure relational map
+    * stage (sequence + explode, row-local at any scale): at 100 TB the
+    * schedule is computed from metadata alone — the binary `content`
+    * column is never touched — then joined back to the bytes only for the
+    * frames actually decoded. `frame_hash` is the portable md5 of
+    * (media_id, offset_ms), standing in for the decoded frame digest so
+    * the schedule is oracle-checkable cross-engine. */
+  def frameSchedule(media: DataFrame, everyMs: Long, maxFrames: Int): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(expr(
+          s"sequence(0L, least(greatest(duration_ms div ${everyMs}L, 1L), ${maxFrames}L) - 1)"))
+          .as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * lit(everyMs)).as("offset_ms"),
+        expr(s"CAST(conv(substr(md5(concat_ws('|', media_id, frame_idx * ${everyMs}L)), " +
+          "1, 15), 16, 10) AS BIGINT)").as("frame_hash"))
+
   /** Deterministic synthetic media corpus for tests/demos (no fixture table
     * carries binary content). Bytes are seeded per id — stable across runs,
     * generated distributedly (one range partition per slice, no driver
