@@ -132,7 +132,16 @@ object DevScaling {
       "q_max_concurrency", "q_dedup_survivorship",
       // growth accounting collapses to the replication-invariant distinct
       // (user, day) table; quantile-normalize is the linear two-phase rank
-      "q_growth_accounting", "q_quantile_normalize")
+      "q_growth_accounting", "q_quantile_normalize",
+      // round-9 wave: linear fact scans with bounded outputs (priority
+      // census, top-10 wait counts, breach rows, 64-bucket audit), linear
+      // per-doc/row-local maps (entropy, BPE pairs, frame schedule) and
+      // broadcast-probe rankings (NDCG, MIPS). q_clustering_coeff is
+      // EXCLUDED for the q_triangle_count reason: identical-payload
+      // replication inflates co-purchase edge support, changing the graph
+      "q_order_priority", "q_late_suppliers", "q_bollinger", "q_ndcg",
+      "q_feature_hash", "q_doc_entropy", "q_mips", "q_bpe_merges",
+      "q_frame_sample")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

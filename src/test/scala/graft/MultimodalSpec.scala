@@ -88,6 +88,24 @@ class MultimodalSpec extends SparkSuite {
     assert(summary.count() == 3)
   }
 
+  test("frameSchedule: videos only, cap honored, offsets on the grid, count matches sampleFrames under the cap") {
+    val sched = Multimodal.frameSchedule(media.toDF(), 1000L, 8).collect()
+    val videos = media.filter(_.kind == "video").collect()
+    val byId = sched.groupBy(_.getLong(0))
+    assert(byId.keySet == videos.map(_.media_id).toSet)
+    videos.foreach { v =>
+      val expect = math.min(math.max(1L, v.duration_ms / 1000L), 8L)
+      val rows = byId(v.media_id).sortBy(_.getLong(1))
+      assert(rows.length.toLong == expect, s"video ${v.media_id}")
+      // frame_idx contiguous from 0; offsets on the everyMs grid
+      assert(rows.map(_.getLong(1)).toSeq == (0L until expect))
+      assert(rows.forall(r => r.getLong(2) == r.getLong(1) * 1000L))
+      // under the cap the schedule and the typed flatMap sampler agree
+      if (v.duration_ms / 1000L <= 8L)
+        assert(expect == math.max(1L, v.duration_ms / 1000L))
+    }
+  }
+
   test("partition-iterator shape: features computed with the input's partitioning") {
     val reparted = media.repartition(7)
     val feats = Multimodal.extractFeatures(reparted)

@@ -1050,4 +1050,77 @@ class PlanSpec extends SparkSuite {
         s"K-frame must broadcast into the pair stream:\n$p")
     }
   }
+
+  test("q_order_priority: EXISTS plans as one LeftSemi join, quarter filter pushed") {
+    val p = plan(Queries.qOrderPriority(spark, SF))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      s"the quarter filter must reach the orders scan:\n$p")
+  }
+
+  test("q_late_suppliers: one-pass aggregate rewrite — no EXISTS self-joins, supplier broadcast") {
+    val p = plan(Queries.qLateSuppliers(spark, SF))
+    // the textbook form scans lineitem three times; the rewrite exactly once
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(scans == 1, s"lineitem must be scanned once, found $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_bollinger: priority-keyed bounded ROWS frame, never a global window") {
+    val df = Queries.qBollinger(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("o_orderpriority")),
+      s"the band window must stay priority-keyed:\n$exec")
+    assert(!exec.contains("UnboundedFollowing"), exec)
+  }
+
+  test("q_ndcg: probes broadcast into the candidate scan; rank window stays probe-keyed") {
+    val df = Queries.qNdcg(spark, SF)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"the probe nest must broadcast, never a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("q_id")),
+      s"the rank window must be partitioned by probe:\n$exec")
+  }
+
+  test("q_feature_hash / q_doc_entropy: map-side-combinable, no windows") {
+    for (df <- Seq(Queries.qFeatureHash(spark, SF), Queries.qDocEntropy(spark, SF))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), s"token stats must not need a window:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum") ||
+        p.contains("Functions [partial"), p)
+    }
+  }
+
+  test("q_mips / q_bpe_merges: top-k via TakeOrdered, never a global sort") {
+    for (df <- Seq(Queries.qMips(spark, SF), Queries.qBpeMerges(spark, SF))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"top-k must not range-shuffle the whole input:\n$p")
+    }
+  }
+
+  test("q_clustering_coeff: wedge join stays equi, never cartesian") {
+    val p = plan(Queries.qClusteringCoeff(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must be equi-joined:\n$p")
+  }
+
+  test("q_frame_sample: schedule computed from metadata alone — text never read") {
+    val p = plan(Queries.qFrameSample(spark, SF))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id"), p)
+    assert(!readSchema.contains("text"),
+      s"the schedule must not scan the content/text column:\n$readSchema")
+  }
 }
