@@ -141,7 +141,11 @@ object DevScaling {
       // replication inflates co-purchase edge support, changing the graph
       "q_order_priority", "q_late_suppliers", "q_bollinger", "q_ndcg",
       "q_feature_hash", "q_doc_entropy", "q_mips", "q_bpe_merges",
-      "q_frame_sample")
+      "q_frame_sample",
+      // round-9 TPC-H/curation wave: bounded grids (nation×year, top-20,
+      // |sources| rows), linear fact scans, row-local membership tests
+      "q_nation_profit", "q_part_supplier_counts", "q_dominant_supplier",
+      "q_blocklist_filter")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

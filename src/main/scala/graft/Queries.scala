@@ -4751,6 +4751,125 @@ object Queries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Product-line profit by supplier nation and order year (TPC-H Q9
+    * shape; the fixture has no partsupp, so unit cost is DECLARED as 80 %
+    * of the part's retail price). Profit accumulates in exact 10⁻⁶-dollar
+    * units: `price_c·(10⁴ − d4) − qty·retail_c·8000` — per-row ≤ ~10¹¹,
+    * so the int64 sum holds to ~10⁷ qualifying rows per (nation, year)
+    * group (≈ sf100; shard by month beyond). Red-part filter prunes the
+    * part dim BEFORE broadcast; supplier→nation is a broadcast chain; the
+    * fact shuffles once for the bounded (nation, year) grid. */
+  def qNationProfit(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d).where(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").as("retail_c"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("o_year"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("price_c"),
+        expr("CAST(round(l_discount * 10000, 0) AS BIGINT)").as("d4"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), col("o_year"),
+        (col("price_c") * (lit(10000L) - col("d4")) -
+          col("qty") * col("retail_c") * lit(8000L)).as("amount_u6"))
+      .groupBy("n_name", "o_year")
+      .agg(sum(col("amount_u6")).as("profit_u6"), count(lit(1)).as("n_lines"))
+      .transform(ps(col("n_name"), col("o_year")))
+  }
+
+  /** Parts/supplier relationship census (TPC-H Q16 shape; the fixture has
+    * no partsupp, so the supplier↔part relation is the DISTINCT
+    * (partkey, suppkey) pairs observed in lineitem). Per (brand, type,
+    * size) outside one excluded brand: how many distinct suppliers offer
+    * such parts, excluding "complaint" suppliers (declared: negative
+    * account balance — the fixture analog of the Q16 LIKE screen). The
+    * fact collapses to the distinct pair table FIRST (one shuffle,
+    * map-side combinable), the part dim broadcasts, the blacklist is a
+    * broadcast anti-join, and the count-distinct runs over the bounded
+    * attribute grid. Top-20 by (suppliers desc, brand, type, size). */
+  def qPartSupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val rel = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val badSupp = Tables.supplier(s, d).where(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val part = Tables.part(s, d).where(col("p_brand") =!= "Brand#17")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    rel.join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(20)
+  }
+
+  /** Dominant-supplier screen (TPC-H Q20 shape; no partsupp availqty in
+    * the fixture, so "excess share" is DECLARED as supplying more than
+    * half of a part's 1996 shipped quantity). Per (part, supplier) vs
+    * per-part totals — the comparison is the exact integer cross-multiply
+    * `2·s_qty > tot_qty` (never a ratio double); both grains ride ONE
+    * fact scan (the per-part total re-aggregates from the pair grain —
+    * strictly smaller than the fact), the dominated-part count per
+    * supplier is bounded by |part|, and the supplier dim broadcasts for
+    * the name readout. Top-20 by (parts dominated desc, suppkey). */
+  def qDominantSupplier(s: SparkSession, d: String): DataFrame = {
+    // the explicit not-null guards match what the downstream equi-join
+    // would infer on ONE branch only — stating them on the source keeps
+    // the pair and total subtrees statically identical, so AQE stage
+    // reuse serves both grains from one shuffle instead of re-scanning
+    val pairs = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("s_qty"))
+    val totals = pairs.groupBy("l_partkey")
+      .agg(sum(col("s_qty")).as("tot_qty"))
+    pairs.join(totals, Seq("l_partkey"))
+      .where(col("s_qty") * 2 > col("tot_qty"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_parts_dominated"),
+        sum(col("s_qty")).as("qty_dominated"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        Seq("s_suppkey"))
+      .select(col("s_name"), col("s_suppkey"), col("n_parts_dominated"),
+        col("qty_dominated"))
+      .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Blocklist curation screen: per source, how many documents contain at
+    * least one blocked term, with per-term hit counts — the wordlist
+    * filtering pass (NSFW/toxicity/spam lexicons) every corpus curation
+    * pipeline runs before training. The blocklist is a literal array
+    * folded into the scan projection (broadcast-free: the membership test
+    * is `arrays_overlap` / per-term `array_contains` over the row-local
+    * token array — no token-stream explode, no join); both output grains
+    * aggregate map-side over the bounded (source × term) space. */
+  def qBlocklistFilter(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("slow", "dup", "stream", "sort")
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1)
+          .as("toks"))
+    val hits = terms.map(t =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+        .as(s"hits_$t"))
+    val aggs = Seq(
+      sum(when(arrays_overlap(col("toks"),
+        array(terms.map(lit): _*)), 1L).otherwise(0L)).as("n_blocked")) ++ hits
+    toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .transform(ps(col("source")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -4987,6 +5106,10 @@ object Queries {
     "q_bpe_merges" -> (qBpeMerges _),
     "q_clustering_coeff" -> (qClusteringCoeff _),
     "q_frame_sample" -> (qFrameSample _),
+    "q_nation_profit" -> (qNationProfit _),
+    "q_part_supplier_counts" -> (qPartSupplierCounts _),
+    "q_dominant_supplier" -> (qDominantSupplier _),
+    "q_blocklist_filter" -> (qBlocklistFilter _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -6964,5 +7087,48 @@ object Queries {
         "SELECT media_id, frame_idx, frame_idx * 1000 AS offset_ms, " +
         "CAST('0x' || substr(md5(concat_ws('|', media_id, frame_idx * 1000)), 1, 15) AS BIGINT) AS frame_hash " +
         "FROM f ORDER BY media_id, frame_idx"),
+    "q_nation_profit" ->
+      ("WITH p AS (SELECT p_partkey, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS retail_c " +
+        "FROM part WHERE p_name LIKE '%red%'), " +
+        "sn AS (SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey), " +
+        "li AS (SELECT l_partkey, l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS o_year, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c, " +
+        "CAST(round(l_discount * 10000, 0) AS BIGINT) AS d4, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem) " +
+        "SELECT n_name, o_year, " +
+        "CAST(sum(price_c * (10000 - d4) - qty * retail_c * 8000) AS BIGINT) AS profit_u6, " +
+        "count(*) AS n_lines " +
+        "FROM li JOIN p ON l_partkey = p_partkey JOIN sn ON l_suppkey = s_suppkey " +
+        "GROUP BY n_name, o_year ORDER BY n_name, o_year"),
+    "q_part_supplier_counts" ->
+      ("WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), " +
+        "ok AS (SELECT l_partkey, l_suppkey FROM rel WHERE l_suppkey NOT IN " +
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) " +
+        "SELECT p_brand, p_type, p_size, " +
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM ok JOIN part ON l_partkey = p_partkey WHERE p_brand <> 'Brand#17' " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20"),
+    "q_dominant_supplier" ->
+      ("WITH pairs AS (SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_qty " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1, 2), " +
+        "tot AS (SELECT l_partkey, CAST(sum(s_qty) AS BIGINT) AS tot_qty FROM pairs GROUP BY 1), " +
+        "dom AS (SELECT l_suppkey AS s_suppkey, count(*) AS n_parts_dominated, " +
+        "CAST(sum(s_qty) AS BIGINT) AS qty_dominated " +
+        "FROM pairs JOIN tot USING (l_partkey) WHERE s_qty * 2 > tot_qty GROUP BY 1) " +
+        "SELECT s_name, s_suppkey, n_parts_dominated, qty_dominated " +
+        "FROM dom JOIN supplier USING (s_suppkey) " +
+        "ORDER BY n_parts_dominated DESC, s_suppkey LIMIT 20"),
+    "q_blocklist_filter" ->
+      (NORM_CTE.replace("SELECT doc_id,", "SELECT doc_id, source,") +
+        ", tk AS (SELECT source, string_split(t, ' ') AS toks, t FROM norm) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN len(list_filter(toks, x -> x IN ('slow','dup','stream','sort'))) > 0 " +
+        "AND t <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
+        Seq("slow", "dup", "stream", "sort").map(t =>
+          s"CAST(sum(CASE WHEN list_contains(toks, '$t') AND t <> '' THEN 1 ELSE 0 END) AS BIGINT) AS hits_$t")
+          .mkString(", ") +
+        " FROM tk GROUP BY source ORDER BY source"),
   )
 }

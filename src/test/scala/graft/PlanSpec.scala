@@ -1116,6 +1116,38 @@ class PlanSpec extends SparkSuite {
       s"triangle enumeration must be equi-joined:\n$p")
   }
 
+  test("q_nation_profit: part/supplier dims broadcast, fact shuffles once for the grid") {
+    val p = plan(Queries.qNationProfit(spark, SF))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"at fixture scale both dims must broadcast — the fact side never sorts:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Functions [partial"), p)
+  }
+
+  test("q_part_supplier_counts: distinct-pair collapse first, blacklist anti-join broadcast") {
+    val p = plan(Queries.qPartSupplierCounts(spark, SF))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_dominant_supplier: pair and total grains share one fact scan (exchange reuse)") {
+    val df = Queries.qDominantSupplier(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("ReusedExchange") || exec.contains("TableCacheQueryStage")
+      || exec.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan")) <= 2,
+      s"the per-part total must re-aggregate the pair grain, not rescan the fact:\n$exec")
+    assert(plan(df).contains("TakeOrderedAndProject"), plan(df))
+  }
+
+  test("q_blocklist_filter: row-local membership — no token-stream explode, no join") {
+    val p = plan(Queries.qBlocklistFilter(spark, SF))
+    assert(!p.contains("Generate"),
+      s"the membership test must ride the token array, not an explode:\n$p")
+    assert(!p.contains("Join"), s"a literal blocklist needs no join:\n$p")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
