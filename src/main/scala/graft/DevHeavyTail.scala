@@ -64,7 +64,12 @@ object DevHeavyTail {
     "q_max_concurrency",  // sweep-line two-phase prefix sum
     "q_minhash_est",      // signature build + per-pair estimate
     "q_quantile_normalize", // two-phase global rank, row-linear output
-    "q_sem_dedup")        // adaptive-k cluster blocking + triangular blocked self-join
+    "q_sem_dedup",        // adaptive-k cluster blocking + triangular blocked self-join
+    // round-9 wave: the new queries whose cost grows with the fact/graph
+    "q_clustering_coeff", // per-node triangles over the degree-oriented kernel
+    "q_order_priority",   // quarter-filtered LeftSemi over the full fact
+    "q_late_suppliers",   // per-order distinct-supplier aggregate
+    "q_part_supplier_counts") // distinct-pair collapse + attribute-grid count-distinct
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -145,7 +145,11 @@ object DevScaling {
       // round-9 TPC-H/curation wave: bounded grids (nation×year, top-20,
       // |sources| rows), linear fact scans, row-local membership tests
       "q_nation_profit", "q_part_supplier_counts", "q_dominant_supplier",
-      "q_blocklist_filter")
+      "q_blocklist_filter",
+      // round-9 wave 5: linear user-keyed windows (attribution, lateness
+      // profile) and the relational PQ pipeline (broadcast nests, linear
+      // encode). q_kcore EXCLUDED for the graph edge-support reason
+      "q_attribution", "q_late_arrivals", "q_ann_pq")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

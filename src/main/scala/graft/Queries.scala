@@ -4870,6 +4870,148 @@ object Queries {
       .transform(ps(col("source")))
   }
 
+  /** 2-core decomposition, three pruning rounds (DECLARED semantics: the
+    * fixed round count makes the query SQL-restatable — each round drops
+    * nodes of degree < 2 and the edges touching them; real k-core runs to
+    * the fixpoint, which this converges toward monotonically). Output is
+    * the 3-row shrink trace (round, nodes, edges) — the graph-health
+    * summary a mining pipeline checks before paying for community
+    * detection. Each round is two bounded aggregates + one semi-join per
+    * endpoint over the current edge set; no windows, no pair expansion
+    * beyond the co-purchase edge build. Like every iterated graph loop
+    * here, each round's edge set truncates lineage via localCheckpoint —
+    * without it the round-i chain re-derives rounds 1..i−1 (and the
+    * expensive edge build) once per downstream aggregate, turning three
+    * prunes into a combinatorial re-execution (measured 24 s → 3 s at
+    * sf0.01); swap for reliable checkpoint on a real cluster. */
+  def qKcore(s: SparkSession, d: String): DataFrame = {
+    val (e0, _) = coPurchaseGraph(s, d)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+    def prune(e: DataFrame): DataFrame = {
+      val keep = degrees(e).where(col("d") >= 2).select("n")
+      e.join(keep.withColumnRenamed("n", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("n", "pb"), Seq("pb"), "left_semi")
+        .select("pa", "pb")
+    }
+    var e = e0.localCheckpoint()
+    (1 to 3).map { i =>
+      e = prune(e).localCheckpoint()
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(degrees(e).agg(count(lit(1)).as("n_nodes")))
+        .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }.reduce(_ unionByName _)
+      .transform(ps(col("round")))
+  }
+
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * user's most recent PRECEDING non-purchase event within 7 days
+    * ('direct' when none) — the channel-credit readout of the event log.
+    * The carry is one user-keyed window max of a monotone
+    * (ts, event_id, type) struct over non-purchase rows (ts + unique
+    * event_id make the order total, so the type field never decides a
+    * comparison) — no self-join of the log against itself; the census is
+    * a bounded per-channel aggregate. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("prev",
+        max(when(col("event_type") =!= "purchase",
+          struct(col("ts"), col("event_id"), col("event_type")))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev.ts").cast("long") > 7L * 86400L,
+          lit("direct")).otherwise(col("prev.event_type")).as("channel"))
+      .groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+      .transform(ps(col("channel")))
+  }
+
+  /** Watermark-sizing profile: per event, how far BEHIND the user's
+    * event-time high-water mark it arrived — the out-of-order-depth
+    * histogram that tells a streaming deployment what
+    * `withWatermark(...)` bound actually covers its data. The fixture's
+    * event_id sequence is already time-sorted, so arrival order is
+    * DECLARED as the portable md5 hash of event_id — a deterministic
+    * shuffled ingestion sequence both engines reproduce (the profile
+    * MECHANICS are the operator; the scramble just gives them a
+    * non-degenerate stream). The high-water mark is one user-keyed
+    * window max over the arrival order (never a global single-partition
+    * window); lateness buckets are integer power-of-2 seconds via a
+    * comparison chain (no float log2); output is the bounded bucket
+    * census with in-order traffic as bucket −1. */
+  def qLateArrivals(s: SparkSession, d: String): DataFrame = {
+    val arrival =
+      expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val w = Window.partitionBy(col("user_id")).orderBy(arrival, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables.events(s, d)
+      .withColumn("hwm", max(col("ts")).over(w))
+      .select((col("hwm").cast("long") - col("ts").cast("long")).as("late_s"))
+      .select(when(col("late_s").isNull || col("late_s") <= 0, lit(-1L))
+        .otherwise(
+          when(col("late_s") <= 1, 0L).when(col("late_s") <= 2, 1L)
+            .when(col("late_s") <= 4, 2L).when(col("late_s") <= 8, 3L)
+            .when(col("late_s") <= 16, 4L).when(col("late_s") <= 32, 5L)
+            .when(col("late_s") <= 64, 6L).when(col("late_s") <= 128, 7L)
+            .when(col("late_s") <= 256, 8L).when(col("late_s") <= 512, 9L)
+            .when(col("late_s") <= 1024, 10L).when(col("late_s") <= 2048, 11L)
+            .when(col("late_s") <= 4096, 12L).when(col("late_s") <= 8192, 13L)
+            .when(col("late_s") <= 16384, 14L).otherwise(15L)).as("bucket"))
+    late.groupBy("bucket").agg(count(lit(1)).as("n_events"))
+      .transform(ps(col("bucket")))
+  }
+
+  /** Product-quantization ANN (the IVF companion: PQ is how billion-scale
+    * indexes compress vectors to bytes): the 64-dim space splits into two
+    * 32-dim subspaces, each quantized against 8 seeded sub-centroids
+    * (vec_id < 8 — the [[Similarity.seedCentroids]] convention), every
+    * vector encodes as two codes via exact argmin (min over a
+    * (distance, cid) struct — ties to the smallest centroid), and probe
+    * distance is ASYMMETRIC (ADC): the probe's 16-entry distance table
+    * joins the codes, so ranking costs one 16-row broadcast lookup per
+    * vector instead of a 64-dim scan. Everything is relational — the
+    * sub-centroid table derives from the embeddings scan (no driver
+    * collect), assignment is a broadcast nest folded map-side (the
+    * [[Similarity.kmeansAssignJoined]] plan-size discipline), and both
+    * engines fold distances in index order so the rounded ranking
+    * hash-matches. Top-10 by (approx distance asc, vec_id). */
+  def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    def halves(src: DataFrame, idAs: String, vecAs: String): DataFrame =
+      src.select(col("vec_id").as(idAs),
+        explode(array(
+          struct(lit(0L).as("half"),
+            expr("slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 32)").as(vecAs)),
+          struct(lit(1L).as("half"),
+            expr("slice(CAST(embedding AS ARRAY<DOUBLE>), 33, 32)").as(vecAs))))
+          .as("h"))
+        .select(col(idAs), col("h.half").as("half"), col(s"h.$vecAs").as(vecAs))
+    val cents = halves(emb.where(col("vec_id") < 8), "cid", "cv")
+    val vecs = halves(emb, "vec_id", "sv")
+    val dd = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val dist = vecs.join(broadcast(cents), Seq("half"))
+      .select(col("vec_id"), col("half"), col("cid"), dd.as("dd"))
+    val codes = dist
+      .groupBy("vec_id", "half")
+      .agg(min(struct(col("dd").as("d"), col("cid").as("cid"))).as("m"))
+      .select(col("vec_id"), col("half"), col("m.cid").as("code"))
+    val probeDist = dist.where(col("vec_id") === 0)
+      .select(col("half").as("p_half"), col("cid").as("p_cid"),
+        col("dd").as("pd"))
+    codes.join(broadcast(probeDist),
+        col("half") === col("p_half") && col("code") === col("p_cid"))
+      .groupBy("vec_id").agg(sum(col("pd")).as("adist_raw"))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(col("adist_raw"), 4).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(10)
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -5110,6 +5252,10 @@ object Queries {
     "q_part_supplier_counts" -> (qPartSupplierCounts _),
     "q_dominant_supplier" -> (qDominantSupplier _),
     "q_blocklist_filter" -> (qBlocklistFilter _),
+    "q_kcore" -> (qKcore _),
+    "q_attribution" -> (qAttribution _),
+    "q_late_arrivals" -> (qLateArrivals _),
+    "q_ann_pq" -> (qAnnPq _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -7130,5 +7276,63 @@ object Queries {
           s"CAST(sum(CASE WHEN list_contains(toks, '$t') AND t <> '' THEN 1 ELSE 0 END) AS BIGINT) AS hits_$t")
           .mkString(", ") +
         " FROM tk GROUP BY source ORDER BY source"),
+    "q_kcore" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2)" +
+        (1 to 3).map { i =>
+          val p = i - 1
+          s", d$p AS (SELECT n, count(*) AS d FROM (SELECT pa AS n FROM e$p UNION ALL SELECT pb AS n FROM e$p) GROUP BY n)" +
+            s", k$p AS (SELECT n FROM d$p WHERE d >= 2)" +
+            s", e$i AS (SELECT pa, pb FROM e$p WHERE pa IN (SELECT n FROM k$p) AND pb IN (SELECT n FROM k$p))"
+        }.mkString + " " +
+        (1 to 3).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS round, " +
+            s"(SELECT CAST(count(DISTINCT n) AS BIGINT) FROM (SELECT pa AS n FROM e$i UNION ALL SELECT pb AS n FROM e$i)) AS n_nodes, " +
+            s"(SELECT count(*) FROM e$i) AS n_edges")
+          .mkString(" UNION ALL ") +
+        " ORDER BY round"),
+    "q_attribution" ->
+      ("WITH w AS (SELECT user_id, ts, event_id, event_type, " +
+        "max(CASE WHEN event_type <> 'purchase' THEN {'ts': ts, 'eid': event_id, 'etype': event_type} END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev " +
+        "FROM events), " +
+        "p AS (SELECT CASE WHEN prev IS NULL OR " +
+        "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(struct_extract(prev, 'ts'))) AS BIGINT) > 604800 " +
+        "THEN 'direct' ELSE struct_extract(prev, 'etype') END AS channel " +
+        "FROM w WHERE event_type = 'purchase') " +
+        "SELECT channel, count(*) AS n_purchases FROM p GROUP BY channel ORDER BY channel"),
+    "q_late_arrivals" ->
+      ("WITH w AS (SELECT user_id, ts, event_id, " +
+        "max(ts) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm " +
+        "FROM events), " +
+        "l AS (SELECT CAST(floor(epoch(hwm)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS late_s FROM w), " +
+        "b AS (SELECT CAST(CASE WHEN late_s IS NULL OR late_s <= 0 THEN -1 " +
+        "WHEN late_s <= 1 THEN 0 WHEN late_s <= 2 THEN 1 WHEN late_s <= 4 THEN 2 " +
+        "WHEN late_s <= 8 THEN 3 WHEN late_s <= 16 THEN 4 WHEN late_s <= 32 THEN 5 " +
+        "WHEN late_s <= 64 THEN 6 WHEN late_s <= 128 THEN 7 WHEN late_s <= 256 THEN 8 " +
+        "WHEN late_s <= 512 THEN 9 WHEN late_s <= 1024 THEN 10 WHEN late_s <= 2048 THEN 11 " +
+        "WHEN late_s <= 4096 THEN 12 WHEN late_s <= 8192 THEN 13 WHEN late_s <= 16384 THEN 14 " +
+        "ELSE 15 END AS BIGINT) AS bucket FROM l) " +
+        "SELECT bucket, count(*) AS n_events FROM b GROUP BY bucket ORDER BY bucket"),
+    "q_ann_pq" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, CAST(0 AS BIGINT) AS half, list_slice(v, 1, 32) AS cv FROM e WHERE vec_id < 8 " +
+        "UNION ALL SELECT vec_id, CAST(1 AS BIGINT), list_slice(v, 33, 64) FROM e WHERE vec_id < 8), " +
+        "s AS (SELECT vec_id, CAST(0 AS BIGINT) AS half, list_slice(v, 1, 32) AS sv FROM e " +
+        "UNION ALL SELECT vec_id, CAST(1 AS BIGINT), list_slice(v, 33, 64) FROM e), " +
+        "dist AS (SELECT s.vec_id, s.half, c.cid, " +
+        "list_sum(list_transform(generate_series(1, 32), i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS dd " +
+        "FROM s JOIN c ON s.half = c.half), " +
+        "codes AS (SELECT vec_id, half, struct_extract(min({'d': dd, 'cid': cid}), 'cid') AS code " +
+        "FROM dist GROUP BY 1, 2), " +
+        "pd AS (SELECT half, cid, dd AS pd FROM dist WHERE vec_id = 0), " +
+        "ad AS (SELECT codes.vec_id, CAST(sum(pd.pd) AS DOUBLE) AS adist " +
+        "FROM codes JOIN pd ON codes.half = pd.half AND codes.code = pd.cid GROUP BY 1) " +
+        "SELECT vec_id, round(adist, 4) AS adist FROM ad WHERE vec_id <> 0 " +
+        "ORDER BY adist, vec_id LIMIT 10"),
   )
 }

@@ -1148,6 +1148,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"a literal blocklist needs no join:\n$p")
   }
 
+  test("q_attribution / q_late_arrivals: carry windows stay user-keyed") {
+    for (df <- Seq(Queries.qAttribution(spark, SF), Queries.qLateArrivals(spark, SF))) {
+      df.collect()
+      val exec = df.queryExecution.executedPlan.toString
+      val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+        s"the high-water/last-touch carry must never be a global window:\n$exec")
+      assert(!exec.contains("CartesianProduct"), exec)
+    }
+  }
+
+  test("q_ann_pq: sub-centroid table broadcasts; assignment folds map-side") {
+    val p = plan(Queries.qAnnPq(spark, SF))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 16-row sub-centroid/probe tables must broadcast:\n$p")
+    assert(p.contains("partial_min") || p.contains("Functions [partial"),
+      s"the argmin fold must combine map-side:\n$p")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -106,6 +106,19 @@ class QueriesSpec extends SparkSuite {
     assert(got.forall(okKeys.contains))
   }
 
+  test("q_kcore shrink trace is monotone nonincreasing and bounded by the full graph") {
+    val rows = Queries.qKcore(spark, SF)
+      .orderBy("round")
+      .select("n_nodes", "n_edges").as[(Long, Long)].collect()
+    assert(rows.length == 3)
+    rows.sliding(2).foreach { case Array((n1, e1), (n2, e2)) =>
+      assert(n2 <= n1 && e2 <= e1, s"pruning must only shrink: $rows")
+    }
+    // node counts are edge endpoints, so sum-of-degrees = 2·edges ≥ nodes
+    val (n3, e3) = rows.last
+    assert(2 * e3 >= n3, s"endpoint count cannot exceed degree sum: $rows")
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
