@@ -73,6 +73,24 @@ object DevPlans {
         "codegen'd higher-order-function projection inside the scan stage " +
         "(zero shuffle); the only exchanges carry the bounded (label, cell) " +
         "collapse, and the median fence broadcasts back as a label-keyed row."),
+      "q_late_suppliers" -> ("TPC-H Q21 as ONE aggregate pass: the textbook " +
+        "double-correlated-EXISTS would scan the fact three times; here the " +
+        "finished-order fact shuffles once on the order key, the per-order " +
+        "distinct-supplier / distinct-late counts fold in that single " +
+        "HashAggregate, the supplier dim broadcasts onto the bounded blame " +
+        "set, and the top-10 is TakeOrderedAndProject."),
+      "q_dominant_supplier" -> ("Both grains from one shuffle: the per-part " +
+        "total re-aggregates the (part, supplier) pair grain, and because the " +
+        "join's inferred not-null guards are stated explicitly on the source, " +
+        "the two subtrees are statically identical — AQE stage reuse serves " +
+        "them from ONE fact exchange (visible as a reused ShuffleQueryStage) " +
+        "instead of scanning lineitem twice."),
+      "q_ann_pq" -> ("Product quantization as dataflow: the 16-row " +
+        "sub-centroid table derives from the embeddings scan (no driver " +
+        "collect) and broadcasts into the encode nest; the exact argmin is a " +
+        "partially-aggregated min over a (distance, cid) struct — the n×k " +
+        "expansion never shuffles; the probe's 16-entry ADC table broadcasts " +
+        "for the final lookup-join and the ranking is TakeOrderedAndProject."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
