@@ -149,7 +149,10 @@ object DevScaling {
       // round-9 wave 5: linear user-keyed windows (attribution, lateness
       // profile) and the relational PQ pipeline (broadcast nests, linear
       // encode). q_kcore EXCLUDED for the graph edge-support reason
-      "q_attribution", "q_late_arrivals", "q_ann_pq")
+      "q_attribution", "q_late_arrivals", "q_ann_pq",
+      // round-9 wave 6: linear scans (int8 prefilter + 50-row rerank) and
+      // the token-keyed LM scoring joins
+      "q_quantized_rerank", "q_bigram_ppx")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

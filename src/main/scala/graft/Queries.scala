@@ -5012,6 +5012,68 @@ object Queries {
       .limit(10)
   }
 
+  /** Quantized-prefilter + exact-rerank retrieval (the production ANN
+    * serving shape: an int8 scan prunes, full precision reranks). Codes
+    * use a GLOBAL symmetric scale (c = round(x·128), int8-representable
+    * for the fixture's ±0.53 range — a declared corpus property), so the
+    * prefilter score is an EXACT INTEGER dot product — bit-identical
+    * across engines, no float ranking at the wide stage. Top-50 integer
+    * candidates (TakeOrdered) rerank by exact double cosine, rounded at
+    * presentation; final top-10 by (sim desc, vec_id). At 100 TB the
+    * int8 codes are ¼ the bytes of fp32 — the scan that actually fits
+    * in cache — and the exact rerank touches only 50 vectors. */
+  def qQuantizedRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val codes = expr(
+      "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 128, 0) AS BIGINT))")
+    val probeRow = emb.where(col("vec_id") === 2)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val pCodes = probeRow.map(v => math.round(v.toDouble * 128))
+    val pCol = array(probeRow.map(v => lit(v.toDouble)): _*)
+    val pCodeCol = array(pCodes.map(lit): _*)
+    val idot = aggregate(
+      zip_with(codes, pCodeCol, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val sim = round(cosine_sim(col("embedding"), pCol), 4)
+    emb.where(col("vec_id") =!= 2)
+      .select(col("vec_id"), col("embedding"), idot.as("idot"))
+      .orderBy(col("idot").desc, col("vec_id"))
+      .limit(50)
+      .select(col("vec_id"), col("idot"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Bigram-LM surprisal per document (the perplexity-proxy curation
+    * signal: high mean surprisal = text the corpus LM finds unlikely —
+    * gibberish or out-of-domain; the bigram companion to the unigram
+    * [[qRarityScore]]). Train and eval corpus coincide, so every eval
+    * bigram has count ≥ 1 — no smoothing term to get wrong: surprisal =
+    * mean(log2 c(w₁·) − log2 c(w₁w₂)) over the doc's bigram occurrences,
+    * a continuous double rounded at presentation. Bigrams form row-locally
+    * (native shingle expression — no token-stream shuffle); the count
+    * tables are (bigram)- and (prefix)-keyed aggregates joined back on
+    * the same keys — at fixture scale they broadcast, at corpus scale
+    * they shuffle co-keyed with the stream (the standard LM-scoring
+    * join). */
+  def qBigramPpx(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(
+          graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 2))
+          .as("bigram"))
+      .withColumn("w1", expr("substring_index(bigram, ' ', 1)"))
+    val biCnt = bi.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val w1Cnt = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(biCnt, Seq("bigram")).join(w1Cnt, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log2(col("c1").cast("double")) - log2(col("c12").cast("double")))
+          .as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 4).as("surprisal_bits"))
+      .transform(ps(col("doc_id")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -5256,6 +5318,8 @@ object Queries {
     "q_attribution" -> (qAttribution _),
     "q_late_arrivals" -> (qLateArrivals _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_quantized_rerank" -> (qQuantizedRerank _),
+    "q_bigram_ppx" -> (qBigramPpx _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -7334,5 +7398,25 @@ object Queries {
         "FROM codes JOIN pd ON codes.half = pd.half AND codes.code = pd.cid GROUP BY 1) " +
         "SELECT vec_id, round(adist, 4) AS adist FROM ad WHERE vec_id <> 0 " +
         "ORDER BY adist, vec_id LIMIT 10"),
+    "q_quantized_rerank" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "p AS (SELECT v AS pv, list_transform(v, x -> CAST(round(x * 128, 0) AS BIGINT)) AS pc FROM e WHERE vec_id = 2), " +
+        "c AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x * 128, 0) AS BIGINT)) AS cc FROM e WHERE vec_id <> 2), " +
+        "sc AS (SELECT vec_id, v, CAST(list_sum(list_transform(generate_series(1, 64), i -> cc[i] * pc[i])) AS BIGINT) AS idot " +
+        "FROM c CROSS JOIN p), " +
+        "top AS (SELECT vec_id, v, idot FROM sc ORDER BY idot DESC, vec_id LIMIT 50) " +
+        "SELECT vec_id, idot, round(list_cosine_similarity(v, pv), 4) AS sim " +
+        "FROM top CROSS JOIN p ORDER BY sim DESC, vec_id LIMIT 10"),
+    "q_bigram_ppx" ->
+      (TP_TOK_CTE +
+        ", bi AS (SELECT doc_id, token || ' ' || lead(token) OVER w AS bigram, token AS w1 " +
+        "FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))" +
+        ", bi2 AS (SELECT doc_id, bigram, w1 FROM bi WHERE bigram IS NOT NULL)" +
+        ", bc AS (SELECT bigram, count(*) AS c12 FROM bi2 GROUP BY bigram)" +
+        ", wc AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(sum(log2(CAST(c1 AS DOUBLE)) - log2(CAST(c12 AS DOUBLE))) / count(*), 4) AS surprisal_bits " +
+        "FROM bi2 JOIN bc USING (bigram) JOIN wc USING (w1) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
   )
 }

@@ -1168,6 +1168,22 @@ class PlanSpec extends SparkSuite {
       s"the argmin fold must combine map-side:\n$p")
   }
 
+  test("q_quantized_rerank: both ranking stages are TakeOrdered, never a global sort") {
+    val p = plan(Queries.qQuantizedRerank(spark, SF))
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+      s"prefilter top-50 and rerank top-10 must both be TakeOrdered:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"neither stage may range-shuffle the corpus:\n$p")
+  }
+
+  test("q_bigram_ppx: no windows in the scoring path, count joins stay equi") {
+    val p = plan(Queries.qBigramPpx(spark, SF))
+    assert(!p.contains("Window"),
+      s"bigrams must form row-locally (native shingles), not via a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("Functions [partial"), p)
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
