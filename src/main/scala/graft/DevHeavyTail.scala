@@ -69,7 +69,11 @@ object DevHeavyTail {
     "q_clustering_coeff", // per-node triangles over the degree-oriented kernel
     "q_order_priority",   // quarter-filtered LeftSemi over the full fact
     "q_late_suppliers",   // per-order distinct-supplier aggregate
-    "q_part_supplier_counts") // distinct-pair collapse + attribute-grid count-distinct
+    "q_part_supplier_counts", // distinct-pair collapse + attribute-grid count-distinct
+    "q_ann_pq",           // n×16 broadcast encode nest over the full embedding corpus
+    "q_quantized_rerank", // int8 full-scan prefilter + 50-row exact rerank
+    "q_bigram_ppx",       // bigram stream + two count-table joins
+    "q_kcore")            // 3 pruning rounds, localCheckpoint each
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

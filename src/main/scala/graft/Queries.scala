@@ -7340,16 +7340,20 @@ object Queries {
           s"CAST(sum(CASE WHEN list_contains(toks, '$t') AND t <> '' THEN 1 ELSE 0 END) AS BIGINT) AS hits_$t")
           .mkString(", ") +
         " FROM tk GROUP BY source ORDER BY source"),
+    // every CTE is MATERIALIZED: the final readout references each round's
+    // edge set more than once, and DuckDB's default inlining would re-derive
+    // the whole chain (including the quadratic e0 self-join) per reference —
+    // measured as a disk-spill blowup at sf1 (6.6 s materialized)
     "q_kcore" ->
-      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
-        "e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+      ("WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
         "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
         "GROUP BY 1, 2 HAVING count(*) >= 2)" +
         (1 to 3).map { i =>
           val p = i - 1
-          s", d$p AS (SELECT n, count(*) AS d FROM (SELECT pa AS n FROM e$p UNION ALL SELECT pb AS n FROM e$p) GROUP BY n)" +
-            s", k$p AS (SELECT n FROM d$p WHERE d >= 2)" +
-            s", e$i AS (SELECT pa, pb FROM e$p WHERE pa IN (SELECT n FROM k$p) AND pb IN (SELECT n FROM k$p))"
+          s", d$p AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT pa AS n FROM e$p UNION ALL SELECT pb AS n FROM e$p) GROUP BY n)" +
+            s", k$p AS MATERIALIZED (SELECT n FROM d$p WHERE d >= 2)" +
+            s", e$i AS MATERIALIZED (SELECT pa, pb FROM e$p WHERE pa IN (SELECT n FROM k$p) AND pb IN (SELECT n FROM k$p))"
         }.mkString + " " +
         (1 to 3).map(i =>
           s"SELECT CAST($i AS BIGINT) AS round, " +
