@@ -152,7 +152,13 @@ object DevScaling {
       "q_attribution", "q_late_arrivals", "q_ann_pq",
       // round-9 wave 6: linear scans (int8 prefilter + 50-row rerank) and
       // the token-keyed LM scoring joins
-      "q_quantized_rerank", "q_bigram_ppx")
+      "q_quantized_rerank", "q_bigram_ppx",
+      // round-9 wave 7: co-keyed PIT interval join (bounded census) and
+      // the bounded pool nest + anti-join sampler (|users|·5 output)
+      "q_pit_join", "q_negative_sample",
+      // round-9 wave 8: bounded-output sketch audits (KMV bottom-k,
+      // CMS counter table) — linear scans, constant-size sketches
+      "q_kmv_distinct", "q_cms_estimate")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

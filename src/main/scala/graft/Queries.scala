@@ -5074,6 +5074,152 @@ object Queries {
       .transform(ps(col("doc_id")))
   }
 
+  /** Point-in-time (temporally correct) feature join — the feature-store
+    * pattern that prevents label leakage in training data: each event
+    * reads the customer's order-count feature AS OF the event time, never
+    * a later value. The dimension is the SCD2 effective-dated build (one
+    * customer-keyed lead window over orders; same-date rows collapse into
+    * empty intervals, so exactly one interval covers any instant); the
+    * join is equi on the customer key with the interval residual inside
+    * it — co-keyed shuffle, never a cross join; events before the first
+    * order keep feature 0 via the left join. Output is the bounded
+    * (feature value → event count/value) census. */
+  def qPitJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from"), col("o_orderkey"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("valid_from"))
+      .withColumn("n_orders",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .drop("o_orderkey")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("ed"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("val_c"))
+    ev.join(dim,
+        col("user_id") === col("o_custkey") &&
+          col("ed") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ed") < col("valid_to")),
+        "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("n_orders_at_event"),
+        col("val_c"))
+      .groupBy("n_orders_at_event")
+      .agg(count(lit(1)).as("n_events"), sum(col("val_c")).as("value_c"))
+      .transform(ps(col("n_orders_at_event")))
+  }
+
+  /** Deterministic negative sampling for contrastive training: for every
+    * customer with at least one purchase, 5 parts they did NOT buy,
+    * drawn from a DECLARED candidate pool (the top-50 most-ordered parts
+    * — production negative samplers draw from a popularity pool so
+    * negatives are plausible, not random catalog noise) in seeded-hash
+    * order. The pool is a bounded TakeOrdered broadcast; the user×pool
+    * nest anti-joins the purchase table CO-KEYED on (customer, part);
+    * ranking is a customer-partitioned window over ≤50 rows — never a
+    * full catalog scan per user. Knuth-arithmetic hash restates exactly
+    * in SQL. */
+  def qNegativeSample(s: SparkSession, d: String): DataFrame = {
+    val bought = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val pool = bought.groupBy("p").agg(count(lit(1)).as("n_buyers"))
+      .orderBy(col("n_buyers").desc, col("p"))
+      .limit(50)
+      .select(col("p").as("cand"))
+    val users = bought.select(col("c")).distinct()
+    val h = expr("((c * 131071 + cand) % 2147483648) * 2654435761 % 4294967296")
+    val w = Window.partitionBy(col("c")).orderBy(h, col("cand"))
+    users.crossJoin(broadcast(pool))
+      .join(bought.withColumnRenamed("p", "cand"), Seq("c", "cand"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("c").as("c_custkey"), col("cand").as("l_partkey"), col("rank"))
+      .orderBy("c_custkey", "rank")
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch, audited against the
+    * exact answer: per event type, the k=64 smallest 52-bit md5 hashes of
+    * the user ids estimate distinct users as `(k−1)·2⁵²/h₍ₖ₎` — the
+    * classic bottom-k estimator, and unlike HLL fully portable (md5 both
+    * engines) so the oracle checks it EXACTLY. The k-smallest selection
+    * is the two-phase bucketed form: uniform hashes range-bucket evenly
+    * on their top bits, so phase 1 ranks inside 128 balanced (type,
+    * hash-range) partitions and phase 2 ranks only the ≤128·k survivors
+    * per type — no single-task full sort at any scale (the global top-k
+    * of a set is always inside the union of per-bucket top-k). At 100 TB
+    * the sketch side touches each distinct hash once and keeps 64 values
+    * per group; the exact side is the audit, not the product. */
+  def qKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    val hv = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+          .as("h"))
+      .distinct() // KMV is defined over the distinct HASH set
+    val b1 = Window.partitionBy(col("event_type"), col("hb")).orderBy(col("h"))
+    val b2 = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = hv
+      .withColumn("hb", expr("h div 35184372088832")) // 2^45 → 128 range buckets
+      .withColumn("r1", row_number().over(b1)).where(col("r1") <= K)
+      .withColumn("r2", row_number().over(b2)).where(col("r2") <= K)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+    val exact = Tables.events(s, d).select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    sk.join(exact, "event_type")
+      // below k distinct hashes the sketch holds the whole set — exact;
+      // 63·2⁵² ≈ 2.8e17 stays far inside int64
+      .select(col("event_type"), col("n_exact"),
+        when(col("n_sk") < K, col("n_sk"))
+          .otherwise(expr(s"(${K - 1}L * 4503599627370496L) div kth"))
+          .as("n_kmv"))
+      .withColumn("err_ppm", expr("(abs(n_kmv - n_exact) * 1000000L) div n_exact"))
+      .transform(ps(col("event_type")))
+  }
+
+  /** Count-min-sketch frequency estimation, audited against exact counts:
+    * a d=4 × w=8 CMS over the corpus token stream (portable md5 row
+    * hashes, so both engines build the IDENTICAL sketch), read back for
+    * the 20 most frequent tokens — estimate = min over the 4 counters,
+    * always ≥ exact, and the `overcount` column is the collision-induced
+    * bias a CMS user budgets for. w=8 is DELIBERATELY undersized for the
+    * fixture's 31-type vocabulary so the collision regime is actually
+    * exercised (a wide sketch over this corpus measures nothing);
+    * production sizes w to the heavy-hitter budget — every shape below
+    * is w-independent. The counter table is one map-side-combined
+    * aggregate over per-token counts (d·w rows at ANY corpus size — the
+    * mergeable-sketch shape that turns 100 TB of tokens into a
+    * broadcastable frequency oracle); the top-20 readout is a
+    * TakeOrdered, and the probe↔counter join is a broadcast hash join.
+    * AQE stage reuse serves the token-count exchange to both the sketch
+    * build and the readout. */
+  def qCmsEstimate(s: SparkSession, d: String): DataFrame = {
+    val bucketOf = "CAST(conv(substr(md5(concat(CAST(j AS STRING), '|', token)), " +
+      "1, 13), 16, 10) AS BIGINT) % 8"
+    val tc = Tables.documents(s, d)
+      .select(explode(
+        graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val cnt = tc
+      .select(col("c"), col("token"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("bucket", expr(bucketOf))
+      .groupBy("j", "bucket").agg(sum(col("c")).as("counter"))
+    tc.orderBy(col("c").desc, col("token")).limit(20)
+      .select(col("token"), col("c"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("bucket", expr(bucketOf))
+      .join(broadcast(cnt), Seq("j", "bucket"))
+      .groupBy("token", "c")
+      .agg(min(col("counter")).as("cms_est"))
+      .select(col("token"), col("c").as("n_exact"), col("cms_est"),
+        (col("cms_est") - col("c")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -5320,6 +5466,10 @@ object Queries {
     "q_ann_pq" -> (qAnnPq _),
     "q_quantized_rerank" -> (qQuantizedRerank _),
     "q_bigram_ppx" -> (qBigramPpx _),
+    "q_pit_join" -> (qPitJoin _),
+    "q_negative_sample" -> (qNegativeSample _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_cms_estimate" -> (qCmsEstimate _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -7422,5 +7572,64 @@ object Queries {
         "round(sum(log2(CAST(c1 AS DOUBLE)) - log2(CAST(c12 AS DOUBLE))) / count(*), 4) AS surprisal_bits " +
         "FROM bi2 JOIN bc USING (bigram) JOIN wc USING (w1) " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "q_pit_join" ->
+      ("WITH dim AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from, " +
+        "CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_orders, " +
+        "lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey " +
+        "ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS valid_to FROM orders), " +
+        "ev AS (SELECT user_id, CAST(ts AS DATE) AS ed, " +
+        "CAST(round(value * 100, 0) AS BIGINT) AS val_c FROM events), " +
+        "j AS (SELECT coalesce(dim.n_orders, 0) AS n_orders_at_event, ev.val_c " +
+        "FROM ev LEFT JOIN dim ON ev.user_id = dim.o_custkey " +
+        "AND ev.ed >= dim.valid_from AND (dim.valid_to IS NULL OR ev.ed < dim.valid_to)) " +
+        "SELECT n_orders_at_event, count(*) AS n_events, " +
+        "CAST(sum(val_c) AS BIGINT) AS value_c " +
+        "FROM j GROUP BY n_orders_at_event ORDER BY n_orders_at_event"),
+    "q_negative_sample" ->
+      ("WITH bought AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "pool AS (SELECT p AS cand FROM (SELECT p, count(*) AS n_buyers FROM bought GROUP BY p) " +
+        "ORDER BY n_buyers DESC, p LIMIT 50), " +
+        "users AS (SELECT DISTINCT c FROM bought), " +
+        "nest AS (SELECT c, cand FROM users CROSS JOIN pool " +
+        "WHERE NOT EXISTS (SELECT 1 FROM bought b WHERE b.c = users.c AND b.p = cand)), " +
+        "r AS (SELECT c, cand, CAST(row_number() OVER (PARTITION BY c " +
+        "ORDER BY ((c * 131071 + cand) % 2147483648) * 2654435761 % 4294967296, cand) AS BIGINT) AS rank " +
+        "FROM nest) " +
+        "SELECT c AS c_custkey, cand AS l_partkey, rank FROM r WHERE rank <= 5 " +
+        "ORDER BY c_custkey, rank"),
+    "q_kmv_distinct" ->
+      ("WITH hv AS (SELECT DISTINCT event_type, " +
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS h FROM events), " +
+        "p1 AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type, " +
+        "h // 35184372088832 ORDER BY h) AS r1 FROM hv), " +
+        "p2 AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY h) AS r2 FROM p1 WHERE r1 <= 64), " +
+        "sk AS (SELECT event_type, count(*) AS n_sk, max(h) AS kth " +
+        "FROM p2 WHERE r2 <= 64 GROUP BY event_type), " +
+        "ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact " +
+        "FROM events GROUP BY event_type), " +
+        "j AS (SELECT ex.event_type, ex.n_exact, CAST(CASE WHEN sk.n_sk < 64 " +
+        "THEN sk.n_sk ELSE (63 * 4503599627370496) // sk.kth END AS BIGINT) AS n_kmv " +
+        "FROM sk JOIN ex USING (event_type)) " +
+        "SELECT event_type, n_exact, n_kmv, " +
+        "(abs(n_kmv - n_exact) * 1000000) // n_exact AS err_ppm " +
+        "FROM j ORDER BY event_type"),
+    "q_cms_estimate" ->
+      (TP_TOK_CTE +
+        ", tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token)" +
+        ", js AS (SELECT unnest([0, 1, 2, 3]) AS j)" +
+        ", eb AS (SELECT token, c, j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) " +
+        "|| '|' || token), 1, 13) AS BIGINT) % 8 AS bucket FROM tc CROSS JOIN js)" +
+        ", cnt AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS counter " +
+        "FROM eb GROUP BY j, bucket)" +
+        ", top AS (SELECT token, c FROM tc ORDER BY c DESC, token LIMIT 20)" +
+        ", pr AS (SELECT top.token, top.c, js.j, CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) " +
+        "|| '|' || top.token), 1, 13) AS BIGINT) % 8 AS bucket FROM top CROSS JOIN js)" +
+        ", est AS (SELECT pr.token, pr.c, min(cnt.counter) AS cms_est " +
+        "FROM pr JOIN cnt USING (j, bucket) GROUP BY pr.token, pr.c) " +
+        "SELECT token, CAST(c AS BIGINT) AS n_exact, cms_est, " +
+        "cms_est - c AS overcount FROM est ORDER BY n_exact DESC, token"),
   )
 }

@@ -1184,6 +1184,53 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count") || p.contains("Functions [partial"), p)
   }
 
+  test("q_pit_join: interval lookup is equi-keyed on the customer, never a nested loop") {
+    val df = Queries.qPitJoin(spark, SF)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the PIT join must be equi on the customer key with the interval as residual:\n$p")
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("o_custkey")),
+      s"the SCD2 build must stay customer-keyed:\n$exec")
+  }
+
+  test("q_negative_sample: bounded pool nest + co-keyed anti-join") {
+    val df = Queries.qNegativeSample(spark, SF)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    df.collect()
+    // exactly one nested-loop nest is DECLARED: users × the 50-part pool
+    // (count only the AQE final plan — the string echoes the initial plan too)
+    val exec = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(exec.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"only the bounded candidate-pool nest may be non-equi:\n$exec")
+  }
+
+  test("q_kmv_distinct: every rank window is partitioned — no single-task sort") {
+    val df = Queries.qKmvDistinct(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type")),
+      s"KMV k-smallest must rank inside (event_type[, range-bucket]) partitions:\n$exec")
+    // phase 1 must carry the range-bucket key so its partitions stay
+    // balanced and bounded as the distinct-hash set grows
+    assert(specs.exists(_.contains("hb")),
+      s"the bucketed phase-1 window is the scale guard:\n$exec")
+  }
+
+  test("q_cms_estimate: TakeOrdered readout, broadcast counter join") {
+    val df = Queries.qCmsEstimate(spark, SF)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the d·w counter table must broadcast:\n$p")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
