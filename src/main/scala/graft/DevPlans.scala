@@ -91,6 +91,19 @@ object DevPlans {
         "partially-aggregated min over a (distance, cid) struct — the n×k " +
         "expansion never shuffles; the probe's 16-entry ADC table broadcasts " +
         "for the final lookup-join and the ranking is TakeOrderedAndProject."),
+      "q_pit_join" -> ("Point-in-time feature join: the SCD2 dimension " +
+        "builds in one customer-keyed window (running count + lead close " +
+        "the intervals), then the lookup is an EQUI join on the customer " +
+        "key with the interval containment as a join residual — " +
+        "SortMergeJoin/ShuffledHashJoin, never a nested loop; events and " +
+        "dimension co-locate on one key exchange each."),
+      "q_kmv_distinct" -> ("Bottom-k sketch without a global sort: phase 1 " +
+        "ranks inside (type, hash-range-bucket) partitions — uniform hashes " +
+        "keep the 128 buckets balanced — and phase 2 ranks only the ≤128·k " +
+        "survivors per type; the estimator finishes in exact integer " +
+        "division. The k-smallest of a set is always inside the union of " +
+        "per-bucket k-smallest, so the two-phase cut is exact, not " +
+        "approximate."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
