@@ -13,6 +13,18 @@ case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
 case class SessionState(n: Long, total: Double,
                         first: java.sql.Timestamp, last: java.sql.Timestamp)
 
+/** A finalized session emitted by [[EventStreams.closedUserSessions]].
+  * Bounds are epoch MICROS — the fixture's native ts precision, kept
+  * exact so batch parity is bit-level (a millis `Timestamp` would
+  * truncate). */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                         n_events: Long)
+
+/** Per-user open-session state for [[EventStreams.closedUserSessions]] —
+  * epoch-micros bounds + count: constant bytes per user however long the
+  * stream runs. */
+case class OpenSession(start: Long, last: Long, n: Long)
+
 /** Structured Streaming tier over the `events` table shape.
   *
   * The reference's "streaming" is a daily batch re-run (`@daily` DAG,
@@ -119,6 +131,51 @@ object EventStreams {
             evictAfter.foreach(state.setTimeoutDuration)
             SessionSummary(userId, next.n, next.total, next.first, next.last)
           }
+      }
+  }
+
+  /** Closed-session EMISSION via `flatMapGroupsWithState` — the 0..n-output
+    * form of the arbitrary-state API (`mapGroupsWithState` must emit exactly
+    * one row per group per batch; session closure is inherently 0..n):
+    * each user's state holds ONLY the currently-open session (start, last
+    * seen, count — constant bytes per user, the reason this beats buffering
+    * raw events), and a session row is emitted the moment a gap larger than
+    * `gapMinutes` proves it closed. A user's trailing session stays in
+    * state — in a live stream it closes when later events (or an armed
+    * timeout) advance the clock; in an `AvailableNow` replay it is the one
+    * deliberately-unemitted session per user, which is exactly what the
+    * batch-parity spec asserts against.
+    *
+    * Within one micro-batch a group's rows arrive unordered, so the handler
+    * sorts the BATCH's timestamps (bounded by the micro-batch, never the
+    * stream); cross-batch reordering is out of scope without a watermark —
+    * the same contract as the built-in `session_window` in append mode. */
+  def closedUserSessions(events: DataFrame, gapMinutes: Int): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          val times = rows.map(_._2).toArray.sorted
+          var open = state.getOption
+          val out = Seq.newBuilder[ClosedSession]
+          times.foreach { t =>
+            open match {
+              case Some(s) if t - s.last <= gapUs =>
+                open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1))
+              case Some(s) =>
+                out += ClosedSession(userId, s.start, s.last, s.n)
+                open = Some(OpenSession(t, t, 1L))
+              case None =>
+                open = Some(OpenSession(t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
       }
   }
 
