@@ -5220,6 +5220,142 @@ object Queries {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** PII pseudonymization — the governance layer every shared training
+    * corpus needs before it leaves the trust boundary: the direct
+    * identifier (`c_name`) is masked for display (all but the last 4
+    * digits starred, width-agnostic so regenerated wider keys still
+    * mask), and the JOIN key is replaced by a salted deterministic token
+    * (`md5('graft-pii-v1|' ∥ key)` prefix) — the tokenization pattern
+    * that preserves join algebra without raw identifiers ever crossing
+    * the join. The event side tokenizes `user_id` under the SAME salt, so
+    * the per-customer event rollup joins ON THE TOKEN: one co-keyed
+    * shuffle, the raw key never appears in the join or the output. At
+    * 100 TB both sides are map-side hash projections; the token join
+    * shuffles exactly like the raw-key join it replaces (md5 output is
+    * uniform, so no new skew), and the salt rotates by bumping the
+    * literal. Mirrors the reference's user-facing export step
+    * (spotify_etl_v2.py writes raw ids to the warehouse — this is the
+    * op it would need first in a PII regime). */
+  def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        expr("concat('Customer#', repeat('*', length(c_name) - 13), " +
+          "substring(c_name, length(c_name) - 3, 4))").as("masked_name"),
+        expr("substring(md5(concat('graft-pii-v1|', CAST(c_custkey AS STRING))), 1, 16)")
+          .as("pseudo"))
+    val ev = Tables.events(s, d)
+      .select(expr(
+        "substring(md5(concat('graft-pii-v1|', CAST(user_id AS STRING))), 1, 16)")
+        .as("pseudo"))
+      .groupBy("pseudo").agg(count(lit(1)).as("n_events"))
+    cust.join(ev, Seq("pseudo"), "left")
+      .select(col("c_custkey"), col("masked_name"), col("pseudo"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("c_custkey")
+  }
+
+  /** k-anonymity audit over a declared quasi-identifier tuple
+    * (nation, market segment, overdrawn flag) — the re-identification
+    * risk check run before releasing "anonymized" data: every row in an
+    * equivalence class of size k is indistinguishable from k−1 others,
+    * so small classes are the leak surface. Output is the class-size
+    * census (k → classes, rows) with the k<5 violation flag — the
+    * bounded table a governance gate reads to decide suppress /
+    * generalize. Two map-side-combinable aggregates (rows → classes →
+    * census), no windows, no joins: at 100 TB this is one shuffle at the
+    * QI grain and a second at the (bounded) class-size grain. */
+  def qKAnonymity(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        (col("c_acctbal") < 0).cast("int").as("overdrawn"))
+      .agg(count(lit(1)).as("k"))
+    classes.groupBy("k")
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+      .withColumn("violates_k5", (col("k") < lit(5)).cast("bigint"))
+      .transform(ps(col("k")))
+  }
+
+  /** Z-order (Morton) layout audit — the multi-dimensional data-layout
+    * op behind `OPTIMIZE ZORDER BY`: interleaving the bits of two
+    * range-normalized keys makes ONE sort order give BOTH dimensions
+    * locality, so per-file zone maps prune range predicates on either
+    * column. Each row's (partkey, suppkey) is normalized to 8 bits
+    * against the corpus min/max (a 1-row broadcast aggregate — how a
+    * real optimizer job ranges its domain; never a collect), bit-
+    * interleaved into a 16-bit Morton code by pure div/mod arithmetic
+    * (portable to ANSI SQL verbatim), and bucketed by the top 8
+    * interleaved bits — ≤256 buckets at ANY scale, each a 16×16 cell of
+    * the normalized grid. The output is the bucket zone-map (min/max of
+    * both raw keys) plus scan flags for two declared range predicates,
+    * one per dimension — the pruning-effectiveness readout: under a
+    * linear single-key layout the secondary dimension's flag would be 1
+    * for every bucket; under Z-order both columns prune. Row-local map
+    * work plus one bounded-grain aggregate — nothing here grows with the
+    * corpus except the scan itself. */
+  def qZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("sk"))
+    val stats = li.agg(min("p").as("pmin"), max("p").as("pmax"),
+      min("sk").as("smin"), max("sk").as("smax"))
+    val norm = li.crossJoin(broadcast(stats))
+      .withColumn("pz", expr(
+        "CASE WHEN pmax = pmin THEN 0L ELSE ((p - pmin) * 255) div (pmax - pmin) END"))
+      .withColumn("sz", expr(
+        "CASE WHEN smax = smin THEN 0L ELSE ((sk - smin) * 255) div (smax - smin) END"))
+    norm.withColumn("bucket", expr(s"(${zInterleave("div")}) div 256"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("p").as("min_p"), max("p").as("max_p"),
+        min("sk").as("min_s"), max("sk").as("max_s"),
+        min("pz").as("min_pz"), max("pz").as("max_pz"),
+        min("sz").as("min_sz"), max("sz").as("max_sz"))
+      .select(col("bucket"), col("n_rows"),
+        col("min_p"), col("max_p"), col("min_s"), col("max_s"),
+        (!(col("max_pz") < 96 || col("min_pz") > 127)).cast("bigint").as("scan_p"),
+        (!(col("max_sz") < 64 || col("min_sz") > 95)).cast("bigint").as("scan_s"))
+      .transform(ps(col("bucket")))
+  }
+
+  /** The 16-bit Morton interleave of the 8-bit normalized keys `pz`/`sz`
+    * as pure integer arithmetic — `dv` is the engine's integer-division
+    * token ("div" Spark, "//" DuckDB) so BOTH engines evaluate the
+    * byte-identical expression. */
+  private def zInterleave(dv: String): String =
+    (0 until 8).map(i =>
+      s"((pz $dv ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((sz $dv ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+
+  /** Small-file compaction planner — the table-maintenance op a 100 TB
+    * lakehouse runs continuously: given the file listing (modeled as one
+    * segment per ship date, bytes = rows × a declared 128-byte row
+    * estimate), pack date-ordered segments into target-sized rewrite
+    * bins (64 KiB here; 128 MiB in production) by cumulative fill:
+    * bin = exclusive-prefix-bytes div target. Contiguity in the sort key
+    * is what makes the rewrite also a CLUSTERING pass, which is why the
+    * packing is by running total, not best-fit. The prefix sum is the
+    * scalable two-phase form ([[Ops.prefixSumScalable]]: bucket bases +
+    * bucket-local windows — never a single-task global window), because
+    * a real lakehouse file listing is millions of rows of METADATA: the
+    * planner never touches data, only the per-segment stats, and its
+    * output is O(total bytes / target) plan rows. */
+  def qCompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val files = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("fdate"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes", col("n_rows") * lit(128L))
+      .withColumn("dkey",
+        datediff(col("fdate"), lit("1992-01-01").cast("date")).cast("long"))
+    Ops.prefixSumScalable(files, "dkey", "bytes", "prefix_excl")
+      .withColumn("bin_id", expr("prefix_excl div 65536 + 1"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        sum("bytes").as("bytes"),
+        min("fdate").as("from_date"), max("fdate").as("to_date"))
+      .orderBy("bin_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -5470,6 +5606,10 @@ object Queries {
     "q_negative_sample" -> (qNegativeSample _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_cms_estimate" -> (qCmsEstimate _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_zorder_layout" -> (qZorderLayout _),
+    "q_compaction_plan" -> (qCompactionPlan _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -7631,5 +7771,43 @@ object Queries {
         "FROM pr JOIN cnt USING (j, bucket) GROUP BY pr.token, pr.c) " +
         "SELECT token, CAST(c AS BIGINT) AS n_exact, cms_est, " +
         "cms_est - c AS overcount FROM est ORDER BY n_exact DESC, token"),
+    "q_pii_redact" ->
+      ("WITH cust AS (SELECT c_custkey, 'Customer#' || repeat('*', length(c_name) - 13) " +
+        "|| substr(c_name, length(c_name) - 3, 4) AS masked_name, " +
+        "substr(md5('graft-pii-v1|' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo FROM customer), " +
+        "ev AS (SELECT substr(md5('graft-pii-v1|' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo, " +
+        "count(*) AS n_events FROM events GROUP BY 1) " +
+        "SELECT c_custkey, masked_name, pseudo, CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events " +
+        "FROM cust LEFT JOIN ev USING (pseudo) ORDER BY c_custkey"),
+    "q_k_anonymity" ->
+      ("WITH cls AS (SELECT c_nationkey, c_mktsegment, CAST(c_acctbal < 0 AS INTEGER) AS overdrawn, " +
+        "CAST(count(*) AS BIGINT) AS k FROM customer GROUP BY 1, 2, 3) " +
+        "SELECT k, CAST(count(*) AS BIGINT) AS n_classes, CAST(sum(k) AS BIGINT) AS n_rows, " +
+        "CAST(k < 5 AS BIGINT) AS violates_k5 FROM cls GROUP BY k ORDER BY k"),
+    "q_zorder_layout" ->
+      ("WITH st AS (SELECT min(CAST(l_partkey AS BIGINT)) AS pmin, max(CAST(l_partkey AS BIGINT)) AS pmax, " +
+        "min(CAST(l_suppkey AS BIGINT)) AS smin, max(CAST(l_suppkey AS BIGINT)) AS smax FROM lineitem), " +
+        "nz AS (SELECT CAST(l_partkey AS BIGINT) AS p, CAST(l_suppkey AS BIGINT) AS sk, " +
+        "CASE WHEN pmax = pmin THEN 0 ELSE ((CAST(l_partkey AS BIGINT) - pmin) * 255) // (pmax - pmin) END AS pz, " +
+        "CASE WHEN smax = smin THEN 0 ELSE ((CAST(l_suppkey AS BIGINT) - smin) * 255) // (smax - smin) END AS sz " +
+        "FROM lineitem CROSS JOIN st), " +
+        s"zb AS (SELECT p, sk, pz, sz, (${zInterleave("//")}) // 256 AS bucket FROM nz), " +
+        "ag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "min(p) AS min_p, max(p) AS max_p, min(sk) AS min_s, max(sk) AS max_s, " +
+        "min(pz) AS min_pz, max(pz) AS max_pz, min(sz) AS min_sz, max(sz) AS max_sz " +
+        "FROM zb GROUP BY bucket) " +
+        "SELECT bucket, n_rows, min_p, max_p, min_s, max_s, " +
+        "CAST(NOT (max_pz < 96 OR min_pz > 127) AS BIGINT) AS scan_p, " +
+        "CAST(NOT (max_sz < 64 OR min_sz > 95) AS BIGINT) AS scan_s " +
+        "FROM ag ORDER BY bucket"),
+    "q_compaction_plan" ->
+      ("WITH f AS (SELECT CAST(l_shipdate AS DATE) AS fdate, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) * 128 AS BIGINT) AS bytes FROM lineitem GROUP BY 1), " +
+        "p AS (SELECT fdate, n_rows, bytes, CAST(COALESCE(SUM(bytes) OVER (ORDER BY fdate " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pe FROM f), " +
+        "b AS (SELECT pe // 65536 + 1 AS bin_id, fdate, n_rows, bytes FROM p) " +
+        "SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n_rows) AS BIGINT) AS n_rows, " +
+        "CAST(sum(bytes) AS BIGINT) AS bytes, min(fdate) AS from_date, max(fdate) AS to_date " +
+        "FROM b GROUP BY bin_id ORDER BY bin_id"),
   )
 }
