@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSim.cosine_sim
-import graft.operators.{EventAnalytics, Graph, Ops, Shuffles, Similarity, TextOps, TrainPrep}
+import graft.operators.{Checkpoints, EventAnalytics, Graph, Ops, Shuffles, Similarity, TextOps, TrainPrep}
 
 /** The declared query inventory (SURVEY.md §2.3): each entry re-expresses a
   * surveyed operator of the reference pipeline on the harness tables, paired
@@ -3204,14 +3204,14 @@ object Queries {
       .where(col("c") >= 2).select("pa", "pb")
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
       .select(col("src").as("node"), lit(0L).as("sd"))
     var dist = sym.select(col("src").as("node")).distinct()
       .join(broadcast(seed), Seq("node"), "left")
       .select(col("node"), col("sd").as("d"))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     // empty-graph guard (one limit-1 job): AQE's empty-relation propagation
     // can eliminate a CollectMetrics node on a provably-empty plan, which
     // would block the fused Observation below forever
@@ -3233,7 +3233,7 @@ object Queries {
         .observe(obs, sum(when(!(col("d") <=> col("prev")), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("node"), col("d"))
-        .localCheckpoint()
+        .transform(Checkpoints.truncate)
       changed = obs.get.getOrElse("changed", 0L) match {
         case null => 0L
         case x => x.asInstanceOf[Long]
@@ -4870,21 +4870,33 @@ object Queries {
       .transform(ps(col("source")))
   }
 
-  /** 2-core decomposition, three pruning rounds (DECLARED semantics: the
-    * fixed round count makes the query SQL-restatable — each round drops
-    * nodes of degree < 2 and the edges touching them; real k-core runs to
-    * the fixpoint, which this converges toward monotonically). Output is
-    * the 3-row shrink trace (round, nodes, edges) — the graph-health
-    * summary a mining pipeline checks before paying for community
-    * detection. Each round is two bounded aggregates + one semi-join per
-    * endpoint over the current edge set; no windows, no pair expansion
-    * beyond the co-purchase edge build. Like every iterated graph loop
-    * here, each round's edge set truncates lineage via localCheckpoint —
-    * without it the round-i chain re-derives rounds 1..i−1 (and the
-    * expensive edge build) once per downstream aggregate, turning three
-    * prunes into a combinatorial re-execution (measured 24 s → 3 s at
-    * sf0.01); swap for reliable checkpoint on a real cluster. */
-  def qKcore(s: SparkSession, d: String): DataFrame = {
+  /** 2-core decomposition run to the FIXPOINT under a declared round cap
+    * ([[KcoreCap]] = 8): each round drops nodes of degree < 2 and the
+    * edges touching them, and the loop stops at the first round that
+    * drops nothing (edge count unchanged ⇒ degrees unchanged ⇒ keep set
+    * unchanged ⇒ fixpoint — pruning is monotone). Output is the full
+    * 8-row shrink trace with a per-round `converged` flag; rounds after
+    * convergence repeat the fixpoint counts with the flag set, so the
+    * row count is DECLARED and the DuckDB oracle restates the loop as 8
+    * materialized CTE rounds (identity after the fixpoint) while the
+    * Spark loop still stops early — the executed-round count is exposed
+    * to the spec via [[kcoreTrace]]. Each executed round is one semi-join
+    * per endpoint over the current edge set, its edge count FUSED into
+    * the checkpoint materialization as a `Dataset.observe` metric (one
+    * job per round, plus one bounded node-count readout); lineage
+    * truncates per round via [[graft.operators.Checkpoints.truncate]]
+    * (local or reliable by conf) — without it round i re-derives rounds
+    * 1..i−1 once per downstream aggregate (measured 24 s → 3 s at
+    * sf0.01). The trace itself is ≤8 rows of 4 longs — the one
+    * driver-side structure, bounded at any scale. */
+  def qKcore(s: SparkSession, d: String): DataFrame = kcoreTrace(s, d)._1
+
+  private[graft] val KcoreCap = 8
+
+  /** The k-core loop; returns (trace frame, rounds actually executed) so
+    * the spec can pin early termination. */
+  private[graft] def kcoreTrace(s: SparkSession, d: String): (DataFrame, Int) = {
+    import s.implicits._
     val (e0, _) = coPurchaseGraph(s, d)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
@@ -4895,14 +4907,43 @@ object Queries {
         .join(keep.withColumnRenamed("n", "pb"), Seq("pb"), "left_semi")
         .select("pa", "pb")
     }
-    var e = e0.localCheckpoint()
-    (1 to 3).map { i =>
-      e = prune(e).localCheckpoint()
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(degrees(e).agg(count(lit(1)).as("n_nodes")))
-        .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
-    }.reduce(_ unionByName _)
-      .transform(ps(col("round")))
+    def observedCount(obs: org.apache.spark.sql.Observation): Long =
+      obs.get.getOrElse("n", 0L) match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+    // Empty-graph guard (one limit-1 job, pre-loop only): AQE's
+    // empty-relation propagation can eliminate a CollectMetrics node on a
+    // provably-empty plan, which would block Observation.get forever.
+    if (e0.isEmpty) {
+      val rows = (1 to KcoreCap).map(i => (i.toLong, 0L, 0L, 1L))
+      return (rows.toDF("round", "n_nodes", "n_edges", "converged"), 0)
+    }
+    val obs0 = org.apache.spark.sql.Observation()
+    var e = e0.observe(obs0, count(lit(1)).as("n"))
+      .transform(Checkpoints.truncate)
+    var prevEdges = observedCount(obs0)
+    var trace = Vector.empty[(Long, Long, Long, Long)]
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < KcoreCap) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = prune(e).observe(obs, count(lit(1)).as("n"))
+        .transform(Checkpoints.truncate)
+      val nEdges = observedCount(obs)
+      val nNodes = degrees(next).count()
+      converged = nEdges == prevEdges
+      rounds += 1
+      trace :+= ((rounds.toLong, nNodes, nEdges, if (converged) 1L else 0L))
+      prevEdges = nEdges
+      e.unpersist()
+      e = next
+    }
+    e.unpersist()
+    val tail = trace.last
+    val full = trace ++
+      (rounds + 1 to KcoreCap).map(i => (i.toLong, tail._2, tail._3, 1L))
+    (full.toDF("round", "n_nodes", "n_edges", "converged"), rounds)
   }
 
   /** Last-touch marketing attribution: each purchase is credited to the
@@ -7639,17 +7680,19 @@ object Queries {
         "e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
         "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
         "GROUP BY 1, 2 HAVING count(*) >= 2)" +
-        (1 to 3).map { i =>
+        (1 to KcoreCap).map { i =>
           val p = i - 1
           s", d$p AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT pa AS n FROM e$p UNION ALL SELECT pb AS n FROM e$p) GROUP BY n)" +
             s", k$p AS MATERIALIZED (SELECT n FROM d$p WHERE d >= 2)" +
             s", e$i AS MATERIALIZED (SELECT pa, pb FROM e$p WHERE pa IN (SELECT n FROM k$p) AND pb IN (SELECT n FROM k$p))"
         }.mkString + " " +
-        (1 to 3).map(i =>
+        (1 to KcoreCap).map { i =>
+          val p = i - 1
           s"SELECT CAST($i AS BIGINT) AS round, " +
             s"(SELECT CAST(count(DISTINCT n) AS BIGINT) FROM (SELECT pa AS n FROM e$i UNION ALL SELECT pb AS n FROM e$i)) AS n_nodes, " +
-            s"(SELECT count(*) FROM e$i) AS n_edges")
-          .mkString(" UNION ALL ") +
+            s"(SELECT count(*) FROM e$i) AS n_edges, " +
+            s"CAST((SELECT count(*) FROM e$i) = (SELECT count(*) FROM e$p) AS BIGINT) AS converged"
+        }.mkString(" UNION ALL ") +
         " ORDER BY round"),
     "q_attribution" ->
       ("WITH w AS (SELECT user_id, ts, event_id, event_type, " +

@@ -41,7 +41,7 @@ object Graph {
                           maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     // Empty-graph guard (one limit-1 job, before the loop only): the fused
@@ -78,7 +78,7 @@ object Graph {
           .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
             .otherwise(0L)).as("changed"))
           .select(col("node"), col("label"))
-          .localCheckpoint()
+          .transform(Checkpoints.truncate)
         changed = obs.get.getOrElse("changed", 0L) match {
           case null => 0L
           case x => x.asInstanceOf[Long]

@@ -317,7 +317,7 @@ object TextOps {
     * cluster-mode reliable-checkpoint note). */
   def lshDedupClusters(sig: DataFrame, idCol: String, numBands: Int,
                        maxIter: Int = 10): DataFrame = {
-    val melted = meltBands(sig, idCol, numBands).localCheckpoint()
+    val melted = meltBands(sig, idCol, numBands).transform(Checkpoints.truncate)
     var labels = melted.select(col("id")).distinct()
       .withColumn("canonical_id", col("id"))
     // empty-corpus guard (one limit-1 job, pre-loop only): AQE's
@@ -347,7 +347,7 @@ object TextOps {
         .observe(obs, sum(when(col("canonical_id") =!= col("prev"), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("canonical_id"))
-        .localCheckpoint() // truncate lineage each round; reports `changed`
+        .transform(Checkpoints.truncate) // truncate lineage each round; reports `changed`
       changed = obs.get.getOrElse("changed", 0L) match {
         case null => 0L
         case x => x.asInstanceOf[Long]

@@ -41,4 +41,25 @@ class GraphSpec extends SparkSuite {
     assert(a(1L) == 1L && a(7L) == 1L && a(8L) == 1L)
     assert(a(4L) == 4L && a(6L) == 4L)
   }
+
+  test("checkpoint durability tiers agree: local vs reliable (graft.checkpoint.dir)") {
+    import graft.operators.Checkpoints
+    // local-mode tier (conf unset) — the default every other test exercises
+    val local = Queries.qKcore(spark, SF).collect().toSeq
+    // durable tier: same query, every truncation now a reliable checkpoint
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try {
+      val reliable = Queries.qKcore(spark, SF).collect().toSeq
+      assert(local == reliable,
+        s"durability tier must not change results:\nlocal=$local\nreliable=$reliable")
+      // the durable path actually wrote checkpoint data to the DFS dir
+      // getCheckpointDir is a URI string (file:/...) — resolve via URI
+      val ckpt = java.nio.file.Paths.get(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get))
+      val wrote = java.nio.file.Files.walk(ckpt)
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "reliable mode must materialize checkpoint files")
+    } finally spark.conf.unset(Checkpoints.DirConf)
+  }
 }

@@ -106,17 +106,29 @@ class QueriesSpec extends SparkSuite {
     assert(got.forall(okKeys.contains))
   }
 
-  test("q_kcore shrink trace is monotone nonincreasing and bounded by the full graph") {
-    val rows = Queries.qKcore(spark, SF)
-      .orderBy("round")
-      .select("n_nodes", "n_edges").as[(Long, Long)].collect()
-    assert(rows.length == 3)
-    rows.sliding(2).foreach { case Array((n1, e1), (n2, e2)) =>
-      assert(n2 <= n1 && e2 <= e1, s"pruning must only shrink: $rows")
+  test("q_kcore runs to the fixpoint, stops early, and the trace is monotone") {
+    val (df, roundsExecuted) = Queries.kcoreTrace(spark, SF)
+    val rows = df.orderBy("round")
+      .select("n_nodes", "n_edges", "converged").as[(Long, Long, Long)].collect()
+    assert(rows.length == Queries.KcoreCap)
+    // the loop must actually terminate on convergence, not the cap
+    assert(roundsExecuted < Queries.KcoreCap,
+      s"fixpoint must be reached before the declared cap: $roundsExecuted rounds")
+    assert(rows.map(_._3).contains(1L), s"a converged round must be emitted: ${rows.toSeq}")
+    // once converged, every later row repeats the fixpoint with the flag set
+    val firstConv = rows.indexWhere(_._3 == 1L)
+    rows.drop(firstConv).foreach { case (n, e, c) =>
+      assert(c == 1L && n == rows(firstConv)._1 && e == rows(firstConv)._2,
+        s"post-convergence rows must repeat the fixpoint: ${rows.toSeq}")
+    }
+    rows.sliding(2).foreach { case Array((n1, e1, _), (n2, e2, _)) =>
+      assert(n2 <= n1 && e2 <= e1, s"pruning must only shrink: ${rows.toSeq}")
     }
     // node counts are edge endpoints, so sum-of-degrees = 2·edges ≥ nodes
-    val (n3, e3) = rows.last
-    assert(2 * e3 >= n3, s"endpoint count cannot exceed degree sum: $rows")
+    val (nl, el, _) = rows.last
+    assert(2 * el >= nl, s"endpoint count cannot exceed degree sum: ${rows.toSeq}")
+    // in the 2-core fixpoint every surviving node has degree ≥ 2
+    assert(2 * el >= 2 * nl, s"2-core fixpoint needs degree >= 2 per node: ${rows.toSeq}")
   }
 
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
