@@ -4640,7 +4640,9 @@ object Queries {
     bucketed
       .crossJoin(broadcast(bucketed.agg(sum(col("n_tokens")).as("__t"))))
       .select(col("bucket"), col("n_tokens"), col("n_types"),
-        expr("(n_tokens * 1000000) div __t").as("load_ppm"))
+        // two-step ppm: the naive n_tokens*10^6 wraps int64 past ~9.2e12
+        // tokens per bucket — real exposure at the query's own 100-TB story
+        expr(ppmDiv("n_tokens", "__t")).as("load_ppm"))
       .transform(ps(col("bucket")))
   }
 
@@ -4666,14 +4668,14 @@ object Queries {
           .as("entropy_bits"))
       .transform(ps(col("doc_id")))
 
-  /** Maximum-inner-product top-10 (the recommender-scoring variant of
+  /** Maximum-inner-product top-20 (the recommender-scoring variant of
     * [[qCosineTopk]]: rank by the raw dot product, no normalization — the
     * metric a trained two-tower model retrieves against, where vector
     * NORM carries popularity signal that cosine would erase). The probe
     * is a literal array folded into the scan projection (one driver
     * round-trip for one vector); the dot is the index-ordered zip_with/
     * aggregate fold (both engines accumulate left-to-right in double, so
-    * the rounded score matches bit-for-bit); the top-10 is
+    * the rounded score matches bit-for-bit); the top-20 is
     * TakeOrderedAndProject under the (dot desc, vec_id) total order —
     * no global sort at any scale. */
   def qMips(s: SparkSession, d: String): DataFrame = {
@@ -7582,8 +7584,8 @@ object Queries {
         ", bk AS (SELECT CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 64 AS bucket, " +
         "CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types FROM tc GROUP BY 1)" +
         ", t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM bk) " +
-        "SELECT bucket, n_tokens, n_types, (n_tokens * 1000000) // tt AS load_ppm " +
-        "FROM bk CROSS JOIN t ORDER BY bucket"),
+        "SELECT bucket, n_tokens, n_types, " + ppmDivSql("n_tokens", "tt") +
+        " AS load_ppm FROM bk CROSS JOIN t ORDER BY bucket"),
     "q_doc_entropy" ->
       (TP_TOK_CTE +
         ", tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)" +

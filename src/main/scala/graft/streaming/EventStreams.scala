@@ -148,8 +148,13 @@ object EventStreams {
     *
     * Within one micro-batch a group's rows arrive unordered, so the handler
     * sorts the BATCH's timestamps (bounded by the micro-batch, never the
-    * stream); cross-batch reordering is out of scope without a watermark —
-    * the same contract as the built-in `session_window` in append mode. */
+    * stream). Cross-batch lateness: an event that lands inside (or within
+    * the gap of) the still-open session MERGES into it, extending `start`
+    * backwards and `last` forwards symmetrically (min/max); an event late
+    * relative to an ALREADY-EMITTED session cannot retract it and starts a
+    * new session instead — the same no-retraction contract as the built-in
+    * `session_window` in append mode (a watermark is what bounds that
+    * second case in production). */
   def closedUserSessions(events: DataFrame, gapMinutes: Int): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -166,7 +171,10 @@ object EventStreams {
           times.foreach { t =>
             open match {
               case Some(s) if t - s.last <= gapUs =>
-                open = Some(OpenSession(s.start, math.max(s.last, t), s.n + 1))
+                // merge symmetrically: a cross-batch late event may extend
+                // the open session's start BACKWARDS as well as last forwards
+                open = Some(OpenSession(math.min(s.start, t),
+                  math.max(s.last, t), s.n + 1))
               case Some(s) =>
                 out += ClosedSession(userId, s.start, s.last, s.n)
                 open = Some(OpenSession(t, t, 1L))

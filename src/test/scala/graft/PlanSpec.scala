@@ -1231,6 +1231,50 @@ class PlanSpec extends SparkSuite {
       s"the d·w counter table must broadcast:\n$p")
   }
 
+  test("q_pii_redact: token join is co-keyed hash/merge on pseudo — never a nested loop") {
+    val df = Queries.qPiiRedact(spark, SF)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pseudonym join must shuffle exactly like the raw-key join it replaces:\n$p")
+    // the join is keyed on the salted token, so the raw key never crosses it
+    val keyLines = p.linesIterator.filter(l =>
+      l.contains("Left keys") || l.contains("Right keys")).toSeq
+    assert(keyLines.nonEmpty && keyLines.forall(_.contains("pseudo")),
+      s"the join key must be the pseudonym, not the raw id:\n$p")
+    assert(p.contains("partial_count") || p.contains("Functions [partial"),
+      s"the event rollup must combine map-side:\n$p")
+  }
+
+  test("q_k_anonymity: two map-side-combinable aggregates — no joins, no windows") {
+    val p = plan(Queries.qKAnonymity(spark, SF))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the census must be pure aggregation:\n$p")
+    assert(p.contains("partial_count") || p.contains("Functions [partial"), p)
+  }
+
+  test("q_zorder_layout: exactly one 1-row stats nest, never a cartesian") {
+    val df = Queries.qZorderLayout(spark, SF)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"the min/max stats must broadcast as a 1-row nest:\n$p")
+    df.collect()
+    // count only the AQE final plan — the string echoes the initial plan too
+    val exec = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(exec.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"only the 1-row domain-stats broadcast may be non-equi:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
+  test("q_compaction_plan: prefix sum stays bucket-partitioned — no single-task window") {
+    val df = Queries.qCompactionPlan(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__bucket")),
+      s"the planner's running total must be the two-phase bucketed form:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -131,6 +131,83 @@ class QueriesSpec extends SparkSuite {
     assert(2 * el >= 2 * nl, s"2-core fixpoint needs degree >= 2 per node: ${rows.toSeq}")
   }
 
+  test("q_pii_redact: masks hold, tokens are collision-free, rollup is exact") {
+    val out = Queries.qPiiRedact(spark, SF).collect()
+    val nCust = Tables.customer(spark, SF).count()
+    assert(out.length == nCust, "one output row per customer")
+    out.foreach { r =>
+      assert(r.getString(1).matches("""Customer#\*+\d{4}"""),
+        s"mask must star all but the last 4 digits: ${r.getString(1)}")
+      assert(r.getString(2).matches("[0-9a-f]{16}"),
+        s"pseudonym must be the 16-hex salted token: ${r.getString(2)}")
+    }
+    assert(out.map(_.getString(2)).distinct.length == out.length,
+      "tokens must stay collision-free at fixture scale (join algebra preserved)")
+    // the token join must credit exactly the events whose user is a customer
+    val want = Tables.events(spark, SF).join(
+        Tables.customer(spark, SF).select($"c_custkey".as("user_id")), "user_id")
+      .count()
+    assert(out.map(_.getLong(3)).sum == want,
+      "token-joined event rollup must equal the raw-key rollup")
+  }
+
+  test("q_k_anonymity: census partitions the table and flags k<5 classes") {
+    val out = Queries.qKAnonymity(spark, SF)
+      .select("k", "n_classes", "n_rows", "violates_k5")
+      .as[(Long, Long, Long, Long)].collect()
+    out.foreach { case (k, nc, nr, v) =>
+      assert(nr == k * nc, s"class-size census must be internally consistent: $k")
+      assert(v == (if (k < 5) 1L else 0L), s"violation flag must be k<5: $k")
+    }
+    assert(out.map(_._3).sum == Tables.customer(spark, SF).count(),
+      "every row belongs to exactly one equivalence class")
+  }
+
+  test("q_zorder_layout: bounded grid, honest zone maps, both dimensions prune") {
+    val out = Queries.qZorderLayout(spark, SF)
+      .select("bucket", "n_rows", "min_p", "max_p", "min_s", "max_s",
+        "scan_p", "scan_s")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length <= 256, s"the Morton-prefix grid is <=256 cells: ${out.length}")
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 255), "bucket = top 8 of 16 bits")
+    out.foreach { case (_, n, mnp, mxp, mns, mxs, _, _) =>
+      assert(n > 0 && mnp <= mxp && mns <= mxs, "zone maps must be well-formed")
+    }
+    assert(out.map(_._2).sum == Tables.lineitem(spark, SF).count(),
+      "every row lands in exactly one layout cell")
+    // the point of Z-order: BOTH range predicates prune some cells (under a
+    // single-key linear layout the secondary dimension would scan everything)
+    assert(out.map(_._7).sum < out.length, "partkey predicate must prune cells")
+    assert(out.map(_._8).sum < out.length, "suppkey predicate must prune cells")
+  }
+
+  test("q_compaction_plan: bins are contiguous, exhaustive, and fill to target") {
+    val out = Queries.qCompactionPlan(spark, SF)
+      .select("bin_id", "n_files", "n_rows", "bytes")
+      .as[(Long, Long, Long, Long)].collect()
+    val dates = Tables.lineitem(spark, SF).select("l_shipdate").distinct().count()
+    assert(out.map(_._2).sum == dates, "every input segment lands in exactly one bin")
+    out.foreach { case (_, _, nr, b) =>
+      assert(b == nr * 128L, "bytes must follow the declared row estimate")
+    }
+    assert(out.map(_._1).toSeq == (1L to out.length).toSeq,
+      "cumulative-fill packing yields contiguous bin ids")
+    // prefix packing: every bin except the last spans the 64 KiB target
+    // (a bin closes only once the running total crosses its boundary)
+    out.init.foreach { case (id, _, _, b) =>
+      assert(b >= 65536L - 128L * 10000, s"bin $id must be near-full under prefix fill")
+    }
+    // date ranges must not overlap across bins (the clustering property)
+    val ranges = Queries.qCompactionPlan(spark, SF)
+      .orderBy("bin_id").select("from_date", "to_date")
+      .as[(java.sql.Date, java.sql.Date)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, t1), (f2, _)) =>
+        assert(t1.before(f2), s"bins must stay date-contiguous: $t1 !< $f2")
+      case _ =>
+    }
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
