@@ -73,7 +73,15 @@ object DevHeavyTail {
     "q_ann_pq",           // n×16 broadcast encode nest over the full embedding corpus
     "q_quantized_rerank", // int8 full-scan prefilter + 50-row exact rerank
     "q_bigram_ppx",       // bigram stream + two count-table joins
-    "q_kcore")            // 3 pruning rounds, localCheckpoint each
+    "q_kcore",            // 2-core fixpoint, checkpoint-truncated rounds
+    // round-10 completion: the bench top-15 entries that had no 100× row
+    "q_pagerank_step",    // one relational superstep over the co-purchase graph
+    "q_label_prop",       // one label-propagation round
+    "q_part_affinity",    // co-purchase pair collapse + nation grid
+    "q_weighted_median",  // distinct-value weight-table window
+    "q_rfm_cells",        // two-phase bucket rank at 3 grains
+    // round-10 curation op: shingle-df + doc-keyed union windows
+    "q_substring_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -158,7 +158,16 @@ object DevScaling {
       "q_pit_join", "q_negative_sample",
       // round-9 wave 8: bounded-output sketch audits (KMV bottom-k,
       // CMS counter table) — linear scans, constant-size sketches
-      "q_kmv_distinct", "q_cms_estimate")
+      "q_kmv_distinct", "q_cms_estimate",
+      // round-10 governance wave: linear token-join rollup (|customer|
+      // output over fixed dims), bounded class census, ≤256-cell Morton
+      // grid, byte-linear bin plan over the calendar-bounded file listing
+      "q_pii_redact", "q_k_anonymity", "q_zorder_layout", "q_compaction_plan",
+      // round-10 curation/streaming-parity wave: substring dedup is
+      // shingle-df linear (identical-payload replication inflates every
+      // df 10× — the maximal-flagging worst case, still one doc-keyed
+      // window per doc); closed sessions are linear user-keyed windows
+      "q_substring_dedup", "q_closed_sessions")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

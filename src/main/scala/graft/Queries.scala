@@ -565,6 +565,18 @@ object Queries {
     TextOps.dupSpanStats(Tables.documents(s, d), "doc_id", "text", 3)
       .orderBy("doc_id")
 
+  /** Exact-substring dedup at k=5 tokens ([[graft.operators.TextOps
+    * .substringDedup]]): the train-prep operator that REMOVES verbatim
+    * cross-document spans (the standard companion to MinHash in a
+    * curation stack — near-dup clustering catches whole documents,
+    * substring dedup catches the boilerplate/quotation mass inside
+    * otherwise-unique ones). Per doc: exact token counts of the
+    * duplicated-span union, the post-trim size, and the drop/trim/keep
+    * decision. Linear end-to-end — shingle-df, never pairs. */
+  def qSubstringDedup(s: SparkSession, d: String): DataFrame =
+    TextOps.substringDedup(Tables.documents(s, d), "doc_id", "text", 5)
+      .orderBy("doc_id")
+
   /** Strict ordered funnel view → click → purchase over the event log:
     * users reaching each stage, folded in ONE actor-keyed shuffle
     * ([[graft.operators.EventAnalytics.funnelStages]]). */
@@ -987,6 +999,18 @@ object Queries {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n"), col("total"))
       .orderBy("user_id", "session_start_us")
+
+  /** CLOSED sessions at a 30-minute gap — the batch statement of the
+    * streaming contract ([[graft.streaming.EventStreams
+    * .closedSessionsBatch]]): lag/gap sessionization minus each user's
+    * trailing still-open session, i.e. exactly the set the
+    * `flatMapGroupsWithState` emitter has produced after an AvailableNow
+    * replay of the same log (StreamingSpec asserts that equality; this
+    * row puts the same semantics on the oracle board). All windows
+    * user-keyed; output one row per closed session in epoch micros. */
+  def qClosedSessions(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.closedSessionsBatch(Tables.events(s, d), 30)
+      .orderBy("user_id", "start_us")
 
   /** Language-ID heuristic (script detection + stopword voting) — the
     * semantics stay fully declarative so the oracle restates them in SQL;
@@ -5452,6 +5476,7 @@ object Queries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_sessionize" -> (qSessionize _),
+    "q_closed_sessions" -> (qClosedSessions _),
     "q_lang_id" -> (qLangId _),
     "q_percentiles" -> (qPercentiles _),
     "q_argmax" -> (qArgmax _),
@@ -5501,6 +5526,7 @@ object Queries {
     "q_minhash_est" -> (qMinhashEst _),
     "q_bm25" -> (qBm25 _),
     "q_dup_ngram_spans" -> (qDupNgramSpans _),
+    "q_substring_dedup" -> (qSubstringDedup _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -5870,6 +5896,17 @@ object Queries {
         "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged) " +
         "SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n, round(sum(value), 2) AS total " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+    "q_closed_sessions" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), " +
+        "m AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us) " +
+        "OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "sd AS (SELECT user_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM m), " +
+        "sess AS (SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us, " +
+        "count(*) AS n_events FROM sd GROUP BY user_id, sid), " +
+        "t AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY user_id) " +
+        "SELECT s.user_id, s.start_us, s.end_us, s.n_events FROM sess s " +
+        "JOIN t USING (user_id) WHERE s.sid < t.mx ORDER BY user_id, start_us"),
     "q_lang_id" ->
       (NORM_CTE +
         ", h AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm)" +
@@ -6238,6 +6275,26 @@ object Queries {
         "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
         "(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000) // count(*) AS dup_permille " +
         "FROM dfc GROUP BY doc_id ORDER BY doc_id"),
+    "q_substring_dedup" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)" +
+        ", sh AS (SELECT doc_id, pos, token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w " +
+        "|| ' ' || lead(token, 3) OVER w || ' ' || lead(token, 4) OVER w AS shingle " +
+        "FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))" +
+        ", shv AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, shingle FROM sh WHERE shingle IS NOT NULL)" +
+        ", dup AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM shv) " +
+        "GROUP BY shingle HAVING count(*) >= 2)" +
+        ", ds AS (SELECT doc_id, pos FROM shv WHERE shingle IN (SELECT shingle FROM dup))" +
+        ", cv AS (SELECT doc_id, least(5, coalesce(lead(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS c FROM ds)" +
+        ", cov AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM cv GROUP BY doc_id)" +
+        ", nt AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens FROM norm) " +
+        "SELECT nt.doc_id, n_tokens, coalesce(dup_tokens, 0) AS dup_tokens, " +
+        "n_tokens - coalesce(dup_tokens, 0) AS kept_tokens, " +
+        "CASE WHEN coalesce(dup_tokens, 0) * 2 >= n_tokens THEN 'drop' " +
+        "WHEN coalesce(dup_tokens, 0) > 0 THEN 'trim' ELSE 'keep' END AS action " +
+        "FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id ORDER BY nt.doc_id"),
     "q_funnel" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
         "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id) " +

@@ -59,6 +59,53 @@ object TextOps {
       explode(graft.functions.Shingles.shingles(Ops.normalizeText(col(textCol)), n))
         .as("shingle"))
 
+  /** Exact-substring dedup — the curation companion to MinHash/LSH: a
+    * document owning a ≥k-token span that occurs VERBATIM in ≥2 distinct
+    * documents gets that span accounted against it, and the output is the
+    * per-document curation decision (`drop` when at least half its tokens
+    * sit inside duplicated spans, `trim` when any do, `keep` otherwise)
+    * plus the exact token accounting a trim pass would apply.
+    *
+    * Linear shingle-df formulation — NO pair expansion anywhere: k-token
+    * shingles are formed row-locally WITH their start positions (native
+    * [[graft.functions.Shingles]] + posexplode, zero shuffle), the
+    * duplicated-shingle set is one distinct + one map-side-combinable
+    * count at the shingle grain, and membership flows back as a left-semi
+    * join co-keyed on the shingle — the same shuffle a raw dedup would
+    * pay, never the all-pairs "common substring" join (quadratic in the
+    * duplicate mass). The duplicated-token count is the EXACT union
+    * length of the doc's dup spans: equal-length intervals sorted by
+    * start, so consecutive dup starts contribute `min(k, gap)` and the
+    * last contributes `k` — one doc-keyed window, bounded by a single
+    * document's length at any corpus size. Output is O(docs). */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val norm = Ops.normalizeText(col(textCol))
+    val base = docs.select(col(idCol),
+      graft.functions.Shingles.shingles(norm, 1).as("__toks"),
+      graft.functions.Shingles.shingles(norm, k).as("__shs"))
+    val nt = base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+    val sh = base
+      .select(col(idCol), posexplode(col("__shs")).as(Seq("pos", "shingle")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("shingle"))
+    val dupShingles = sh.select(col(idCol), col("shingle")).distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select("shingle")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val cov = sh.join(dupShingles, Seq("shingle"), "left_semi")
+      .withColumn("__c", least(lit(k.toLong),
+        coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(k.toLong))))
+      .groupBy(col(idCol)).agg(sum(col("__c")).as("dup_tokens"))
+    nt.join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("dup_tokens"))
+      .withColumn("action",
+        when(col("dup_tokens") * 2 >= col("n_tokens"), lit("drop"))
+          .when(col("dup_tokens") > 0, lit("trim"))
+          .otherwise(lit("keep")))
+  }
+
   /** Portable MinHash signature: `numHashes` independent 32-bit hash
     * families taken as 8-hex-char SLICES of a single md5 per shingle —
     * one digest evaluation feeds four families (min over a fixed-width

@@ -187,6 +187,34 @@ object EventStreams {
       }
   }
 
+  /** Batch statement of [[closedUserSessions]]'s contract: lag/gap
+    * sessionization of the full log minus each user's trailing session —
+    * the trailing one is still OPEN at end-of-input, exactly the row the
+    * streaming operator deliberately has not emitted after an
+    * `AvailableNow` replay (StreamingSpec asserts the two sets equal).
+    * Every window is user-keyed (bounded by one user's history — never a
+    * global sort); the open-tail drop is one more user-keyed window max
+    * over the already-aggregated session rows. Epoch-microsecond output
+    * so the contract is engine-portable. */
+  def closedSessionsBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("__new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("__mx",
+        max(col("__sid")).over(Window.partitionBy(col("user_id"))))
+      .where(col("__sid") < col("__mx"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
   /** Stream-stream interval join: pair each left event with right events of
     * the same user within `[left.ts, left.ts + window]`. Both sides carry
     * watermarks so the join state is bounded — Spark drops buffered rows

@@ -1275,6 +1275,33 @@ class PlanSpec extends SparkSuite {
     assert(!exec.contains("CartesianProduct"), exec)
   }
 
+  test("q_substring_dedup: shingle-df semi join, doc-keyed windows — no pair expansion") {
+    val df = Queries.qSubstringDedup(spark, SF)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"),
+      s"dup-shingle membership must flow back as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must never expand pairs:\n$p")
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+      s"the span-union window must stay doc-keyed (bounded by one document):\n$exec")
+    assert(p.contains("partial_count") || p.contains("Functions [partial"),
+      s"the shingle-df count must combine map-side:\n$p")
+  }
+
+  test("q_closed_sessions: every window is user-keyed — no global sort of the log") {
+    val df = Queries.qClosedSessions(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"sessionization must stay user-keyed:\n$exec")
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      exec)
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -197,27 +197,15 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("flatMapGroupsWithState closed sessions == batch sessions minus each user's open tail") {
-    import org.apache.spark.sql.expressions.Window
     val gapMin = 30
     val got = EventStreams.runAvailableNow(
       EventStreams.closedUserSessions(stream, gapMin).toDF(), "t_closed",
       OutputMode.Append())
-    // batch truth: lag/gap sessionization, then drop each user's LAST
-    // session — it is still open at end-of-stream, the one row the
-    // streaming operator deliberately has not emitted yet
-    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
-    val sess = batchEvents.select($"user_id", unix_micros($"ts").as("ts_us"))
-      .withColumn("new_s",
-        when($"ts_us" - lag($"ts_us", 1).over(w) > gapMin * 60000000L, 1)
-          .otherwise(0))
-      .withColumn("sid", sum($"new_s")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy($"user_id", $"sid")
-      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
-        count(lit(1)).as("n_events"))
-    val lastSid = sess.groupBy($"user_id").agg(max($"sid").as("max_sid"))
-    val want = sess.join(lastSid, "user_id").where($"sid" < $"max_sid")
-      .select($"user_id", $"start_us", $"end_us", $"n_events")
+    // batch truth: the SAME formulation the oracle board checks as
+    // q_closed_sessions — lag/gap sessionization minus each user's LAST
+    // session (still open at end-of-stream, the one row the streaming
+    // operator deliberately has not emitted yet)
+    val want = EventStreams.closedSessionsBatch(batchEvents, gapMin)
     val gotS = got.select($"user_id", $"start_us", $"end_us", $"n_events")
     assert(gotS.exceptAll(want).isEmpty && want.exceptAll(gotS).isEmpty,
       s"closed-session sets differ: streaming=${gotS.count()} batch=${want.count()}")

@@ -280,4 +280,29 @@ class TextOpsSpec extends SparkSuite {
     // doc2 dl=4: norm‰=1250 → apple(tf=1): (600000*2200)div 2500=528000
     assert(got == Seq((1L, 2491666L), (2L, 528000L)))
   }
+
+  test("substringDedup: exact union coverage, drop/trim/keep decisions") {
+    // doc1/doc2 share the 5-token span "v w x y z": doc2 IS that span →
+    // fully covered → drop; doc1 is 10 tokens, 5 covered → drop exactly
+    // at the half threshold. doc3 shares nothing → keep. doc4/doc5 share
+    // the 7-token run "p q r s t u v" = three OVERLAPPING dup 5-shingles
+    // (doc4 starts 0,1,2): union = 7 tokens, not 15 — the interval-union
+    // accounting, not per-span double counting; 7 of doc4's 16 → trim,
+    // 7 of doc5's 8 → drop.
+    val docs = Seq(
+      (1L, "a b c d e v w x y z"),
+      (2L, "v w x y z"),
+      (3L, "one two three four five six"),
+      (4L, "p q r s t u v t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (5L, "head p q r s t u v")).toDF("doc_id", "text")
+    val out = TextOps.substringDedup(docs, "doc_id", "text", 5)
+      .select("doc_id", "n_tokens", "dup_tokens", "kept_tokens", "action")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 10L, 5L, 5L, "drop")), out(1L).toString)
+    assert(out(2L) == ((2L, 5L, 5L, 0L, "drop")), out(2L).toString)
+    assert(out(3L) == ((3L, 6L, 0L, 6L, "keep")), out(3L).toString)
+    assert(out(4L) == ((4L, 16L, 7L, 9L, "trim")), out(4L).toString)
+    assert(out(5L) == ((5L, 8L, 7L, 1L, "drop")), out(5L).toString)
+  }
 }
