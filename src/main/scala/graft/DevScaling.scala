@@ -167,7 +167,10 @@ object DevScaling {
       // shingle-df linear (identical-payload replication inflates every
       // df 10× — the maximal-flagging worst case, still one doc-keyed
       // window per doc); closed sessions are linear user-keyed windows
-      "q_substring_dedup", "q_closed_sessions")
+      "q_substring_dedup", "q_closed_sessions",
+      // cluster-inherited split: identical-payload replication collapses the
+      // 10× corpus into star-topology clusters (fixpoint in FEWER rounds)
+      "q_leakage_split")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

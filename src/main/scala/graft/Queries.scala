@@ -1579,6 +1579,42 @@ object Queries {
       .transform(ps(col("split"), col("lang")))
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the dedup-aware companion to
+    * [[qTrainSplit]], which hashes each doc independently and therefore
+    * lets near-duplicate pairs straddle splits (the classic eval
+    * contamination bug: the model "generalizes" to a paraphrase of its own
+    * training data). Here the split key is the doc's NEAR-DUP CLUSTER
+    * canonical, so every member of an LSH cluster inherits the same split
+    * by construction. The cluster map is the min-label-propagation
+    * FIXPOINT over the band-bucket graph ([[graft.operators.TextOps
+    * .lshDedupClustersTrace]]: bucket hop + pointer jump per round,
+    * checkpoint-truncated, convergence observe-fused) under the declared
+    * cap [[LeakageSplitCap]] — the cap makes the loop SQL-restatable as
+    * materialized CTE rounds (idempotent after the fixpoint, exactly the
+    * [[qKcore]] discipline) while Spark still stops early; the spec pins
+    * rounds-executed < cap. Split = the same Knuth multiplicative hash as
+    * qTrainSplit applied to the CANONICAL id (8/1/1). Docs with < 3
+    * tokens have no shingles and are absent, as in the dedup map. */
+  def qLeakageSplit(s: SparkSession, d: String): DataFrame =
+    leakageSplitTrace(s, d)._1
+
+  private[graft] val LeakageSplitCap = 16
+
+  private[graft] def leakageSplitTrace(s: SparkSession, d: String): (DataFrame, Int) = {
+    val sig = TextOps.minhashSignatureMd5(
+      Tables.documents(s, d), "doc_id", "text", 3, 4)
+    val (labels, rounds) =
+      TextOps.lshDedupClustersTrace(sig, "doc_id", 4, LeakageSplitCap)
+    val bucket =
+      expr("((canonical_id % 2147483648) * 2654435761) % 4294967296 % 10")
+    val out = labels
+      .select(col("id").as("doc_id"), col("canonical_id"),
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+    (out, rounds)
+  }
+
   /** Unigram-LM rarity score (surprisal proxy without the log): each doc's
     * mean inverse token probability `avg_t (T·10⁶) div c_t` over the corpus
     * unigram counts — rare-token-heavy docs score high, boilerplate scores
@@ -5537,6 +5573,7 @@ object Queries {
     "q_skyline" -> (qSkyline _),
     "q_chunk_windows" -> (qChunkWindows _),
     "q_train_split" -> (qTrainSplit _),
+    "q_leakage_split" -> (qLeakageSplit _),
     "q_rarity_score" -> (qRarityScore _),
     "q_pmi_topk" -> (qPmiTopk _),
     "q_global_rank" -> (qGlobalRank _),
@@ -6112,6 +6149,24 @@ object Queries {
         "SELECT m.doc_id, min(r.rep) AS canonical_id FROM melted m " +
         "JOIN reps r ON m.band_idx = r.band_idx AND m.band_val = r.band_val " +
         "GROUP BY m.doc_id ORDER BY m.doc_id"),
+    "q_leakage_split" ->
+      (SIG_CTE +
+        ", melted AS MATERIALIZED (" +
+        (1 to 4).map(i => s"SELECT doc_id, $i AS band_idx, mh$i AS band_val FROM sig")
+          .mkString(" UNION ALL ") +
+        "), l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS c FROM (SELECT DISTINCT doc_id FROM melted))" +
+        (1 to LeakageSplitCap).map { i =>
+          val p = i - 1
+          s", r$i AS MATERIALIZED (SELECT m.band_idx, m.band_val, min(l.c) AS rep " +
+            s"FROM melted m JOIN l$p l ON m.doc_id = l.id GROUP BY 1, 2)" +
+            s", h$i AS MATERIALIZED (SELECT m.doc_id AS id, min(r.rep) AS c " +
+            s"FROM melted m JOIN r$i r ON m.band_idx = r.band_idx AND m.band_val = r.band_val GROUP BY 1)" +
+            s", l$i AS MATERIALIZED (SELECT a.id, b.c FROM h$i a JOIN h$i b ON a.c = b.id)"
+        }.mkString + " " +
+        s"SELECT id AS doc_id, c AS canonical_id, " +
+        "CASE WHEN ((c % 2147483648) * 2654435761) % 4294967296 % 10 < 8 THEN 'train' " +
+        "WHEN ((c % 2147483648) * 2654435761) % 4294967296 % 10 = 8 THEN 'val' " +
+        s"ELSE 'test' END AS split FROM l$LeakageSplitCap ORDER BY doc_id"),
     "q_decontaminate" ->
       (TP_TOK_CTE +
         ", sh AS (SELECT doc_id, source, token" +

@@ -363,7 +363,14 @@ object TextOps {
     * checkpoint + count (see [[Graph.connectedComponents]], including its
     * cluster-mode reliable-checkpoint note). */
   def lshDedupClusters(sig: DataFrame, idCol: String, numBands: Int,
-                       maxIter: Int = 10): DataFrame = {
+                       maxIter: Int = 10): DataFrame =
+    lshDedupClustersTrace(sig, idCol, numBands, maxIter)._1
+
+  /** [[lshDedupClusters]] plus the executed-round count, so callers with a
+    * DECLARED round cap (the oracle-checked fixpoint queries) can assert
+    * convergence landed before the cap rather than at it. */
+  def lshDedupClustersTrace(sig: DataFrame, idCol: String, numBands: Int,
+                            maxIter: Int = 10): (DataFrame, Int) = {
     val melted = meltBands(sig, idCol, numBands).transform(Checkpoints.truncate)
     var labels = melted.select(col("id")).distinct()
       .withColumn("canonical_id", col("id"))
@@ -413,7 +420,7 @@ object TextOps {
     // blocks at a quiescent point via Checkpoints.release (the Bench/
     // Verify batch harnesses do this after each query).
     if (iter > 0) melted.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Document fingerprint: md5 of the normalized text — the exact-dedup key.

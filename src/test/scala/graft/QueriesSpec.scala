@@ -208,6 +208,31 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_leakage_split: fixpoint before the cap, no candidate pair straddles splits") {
+    val (df, rounds) = Queries.leakageSplitTrace(spark, SF)
+    assert(rounds < Queries.LeakageSplitCap,
+      s"cluster fixpoint must land before the declared cap: $rounds rounds")
+    val split = df.select($"doc_id", $"canonical_id", $"split")
+    // cluster-inherited splits: every LSH candidate pair (the near-dup
+    // relation the split must not cut) lands in ONE split — the property
+    // q_train_split's independent per-doc hash cannot give
+    val pairs = Queries.qMinhashDedup(spark, SF)
+    val straddle = pairs
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa"),
+        $"canonical_id".as("ca")), "id_a")
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb"),
+        $"canonical_id".as("cb")), "id_b")
+      .where($"sa" =!= $"sb" || $"ca" =!= $"cb")
+    assert(pairs.count() > 0, "the fixture must exercise the near-dup relation")
+    assert(straddle.isEmpty,
+      s"near-dup pairs must inherit one split: ${straddle.count()} straddle")
+    // all three splits materialize and the map covers every shingled doc
+    val splits = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(Set("train", "val", "test").subsetOf(splits.keySet), splits.toString)
+    val shingled = Queries.qMinhashDedupMap(spark, SF).count()
+    assert(split.count() == shingled, "split map covers exactly the shingled docs")
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
