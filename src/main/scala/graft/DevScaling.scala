@@ -170,7 +170,9 @@ object DevScaling {
       "q_substring_dedup", "q_closed_sessions",
       // cluster-inherited split: identical-payload replication collapses the
       // 10× corpus into star-topology clusters (fixpoint in FEWER rounds)
-      "q_leakage_split")
+      "q_leakage_split",
+      // sketch algebra: bounded 1-row output, linear distinct-hash scan
+      "q_kmv_set_ops")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

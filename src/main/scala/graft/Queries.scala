@@ -5323,6 +5323,70 @@ object Queries {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** KMV sketch ALGEBRA — the property that makes bottom-k sketches a
+    * 100-TB tool: two sketches built INDEPENDENTLY (per day, per
+    * partition, per source) combine into union / intersection / Jaccard
+    * estimates WITHOUT rescanning either input. Sides here are the
+    * distinct customer sets ordering in 1996 (A) and 1997 (B) — overlap
+    * ≈ 2/3 at every fixture, so the estimators are genuinely active.
+    * Each side's K=64 bottom-k selection is the two-phase range-bucketed
+    * rank (the [[qKmvDistinct]] scale guard: phase-1 windows are
+    * (side, range-bucket)-bounded — never a single-task sort over the
+    * distinct-hash set); everything after runs on the ≤2K sketch ROWS:
+    * the union sketch is the bottom-K of the merged hash sets (a ≤128-row
+    * frame — its single-partition rank is input-bounded by construction),
+    * |A∪B|-hat comes from its k-th value, Jaccard-hat = shared/|usk|
+    * where `shared_k` counts union-sketch hashes present in BOTH side
+    * sketches, and |A∩B|-hat = Jaccard-hat · |A∪B|-hat in exact integer
+    * arithmetic. Exact counterparts audited alongside with ppm errors;
+    * below K distinct hashes every estimate degrades to exact. All
+    * combining joins are over ≤K-row broadcasts. */
+  def qKmvSetOps(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    val base = Tables.orders(s, d)
+      .where(expr("year(o_orderdate) IN (1996, 1997)"))
+      .select(expr("CAST(year(o_orderdate) AS BIGINT)").as("side"),
+        col("o_custkey"))
+    val hv = base
+      .select(col("side"),
+        expr("CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+          .as("h"))
+      .distinct()
+    val b1 = Window.partitionBy(col("side"), col("hb")).orderBy(col("h"))
+    val b2 = Window.partitionBy(col("side")).orderBy(col("h"))
+    val sk = hv
+      .withColumn("hb", expr("h div 35184372088832")) // 2^45 → 128 range buckets
+      .withColumn("r1", row_number().over(b1)).where(col("r1") <= K)
+      .withColumn("r2", row_number().over(b2)).where(col("r2") <= K)
+      .select("side", "h")
+    val uw = Window.partitionBy(lit(1)).orderBy(col("h")) // ≤2K rows by construction
+    val usk = sk.select("h").distinct()
+      .withColumn("r", row_number().over(uw)).where(col("r") <= K)
+      .select("h")
+    val stats = usk.agg(count(lit(1)).as("n_usk"), max(col("h")).as("kth"))
+    val shared = usk
+      .join(sk.where(col("side") === 1996).select("h"), Seq("h"), "left_semi")
+      .join(sk.where(col("side") === 1997).select("h"), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("shared_k"))
+    val du = base.distinct()
+    val unionExact = du.agg(countDistinct(col("o_custkey")).as("n_union_exact"))
+    val interExact = du.groupBy("o_custkey").agg(count(lit(1)).as("ns"))
+      .where(col("ns") === 2).agg(count(lit(1)).as("n_inter_exact"))
+    stats.crossJoin(broadcast(shared))
+      .crossJoin(broadcast(unionExact)).crossJoin(broadcast(interExact))
+      .withColumn("n_union_kmv",
+        when(col("n_usk") < K, col("n_usk"))
+          .otherwise(expr(s"(${K - 1}L * 4503599627370496L) div kth")))
+      .withColumn("n_inter_kmv", expr("(shared_k * n_union_kmv) div n_usk"))
+      .select(col("n_union_exact"), col("n_union_kmv"),
+        expr("(abs(n_union_kmv - n_union_exact) * 1000000L) div n_union_exact")
+          .as("union_err_ppm"),
+        col("n_inter_exact"), col("n_inter_kmv"),
+        expr("(abs(n_inter_kmv - n_inter_exact) * 1000000L) div n_inter_exact")
+          .as("inter_err_ppm"),
+        col("shared_k"), col("n_usk"))
+  }
+
   /** PII pseudonymization — the governance layer every shared training
     * corpus needs before it leaves the trust boundary: the direct
     * identifier (`c_name`) is masked for display (all but the last 4
@@ -5711,6 +5775,7 @@ object Queries {
     "q_pit_join" -> (qPitJoin _),
     "q_negative_sample" -> (qNegativeSample _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_kmv_set_ops" -> (qKmvSetOps _),
     "q_cms_estimate" -> (qCmsEstimate _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -7913,6 +7978,34 @@ object Queries {
         "SELECT event_type, n_exact, n_kmv, " +
         "(abs(n_kmv - n_exact) * 1000000) // n_exact AS err_ppm " +
         "FROM j ORDER BY event_type"),
+    "q_kmv_set_ops" ->
+      ("WITH hv AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS side, " +
+        "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT) AS h " +
+        "FROM orders WHERE year(o_orderdate) IN (1996, 1997)), " +
+        "p1 AS (SELECT side, h, row_number() OVER (PARTITION BY side, " +
+        "h // 35184372088832 ORDER BY h) AS r1 FROM hv), " +
+        "sk AS (SELECT side, h FROM (SELECT side, h, row_number() OVER " +
+        "(PARTITION BY side ORDER BY h) AS r2 FROM p1 WHERE r1 <= 64) WHERE r2 <= 64), " +
+        "usk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r " +
+        "FROM (SELECT DISTINCT h FROM sk)) WHERE r <= 64), " +
+        "st AS (SELECT count(*) AS n_usk, max(h) AS kth FROM usk), " +
+        "sh AS (SELECT count(*) AS shared_k FROM usk " +
+        "WHERE h IN (SELECT h FROM sk WHERE side = 1996) " +
+        "AND h IN (SELECT h FROM sk WHERE side = 1997)), " +
+        "du AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS side, o_custkey " +
+        "FROM orders WHERE year(o_orderdate) IN (1996, 1997)), " +
+        "ue AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_union_exact FROM du), " +
+        "ie AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_exact FROM " +
+        "(SELECT o_custkey FROM du GROUP BY o_custkey HAVING count(*) = 2)), " +
+        "est AS (SELECT n_usk, shared_k, CAST(CASE WHEN n_usk < 64 THEN n_usk " +
+        "ELSE (63 * 4503599627370496) // kth END AS BIGINT) AS n_union_kmv " +
+        "FROM st CROSS JOIN sh) " +
+        "SELECT n_union_exact, n_union_kmv, " +
+        "(abs(n_union_kmv - n_union_exact) * 1000000) // n_union_exact AS union_err_ppm, " +
+        "n_inter_exact, (shared_k * n_union_kmv) // n_usk AS n_inter_kmv, " +
+        "(abs((shared_k * n_union_kmv) // n_usk - n_inter_exact) * 1000000) // n_inter_exact AS inter_err_ppm, " +
+        "CAST(shared_k AS BIGINT) AS shared_k, CAST(n_usk AS BIGINT) AS n_usk " +
+        "FROM est CROSS JOIN ue CROSS JOIN ie"),
     "q_cms_estimate" ->
       (TP_TOK_CTE +
         ", tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token)" +

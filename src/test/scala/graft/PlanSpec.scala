@@ -1302,6 +1302,26 @@ class PlanSpec extends SparkSuite {
       exec)
   }
 
+  test("q_kmv_set_ops: side sketches rank bucketed; only the ≤2K-row merge is single-partition") {
+    val df = Queries.qKmvSetOps(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, exec)
+    // every window over the raw distinct-hash set carries the side key
+    // (phase 1 additionally the range bucket); the one single-partition
+    // window is the DECLARED union-sketch merge over ≤2K sketch rows
+    val unkeyed = specs.filterNot(_.contains("side"))
+    // the merge window appears once per consumer (stats + shared) × the
+    // initial/final AQE echo — but EVERY unkeyed spec must be that ≤2K-row
+    // merge rank (ORDER BY h, row frame), never a rank over the raw hash set
+    assert(unkeyed.nonEmpty && unkeyed.size <= 4 &&
+      unkeyed.forall(s => s.contains("h#") && !s.contains("hb")),
+      s"only the bounded sketch-merge window may drop the side key:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"1-row combines must broadcast, never cartesian:\n$exec")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -233,6 +233,21 @@ class QueriesSpec extends SparkSuite {
     assert(split.count() == shingled, "split map covers exactly the shingled docs")
   }
 
+  test("q_kmv_set_ops: sketch algebra is internally consistent") {
+    val r = Queries.qKmvSetOps(spark, SF)
+      .select("n_union_exact", "n_union_kmv", "n_inter_exact", "n_inter_kmv",
+        "shared_k", "n_usk")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (ue, uk, ie, ik, sh, nu) = r
+    assert(nu <= 64 && sh <= nu, s"sketch sizes bounded by K: $r")
+    assert(ik <= uk && ie <= ue, s"intersection cannot exceed union: $r")
+    assert(ik == sh * uk / nu, s"Jaccard-scaled intersection arithmetic: $r")
+    // the estimator must be ACTIVE at this fixture (union > K), and a
+    // K=64 single-hash sketch is within ~4 sigma of truth (1σ ≈ 1/√63)
+    assert(ue > 64, s"fixture must exercise the estimator, not the exact path: $r")
+    assert(math.abs(uk - ue).toDouble / ue < 0.5, s"union estimate sanity: $r")
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
