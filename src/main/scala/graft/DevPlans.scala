@@ -104,6 +104,19 @@ object DevPlans {
         "division. The k-smallest of a set is always inside the union of " +
         "per-bucket k-smallest, so the two-phase cut is exact, not " +
         "approximate."),
+      "q_substring_dedup" -> ("Exact-substring dedup with NO pair join: " +
+        "positional shingles form row-locally (native expression + " +
+        "posexplode, zero shuffle), the dup-shingle set is one distinct + " +
+        "map-side count, membership returns as a shingle-keyed LeftSemi, " +
+        "and the interval-union accounting is a doc-keyed window — every " +
+        "exchange is keyed on shingle or doc, nothing grows quadratically " +
+        "in the duplicate mass."),
+      "q_kmv_set_ops" -> ("Sketch algebra: both side sketches come off the " +
+        "two-phase bucketed rank; every operator past that point consumes " +
+        "ONLY sketch rows (≤2K), so the union/Jaccard/intersection " +
+        "estimates are broadcast-sized joins over a 128-row frame — the " +
+        "mergeability story (combine per-partition sketches, rescan " +
+        "nothing) is visible as plan shape."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
