@@ -222,4 +222,40 @@ class StreamingSpec extends SparkSuite {
     val want = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n_events"))
     assert(latest.exceptAll(want).isEmpty && want.exceptAll(latest).isEmpty)
   }
+
+  test("closed sessions: cross-batch late event extends the open session's start BACKWARDS") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+    val dir = Files.createTempDirectory("graft_stream_xbatch")
+    // two single-file micro-batches (maxFilesPerTrigger=1, oldest mtime first):
+    //   batch 1 opens user 1's session at [1000s, 1100s]
+    //   batch 2 delivers a LATE 950s event (inside the 30-min gap of the
+    //   open session — must merge and pull start back to 950, the advisor
+    //   case) and a 10000s event that closes the session by gap
+    def stage(name: String, mtimeSec: Long, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_xbatch_w")
+      rows.toDF("user_id", "s")
+        .select($"user_id", expr("timestamp_seconds(s)").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    stage("b0.parquet", 1000000L, Seq((1L, 1000L), (1L, 1100L)))
+    stage("b1.parquet", 1000060L, Seq((1L, 950L), (1L, 10000L)))
+    val schema = new StructType()
+      .add("user_id", LongType).add("ts", TimestampType)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val got = EventStreams.runAvailableNow(
+        EventStreams.closedUserSessions(src, 30).toDF(), "t_xbatch",
+        OutputMode.Append())
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // without the symmetric (min on start) merge this emits start=1000s
+    assert(got == Seq((1L, 950000000L, 1100000000L, 3L)), got.toString)
+  }
 }
