@@ -172,7 +172,9 @@ object DevScaling {
       // 10× corpus into star-topology clusters (fixpoint in FEWER rounds)
       "q_leakage_split",
       // sketch algebra: bounded 1-row output, linear distinct-hash scan
-      "q_kmv_set_ops")
+      "q_kmv_set_ops",
+      // mergeable histogram + two-phase exact ranks: linear scan, 3-row output
+      "q_hist_quantiles")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -5387,6 +5387,58 @@ object Queries {
         col("shared_k"), col("n_usk"))
   }
 
+  /** Mergeable histogram quantiles — the QUANTILE member of the sketch
+    * family ([[qKmvDistinct]] distinct, [[qCmsEstimate]] frequency,
+    * q_heavy_hitters top-k): a B=64 equi-width counter histogram over
+    * price cents is the mergeable shape (per-partition histograms ADD —
+    * at 100 TB each executor emits 64 longs and the quantile never sees
+    * the data again), read back by interpolating the target rank inside
+    * its bucket, audited against the EXACT order statistic. Deliberately
+    * coarse (64 buckets over the full price domain) so the interpolation
+    * error is real and the `err_ppm` audit measures something. Every step
+    * is exact integer arithmetic on cents (domain split and bucket edges
+    * by the same `(i·(mx−mn+1)) div B` formula in both engines, so edges
+    * are byte-identical); the exact side extracts ranks
+    * `(p·(n−1)) div 100` via the two-phase scalable global row number —
+    * never a single-task sort of the data. The only single-partition
+    * window is the cumulative sum over the 64-row histogram itself —
+    * bounded by construction at any scale. Domain stats and the 3-row
+    * target table ride 1-row/bounded broadcasts. */
+  def qHistQuantiles(s: SparkSession, d: String): DataFrame = {
+    val B = 64
+    val cents = Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
+    val stats = cents.agg(count(lit(1)).as("n"), min("c").as("mn"), max("c").as("mx"))
+    val hist = cents.crossJoin(broadcast(stats))
+      .withColumn("b",
+        expr(s"CASE WHEN mx = mn THEN 0L ELSE ((c - mn) * $B) div (mx - mn + 1) END"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤64 rows by construction
+    val cum = hist.withColumn("cum", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+    val targets = stats
+      .select(explode(array(lit(50L), lit(90L), lit(99L))).as("p"),
+        col("n"), col("mn"), col("mx"))
+      .withColumn("r", expr("(p * (n - 1)) div 100"))
+    val est = targets.join(broadcast(cum),
+        col("r") >= col("cum") && col("r") < col("cum") + col("cnt"))
+      .withColumn("lo",
+        expr(s"CASE WHEN mx = mn THEN mn ELSE mn + (b * (mx - mn + 1)) div $B END"))
+      .withColumn("hi",
+        expr(s"CASE WHEN mx = mn THEN mx + 1 ELSE mn + ((b + 1) * (mx - mn + 1)) div $B END"))
+      .withColumn("est_cents", expr("lo + ((r - cum) * (hi - lo)) div cnt"))
+      .select("p", "n", "r", "est_cents")
+    val ranked = Ops.globalRowNumberScalable(cents, "c", Seq("c"), "rk")
+    val exact = broadcast(targets.select(col("p").as("__p"), (col("r") + 1).as("__t")))
+      .join(ranked, col("rk") === col("__t"))
+      .select(col("__p").as("p"), col("c").as("exact_cents"))
+    est.join(exact, "p")
+      .select(col("p"), col("n"), col("est_cents"), col("exact_cents"),
+        expr("(abs(est_cents - exact_cents) * 1000000L) div exact_cents")
+          .as("err_ppm"))
+      .transform(ps(col("p")))
+  }
+
   /** PII pseudonymization — the governance layer every shared training
     * corpus needs before it leaves the trust boundary: the direct
     * identifier (`c_name`) is masked for display (all but the last 4
@@ -5776,6 +5828,7 @@ object Queries {
     "q_negative_sample" -> (qNegativeSample _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_set_ops" -> (qKmvSetOps _),
+    "q_hist_quantiles" -> (qHistQuantiles _),
     "q_cms_estimate" -> (qCmsEstimate _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -8006,6 +8059,26 @@ object Queries {
         "(abs((shared_k * n_union_kmv) // n_usk - n_inter_exact) * 1000000) // n_inter_exact AS inter_err_ppm, " +
         "CAST(shared_k AS BIGINT) AS shared_k, CAST(n_usk AS BIGINT) AS n_usk " +
         "FROM est CROSS JOIN ue CROSS JOIN ie"),
+    "q_hist_quantiles" ->
+      ("WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, min(c) AS mn, max(c) AS mx FROM c), " +
+        "h AS (SELECT CASE WHEN mx = mn THEN 0 ELSE ((c - mn) * 64) // (mx - mn + 1) END AS b, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM c CROSS JOIN st GROUP BY 1), " +
+        "cm AS (SELECT b, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY b " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM h), " +
+        "t AS (SELECT CAST(p AS BIGINT) AS p, (CAST(p AS BIGINT) * (n - 1)) // 100 AS r, n, mn, mx " +
+        "FROM (SELECT unnest([50, 90, 99]) AS p) CROSS JOIN st), " +
+        "e AS (SELECT t.p, t.n, t.r, cm.b, cm.cnt, cm.cum, t.mn, t.mx FROM t " +
+        "JOIN cm ON t.r >= cm.cum AND t.r < cm.cum + cm.cnt), " +
+        "est AS (SELECT p, n, r, " +
+        "(CASE WHEN mx = mn THEN mn ELSE mn + (b * (mx - mn + 1)) // 64 END) + " +
+        "((r - cum) * ((CASE WHEN mx = mn THEN mx + 1 ELSE mn + ((b + 1) * (mx - mn + 1)) // 64 END) - " +
+        "(CASE WHEN mx = mn THEN mn ELSE mn + (b * (mx - mn + 1)) // 64 END))) // cnt AS est_cents FROM e), " +
+        "rk AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS r FROM c), " +
+        "ex AS (SELECT t.p, rk.c AS exact_cents FROM t JOIN rk ON rk.r = t.r) " +
+        "SELECT est.p, est.n, est_cents, exact_cents, " +
+        "(abs(est_cents - exact_cents) * 1000000) // exact_cents AS err_ppm " +
+        "FROM est JOIN ex ON est.p = ex.p ORDER BY est.p"),
     "q_cms_estimate" ->
       (TP_TOK_CTE +
         ", tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token)" +

@@ -1322,6 +1322,21 @@ class PlanSpec extends SparkSuite {
       s"1-row combines must broadcast, never cartesian:\n$exec")
   }
 
+  test("q_hist_quantiles: exact ranks two-phase bucketed; only the 64-row histogram cumsum is global") {
+    val df = Queries.qHistQuantiles(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, exec)
+    // the exact-order-statistic path must rank inside __bucket partitions;
+    // the only unpartitioned window is the cumulative sum over the ≤64-row
+    // histogram (ORDER BY the bucket id)
+    val unkeyed = specs.filterNot(_.contains("__bucket"))
+    assert(unkeyed.forall(_.contains("b#")),
+      s"only the bounded histogram cumsum may be single-partition:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -248,6 +248,28 @@ class QueriesSpec extends SparkSuite {
     assert(math.abs(uk - ue).toDouble / ue < 0.5, s"union estimate sanity: $r")
   }
 
+  test("q_hist_quantiles: estimates bracket truth within a bucket width, monotone in p") {
+    val rows = Queries.qHistQuantiles(spark, SF)
+      .select("p", "est_cents", "exact_cents", "err_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(50L, 90L, 99L))
+    val (mn, mx) = Tables.lineitem(spark, SF)
+      .selectExpr("min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))",
+        "max(CAST(round(l_extendedprice * 100, 0) AS BIGINT))")
+      .as[(Long, Long)].head()
+    val bucketWidth = (mx - mn + 1) / 64 + 1
+    rows.foreach { case (p, est, exact, ppm) =>
+      assert(est >= mn && est <= mx + 1 && exact >= mn && exact <= mx,
+        s"p$p out of domain: $est / $exact")
+      // rank interpolation cannot miss by more than its own bucket
+      assert(math.abs(est - exact) <= bucketWidth,
+        s"p$p estimate must land within one bucket of truth: $est vs $exact")
+      assert(ppm == math.abs(est - exact) * 1000000L / exact, s"p$p ppm arithmetic")
+    }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted,
+      "quantile estimates must be monotone in p")
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
