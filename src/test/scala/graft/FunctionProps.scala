@@ -104,4 +104,37 @@ object FunctionProps extends Properties("functions") {
         .orderBy("doc_id").collect().toSeq
       native == agg
     }
+
+  // ---- substringDedup: interval-union accounting vs brute force ---------
+
+  property("substringDedup dup_tokens == brute-force position coverage") =
+    Prop.forAll(
+      Gen.choose(2, 4),
+      Gen.listOfN(6, Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")))) { (k, docs0) =>
+      // small alphabet + short docs → cross-doc k-shingle collisions are
+      // common, so the dup path is exercised, not vacuous
+      val docs = docs0.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val got = TextOps.substringDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .select("doc_id", "n_tokens", "dup_tokens")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // reference: mark every token position covered by a shingle whose
+      // k-gram occurs in ≥2 distinct docs, count marks per doc
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val owners = toks.toSeq
+        .flatMap { case (id, ts) => ts.sliding(k).filter(_.size == k)
+          .map(_.mkString(" ")).distinct.map(sh => sh -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      docs.forall { case (id, _) =>
+        val ts = toks(id)
+        val covered = Array.fill(ts.size)(false)
+        ts.sliding(k).zipWithIndex.foreach { case (w, i) =>
+          if (w.size == k && owners(w.mkString(" ")) >= 2)
+            (i until i + k).foreach(covered(_) = true)
+        }
+        got(id) == ((ts.size.toLong, covered.count(identity).toLong))
+      }
+    }
 }
