@@ -174,7 +174,9 @@ object DevScaling {
       // sketch algebra: bounded 1-row output, linear distinct-hash scan
       "q_kmv_set_ops",
       // mergeable histogram + two-phase exact ranks: linear scan, 3-row output
-      "q_hist_quantiles")
+      "q_hist_quantiles",
+      // calendar-bounded daily grid after one map-side aggregate
+      "q_trending")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

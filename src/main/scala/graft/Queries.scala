@@ -863,6 +863,32 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Trending leaderboard: per day, the top-3 event types by TRAILING
+    * 7-day volume — the sliding-window rank behind every "trending now"
+    * surface. The daily grid is one map-side-combinable aggregate
+    * (calendar × |types| rows at ANY event volume — the only pass over
+    * the fact); the trailing sum is a type-keyed RANGE frame over the
+    * integer day key (gap-correct: absent days simply contribute
+    * nothing), and the leaderboard rank is day-keyed over the bounded
+    * type set. Nothing after the first aggregate touches O(events)
+    * rows. */
+  def qTrending(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dkey",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val wroll = Window.partitionBy(col("event_type")).orderBy(col("dkey"))
+      .rangeBetween(-6, 0)
+    val wrank = Window.partitionBy(col("day"))
+      .orderBy(col("n7").desc, col("event_type"))
+    daily.withColumn("n7", sum(col("n")).over(wroll))
+      .withColumn("rnk", row_number().over(wrank).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("day"), col("rnk"), col("event_type"), col("n7"))
+      .orderBy("day", "rnk")
+  }
+
   /** lag(): exact µs gap between consecutive events per user (µs integer
     * arithmetic on both engines — no float, no truncation drift). */
   def qWindowLag(s: SparkSession, d: String): DataFrame = {
@@ -5612,6 +5638,7 @@ object Queries {
     "q_rollup" -> (qRollup _),
     "q_token_count" -> (qTokenCount _),
     "q_window_range" -> (qWindowRange _),
+    "q_trending" -> (qTrending _),
     "q_window_lag" -> (qWindowLag _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_monthly_revenue" -> (qMonthlyRevenue _),
@@ -5981,6 +6008,14 @@ object Queries {
       (NORM_CTE + " SELECT doc_id, len(list_filter(string_split(t, ' '), x -> x <> '')) AS ws_tokens, " +
         """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpeish_tokens """ +
         "FROM norm JOIN documents USING (doc_id) ORDER BY doc_id"),
+    "q_trending" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT day, event_type, CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day " +
+        "RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n7 FROM daily), " +
+        "k AS (SELECT day, event_type, n7, CAST(row_number() OVER (PARTITION BY day " +
+        "ORDER BY n7 DESC, event_type) AS BIGINT) AS rnk FROM r) " +
+        "SELECT day, rnk, event_type, n7 FROM k WHERE rnk <= 3 ORDER BY day, rnk"),
     "q_window_range" ->
       ("SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id " +
         "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS recent_sum FROM events " +
