@@ -312,6 +312,55 @@ object Queries {
     TextOps.lshCandidatePairs(sig, "doc_id", 4).orderBy("id_a", "id_b")
   }
 
+  /** Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin
+    * family) — the DETERMINISTIC-recall complement to the MinHash-LSH
+    * candidate join: within the declared universe it finds EVERY pair
+    * with Jaccard ≥ 0.7, no probabilistic misses. Sets are each doc's
+    * distinct 3-shingles with global df ≤ 10 (the universe cap — the
+    * same stopword-frequency argument as [[qNgramJaccard]]'s posting cap:
+    * a shingle shared by more documents is boilerplate that contributes
+    * ~0 to a 0.7-Jaccard ranking but quadratic pair mass; similarity is
+    * DEFINED over the capped universe, so the result stays exact, not
+    * approximate). The filter: order each set by ascending global df
+    * (rarest first — one doc-keyed window), keep only the first
+    * `|T| − ⌈0.7·|T|⌉ + 1` shingles as the PREFIX; two sets with
+    * Jaccard ≥ t MUST share a prefix element under any consistent
+    * global order, so the shingle-keyed self-join of prefixes generates
+    * a complete candidate set while touching only the rarest postings.
+    * Verification computes the exact intersection per candidate (two
+    * co-keyed joins against the full capped sets) and the integer
+    * permille Jaccard. Output is Ω(true pair mass) by semantics — on the
+    * clone-heavy sf1 fixture that is the ~105k intra-clone pairs. */
+  def qSetsimJoin(s: SparkSession, d: String): DataFrame = {
+    val maxDf = 10
+    val sh = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 3)
+      .distinct()
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val cs = sh.join(dfc, "shingle")
+    val sz = cs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val pr = cs.join(sz, "doc_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+      .select("doc_id", "shingle")
+    val cand = pr.as("a").join(pr.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(cs.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
+      .join(cs.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+      .withColumn("jac_permille", expr("(i * 1000) div (sza + szb - i)"))
+      .where(col("jac_permille") >= 700)
+      .select("id_a", "id_b", "jac_permille")
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash-LSH dedup MAP ([[graft.operators.TextOps.lshDedupMap]]):
     * every doc → min doc id sharing a band (single-hop canonical
     * representative) — the linear, pair-free form a 100 TB dedup pass
@@ -5627,6 +5676,7 @@ object Queries {
     "q_text_tokens" -> (qTextTokens _),
     "q_minhash_signature" -> (qMinhashSignature _),
     "q_minhash_dedup" -> (qMinhashDedup _),
+    "q_setsim_join" -> (qSetsimJoin _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_exact_dedup" -> (qExactDedup _),
@@ -5953,6 +6003,27 @@ object Queries {
         "SELECT lang, token, cnt, rn FROM ranked WHERE rn <= 10 ORDER BY lang, rn"),
     "q_minhash_signature" ->
       (SIG_CTE + " SELECT doc_id, mh1, mh2, mh3, mh4 FROM sig ORDER BY doc_id"),
+    "q_setsim_join" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm)" +
+        ", shw AS (SELECT doc_id, token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle " +
+        "FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))" +
+        ", sh3 AS (SELECT DISTINCT doc_id, shingle FROM shw WHERE shingle IS NOT NULL)" +
+        ", dfc AS (SELECT shingle, count(*) AS df FROM sh3 GROUP BY shingle HAVING count(*) <= 10)" +
+        ", cs AS (SELECT sh3.doc_id, sh3.shingle, dfc.df FROM sh3 JOIN dfc USING (shingle))" +
+        ", sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM cs GROUP BY doc_id)" +
+        ", pr AS (SELECT doc_id, shingle FROM (" +
+        "SELECT cs.doc_id, cs.shingle, row_number() OVER (PARTITION BY cs.doc_id ORDER BY cs.df, cs.shingle) AS rn, sz.sz " +
+        "FROM cs JOIN sz USING (doc_id)) WHERE rn <= sz - (7 * sz + 9) // 10 + 1)" +
+        ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)" +
+        ", inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i " +
+        "FROM cand c JOIN cs x ON x.doc_id = c.id_a JOIN cs y ON y.doc_id = c.id_b AND y.shingle = x.shingle " +
+        "GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, (i * 1000) // (sa.sz + sb.sz - i) AS jac_permille " +
+        "FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+        "WHERE (i * 1000) // (sa.sz + sb.sz - i) >= 700 ORDER BY id_a, id_b"),
     "q_minhash_dedup" ->
       (SIG_CTE + ", pairs AS (" +
         (1 to 4).map(i =>

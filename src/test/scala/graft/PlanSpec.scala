@@ -1337,6 +1337,14 @@ class PlanSpec extends SparkSuite {
     assert(!exec.contains("CartesianProduct"), exec)
   }
 
+  test("q_setsim_join: candidates equi-join on the shingle — never an all-pairs nest") {
+    val p = plan(Queries.qSetsimJoin(spark, SF))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the prefix self-join must stay shingle-keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("Functions [partial"),
+      s"df and intersection counts must combine map-side:\n$p")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

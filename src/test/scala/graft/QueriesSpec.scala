@@ -270,6 +270,32 @@ class QueriesSpec extends SparkSuite {
       "quantile estimates must be monotone in p")
   }
 
+  test("q_setsim_join == brute-force threshold join (prefix filter loses nothing)") {
+    import graft.operators.TextOps
+    val got = Queries.qSetsimJoin(spark, SF)
+      .select("id_a", "id_b", "jac_permille").as[(Long, Long, Long)].collect().toSet
+    // reference: ALL pairs sharing any capped shingle, exact Jaccard — a
+    // pair the prefix filter may not drop iff J >= 0.7 over this universe
+    val sh = TextOps.explodedShingles(
+      Tables.documents(spark, SF), "doc_id", "text", 3).distinct()
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df")).where($"df" <= 10)
+    val cs = sh.join(dfc, "shingle").select($"doc_id", $"shingle")
+    val sz = cs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = cs.as("x")
+      .join(cs.as("y"), $"x.shingle" === $"y.shingle" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select($"doc_id".as("id_a"), $"sz".as("sza")), "id_a")
+      .join(sz.select($"doc_id".as("id_b"), $"sz".as("szb")), "id_b")
+      .withColumn("jac", expr("(i * 1000) div (sza + szb - i)"))
+      .where($"jac" >= 700)
+      .select("id_a", "id_b", "jac").as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty, "fixture must exercise the join")
+    assert(got == brute,
+      s"prefix filtering must be lossless: missing=${(brute -- got).take(5)} " +
+        s"extra=${(got -- brute).take(5)}")
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
