@@ -176,7 +176,12 @@ object DevScaling {
       // mergeable histogram + two-phase exact ranks: linear scan, 3-row output
       "q_hist_quantiles",
       // calendar-bounded daily grid after one map-side aggregate
-      "q_trending")
+      // (q_setsim_join is EXCLUDED like every pair-OUTPUT query: under
+      // identical-payload replication the >=0.7 pair set itself grows
+      // quadratically in the clone mass — the sf1 oracle run measures it)
+      "q_trending",
+      // one Expand aggregate pass, |columns| output rows
+      "q_ndv_stats")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -3287,6 +3287,36 @@ object Queries {
       .orderBy(col("cnt").desc, col("l_orderkey")).limit(20)
   }
 
+  /** ANALYZE-style column statistics — the `ANALYZE TABLE ... FOR
+    * COLUMNS` pass that feeds a cost-based optimizer: per column, row
+    * count, null count, EXACT distinct count, and min/max rendered as
+    * strings (doubles excluded by design — their string rendering is the
+    * one engine-divergent surface; dates pass through a `date` cast so
+    * both engines print ISO). One aggregate pass: Spark plans the
+    * multi-count-distinct as a single Expand (+1 stream per column) with
+    * map-side partials — the standard stats-collection shape; at extreme
+    * scale the approximate path is [[qApproxDistinct]]'s HLL. Output is
+    * |columns| rows at any data size. */
+  def qNdvStats(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus")
+    val render: Map[String, String] =
+      (cols.map(c => c -> c) :+ ("l_shipdate" -> "CAST(l_shipdate AS DATE)")).toMap
+    val all = cols :+ "l_shipdate"
+    val aggs = countDistinct(expr(render(all.head))).as(s"nd_${all.head}") +:
+      all.tail.map(c => countDistinct(expr(render(c))).as(s"nd_$c")) ++:
+      all.map(c => sum(when(expr(render(c)).isNull, 1L).otherwise(0L)).as(s"nn_$c")) ++:
+      all.map(c => min(expr(render(c))).cast("string").as(s"mn_$c")) ++:
+      all.map(c => max(expr(render(c))).cast("string").as(s"mx_$c"))
+    val a = Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = all.map(c =>
+      s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    a.selectExpr(s"stack(${all.size}, $stackArgs) AS " +
+        "(col, n_rows, n_nulls, ndv, min_val, max_val)")
+      .transform(ps(col("col")))
+  }
+
   /** Dataset datasheet ("dataset card") per source: docs, empty docs,
     * token totals, distinct token types, mean tokens/doc (ppm), distinct
     * languages — the curation summary a training-data release ships
@@ -5829,6 +5859,7 @@ object Queries {
     "q_fk_audit" -> (qFkAudit _),
     "q_skew_profile" -> (qSkewProfile _),
     "q_dataset_card" -> (qDatasetCard _),
+    "q_ndv_stats" -> (qNdvStats _),
     "q_bfs_levels" -> (qBfsLevels _),
     "q_abtest_chi2" -> (qAbtestChi2 _),
     "q_prefix_dup" -> (qPrefixDup _),
@@ -7282,6 +7313,8 @@ object Queries {
         ppmDivSql("cnt", "n_rows") + " AS share_ppm, " +
         "(max_cnt * n_keys * 1000000) // n_rows AS skew_factor_ppm " +
         "FROM c CROSS JOIN b ORDER BY cnt DESC, l_orderkey LIMIT 20"),
+    "q_ndv_stats" ->
+      ("WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_l_orderkey, CAST(count(*) - count(l_orderkey) AS BIGINT) AS nn_l_orderkey, CAST(min(l_orderkey) AS VARCHAR) AS mn_l_orderkey, CAST(max(l_orderkey) AS VARCHAR) AS mx_l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_l_partkey, CAST(count(*) - count(l_partkey) AS BIGINT) AS nn_l_partkey, CAST(min(l_partkey) AS VARCHAR) AS mn_l_partkey, CAST(max(l_partkey) AS VARCHAR) AS mx_l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_l_suppkey, CAST(count(*) - count(l_suppkey) AS BIGINT) AS nn_l_suppkey, CAST(min(l_suppkey) AS VARCHAR) AS mn_l_suppkey, CAST(max(l_suppkey) AS VARCHAR) AS mx_l_suppkey, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_l_returnflag, CAST(count(*) - count(l_returnflag) AS BIGINT) AS nn_l_returnflag, CAST(min(l_returnflag) AS VARCHAR) AS mn_l_returnflag, CAST(max(l_returnflag) AS VARCHAR) AS mx_l_returnflag, CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nd_l_linestatus, CAST(count(*) - count(l_linestatus) AS BIGINT) AS nn_l_linestatus, CAST(min(l_linestatus) AS VARCHAR) AS mn_l_linestatus, CAST(max(l_linestatus) AS VARCHAR) AS mx_l_linestatus, CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS nd_l_shipdate, CAST(count(*) - count(CAST(l_shipdate AS DATE)) AS BIGINT) AS nn_l_shipdate, CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS mn_l_shipdate, CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS mx_l_shipdate FROM lineitem) SELECT * FROM (SELECT 'l_orderkey' AS col, n_rows, nn_l_orderkey AS n_nulls, nd_l_orderkey AS ndv, mn_l_orderkey AS min_val, mx_l_orderkey AS max_val FROM a UNION ALL SELECT 'l_partkey' AS col, n_rows, nn_l_partkey AS n_nulls, nd_l_partkey AS ndv, mn_l_partkey AS min_val, mx_l_partkey AS max_val FROM a UNION ALL SELECT 'l_suppkey' AS col, n_rows, nn_l_suppkey AS n_nulls, nd_l_suppkey AS ndv, mn_l_suppkey AS min_val, mx_l_suppkey AS max_val FROM a UNION ALL SELECT 'l_returnflag' AS col, n_rows, nn_l_returnflag AS n_nulls, nd_l_returnflag AS ndv, mn_l_returnflag AS min_val, mx_l_returnflag AS max_val FROM a UNION ALL SELECT 'l_linestatus' AS col, n_rows, nn_l_linestatus AS n_nulls, nd_l_linestatus AS ndv, mn_l_linestatus AS min_val, mx_l_linestatus AS max_val FROM a UNION ALL SELECT 'l_shipdate' AS col, n_rows, nn_l_shipdate AS n_nulls, nd_l_shipdate AS ndv, mn_l_shipdate AS min_val, mx_l_shipdate AS max_val FROM a) ORDER BY col"),
     "q_dataset_card" ->
       (TP_TOK_CTE +
         ", ds AS (SELECT source, count(*) AS n_docs, " +

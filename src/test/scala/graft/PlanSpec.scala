@@ -1345,6 +1345,15 @@ class PlanSpec extends SparkSuite {
       s"df and intersection counts must combine map-side:\n$p")
   }
 
+  test("q_ndv_stats: one Expand pass, map-side partials, no joins or windows") {
+    val p = plan(Queries.qNdvStats(spark, SF))
+    assert(p.contains("Expand"),
+      s"multi-column distinct must plan as the single Expand pass:\n$p")
+    assert(p.contains("partial_count") || p.contains("Functions [partial"), p)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"stats collection is pure aggregation:\n$p")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
