@@ -3292,9 +3292,13 @@ object Queries {
     * count, null count, EXACT distinct count, and min/max rendered as
     * strings (doubles excluded by design — their string rendering is the
     * one engine-divergent surface; dates pass through a `date` cast so
-    * both engines print ISO). One aggregate pass: Spark plans the
-    * multi-count-distinct as a single Expand (+1 stream per column) with
-    * map-side partials — the standard stats-collection shape; at extreme
+    * both engines print ISO). TWO aggregate passes deliberately: the
+    * multi-count-distinct plans as one Expand (+1 stream per column,
+    * map-side partials), and MIXING the 19 regular aggregates into that
+    * same aggregate forces them through every Expand stream (measured
+    * 7× slower than the split form at sf0.1); the min/max/null pass is a
+    * plain 1-row aggregate, and the two 1-row results combine in a
+    * broadcast nest. Both scans read only the 6 stat columns. At extreme
     * scale the approximate path is [[qApproxDistinct]]'s HLL. Output is
     * |columns| rows at any data size. */
   def qNdvStats(s: SparkSession, d: String): DataFrame = {
@@ -3303,16 +3307,18 @@ object Queries {
     val render: Map[String, String] =
       (cols.map(c => c -> c) :+ ("l_shipdate" -> "CAST(l_shipdate AS DATE)")).toMap
     val all = cols :+ "l_shipdate"
-    val aggs = countDistinct(expr(render(all.head))).as(s"nd_${all.head}") +:
-      all.tail.map(c => countDistinct(expr(render(c))).as(s"nd_$c")) ++:
+    val li = Tables.lineitem(s, d)
+    val ndvAggs = all.map(c => countDistinct(expr(render(c))).as(s"nd_$c"))
+    val ndvs = li.agg(ndvAggs.head, ndvAggs.tail: _*)
+    val mmAggs =
       all.map(c => sum(when(expr(render(c)).isNull, 1L).otherwise(0L)).as(s"nn_$c")) ++:
       all.map(c => min(expr(render(c))).cast("string").as(s"mn_$c")) ++:
       all.map(c => max(expr(render(c))).cast("string").as(s"mx_$c"))
-    val a = Tables.lineitem(s, d)
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val mm = li.agg(count(lit(1)).as("n_rows"), mmAggs: _*)
     val stackArgs = all.map(c =>
       s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-    a.selectExpr(s"stack(${all.size}, $stackArgs) AS " +
+    ndvs.crossJoin(broadcast(mm))
+      .selectExpr(s"stack(${all.size}, $stackArgs) AS " +
         "(col, n_rows, n_nulls, ndv, min_val, max_val)")
       .transform(ps(col("col")))
   }

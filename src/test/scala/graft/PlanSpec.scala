@@ -1345,13 +1345,17 @@ class PlanSpec extends SparkSuite {
       s"df and intersection counts must combine map-side:\n$p")
   }
 
-  test("q_ndv_stats: one Expand pass, map-side partials, no joins or windows") {
+  test("q_ndv_stats: Expand distinct pass + plain min/max pass, 1-row nest combine") {
     val p = plan(Queries.qNdvStats(spark, SF))
     assert(p.contains("Expand"),
       s"multi-column distinct must plan as the single Expand pass:\n$p")
     assert(p.contains("partial_count") || p.contains("Functions [partial"), p)
-    assert(!p.contains("Join") && !p.contains("Window"),
-      s"stats collection is pure aggregation:\n$p")
+    // the regular aggregates must NOT ride the Expand (measured 7× slower
+    // mixed in at sf0.1) — they form a second 1-row aggregate combined by
+    // a broadcast nest; no real join, no window
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the two 1-row stat frames combine in a broadcast nest:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
