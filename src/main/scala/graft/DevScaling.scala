@@ -181,7 +181,15 @@ object DevScaling {
       // quadratically in the clone mass — the sf1 oracle run measures it)
       "q_trending",
       // one Expand aggregate pass, |columns| output rows
-      "q_ndv_stats")
+      "q_ndv_stats",
+      // Fast-AGMS estimators: linear per-key count scans feeding 576-row
+      // counter tables, 1-row outputs; MRR is the q_ndcg broadcast-probe
+      // ranking shape; rank fusion combines two TakeOrdered 20-row lists
+      "q_join_size_est", "q_ams_f2", "q_mrr", "q_rank_fusion",
+      // curation scoring: token-grain map-side counts + broadcast ratio /
+      // total tables, row-local statistics; grouped quantiles = per-nation
+      // 32-bucket histograms with the audit rank bounded to target buckets
+      "q_dsir_weights", "q_chi2_tokens", "q_group_quantiles")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

@@ -5550,6 +5550,307 @@ object Queries {
       .transform(ps(col("p")))
   }
 
+  /** Join-cardinality estimation from Fast-AGMS (count) sketches — the CBO
+    * input that prices a many-to-many join WITHOUT running it (the
+    * [[qNdvStats]] companion: NDV prices distinct-ness, this prices the
+    * blowup). Sides are 1996 vs 1997 shipments keyed by `l_partkey`; the
+    * true join size `Σₖ aₖ·bₖ` never materializes the join — it folds over
+    * the per-key count table. Each side compresses into a d=9 × w=64
+    * COUNT-SKETCH (bucket AND ±1 sign from portable md5, so both engines
+    * build the IDENTICAL sketch), and the estimate is the Fast-AGMS inner
+    * product: per depth `Σ_w cA[j][w]·cB[j][w]`, read out at the MEDIAN —
+    * d odd so the median is ONE order statistic over the 9-row estimate
+    * frame. Unlike the CMS inner product (whose collision mass overcounts
+    * quadratically in key density — measured 250× over at sf0.01), the
+    * signed estimator is UNBIASED with variance ∝ F₂(A)·F₂(B)/w: measured
+    * 1–10 % across fixtures, and EXACT whenever ≤ w keys land
+    * collision-free (signs cancel only across distinct keys). Shapes at
+    * 100 TB: ONE fact scan feeds the per-key count aggregate (map-side
+    * combined; AQE stage reuse serves it to the exact fold and the sketch
+    * build), counter tables are d·w = 576 rows per side at ANY scale, the
+    * estimate joins 576-row frames, and the median ranks 9 rows. Bucket
+    * sums are signed row counts — int64-safe to ~9.2·10¹⁸ row-pairs per
+    * bucket product (the [[qNationProfit]]-style declared ceiling). */
+  def qJoinSizeEst(s: SparkSession, d: String): DataFrame = {
+    val bucketOf = "CAST(conv(substr(md5(concat(CAST(j AS STRING), '|', " +
+      "CAST(k AS STRING))), 1, 13), 16, 10) AS BIGINT) % 64"
+    val signOf = "CASE WHEN CAST(conv(substr(md5(concat('s', CAST(j AS STRING), '|', " +
+      "CAST(k AS STRING))), 1, 13), 16, 10) AS BIGINT) % 2 = 0 THEN 1L ELSE -1L END"
+    val kc = Tables.lineitem(s, d)
+      .where(expr("year(l_shipdate) IN (1996, 1997)"))
+      .groupBy(col("l_partkey").as("k"))
+      .agg(sum(expr("CAST(year(l_shipdate) = 1996 AS BIGINT)")).as("a"),
+        sum(expr("CAST(year(l_shipdate) = 1997 AS BIGINT)")).as("b"))
+    val exact = kc.agg(sum(col("a") * col("b")).as("n_exact"))
+    val wm = Window.orderBy(col("ip"), col("j")) // 9 rows by construction
+    val est = kc
+      .select(col("k"), col("a"), col("b"), explode(expr("sequence(0, 8)")).as("j"))
+      .withColumn("bucket", expr(bucketOf))
+      .withColumn("sgn", expr(signOf))
+      .groupBy("j", "bucket")
+      .agg(sum(col("a") * col("sgn")).as("ca"), sum(col("b") * col("sgn")).as("cb"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+      .withColumn("r", row_number().over(wm)).where(col("r") === 5)
+      .select(col("ip").as("est_agms"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_exact"), col("est_agms"),
+        expr("(abs(est_agms - n_exact) * 1000000L) div n_exact").as("err_ppm"))
+  }
+
+  /** AMS second-moment (self-join size) estimation, audited against exact
+    * F₂ — the OTHER half of the sketch-driven CBO: F₂ = Σᵤ cᵤ² on the
+    * event log's user key prices self-joins and skew (a heavy key
+    * dominates F₂ long before it dominates the row count). The Fast-AGMS
+    * form of the tug-of-war sketch: d=9 rows × w=64 signed-count buckets
+    * (bucket and ±1 sign both portable md5, so the sketch is IDENTICAL in
+    * both engines), per-row estimate `Σ_w S[j][w]²`, read out at the
+    * median — d odd so the median is ONE order statistic, a rank over the
+    * 9-row estimate frame (bounded by construction at any scale).
+    * Unbiased, variance ∝ 2·F₂²/w (measured ≤ 6 % at every fixture), and
+    * EXACT whenever ≤ w keys land collision-free. Per-key counts combine
+    * map-side and AQE stage reuse serves them to both the exact fold and
+    * the sketch; the sketch shuffle is d·w = 576 longs per executor
+    * regardless of input. Bucket sums are signed row counts — int64-safe
+    * while F₂ < 9.2·10¹⁸ (same declared ceiling as the exact side it
+    * audits). */
+  def qAmsF2(s: SparkSession, d: String): DataFrame = {
+    val bucketOf = "CAST(conv(substr(md5(concat(CAST(j AS STRING), '|', " +
+      "CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT) % 64"
+    val signOf = "CASE WHEN CAST(conv(substr(md5(concat('s', CAST(j AS STRING), '|', " +
+      "CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT) % 2 = 0 " +
+      "THEN 1L ELSE -1L END"
+    val uc = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+    val exact = uc.agg(sum(col("c") * col("c")).as("f2_exact"))
+    val wm = Window.orderBy(col("estj"), col("j")) // 9 rows by construction
+    val med = uc
+      .select(col("user_id"), col("c"), explode(expr("sequence(0, 8)")).as("j"))
+      .withColumn("bucket", expr(bucketOf))
+      .withColumn("sgn", expr(signOf))
+      .groupBy("j", "bucket").agg(sum(col("c") * col("sgn")).as("sb"))
+      .groupBy("j").agg(sum(col("sb") * col("sb")).as("estj"))
+      .withColumn("r", row_number().over(wm)).where(col("r") === 5)
+      .select(col("estj").as("f2_ams"))
+    med.crossJoin(broadcast(exact))
+      .select(col("f2_exact"), col("f2_ams"),
+        expr("(abs(f2_ams - f2_exact) * 1000000L) div f2_exact").as("err_ppm"))
+  }
+
+  /** Mean-reciprocal-rank eval at k=10 over the [[qNdcg]] probe protocol
+    * (same 10 broadcast probes, same rounded-sim + vec_id total order,
+    * same label-match relevance) — the first-hit metric a retrieval stack
+    * reports next to NDCG: per probe, the rank of the FIRST relevant
+    * result inside the top-10 (0 = miss) and its reciprocal in exact ppm
+    * (`10⁶ div rank` — integer, no float division to disagree on). The
+    * per-probe ranking partitions on q_id exactly as q_ndcg does (10
+    * bounded probe partitions; the candidate set is the parallel unit);
+    * misses survive via the probe-side left join, so the output is always
+    * the full 10-row probe table. */
+  def qMrr(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("simr").desc, col("vec_id"))
+    val hits = emb.where(col("vec_id") >= 10)
+      .crossJoin(broadcast(probes))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(cosine_sim(col("embedding"), col("q_emb")), 4).as("simr"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10 && col("label") === col("q_label"))
+      .groupBy("q_id").agg(min(col("rank")).cast("long").as("frr"))
+    probes.select("q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("frr"), lit(0L)).as("first_rel_rank"),
+        when(col("frr").isNull, lit(0L))
+          .otherwise(expr("1000000L div frr")).as("rr_ppm"))
+      .transform(ps(col("q_id")))
+  }
+
+  /** Reciprocal-rank fusion of two retrieval rankers — the standard hybrid
+    * combine (`score = Σ 1/(60+rank)`, Cormack et al.) restated in exact
+    * integer parts-per-billion (`10⁹ div (60+rank)`) so both engines agree
+    * bit-for-bit. The two rankers are the repo's own dense pair: cosine
+    * ([[qCosineTopk]]'s metric) and raw inner product ([[qMips]]'s) against
+    * the vec_id=1 probe — they genuinely disagree wherever vector norm
+    * carries signal. Fusion is over each ranker's top-20 LIST (absent ⇒
+    * contributes 0 — the production form: lists are what the servers
+    * return), so the only windows rank 20-row frames (bounded by
+    * construction; the top-20s themselves are TakeOrdered, no global
+    * sort), the combine is a 20∪20-row full-outer join, and the probe is
+    * the one bounded driver round-trip the MIPS family already budgets. */
+  def qRankFusion(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
+    val dot = aggregate(
+      zip_with(col("embedding").cast("array<double>"), probeCol, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = emb.where(col("vec_id") =!= 1)
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), probeCol), 4).as("simr"),
+        round(dot, 4).as("dotr"))
+    val topCos = scored.orderBy(col("simr").desc, col("vec_id")).limit(20)
+      .withColumn("rank_cos", // 20 rows by construction
+        row_number().over(Window.orderBy(col("simr").desc, col("vec_id"))))
+      .select("vec_id", "rank_cos")
+    val topDot = scored.orderBy(col("dotr").desc, col("vec_id")).limit(20)
+      .withColumn("rank_dot", // 20 rows by construction
+        row_number().over(Window.orderBy(col("dotr").desc, col("vec_id"))))
+      .select("vec_id", "rank_dot")
+    topCos.join(topDot, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"),
+        coalesce(col("rank_cos"), lit(0)).cast("long").as("rank_cos"),
+        coalesce(col("rank_dot"), lit(0)).cast("long").as("rank_dot"))
+      .withColumn("rrf_ppb",
+        expr("CASE WHEN rank_cos = 0 THEN 0L ELSE 1000000000L div (60 + rank_cos) END + " +
+          "CASE WHEN rank_dot = 0 THEN 0L ELSE 1000000000L div (60 + rank_dot) END"))
+      .orderBy(col("rrf_ppb").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023, in its deterministic hashed-feature
+    * form) — the curation operator that SCORES raw data by how
+    * target-like it is instead of filtering by hand-written rules. Both
+    * distributions live in a 256-bucket hashed unigram feature space
+    * (portable md5, the [[qFeatureHash]] trick): `target` = the declared
+    * high-quality source (`src0`), `raw` = the rest; each gets
+    * add-one-smoothed bucket probabilities, and a document's weight is its
+    * token-wise log-likelihood ratio `Σ log₂ p_t(b(tok)) − log₂ p_r(b(tok))`
+    * (rounded at presentation — continuous, measure-zero boundary). `keep`
+    * flags logw > 0: resampling by these weights shifts raw data toward
+    * the target distribution. Shapes at 100 TB: token → bucket is
+    * row-local, both distribution tables are 256-row map-side aggregates
+    * broadcast into the scoring join, the per-doc sum is one map-side-
+    * combinable aggregate — linear end-to-end, no windows, no pairs. */
+  def qDsirWeights(s: SparkSession, d: String): DataFrame = {
+    val B = 256
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(
+          graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .withColumn("b",
+        expr(s"CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT) % $B"))
+    val dist = toks
+      .groupBy("b")
+      .agg(sum(expr("CAST(source = 'src0' AS BIGINT)")).as("ct"),
+        sum(expr("CAST(source <> 'src0' AS BIGINT)")).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val ratio = dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        // add-one smoothing keeps empty buckets finite on both sides
+        (log2((col("ct") + 1).cast("double")) - log2((col("nt") + B).cast("double"))
+          - log2((col("cr") + 1).cast("double")) + log2((col("nr") + B).cast("double")))
+          .as("llr"))
+    toks.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr")).as("lw"))
+      .select(col("doc_id"), col("n_tokens"), round(col("lw"), 4).as("logw"),
+        expr("CAST(lw > 0 AS BIGINT)").as("keep"))
+      .transform(ps(col("doc_id")))
+  }
+
+  /** χ²-based discriminative-token selection — the feature-selection step
+    * behind fastText-style domain/language classifiers (the model CCNet
+    * and DSIR pipelines train to score raw crawl): for each token, a 2×2
+    * contingency of occurrence counts in the declared target class
+    * (`lang = 'en'`) vs the rest, scored `χ² = n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))`
+    * and read back as the top-20 under the (rounded χ², token) total
+    * order. Counts are exact integers; the statistic is evaluated in
+    * double from exact int64 counts (identical expression both engines,
+    * counts ≪ 2⁵³) and rounded at presentation. A min-support screen
+    * (a+b ≥ 5) drops degenerate rare-token spikes. Shapes at 100 TB: one
+    * token-grain map-side count aggregate, a 1-row total broadcast, a
+    * row-local statistic, TakeOrdered top-20 — no windows, no pairs. */
+  def qChi2Tokens(s: SparkSession, d: String): DataFrame = {
+    // ONE tokenize pass: totals fold from the per-token count table (the
+    // pre-filter aggregate), never from a second scan of the corpus
+    val counts = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(
+          graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .groupBy("token")
+      .agg(sum(expr("CAST(lang = 'en' AS BIGINT)")).as("a"),
+        sum(expr("CAST(lang <> 'en' AS BIGINT)")).as("b"))
+    val tc = counts.where(col("a") + col("b") >= 5)
+    val tot = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    tc.crossJoin(broadcast(tot))
+      .select(col("token"), col("a"), col("b"),
+        (col("ta") - col("a")).as("c"), (col("tb") - col("b")).as("d"))
+      // every operand to double BEFORE multiplying: a·d etc. would overflow
+      // int64 at web-corpus counts; in double the statistic stays continuous
+      // and both engines execute the identical IEEE expression
+      .withColumn("chi2", round(
+        expr("CAST(a + b + c + d AS DOUBLE) * " +
+          "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * " +
+          "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))" +
+          " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"), 4))
+      .select("token", "a", "b", "chi2")
+      .orderBy(col("chi2").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Per-group mergeable histogram quantiles — [[qHistQuantiles]] lifted
+    * to the GROUPED form a warehouse actually serves (per-nation price
+    * p50/p95): every nation gets its own B=32 equi-width cent histogram
+    * (per-nation domain from a bounded 25-row stats broadcast; edges by
+    * the same `(i·(mx−mn+1)) div B` integer formula both engines), counters
+    * merge map-side, and rank interpolation reads each target inside its
+    * containing bucket. The exact audit uses the SKETCH to bound its own
+    * cost: the histogram names each target's containing bucket, so the
+    * order statistic ranks only that (nation, bucket, target) slice —
+    * every window frame is ~1/B of its nation's rows (a naive
+    * nation-keyed rank would put a whole nation in ONE task at 100 TB);
+    * equal cent values make the extracted value invariant to tie order.
+    * Output is the fixed |nations| × 2-target grid, all integer cents. */
+  def qGroupQuantiles(s: SparkSession, d: String): DataFrame = {
+    val B = 32
+    val bucketExpr =
+      s"CASE WHEN mx = mn THEN 0L ELSE ((c - mn) * $B) div (mx - mn + 1) END"
+    val cents = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
+    val stats = cents.groupBy("nation")
+      .agg(count(lit(1)).as("n"), min("c").as("mn"), max("c").as("mx"))
+    val withB = cents.join(broadcast(stats), "nation").withColumn("b", expr(bucketExpr))
+    val hist = withB.groupBy("nation", "b").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("nation")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤32 rows per nation
+    val cum = hist.withColumn("cum", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+    val targets = stats
+      .select(col("nation"), explode(array(lit(50L), lit(95L))).as("p"),
+        col("n"), col("mn"), col("mx"))
+      .withColumn("r", expr("(p * (n - 1)) div 100"))
+    val est = targets.join(broadcast(cum), Seq("nation"))
+      .where(col("r") >= col("cum") && col("r") < col("cum") + col("cnt"))
+      .withColumn("lo",
+        expr(s"CASE WHEN mx = mn THEN mn ELSE mn + (b * (mx - mn + 1)) div $B END"))
+      .withColumn("hi",
+        expr(s"CASE WHEN mx = mn THEN mx + 1 ELSE mn + ((b + 1) * (mx - mn + 1)) div $B END"))
+      .withColumn("est_cents", expr("lo + ((r - cum) * (hi - lo)) div cnt"))
+      .select("nation", "p", "n", "r", "est_cents", "b", "cum")
+    // rank-in-bucket = r - cum; only the two target buckets per nation rank
+    val probe = est.select(col("nation"), col("p").as("__p"), col("b"),
+      (col("r") - col("cum") + 1).as("__t"))
+    val wrb = Window.partitionBy(col("nation"), col("b"), col("__p")).orderBy(col("c"))
+    val exact = withB.select("nation", "b", "c")
+      .join(broadcast(probe), Seq("nation", "b"))
+      .withColumn("rk", row_number().over(wrb)).where(col("rk") === col("__t"))
+      .select(col("nation").as("n2"), col("__p").as("p2"), col("c").as("exact_cents"))
+    est.join(exact, col("nation") === col("n2") && col("p") === col("p2"))
+      .select(col("nation"), col("p"), col("n"), col("est_cents"), col("exact_cents"),
+        expr("(abs(est_cents - exact_cents) * 1000000L) div exact_cents")
+          .as("err_ppm"))
+      .transform(ps(col("nation"), col("p")))
+  }
+
   /** PII pseudonymization — the governance layer every shared training
     * corpus needs before it leaves the trust boundary: the direct
     * identifier (`c_name`) is masked for display (all but the last 4
@@ -5948,6 +6249,13 @@ object Queries {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_compaction_plan" -> (qCompactionPlan _),
+    "q_join_size_est" -> (qJoinSizeEst _),
+    "q_ams_f2" -> (qAmsF2 _),
+    "q_mrr" -> (qMrr _),
+    "q_rank_fusion" -> (qRankFusion _),
+    "q_dsir_weights" -> (qDsirWeights _),
+    "q_chi2_tokens" -> (qChi2Tokens _),
+    "q_group_quantiles" -> (qGroupQuantiles _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -8277,5 +8585,123 @@ object Queries {
         "SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n_rows) AS BIGINT) AS n_rows, " +
         "CAST(sum(bytes) AS BIGINT) AS bytes, min(fdate) AS from_date, max(fdate) AS to_date " +
         "FROM b GROUP BY bin_id ORDER BY bin_id"),
+    "q_join_size_est" ->
+      ("WITH kc AS (SELECT l_partkey AS k, " +
+        "CAST(sum(CAST(year(l_shipdate) = 1996 AS INTEGER)) AS BIGINT) AS a, " +
+        "CAST(sum(CAST(year(l_shipdate) = 1997 AS INTEGER)) AS BIGINT) AS b " +
+        "FROM lineitem WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1), " +
+        "ex AS (SELECT CAST(sum(a * b) AS BIGINT) AS n_exact FROM kc), " +
+        "kj AS (SELECT k, a, b, j FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j)), " +
+        "hb AS (SELECT j, a, b, " +
+        "CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 13) AS BIGINT) % 64 AS bucket, " +
+        "CASE WHEN CAST('0x' || substr(md5('s' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 13) AS BIGINT) % 2 = 0 " +
+        "THEN 1 ELSE -1 END AS sgn FROM kj), " +
+        "ct AS (SELECT j, bucket, CAST(sum(a * sgn) AS BIGINT) AS ca, " +
+        "CAST(sum(b * sgn) AS BIGINT) AS cb FROM hb GROUP BY 1, 2), " +
+        "ip AS (SELECT j, CAST(sum(ca * cb) AS BIGINT) AS ip FROM ct GROUP BY j), " +
+        "md AS (SELECT CAST(ip AS BIGINT) AS est_agms FROM " +
+        "(SELECT ip, j, row_number() OVER (ORDER BY ip, j) AS r FROM ip) WHERE r = 5) " +
+        "SELECT n_exact, est_agms, " +
+        "(abs(est_agms - n_exact) * 1000000) // n_exact AS err_ppm " +
+        "FROM md CROSS JOIN ex"),
+    "q_ams_f2" ->
+      ("WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM uc), " +
+        "uj AS (SELECT user_id, c, j FROM uc CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j)), " +
+        "hb AS (SELECT j, c, " +
+        "CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) % 64 AS bucket, " +
+        "CASE WHEN CAST('0x' || substr(md5('s' || CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) % 2 = 0 " +
+        "THEN 1 ELSE -1 END AS sgn FROM uj), " +
+        "ct AS (SELECT j, bucket, CAST(sum(c * sgn) AS BIGINT) AS sb FROM hb GROUP BY 1, 2), " +
+        "e2 AS (SELECT j, CAST(sum(sb * sb) AS BIGINT) AS estj FROM ct GROUP BY j), " +
+        "md AS (SELECT CAST(estj AS BIGINT) AS f2_ams FROM " +
+        "(SELECT estj, j, row_number() OVER (ORDER BY estj, j) AS r FROM e2) WHERE r = 5) " +
+        "SELECT f2_exact, f2_ams, (abs(f2_ams - f2_exact) * 1000000) // f2_exact AS err_ppm " +
+        "FROM md CROSS JOIN ex"),
+    "q_mrr" ->
+      ("WITH p AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings WHERE vec_id >= 10), " +
+        "sc AS (SELECT q_id, q_label, vec_id, label, " +
+        "round(list_cosine_similarity(emb, q_emb), 4) AS simr FROM c CROSS JOIN p), " +
+        "r AS (SELECT q_id, q_label, vec_id, label, simr, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY simr DESC, vec_id) AS rank FROM sc), " +
+        "h AS (SELECT q_id, CAST(min(rank) AS BIGINT) AS frr FROM r " +
+        "WHERE rank <= 10 AND label = q_label GROUP BY q_id) " +
+        "SELECT p.q_id, CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank, " +
+        "CAST(CASE WHEN frr IS NULL THEN 0 ELSE 1000000 // frr END AS BIGINT) AS rr_ppm " +
+        "FROM p LEFT JOIN h ON p.q_id = h.q_id ORDER BY p.q_id"),
+    "q_rank_fusion" ->
+      ("WITH probe AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p " +
+        "FROM embeddings WHERE vec_id = 1), " +
+        "sc AS (SELECT vec_id, " +
+        "round(list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), p), 4) AS simr, " +
+        "round(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), p), 4) AS dotr " +
+        "FROM embeddings, probe WHERE vec_id <> 1), " +
+        "tc AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY simr DESC, vec_id) AS BIGINT) AS rank_cos " +
+        "FROM sc QUALIFY rank_cos <= 20), " +
+        "td AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY dotr DESC, vec_id) AS BIGINT) AS rank_dot " +
+        "FROM sc QUALIFY rank_dot <= 20), " +
+        "f AS (SELECT coalesce(tc.vec_id, td.vec_id) AS vec_id, " +
+        "CAST(coalesce(rank_cos, 0) AS BIGINT) AS rank_cos, CAST(coalesce(rank_dot, 0) AS BIGINT) AS rank_dot " +
+        "FROM tc FULL OUTER JOIN td ON tc.vec_id = td.vec_id) " +
+        "SELECT vec_id, rank_cos, rank_dot, " +
+        "CAST(CASE WHEN rank_cos = 0 THEN 0 ELSE 1000000000 // (60 + rank_cos) END + " +
+        "CASE WHEN rank_dot = 0 THEN 0 ELSE 1000000000 // (60 + rank_dot) END AS BIGINT) AS rrf_ppb " +
+        "FROM f ORDER BY rrf_ppb DESC, vec_id LIMIT 10"),
+    "q_dsir_weights" ->
+      (TP_TOK_CTE +
+        ", bk AS (SELECT doc_id, source, " +
+        "CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 256 AS b FROM tok)" +
+        ", dist AS (SELECT b, CAST(sum(CAST(source = 'src0' AS INTEGER)) AS BIGINT) AS ct, " +
+        "CAST(sum(CAST(source <> 'src0' AS INTEGER)) AS BIGINT) AS cr FROM bk GROUP BY b)" +
+        ", tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM dist)" +
+        ", ratio AS (SELECT b, log2(CAST(ct + 1 AS DOUBLE)) - log2(CAST(nt + 256 AS DOUBLE)) " +
+        "- log2(CAST(cr + 1 AS DOUBLE)) + log2(CAST(nr + 256 AS DOUBLE)) AS llr " +
+        "FROM dist CROSS JOIN tt) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(sum(llr), 4) AS logw, CAST(sum(llr) > 0 AS BIGINT) AS keep " +
+        "FROM bk JOIN ratio USING (b) GROUP BY doc_id ORDER BY doc_id"),
+    "q_chi2_tokens" ->
+      ("""WITH norm AS (SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents)""" +
+        ", tok AS (SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm WHERE t <> '')" +
+        ", tc AS (SELECT token, CAST(sum(CAST(lang = 'en' AS INTEGER)) AS BIGINT) AS a, " +
+        "CAST(sum(CAST(lang <> 'en' AS INTEGER)) AS BIGINT) AS b FROM tok GROUP BY token)" +
+        ", tt AS (SELECT CAST(sum(CAST(lang = 'en' AS INTEGER)) AS BIGINT) AS ta, " +
+        "CAST(sum(CAST(lang <> 'en' AS INTEGER)) AS BIGINT) AS tb FROM tok)" +
+        ", sc AS (SELECT token, a, b, ta - a AS c, tb - b AS d FROM tc CROSS JOIN tt " +
+        "WHERE a + b >= 5) " +
+        "SELECT token, a, b, round(CAST(a + b + c + d AS DOUBLE) * " +
+        "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * " +
+        "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) " +
+        "/ (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 4) AS chi2 " +
+        "FROM sc ORDER BY chi2 DESC, token LIMIT 20"),
+    "q_group_quantiles" ->
+      ("WITH cents AS (SELECT c_nationkey AS nation, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        "st AS (SELECT nation, CAST(count(*) AS BIGINT) AS n, min(c) AS mn, max(c) AS mx " +
+        "FROM cents GROUP BY 1), " +
+        "wb AS (SELECT nation, c, CASE WHEN mx = mn THEN CAST(0 AS BIGINT) " +
+        "ELSE ((c - mn) * 32) // (mx - mn + 1) END AS b FROM cents JOIN st USING (nation)), " +
+        "h AS (SELECT nation, b, CAST(count(*) AS BIGINT) AS cnt FROM wb GROUP BY 1, 2), " +
+        "cm AS (SELECT nation, b, cnt, CAST(coalesce(sum(cnt) OVER (PARTITION BY nation " +
+        "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM h), " +
+        "tg AS (SELECT nation, CAST(p AS BIGINT) AS p, n, mn, mx, (CAST(p AS BIGINT) * (n - 1)) // 100 AS r " +
+        "FROM st CROSS JOIN (SELECT unnest([50, 95]) AS p)), " +
+        "es AS (SELECT tg.nation, p, n, r, b, cum, cnt, mn, mx, " +
+        "CASE WHEN mx = mn THEN mn ELSE mn + (b * (mx - mn + 1)) // 32 END AS lo, " +
+        "CASE WHEN mx = mn THEN mx + 1 ELSE mn + ((b + 1) * (mx - mn + 1)) // 32 END AS hi " +
+        "FROM tg JOIN cm ON tg.nation = cm.nation AND r >= cum AND r < cum + cnt), " +
+        "e2 AS (SELECT nation, p, n, r, b, cum, lo + ((r - cum) * (hi - lo)) // cnt AS est_cents FROM es), " +
+        "rk AS (SELECT wb.nation, e2.p, wb.c, " +
+        "row_number() OVER (PARTITION BY wb.nation, wb.b, e2.p ORDER BY wb.c) AS rk, " +
+        "r - cum + 1 AS t FROM wb JOIN e2 ON wb.nation = e2.nation AND wb.b = e2.b), " +
+        "ex AS (SELECT nation, p, c AS exact_cents FROM rk WHERE rk = t) " +
+        "SELECT e2.nation, e2.p, n, est_cents, exact_cents, " +
+        "(abs(est_cents - exact_cents) * 1000000) // exact_cents AS err_ppm " +
+        "FROM e2 JOIN ex ON e2.nation = ex.nation AND e2.p = ex.p ORDER BY 1, 2"),
   )
 }

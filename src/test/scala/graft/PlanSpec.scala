@@ -1358,6 +1358,94 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
+  test("q_join_size_est: map-side sketch build; the only window ranks the 9-row median frame") {
+    val df = Queries.qJoinSizeEst(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"per-key counts and counters must combine map-side:\n$exec")
+    // every window is the bounded median rank over the d=9 estimate rows
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(s => s.contains("ip#") && !s.contains("bucket")),
+      s"only the 9-row median rank may be a window:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"the 1-row exact/estimate combine must broadcast, never cartesian:\n$exec")
+  }
+
+  test("q_ams_f2: map-side sketch build; the only window ranks the 9-row median frame") {
+    val df = Queries.qAmsF2(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"per-key counts and bucket sums must combine map-side:\n$exec")
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(s => s.contains("estj#") && !s.contains("bucket")),
+      s"only the 9-row median rank may be a window:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"the 1-row exact/estimate combine must broadcast, never cartesian:\n$exec")
+  }
+
+  test("q_mrr: probes broadcast; every candidate ranking stays probe-keyed") {
+    val df = Queries.qMrr(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("q_id")),
+      s"candidate rankings must partition by probe (the q_ndcg shape):\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the 10-row probe table must broadcast into the scan:\n$exec")
+  }
+
+  test("q_rank_fusion: both top-20s are TakeOrdered; windows rank only the 20-row lists") {
+    val df = Queries.qRankFusion(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"ranker top-20s must never globally sort the corpus:\n$exec")
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(s =>
+      s.contains("simr#") || s.contains("dotr#")),
+      s"windows may rank only the materialized 20-row lists:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
+  test("q_dsir_weights: broadcast 256-row ratio table, map-side sums, no windows") {
+    val df = Queries.qDsirWeights(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"bucket counts and per-doc sums must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the 256-row ratio table must broadcast into the token stream:\n$exec")
+    assert(!exec.contains("Window") && !exec.contains("CartesianProduct"),
+      s"scoring is linear — no windows, no pairs:\n$exec")
+  }
+
+  test("q_chi2_tokens: map-side counts, broadcast total, TakeOrdered top-20") {
+    val df = Queries.qChi2Tokens(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-20 must never globally sort the token table:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"), exec)
+    assert(!exec.contains("Window") && !exec.contains("CartesianProduct"),
+      s"the statistic is row-local over counts:\n$exec")
+  }
+
+  test("q_group_quantiles: every window carries the nation key; audit ranks only target buckets") {
+    val df = Queries.qGroupQuantiles(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("nation")),
+      s"no global window may exist — cumsum and audit rank are nation-keyed:\n$exec")
+    // the exact audit must additionally partition by bucket (the sketch
+    // bounds its own audit: frames are ~1/B of a nation, never the nation)
+    assert(specs.exists(s => s.contains("b#") && s.contains("__p")),
+      s"the order-statistic rank must stay (nation, bucket, target)-keyed:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -296,6 +296,132 @@ class QueriesSpec extends SparkSuite {
         s"extra=${(got -- brute).take(5)}")
   }
 
+  test("q_join_size_est: exact side is the true join size, estimator is sane") {
+    val (ne, ea, ppm) = Queries.qJoinSizeEst(spark, SF)
+      .select("n_exact", "est_agms", "err_ppm").as[(Long, Long, Long)].head()
+    // ground truth without sketches: the materialized join count
+    val li = Tables.lineitem(spark, SF)
+    val a = li.where(expr("year(l_shipdate) = 1996")).select("l_partkey")
+    val b = li.where(expr("year(l_shipdate) = 1997")).select("l_partkey")
+    val trueSize = a.join(b, "l_partkey").count()
+    assert(ne == trueSize, s"exact fold must equal the materialized join: $ne vs $trueSize")
+    assert(ppm == math.abs(ea - ne) * 1000000L / ne, "ppm arithmetic")
+    // Fast-AGMS at d=9 w=64 is unbiased with ~F2-bounded variance — a
+    // degenerate estimator (the CMS form measured 250x over here) fails this
+    assert(ppm < 500000L, s"estimate within 50% of truth: est=$ea exact=$ne")
+  }
+
+  test("q_ams_f2: exact side is the true second moment, estimator is sane") {
+    val (fe, fa, ppm) = Queries.qAmsF2(spark, SF)
+      .select("f2_exact", "f2_ams", "err_ppm").as[(Long, Long, Long)].head()
+    val truth = Tables.events(spark, SF).groupBy("user_id").count()
+      .agg(sum($"count" * $"count")).as[Long].head()
+    assert(fe == truth, s"exact F2 must equal direct computation: $fe vs $truth")
+    // F2 >= F1 always (sum of squares vs sum), strict when any key repeats
+    val f1 = Tables.events(spark, SF).count()
+    assert(fe >= f1, s"F2 >= row count: $fe vs $f1")
+    assert(ppm == math.abs(fa - fe) * 1000000L / fe, "ppm arithmetic")
+    assert(ppm < 500000L, s"estimate within 50% of truth: est=$fa exact=$fe")
+  }
+
+  test("q_mrr misses exactly where q_ndcg finds no relevant result") {
+    val mrr = Queries.qMrr(spark, SF)
+      .select("q_id", "first_rel_rank", "rr_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(mrr.map(_._1).sorted == (0L until 10L), "one row per probe, misses kept")
+    val noRel = Queries.qNdcg(spark, SF).where($"n_rel" === 0)
+      .select("q_id").as[Long].collect().toSet
+    mrr.foreach { case (q, frr, ppm) =>
+      assert((frr == 0) == noRel(q),
+        s"probe $q: MRR miss must coincide with NDCG's empty relevance set")
+      assert(frr >= 0 && frr <= 10, s"first relevant rank within top-10: $frr")
+      assert(ppm == (if (frr == 0) 0L else 1000000L / frr), s"probe $q rr arithmetic")
+    }
+  }
+
+  test("q_rank_fusion: RRF score is exactly determined by the two rank lists") {
+    val rows = Queries.qRankFusion(spark, SF)
+      .select("vec_id", "rank_cos", "rank_dot", "rrf_ppb")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 10, "top-10 fused list")
+    rows.foreach { case (v, rc, rd, sc) =>
+      assert(rc >= 0 && rc <= 20 && rd >= 0 && rd <= 20, s"$v ranks in-list")
+      assert(rc > 0 || rd > 0, s"$v must come from at least one ranker's top-20")
+      val want = (if (rc == 0) 0L else 1000000000L / (60 + rc)) +
+        (if (rd == 0) 0L else 1000000000L / (60 + rd))
+      assert(sc == want, s"$v RRF arithmetic: $sc vs $want")
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted.reverse,
+      "fused list ordered by score desc")
+    // both rankers' #1 results always survive fusion (1/(61) alone beats
+    // any single rank >= 22 contribution and ties lose only to dual-list entries)
+    val top1s = rows.filter(r => r._2 == 1 || r._3 == 1)
+    assert(top1s.nonEmpty, "a ranker's top result must appear in the fused list")
+  }
+
+  test("q_dsir_weights: keep flag is the sign, counts are real token counts") {
+    val rows = Queries.qDsirWeights(spark, SF)
+      .select("doc_id", "n_tokens", "logw", "keep")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nt, lw, keep) =>
+      assert(nt > 0, s"doc $id token count")
+      assert(keep == (if (lw > 0) 1L else 0L), s"doc $id keep flag must be sign(logw)")
+    }
+    // the in-sample property that makes DSIR work: target-source documents
+    // score higher under their own distribution than raw documents do
+    val src = Tables.documents(spark, SF).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val (t, r) = rows.partition(x => src(x._1) == "src0")
+    assert(t.nonEmpty && r.nonEmpty, "both classes present")
+    val mt = t.map(x => x._3 / x._2).sum / t.size
+    val mr = r.map(x => x._3 / x._2).sum / r.size
+    assert(mt > mr,
+      f"target docs must score higher per-token on average: $mt%.4f vs $mr%.4f")
+  }
+
+  test("q_chi2_tokens: min support holds and the statistic is a real chi-square") {
+    val rows = Queries.qChi2Tokens(spark, SF)
+      .select("token", "a", "b", "chi2")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.size == 20, "top-20 list")
+    rows.foreach { case (tok, a, b, chi2) =>
+      assert(a + b >= 5, s"$tok min support")
+      assert(chi2 >= 0.0, s"$tok chi2 non-negative")
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted.reverse,
+      "ordered by chi2 desc")
+  }
+
+  test("q_group_quantiles: full grid, bucket-bounded error, monotone in p") {
+    val rows = Queries.qGroupQuantiles(spark, SF)
+      .select("nation", "p", "n", "est_cents", "exact_cents")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val nations = rows.map(_._1).distinct
+    assert(rows.size == nations.size * 2, "every nation carries both targets")
+    val byNation = rows.groupBy(_._1)
+    byNation.foreach { case (nat, rs) =>
+      assert(rs.map(_._2).sorted == Seq(50L, 95L), s"nation $nat targets")
+      val p50 = rs.find(_._2 == 50L).get
+      val p95 = rs.find(_._2 == 95L).get
+      assert(p50._5 <= p95._5, s"nation $nat exact quantiles monotone")
+    }
+    // rank interpolation cannot miss by more than the nation's own bucket
+    val dom = Tables.lineitem(spark, SF)
+      .join(Tables.orders(spark, SF), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, SF), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")).as("mn"),
+        max(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")).as("mx"))
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    rows.foreach { case (nat, p, _, est, exact) =>
+      val (mn, mx) = dom(nat)
+      val bw = (mx - mn + 1) / 32 + 1
+      assert(math.abs(est - exact) <= bw,
+        s"nation $nat p$p estimate within one bucket: $est vs $exact (bw=$bw)")
+    }
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
