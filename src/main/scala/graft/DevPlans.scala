@@ -117,6 +117,26 @@ object DevPlans {
         "estimates are broadcast-sized joins over a 128-row frame — the " +
         "mergeability story (combine per-partition sketches, rescan " +
         "nothing) is visible as plan shape."),
+      "q_setsim_join" -> ("Prefix-filtered set-similarity join: candidates " +
+        "come from a shingle-keyed equi self-join restricted to each doc's " +
+        "rarest-first PREFIX (the AllPairs bound), so the join key is a " +
+        "token, never a cross product; the exact Jaccard verify is one " +
+        "pair-keyed aggregate over the provably complete candidate set."),
+      "q_join_size_est" -> ("Sketch-driven CBO input: ONE fact scan feeds " +
+        "the per-key count aggregate and AQE stage reuse serves it to both " +
+        "the exact fold and the sketch build; the counter tables are 576 " +
+        "rows a side at any scale, the Fast-AGMS inner product joins those " +
+        "bounded frames, and the only window ranks the 9-row median."),
+      "q_maxsim" -> ("Late-interaction retrieval: the 8-row query bag rides " +
+        "a BroadcastNestedLoopJoin into the token scan (per-pair dots are " +
+        "codegen'd zip_with folds snapped to e4 integers in the scan " +
+        "stage), the (doc, query-token) max and doc sum combine map-side, " +
+        "and the top-10 is TakeOrderedAndProject — the corpus never sorts."),
+      "q_group_quantiles" -> ("Self-bounding sketch audit: per-nation " +
+        "histograms merge map-side; the exact-rank audit joins the probe " +
+        "targets back on (nation, bucket) so every order-statistic window " +
+        "frame holds ~1/B of its nation — the sketch names the only slices " +
+        "the exact path must rank."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

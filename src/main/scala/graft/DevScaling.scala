@@ -189,7 +189,11 @@ object DevScaling {
       // curation scoring: token-grain map-side counts + broadcast ratio /
       // total tables, row-local statistics; grouped quantiles = per-nation
       // 32-bucket histograms with the audit rank bounded to target buckets
-      "q_dsir_weights", "q_chi2_tokens", "q_group_quantiles")
+      "q_dsir_weights", "q_chi2_tokens", "q_group_quantiles",
+      // governance/mixture/retrieval wave: bounded-output aggregate chains
+      // (|sources| / |types| / |classes| rows); maxsim is the broadcast
+      // query-bag scan with map-side max/sum and a TakeOrdered readout
+      "q_temperature_mix", "q_dp_counts", "q_maxsim", "q_l_diversity")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

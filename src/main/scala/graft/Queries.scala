@@ -5851,6 +5851,127 @@ object Queries {
       .transform(ps(col("nation"), col("p")))
   }
 
+  /** Temperature-scaled dataset-mixture weights — the sampling-rate
+    * computation behind multilingual/multi-source LLM training mixes
+    * (mT5-style α-sampling): raw source shares p_s are flattened to
+    * p_s^α so low-resource sources are up-sampled without letting any
+    * source dominate. α = 0.5 exactly, so the weight is a SQUARE ROOT —
+    * `w_s = floor(sqrt(n_s · 10⁶))` (fixed-point isqrt: sqrt is
+    * correctly-rounded IEEE in both engines and the floor lands both on
+    * the identical long, no libm-pow portability hazard). Output per
+    * source: the exact char mass, raw share and temperature share in
+    * exact ppm (two-step overflow-safe division), and the up/down-
+    * sampling boost `temp_ppm·10⁶ div raw_ppm` — the factor a sampler
+    * repeats that source relative to proportional sampling. One map-side
+    * count aggregate over the corpus, a 1-row total broadcast, |sources|
+    * output rows at any scale. */
+  def qTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).groupBy("source")
+      .agg(sum(col("n_chars")).as("n_chars"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_chars AS DOUBLE) * 1000000.0)) AS BIGINT)"))
+    val tot = src.agg(sum(col("n_chars")).as("tn"), sum(col("w")).as("tw"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_chars"),
+        expr(ppmDiv("n_chars", "tn")).as("raw_ppm"),
+        expr(ppmDiv("w", "tw")).as("temp_ppm"))
+      .withColumn("boost_ppm", expr("(temp_ppm * 1000000L) div raw_ppm"))
+      .transform(ps(col("source")))
+  }
+
+  /** Differential-privacy-style noisy release of the per-type event
+    * census — the third leg of the governance tier ([[qPiiRedact]]
+    * pseudonymizes, [[qKAnonymity]] audits class sizes, this BOUNDS one
+    * user's influence and perturbs the release): each user's
+    * contribution to a type is CLIPPED at C = 5 events (per-user
+    * sensitivity, the Δf of user-level DP), and Laplace(C/ε) noise at
+    * ε = 1 is added to the clipped count. The noise is SEEDED — uniform
+    * u ∈ (0,1) and a sign bit both derive from portable md5 of the
+    * release key, inverse-CDF `-scale·ln(u)` — so both engines draw the
+    * IDENTICAL perturbation (the determinism contract; a production
+    * release would swap the seed for a secret drawn once per release,
+    * changing nothing in the plan). ln is evaluated in double and the
+    * released value rounds to an integer count (noise itself shown at 4
+    * decimals) — the continuous-expression rounding doctrine. Shapes:
+    * one (type, user)-grain map-side count aggregate, one |types|-grain
+    * rollup, row-local noise arithmetic — bounded output, no windows. */
+  def qDpCounts(s: SparkSession, d: String): DataFrame = {
+    val clipped = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_events"),
+        sum(least(col("c"), lit(5L))).as("n_clipped"))
+    clipped
+      .withColumn("u", expr(
+        "(CAST(conv(substr(md5(concat('dp', event_type)), 1, 13), 16, 10) AS BIGINT) " +
+          "% 1000000 + 1) / 1000001.0"))
+      .withColumn("sgn", expr(
+        "CASE WHEN CAST(conv(substr(md5(concat('dps', event_type)), 1, 13), 16, 10) AS BIGINT) " +
+          "% 2 = 0 THEN 1.0 ELSE -1.0 END"))
+      .withColumn("noise", expr("round(sgn * -5.0 * ln(u), 4)"))
+      .select(col("event_type"), col("n_events"), col("n_clipped"),
+        (col("n_events") - col("n_clipped")).as("clip_loss"),
+        col("noise"),
+        expr("n_clipped + CAST(round(noise, 0) AS BIGINT)").as("n_dp"))
+      .transform(ps(col("event_type")))
+  }
+
+  /** ColBERT-style late-interaction retrieval (MaxSim) — the multi-vector
+    * scoring model between single-vector ANN and full cross-encoders:
+    * documents and the query each carry a BAG of token vectors (here the
+    * embedding table regrouped 8 vectors per doc, `doc = vec_id div 8`),
+    * and the score is `Σ_{q ∈ query} max_{t ∈ doc} ⟨q, t⟩` — every query
+    * token finds its best-matching document token. Dot products are the
+    * index-ordered zip_with/aggregate fold (bit-identical to DuckDB's
+    * list_inner_product), snapped to e4 fixed-point integers BEFORE any
+    * aggregation so the max and the 8-term sum are exact integer ops in
+    * both engines. Shapes at 100 TB: the 8-row query bag BROADCASTS into
+    * the token scan (one pass, no shuffle for the per-pair dots), the
+    * (doc, query-token) max and the doc-grain sum combine map-side, and
+    * the top-10 readout is TakeOrdered under the (score, doc) total
+    * order — never a global sort. */
+  def qMaxsim(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.embeddings(s, d)
+      .select(expr("vec_id div 8").as("doc"), col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    val qtoks = toks.where(col("doc") === 0)
+      .select(col("vec_id").as("q_tok"), col("emb").as("q_emb"))
+    val dot = aggregate(
+      zip_with(col("emb"), col("q_emb"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    toks.where(col("doc") >= 1)
+      .crossJoin(broadcast(qtoks))
+      .withColumn("dot_d", dot)
+      .select(col("doc"), col("q_tok"),
+        expr("CAST(round(dot_d * 10000, 0) AS BIGINT)").as("di"))
+      .groupBy("doc", "q_tok").agg(max(col("di")).as("mx"))
+      .groupBy("doc").agg(sum(col("mx")).as("maxsim_e4"))
+      .orderBy(col("maxsim_e4").desc, col("doc"))
+      .limit(10)
+  }
+
+  /** l-diversity audit — the [[qKAnonymity]] companion on the SENSITIVE
+    * attribute: a class of k identical quasi-identifier rows still leaks
+    * if every row shares one sensitive value (homogeneity attack), so
+    * each (nation, segment) class is scored by how many DISTINCT
+    * sensitive values (account-balance bands, width 1000) it contains.
+    * Output per class: size k, diversity l, and the l < 2 / l < 3
+    * violation flags an anonymization gate enforces. Exact distinct per
+    * bounded class over a two-column grid — one aggregate at
+    * (class, band) grain then a class-grain count, both map-side
+    * combining, |nations × segments| output rows at any scale. */
+  def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("band"))
+      .groupBy("nation", "segment", "band").agg(count(lit(1)).as("nb"))
+      .groupBy("nation", "segment")
+      .agg(sum(col("nb")).as("k"), count(lit(1)).as("l"))
+      .withColumn("violates_l2", (col("l") < 2).cast("bigint"))
+      .withColumn("violates_l3", (col("l") < 3).cast("bigint"))
+      .transform(ps(col("nation"), col("segment")))
+  }
+
   /** PII pseudonymization — the governance layer every shared training
     * corpus needs before it leaves the trust boundary: the direct
     * identifier (`c_name`) is masked for display (all but the last 4
@@ -6256,6 +6377,10 @@ object Queries {
     "q_dsir_weights" -> (qDsirWeights _),
     "q_chi2_tokens" -> (qChi2Tokens _),
     "q_group_quantiles" -> (qGroupQuantiles _),
+    "q_temperature_mix" -> (qTemperatureMix _),
+    "q_dp_counts" -> (qDpCounts _),
+    "q_maxsim" -> (qMaxsim _),
+    "q_l_diversity" -> (qLDiversity _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -8703,5 +8828,49 @@ object Queries {
         "SELECT e2.nation, e2.p, n, est_cents, exact_cents, " +
         "(abs(est_cents - exact_cents) * 1000000) // exact_cents AS err_ppm " +
         "FROM e2 JOIN ex ON e2.nation = ex.nation AND e2.p = ex.p ORDER BY 1, 2"),
+    "q_temperature_mix" ->
+      ("WITH src AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE) * 1000000.0)) AS BIGINT) AS w " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tn, CAST(sum(w) AS BIGINT) AS tw FROM src) " +
+        "SELECT source, n_chars, " +
+        s"CAST(${ppmDivSql("n_chars", "tn")} AS BIGINT) AS raw_ppm, " +
+        s"CAST(${ppmDivSql("w", "tw")} AS BIGINT) AS temp_ppm, " +
+        s"CAST((CAST(${ppmDivSql("w", "tw")} AS BIGINT) * 1000000) // " +
+        s"CAST(${ppmDivSql("n_chars", "tn")} AS BIGINT) AS BIGINT) AS boost_ppm " +
+        "FROM src CROSS JOIN tot ORDER BY source"),
+    "q_dp_counts" ->
+      ("WITH uc AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "cl AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events, " +
+        "CAST(sum(least(c, 5)) AS BIGINT) AS n_clipped FROM uc GROUP BY 1), " +
+        "nz AS (SELECT event_type, n_events, n_clipped, " +
+        "(CAST('0x' || substr(md5('dp' || event_type), 1, 13) AS BIGINT) % 1000000 + 1) / 1000001.0 AS u, " +
+        "CASE WHEN CAST('0x' || substr(md5('dps' || event_type), 1, 13) AS BIGINT) % 2 = 0 " +
+        "THEN 1.0 ELSE -1.0 END AS sgn FROM cl) " +
+        "SELECT event_type, n_events, n_clipped, n_events - n_clipped AS clip_loss, " +
+        "round(sgn * -5.0 * ln(u), 4) AS noise, " +
+        "n_clipped + CAST(round(round(sgn * -5.0 * ln(u), 4), 0) AS BIGINT) AS n_dp " +
+        "FROM nz ORDER BY event_type"),
+    "q_maxsim" ->
+      ("WITH t AS (SELECT vec_id // 8 AS doc, vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_tok, emb AS q_emb FROM t WHERE doc = 0), " +
+        "p AS (SELECT doc, q_tok, " +
+        "CAST(round(list_inner_product(emb, q_emb) * 10000, 0) AS BIGINT) AS di " +
+        "FROM t CROSS JOIN q WHERE doc >= 1), " +
+        "m AS (SELECT doc, q_tok, max(di) AS mx FROM p GROUP BY 1, 2) " +
+        "SELECT doc, CAST(sum(mx) AS BIGINT) AS maxsim_e4 FROM m GROUP BY doc " +
+        "ORDER BY maxsim_e4 DESC, doc LIMIT 10"),
+    "q_l_diversity" ->
+      ("WITH b AS (SELECT c_nationkey AS nation, c_mktsegment AS segment, " +
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band FROM customer), " +
+        "g AS (SELECT nation, segment, band, CAST(count(*) AS BIGINT) AS nb " +
+        "FROM b GROUP BY 1, 2, 3) " +
+        "SELECT nation, segment, CAST(sum(nb) AS BIGINT) AS k, " +
+        "CAST(count(*) AS BIGINT) AS l, " +
+        "CAST(count(*) < 2 AS BIGINT) AS violates_l2, " +
+        "CAST(count(*) < 3 AS BIGINT) AS violates_l3 " +
+        "FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

@@ -1446,6 +1446,50 @@ class PlanSpec extends SparkSuite {
     assert(!exec.contains("CartesianProduct"), exec)
   }
 
+  test("q_temperature_mix: map-side census, 1-row total broadcast, no windows") {
+    val df = Queries.qTemperatureMix(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the per-source census must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, never cartesian:\n$exec")
+    assert(!exec.contains("Window"), s"share arithmetic is row-local:\n$exec")
+  }
+
+  test("q_dp_counts: two map-side aggregate levels, row-local noise, no windows") {
+    val df = Queries.qDpCounts(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the (type, user) census must combine map-side:\n$exec")
+    assert(!exec.contains("Window") && !exec.contains("CartesianProduct"),
+      s"clip + noise are aggregate/row-local work:\n$exec")
+  }
+
+  test("q_maxsim: query bag broadcasts; maxes and sums combine map-side; top-10 is TakeOrdered") {
+    val df = Queries.qMaxsim(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the 8-row query bag must broadcast into the token scan:\n$exec")
+    assert(exec.contains("partial_max"),
+      s"the per-(doc, query-token) max must combine map-side:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-10 must never globally sort the corpus:\n$exec")
+    assert(!exec.contains("Window"), exec)
+  }
+
+  test("q_l_diversity: single-table aggregate chain — no joins, no windows") {
+    val df = Queries.qLDiversity(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"band and class censuses must combine map-side:\n$exec")
+    assert(!exec.contains("Join") && !exec.contains("Window"),
+      s"the audit is one aggregate chain over customer:\n$exec")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -422,6 +422,87 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_temperature_mix: shares sum to ~1e6 and the boost flattens monotonically") {
+    val rows = Queries.qTemperatureMix(spark, SF)
+      .select("source", "n_chars", "raw_ppm", "temp_ppm", "boost_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val nSources = Tables.documents(spark, SF).select("source").distinct().count()
+    assert(rows.size == nSources, "one row per source")
+    // floor-ppm shares: each sum lands within |sources| below exactly 1e6
+    Seq(rows.map(_._3).sum, rows.map(_._4).sum).foreach { s =>
+      assert(s <= 1000000L && s > 1000000L - rows.size, s"share sum $s")
+    }
+    // alpha = 0.5 strictly flattens: below-average sources are up-sampled
+    // (boost > 1e6), above-average down-sampled, and the boost ordering is
+    // inverse to the size ordering (sqrt is strictly monotone)
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach { case Seq(small, large) =>
+      if (small._2 < large._2)
+        assert(small._5 >= large._5,
+          s"smaller source must boost at least as much: $small vs $large")
+    }
+    assert(bySize.head._5 > 1000000L || bySize.head._2 == bySize.last._2,
+      "the smallest source is up-sampled under temperature")
+  }
+
+  test("q_dp_counts: clipping is exact, noise is bounded and deterministic") {
+    val rows = Queries.qDpCounts(spark, SF)
+      .select("event_type", "n_events", "n_clipped", "clip_loss", "noise", "n_dp")
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // ground truth for the clipped census, computed without the query
+    val truth = Tables.events(spark, SF)
+      .groupBy($"event_type", $"user_id").count()
+      .groupBy($"event_type")
+      .agg(sum($"count").as("ne"), sum(least($"count", lit(5L))).as("nc"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (et, ne, nc, loss, noise, ndp) =>
+      assert((ne, nc) == truth(et), s"$et clipped census must match direct computation")
+      assert(nc <= ne && loss == ne - nc, s"$et clip accounting")
+      // u >= 1/1000001 bounds the Laplace tail at 5*ln(1000001) ~ 69.08
+      assert(math.abs(noise) <= 69.1, s"$et noise bound: $noise")
+      assert(ndp == nc + math.round(noise), s"$et release arithmetic")
+    }
+    // seeded noise: a second run draws the identical perturbation
+    val again = Queries.qDpCounts(spark, SF)
+      .select("event_type", "noise").as[(String, Double)].collect().toMap
+    rows.foreach { case (et, _, _, _, noise, _) => assert(again(et) == noise) }
+  }
+
+  test("q_maxsim equals the brute-force late-interaction score") {
+    val got = Queries.qMaxsim(spark, SF)
+      .select("doc", "maxsim_e4").as[(Long, Long)].collect().toSeq
+    // brute force over the collected (test-only) embedding table
+    val all = Tables.embeddings(spark, SF)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (v, e) => (v / 8, v, e.map(_.toDouble)) }
+    val qs = all.filter(_._1 == 0L)
+    val want = all.filter(_._1 >= 1L).groupBy(_._1).map { case (doc, toks) =>
+      doc -> qs.map { q =>
+        toks.map { t =>
+          val dot = q._3.zip(t._3).map { case (a, b) => a * b }.sum
+          math.round(dot * 10000)
+        }.max
+      }.sum
+    }
+    val top = want.toSeq.sortBy { case (doc, s) => (-s, doc) }.take(10)
+    assert(got == top, s"got=$got want=$top")
+  }
+
+  test("q_l_diversity: l <= k, grid covers every customer, flags consistent") {
+    val rows = Queries.qLDiversity(spark, SF)
+      .select("nation", "segment", "k", "l", "violates_l2", "violates_l3")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, seg, k, l, v2, v3) =>
+      assert(l >= 1 && l <= k, s"($n,$seg) diversity within class size")
+      assert(v2 == (if (l < 2) 1L else 0L) && v3 == (if (l < 3) 1L else 0L),
+        s"($n,$seg) flags")
+    }
+    assert(rows.map(_._3).sum == Tables.customer(spark, SF).count(),
+      "classes partition the customer table")
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
