@@ -137,6 +137,26 @@ object DevPlans {
         "targets back on (nation, bucket) so every order-statistic window " +
         "frame holds ~1/B of its nation — the sketch names the only slices " +
         "the exact path must rank."),
+      "q_winnow_matches" -> ("MOSS match step: k-gram hashes form row-locally, " +
+        "the winnow selection is one doc-partitioned struct-min window " +
+        "(frame bounded by a single document), and pairs exist only inside " +
+        "a shared fingerprint's bucket — a df-capped equi self-join, the " +
+        "LSH-bucket shape; the corpus is never crossed."),
+      "q_t_closeness" -> ("Privacy-triad EMD: three map-side censuses feed a " +
+        "bounded class-by-band grid built from broadcast frames; the " +
+        "cumulative-flow window runs over that grid alone — nothing " +
+        "corpus-sized is ever windowed or sorted."),
+      "q_js_sources" -> ("Divergence matrix: per-source token shares join " +
+        "TOKEN-KEYED with in-bucket pair expansion bounded by |sources|; " +
+        "every log term snaps to e9 fixed-point in the scan stage so the " +
+        "pair-grain sums are integer and aggregation-order-free, and the " +
+        "exclusive mass finishes in a closed form — the unshared support " +
+        "never joins."),
+      "q_triplet_mine" -> ("Contrastive mining: the anchor bag rides a " +
+        "BroadcastNestedLoopJoin into the candidate scan, cosines snap to " +
+        "e4 inside the scan stage, and both argmaxes are conditional " +
+        "struct-max aggregates — map-side partials, no window, no sort; " +
+        "the readout is |anchors| rows."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -193,7 +193,25 @@ object DevScaling {
       // governance/mixture/retrieval wave: bounded-output aggregate chains
       // (|sources| / |types| / |classes| rows); maxsim is the broadcast
       // query-bag scan with map-side max/sum and a TakeOrdered readout
-      "q_temperature_mix", "q_dp_counts", "q_maxsim", "q_l_diversity")
+      "q_temperature_mix", "q_dp_counts", "q_maxsim", "q_l_diversity",
+      // privacy-triad/curation-pairing wave: t-closeness runs its window
+      // over the bounded class×band grid only; winnowing is doc-keyed
+      // sliding frames (bounded by one doc); triplet mining and preference
+      // pairs are broadcast-scan + map-side struct argmaxes, no windows
+      "q_t_closeness", "q_winnow_fingerprint", "q_triplet_mine",
+      "q_preference_pairs",
+      // embedding-eval/JL wave: 64-group census, inlined-centroid purity,
+      // broadcast sign-table projection over a bounded pair set
+      // (q_winnow_matches is EXCLUDED like every pair-OUTPUT query — the
+      // replicated fixture inflates the shared-fingerprint pair mass
+      // quadratically; the sf1 oracle run measures it: 239,900 pairs,
+      // both engines agree)
+      "q_embed_dim_stats", "q_cluster_purity", "q_random_projection",
+      // distributional-divergence wave: token-grain map-side counts,
+      // token-keyed (never broadcast-vocab) joins, e9-snapped row-local
+      // log terms summed as integers; JS pair expansion bounded by
+      // |sources| per token bucket
+      "q_kl_divergence", "q_mutual_info", "q_js_sources")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)

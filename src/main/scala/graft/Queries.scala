@@ -5972,6 +5972,420 @@ object Queries {
       .transform(ps(col("nation"), col("segment")))
   }
 
+  /** t-closeness audit — the third leg of the anonymity triad
+    * ([[qKAnonymity]] bounds class SIZE, [[qLDiversity]] counts distinct
+    * sensitive values, this bounds the class's sensitive DISTRIBUTION):
+    * a class whose balance-band distribution mirrors the global one leaks
+    * nothing even at l = 2, while a skewed class leaks by inference. The
+    * statistic is the Earth-Mover's Distance over the ORDERED bands
+    * (Li/Li/Venkatasubramanian 2007): with unit ground distance between
+    * adjacent bands, EMD = Σ over the first B−1 band positions of
+    * |cumulative(class_share − global_share)|, normalized by B−1 — all in
+    * exact ppm integers (two-step overflow-safe division), so both
+    * engines compute the identical statistic with zero float drift.
+    * Shapes at 100 TB: three map-side-combining censuses ((class, band),
+    * class, band), a dense grid built by crossing the |classes| frame
+    * with a broadcast |bands| frame (both bounded enums/grids — the grid
+    * NEVER grows with the corpus), and the cumulative window runs over
+    * that bounded grid only. Output |classes| rows with the t > 0.15
+    * violation flag an anonymization gate enforces. */
+  def qTCloseness(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("band"))
+    val cb = cust.groupBy("nation", "segment", "band").agg(count(lit(1)).as("cnt"))
+    val cls = cb.groupBy("nation", "segment").agg(sum(col("cnt")).as("k"))
+    val gb = cust.groupBy("band").agg(count(lit(1)).as("gcnt"))
+    val tot = gb.agg(sum(col("gcnt")).as("n"), count(lit(1)).as("nbands"))
+    val bands = gb.crossJoin(broadcast(tot))
+    val w = Window.partitionBy("nation", "segment").orderBy("band")
+    cls.crossJoin(broadcast(bands))
+      .join(cb, Seq("nation", "segment", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("delta",
+        expr(ppmDiv("cnt", "k")) - expr(ppmDiv("gcnt", "n")))
+      .withColumn("cum", sum(col("delta")).over(w))
+      .withColumn("rb", row_number().over(w))
+      .groupBy("nation", "segment")
+      .agg(max(col("k")).as("k"),
+        sum(when(col("rb") < col("nbands"), abs(col("cum")))
+          .otherwise(lit(0L))).as("flow"),
+        max(col("nbands")).as("nb"))
+      .select(col("nation"), col("segment"), col("k"),
+        expr("CASE WHEN nb <= 1 THEN 0L ELSE flow div (nb - 1) END").as("t_ppm"))
+      .withColumn("violates_t15", (col("t_ppm") > 150000L).cast("bigint"))
+      .transform(ps(col("nation"), col("segment")))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * kernel) — the position-aware dedup signature between whole-doc
+    * hashing ([[qDocFingerprint]]) and MinHash: hash every k-gram (k = 4),
+    * slide a window of w = 8 consecutive hashes, and in each FULL window
+    * select the minimum hash with rightmost tie-break — the guarantee is
+    * that any verbatim match of ≥ w+k−1 tokens between two documents
+    * shares at least one selected fingerprint, at an expected density of
+    * 2/(w+1). The per-window rightmost-min is ONE struct-ordered window
+    * aggregate, `min(struct(hash, −pos))` over a w-row frame — the
+    * lexicographic struct order encodes the tie-break, and both engines
+    * evaluate the identical portable hash (13-hex md5 prefix as int52, so
+    * the fingerprint sum is overflow-safe at any document length).
+    * Shapes at 100 TB: k-grams form ROW-LOCALLY (native Shingles + one
+    * posexplode, zero shuffle), the sliding window partitions by doc — a
+    * frame bounded by a single document's length at any corpus size —
+    * and the output is one row per document (selected-fingerprint count,
+    * density in exact ppm, and the checkable fingerprint sum). */
+  def qWinnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val ng = Tables.documents(s, d).select(col("doc_id"),
+      size(graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 4))
+        .cast("long").as("n_grams"))
+    val fp = winnowSelected(s, d).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), sum(col("selh")).as("fp_sum"))
+    ng.join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+      .withColumn("fp_ppm",
+        expr(s"CASE WHEN n_grams = 0 THEN 0L ELSE ${ppmDiv("n_fp", "n_grams")} END"))
+      .orderBy("doc_id")
+  }
+
+  /** The winnowing selection shared by [[qWinnowFingerprint]] (per-doc
+    * census) and [[qWinnowMatches]] (the MOSS match step): one row per
+    * selected (doc, position, hash) fingerprint under the
+    * rightmost-min-of-each-full-window rule. */
+  private def winnowSelected(s: SparkSession, d: String): DataFrame = {
+    val wWin = 8
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(graft.functions.Shingles.shingles(
+        Ops.normalizeText(col("text")), 4)).as(Seq("gpos", "g")))
+      .select(col("doc_id"), col("gpos").cast("long").as("gpos"),
+        expr("CAST(conv(substr(md5(g), 1, 13), 16, 10) AS BIGINT)").as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("gpos")
+      .rowsBetween(-(wWin - 1), 0)
+    sh.withColumn("mn", min(struct(col("h"), (-col("gpos")).as("np"))).over(frame))
+      .where(col("gpos") >= wWin - 1)
+      .select(col("doc_id"), col("mn.np").as("np"), col("mn.h").as("selh"))
+      .distinct()
+  }
+
+  /** The MOSS match step over [[qWinnowFingerprint]]'s selections: two
+    * documents sharing ≥ 2 distinct winnow fingerprints are reported with
+    * their shared count — by the winnowing guarantee every verbatim
+    * overlap of ≥ w+k−1 tokens surfaces here. The join is
+    * FINGERPRINT-KEYED (the LSH-bucket shape): per-doc distinct hashes
+    * meet only inside a shared hash's bucket, with a df ≤ 50 cap on
+    * ubiquitous fingerprints (boilerplate n-grams) so no bucket expands
+    * quadratically unbounded — the same degenerate-block guard as the
+    * fuzzy-match and LSH kernels, applied BEFORE any pair exists. Output
+    * is pair-grain and therefore grows with the true duplicate mass, like
+    * every pair-output query (excluded from the organic 10× study on the
+    * identical-payload fixture for the q_setsim_join reason). */
+  def qWinnowMatches(s: SparkSession, d: String): DataFrame = {
+    val sel = winnowSelected(s, d).select(col("doc_id"), col("selh")).distinct()
+    val df = sel.groupBy("selh").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 50)).select("selh")
+    val keep = sel.join(df, Seq("selh"))
+    keep.as("a").join(keep.as("b"),
+        col("a.selh") === col("b.selh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-dimension embedding census — the health check an embedding
+    * pipeline runs before indexing: mean, population variance, and range
+    * per vector dimension, plus the dead-dimension flag (variance below
+    * 0.01 — a dimension carrying no signal wastes index bytes and skews
+    * cosine norms). Values snap to e4 fixed-point at the scan so every
+    * moment is EXACT integer arithmetic in both engines: mean in rounded
+    * e4 (sign-adjusted truncating division — round-half-away portable to
+    * any truncate-toward-zero engine), variance in e8 units via
+    * `(n·Σx² − (Σx)²) div n²`. int64 ceilings: Σx² stays exact to ~2·10¹⁰
+    * rows per dimension at |x| ≤ 2 (e4 units ≤ 2·10⁴, squares ≤ 4·10⁸) —
+    * past that, rescale the snap; the census itself is ONE
+    * posexplode + one 64-group map-side aggregate, shuffle-constant at
+    * any corpus size. */
+  def qEmbedDimStats(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(round(x * 10000, 0) AS BIGINT)").as("xe4"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("xe4")).as("s1"),
+        sum(col("xe4") * col("xe4")).as("s2"),
+        min(col("xe4")).as("min_e4"), max(col("xe4")).as("max_e4"))
+      .select(col("dim"), col("n"),
+        expr("(2 * s1 + (CASE WHEN s1 < 0 THEN -1L ELSE 1L END) * n) div (2 * n)")
+          .as("mean_e4"),
+        expr("(n * s2 - s1 * s1) div (n * n)").as("var_e8"),
+        col("min_e4"), col("max_e4"))
+      .withColumn("dead", (col("var_e8") < 1000000L).cast("bigint"))
+      .transform(ps(col("dim")))
+  }
+
+  /** Cluster–label purity — the embedding-quality eval between
+    * unsupervised structure and supervision: every vector is assigned to
+    * its nearest seeded centroid (the [[qKmeansStep]] argmin kernel — a
+    * pure map-side projection against k = 8 inlined centroids), and each
+    * cluster reports its size, distinct-label count, majority label, and
+    * purity (majority share in exact ppm). High purity means the
+    * embedding geometry already separates the labels; a low-purity
+    * cluster is where a classifier trained on these vectors will bleed.
+    * Shapes: assignment is row-local, the (cluster, label) census and the
+    * cluster-grain struct argmax both combine map-side, output = k rows
+    * at any corpus size. */
+  def qClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val cents = cachedSeedCentroids(s, d, 8)
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        Similarity.kmeansAssignCol("embedding", cents).as("cluster_id"))
+      .groupBy("cluster_id", "label").agg(count(lit(1)).as("nl"))
+      .groupBy("cluster_id")
+      .agg(sum(col("nl")).as("n"), count(lit(1)).as("n_labels"),
+        max(struct(col("nl"), (-col("label")).as("nlab"))).as("m"))
+      .select(col("cluster_id"), col("n"), col("n_labels"),
+        (-col("m.nlab")).as("majority_label"), col("m.nl").as("majority_n"))
+      .withColumn("purity_ppm", expr(ppmDiv("majority_n", "n")))
+      .transform(ps(col("cluster_id")))
+  }
+
+  /** Johnson–Lindenstrauss random projection with a distortion audit —
+    * the dimensionality-reduction step before a cheap ANN index: 64-dim
+    * vectors project to 16 dims through a SEEDED ±1 sign matrix (signs
+    * from portable md5 of (i, j), so both engines hold the identical
+    * matrix — a production run swaps the seed string), and the audit
+    * reports, for 50 consecutive-id vector pairs, the original vs
+    * projected squared distance and their ratio — the JL lemma says the
+    * normalized ratio concentrates near 1. Each projected coordinate
+    * snaps to e4 fixed-point BEFORE the cross-dimension sum of squares,
+    * so the projected distance is exact integer arithmetic (aggregation-
+    * order-free); the original distance is row-local and snaps at e8.
+    * Shapes at 100 TB: the 16-row sign table broadcasts into the pair
+    * scan (per-coordinate dots are codegen'd zip_with folds), the
+    * pair-grain sum combines map-side, and the audit pair set is a
+    * bounded id-range self-join — never all pairs. */
+  def qRandomProjection(s: SparkSession, d: String): DataFrame = {
+    val signs = s.range(16).toDF("j").withColumn("sgn", expr(
+      "transform(sequence(0, 63), i -> CASE WHEN CAST(conv(substr(md5(" +
+        "concat('jl|', CAST(i AS STRING), '|', CAST(j AS STRING))), 1, 13), 16, 10) " +
+        "AS BIGINT) % 2 = 0 THEN 1.0D ELSE -1.0D END)"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pairs = e.where(col("vec_id") < 100 && col("vec_id") % 2 === 0).as("a")
+      .join(e.where(col("vec_id") < 100 && col("vec_id") % 2 === 1).as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        zip_with(col("a.emb"), col("b.emb"), (x, y) => x - y).as("dv"))
+    val od = pairs.withColumn("od2_e8", expr(
+      "CAST(round(aggregate(dv, 0.0D, (acc, x) -> acc + x * x) * 100000000, 0) AS BIGINT)"))
+    val pd = od.crossJoin(broadcast(signs))
+      .withColumn("pj", expr(
+        "CAST(round(aggregate(zip_with(dv, sgn, (x, sg) -> x * sg), 0.0D, " +
+          "(acc, x) -> acc + x) * 10000, 0) AS BIGINT)"))
+      .groupBy("va", "vb", "od2_e8")
+      .agg(sum(col("pj") * col("pj")).as("pd2_e8"))
+    pd.withColumn("pd2n", expr("pd2_e8 div 16"))
+      .select(col("va"), col("vb"), col("od2_e8"), col("pd2_e8"),
+        expr(s"CASE WHEN od2_e8 = 0 THEN 0L ELSE ${ppmDiv("pd2n", "od2_e8")} END")
+          .as("dist_ppm"))
+      .orderBy("va")
+  }
+
+  /** Per-source KL divergence from the corpus — the domain-divergence
+    * statistic behind mixture design and DSIR-style selection: a source
+    * whose unigram distribution sits far from the corpus carries novel
+    * signal (or noise); one near zero is redundant with the mix.
+    * KL(P_s ‖ P_corpus) = Σ_t p ln(p/q) over the source's tokens — finite
+    * by construction (every source token is a corpus token), nonnegative
+    * by Gibbs. Determinism: each token's term is ROW-LOCAL double
+    * arithmetic from exact int64 counts, snapped to e9 fixed-point
+    * BEFORE the per-source sum — so the aggregate is integer and
+    * aggregation-order-free in both engines (the same snap-then-sum
+    * doctrine as MaxSim). Shapes at 100 TB: token-grain map-side counts,
+    * one TOKEN-KEYED equi join between the (source, token) and corpus
+    * frames (vocab-linear, never broadcast — a 100-TB vocabulary does
+    * not fit a broadcast), bounded |sources| and 1-row total broadcasts,
+    * |sources| output rows. */
+  def qKlDivergence(s: SparkSession, d: String): DataFrame = {
+    val tfs = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val ns = tfs.groupBy("source").agg(sum(col("tf")).as("n_s"))
+    val uni = tfs.groupBy("token").agg(sum(col("tf")).as("ct"))
+    val tot = uni.agg(sum(col("ct")).as("t_tot"))
+    tfs.join(uni, Seq("token"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_e9", expr(
+        "CAST(round((CAST(tf AS DOUBLE) / n_s) * " +
+          "ln((CAST(tf AS DOUBLE) / n_s) / (CAST(ct AS DOUBLE) / t_tot)) " +
+          "* 1000000000, 0) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term_e9")).as("kl_e9"))
+      .transform(ps(col("source")))
+  }
+
+  /** Mutual information between the corpus's two metadata dimensions
+    * (lang × source) — the association audit behind stratification
+    * decisions: MI ≈ 0 means language is independent of source (stratify
+    * on either); high normalized MI means per-source language skew (a
+    * mixture must stratify on both). MI, both marginal entropies, and
+    * NMI = MI/min(H_lang, H_source) in exact ppm — every logarithmic
+    * term is row-local double work from exact int64 counts snapped to e9
+    * before summation (order-free), and the grids involved are bounded
+    * enums (|langs|·|sources| cells), so every join is a broadcast of a
+    * bounded frame and the output is ONE row at any corpus size. */
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("nls"))
+    val nl = cells.groupBy("lang").agg(sum(col("nls")).as("n_l"))
+    val nsrc = cells.groupBy("source").agg(sum(col("nls")).as("n_s"))
+    val tot = cells.agg(sum(col("nls")).as("n"))
+    val hl = nl.crossJoin(broadcast(tot)).agg(sum(expr(
+      "CAST(round(-(CAST(n_l AS DOUBLE) / n) * ln(CAST(n_l AS DOUBLE) / n) " +
+        "* 1000000000, 0) AS BIGINT)")).as("h_lang_e9"))
+    val hs = nsrc.crossJoin(broadcast(tot)).agg(sum(expr(
+      "CAST(round(-(CAST(n_s AS DOUBLE) / n) * ln(CAST(n_s AS DOUBLE) / n) " +
+        "* 1000000000, 0) AS BIGINT)")).as("h_source_e9"))
+    cells.join(broadcast(nl), Seq("lang"))
+      .join(broadcast(nsrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mi_t", expr(
+        "CAST(round((CAST(nls AS DOUBLE) / n) * " +
+          "ln((CAST(n AS DOUBLE) * nls) / (CAST(n_l AS DOUBLE) * n_s)) " +
+          "* 1000000000, 0) AS BIGINT)"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("mi_t")).as("mi_e9"))
+      .crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .select(col("n"), col("n_cells"), col("mi_e9"),
+        col("h_lang_e9"), col("h_source_e9"),
+        expr("CASE WHEN least(h_lang_e9, h_source_e9) <= 0 THEN 0L ELSE " +
+          s"${ppmDiv("mi_e9", "least(h_lang_e9, h_source_e9)")} END").as("nmi_ppm"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the redundancy matrix a mixture designer reads
+    * (JS ≈ 0: interchangeable sources, JS → ln 2: disjoint): for each of
+    * the |sources|·(|sources|−1)/2 pairs, JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M),
+    * M = ½(P+Q), split into the SHARED-token terms (computed exactly per
+    * token and snapped to e9 before the pair sum) plus the closed-form
+    * exclusive-mass correction `(2 − shared_P − shared_Q)·ln2 / 2` — a
+    * token in only one distribution contributes exactly `p·ln2 / 2`, so
+    * only the shared support ever joins. The join is TOKEN-KEYED with
+    * in-bucket pair expansion bounded by |sources| per token (the
+    * LSH-bucket shape, never a cross join); shares snap to e9 so every
+    * aggregate is integer and order-free. Output: the bounded pair grid
+    * with shared-token counts and js_e9 ∈ [0, ln2·10⁹]. */
+  def qJsSources(s: SparkSession, d: String): DataFrame = {
+    val tfs = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.Shingles.shingles(Ops.normalizeText(col("text")), 1))
+          .as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val ns = tfs.groupBy("source").agg(sum(col("tf")).as("n_s"))
+    val p = tfs.join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("token"),
+        (col("tf").cast("double") / col("n_s")).as("p"),
+        expr("CAST(round((CAST(tf AS DOUBLE) / n_s) * 1000000000, 0) AS BIGINT)")
+          .as("p_e9"))
+    p.as("a").join(p.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"),
+        col("a.p_e9").as("pae9"), col("b.p_e9").as("pbe9"))
+      .withColumn("term_e9", expr(
+        "CAST(round(0.5 * (pa * ln(2.0 * pa / (pa + pb)) + " +
+          "pb * ln(2.0 * pb / (pa + pb))) * 1000000000, 0) AS BIGINT)"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum(col("term_e9")).as("inner_e9"),
+        sum(col("pae9")).as("sp_a"), sum(col("pbe9")).as("sp_b"))
+      .select(col("src_a"), col("src_b"), col("shared_tokens"),
+        (col("inner_e9") + expr(
+          "CAST(round((2000000000.0 - sp_a - sp_b) * 0.5 * ln(2.0), 0) AS BIGINT)"))
+          .as("js_e9"))
+      .transform(ps(col("src_a"), col("src_b")))
+  }
+
+  /** Contrastive triplet mining — the data-prep step behind embedding-
+    * model fine-tuning (sentence-transformers style): for each anchor
+    * vector, the POSITIVE is its most-similar same-label neighbour and
+    * the HARD NEGATIVE its most-similar different-label neighbour — the
+    * negative that currently fools the model and therefore carries the
+    * gradient; `margin = pos_sim − neg_sim` is the quantity a triplet
+    * loss pushes apart. Similarities snap to e4 fixed-point BEFORE the
+    * argmax so both engines pick under the identical integer total order
+    * (ties to the smaller candidate id), and each argmax is a
+    * conditional `max(struct(sim, −id))` — a map-side-combining
+    * aggregate, NO window anywhere. Shapes at 100 TB: the 8-row anchor
+    * frame broadcasts into the candidate scan (one pass, the per-pair
+    * cosines are codegen'd in the scan stage), and the anchor-grain
+    * aggregate emits 8 rows at any corpus size. */
+  def qTripletMine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor"), col("label").cast("long").as("a_label"),
+        col("embedding").as("a_emb"))
+    val cands = emb.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("cand"), col("label").cast("long").as("c_label"),
+        col("embedding").as("c_emb"))
+    cands.crossJoin(broadcast(anchors))
+      .withColumn("s", cosine_sim(col("c_emb"), col("a_emb")))
+      .withColumn("sim_e4", expr("CAST(round(s * 10000, 0) AS BIGINT)"))
+      .groupBy("anchor", "a_label")
+      .agg(
+        max(when(col("c_label") === col("a_label"),
+          struct(col("sim_e4"), (-col("cand")).as("nid")))).as("p"),
+        max(when(col("c_label") =!= col("a_label"),
+          struct(col("sim_e4"), (-col("cand")).as("nid")))).as("n"))
+      .select(col("anchor"), col("a_label").as("label"),
+        (-col("p.nid")).as("pos_id"), col("p.sim_e4").as("pos_sim_e4"),
+        (-col("n.nid")).as("neg_id"), col("n.sim_e4").as("neg_sim_e4"),
+        (col("p.sim_e4") - col("n.sim_e4")).as("margin_e4"))
+      .transform(ps(col("anchor")))
+  }
+
+  /** Preference-pair construction — the RLHF/DPO data-prep step: within
+    * each prompt group (here (source, lang)), the CHOSEN response is the
+    * highest-scoring document and the REJECTED the lowest, kept only
+    * when the scorer actually separates them (margin ≥ 1 ppm — equal-
+    * score groups yield no training signal and are dropped). The score
+    * is an exact-integer quality composite from the one-pass native
+    * TextStats sweep: stopword density minus punctuation density, both
+    * in overflow-safe ppm, with degenerate (empty) docs pinned to a
+    * sentinel floor. Each group readout is one `max(struct)` /
+    * `min(struct)` pair under the (score, id) total order (ties: chosen
+    * takes the SMALLER id via the negated-id field, rejected the smaller
+    * id directly) — map-side-combining aggregates, no window, |groups|
+    * output rows at any corpus size. */
+  def qPreferencePairs(s: SparkSession, d: String): DataFrame = {
+    val st = graft.functions.TextStats.textStats(
+      Ops.normalizeText(col("text")), STOPWORDS)
+    val scored = Tables.documents(s, d).select(
+      col("source"), col("lang"), col("doc_id"),
+      st.getField("n_tokens").cast("long").as("nt"),
+      st.getField("n_chars").cast("long").as("nc"),
+      st.getField("stop_hits").cast("long").as("sh"),
+      st.getField("punct_chars").cast("long").as("pc"))
+      .withColumn("score", expr(
+        s"CASE WHEN nt = 0 OR nc = 0 THEN -1000000L " +
+          s"ELSE (${ppmDiv("sh", "nt")}) - (${ppmDiv("pc", "nc")}) END"))
+    scored.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"),
+        min(struct(col("score"), col("doc_id").as("id"))).as("worst"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        (-col("best.nid")).as("chosen_id"), col("best.score").as("chosen_score"),
+        col("worst.id").as("rejected_id"), col("worst.score").as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .where(col("margin") >= 1)
+      .transform(ps(col("source"), col("lang")))
+  }
+
   /** PII pseudonymization — the governance layer every shared training
     * corpus needs before it leaves the trust boundary: the direct
     * identifier (`c_name`) is masked for display (all but the last 4
@@ -6381,6 +6795,17 @@ object Queries {
     "q_dp_counts" -> (qDpCounts _),
     "q_maxsim" -> (qMaxsim _),
     "q_l_diversity" -> (qLDiversity _),
+    "q_t_closeness" -> (qTCloseness _),
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _),
+    "q_triplet_mine" -> (qTripletMine _),
+    "q_preference_pairs" -> (qPreferencePairs _),
+    "q_winnow_matches" -> (qWinnowMatches _),
+    "q_embed_dim_stats" -> (qEmbedDimStats _),
+    "q_cluster_purity" -> (qClusterPurity _),
+    "q_random_projection" -> (qRandomProjection _),
+    "q_kl_divergence" -> (qKlDivergence _),
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_js_sources" -> (qJsSources _),
   )
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
@@ -8872,5 +9297,209 @@ object Queries {
         "CAST(count(*) < 2 AS BIGINT) AS violates_l2, " +
         "CAST(count(*) < 3 AS BIGINT) AS violates_l3 " +
         "FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_t_closeness" ->
+      ("WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment, " +
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band FROM customer), " +
+        "cb AS (SELECT nation, segment, band, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2, 3), " +
+        "cls AS (SELECT nation, segment, CAST(sum(cnt) AS BIGINT) AS k FROM cb GROUP BY 1, 2), " +
+        "gb AS (SELECT band, CAST(count(*) AS BIGINT) AS gcnt FROM c GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nbands FROM gb), " +
+        "grid AS (SELECT cls.nation, cls.segment, cls.k, gb.band, gb.gcnt, tot.n, tot.nbands, " +
+        "coalesce(cb.cnt, 0) AS cnt FROM cls CROSS JOIN gb CROSS JOIN tot " +
+        "LEFT JOIN cb ON cb.nation = cls.nation AND cb.segment = cls.segment AND cb.band = gb.band), " +
+        s"cum AS (SELECT nation, segment, k, nbands, sum((${ppmDivSql("cnt", "k")}) - (${ppmDivSql("gcnt", "n")})) " +
+        "OVER (PARTITION BY nation, segment ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "row_number() OVER (PARTITION BY nation, segment ORDER BY band) AS rb FROM grid), " +
+        "f AS (SELECT nation, segment, max(k) AS k, " +
+        "CAST(sum(CASE WHEN rb < nbands THEN abs(cum) ELSE 0 END) AS BIGINT) AS flow, " +
+        "max(nbands) AS nb FROM cum GROUP BY 1, 2) " +
+        "SELECT nation, segment, k, " +
+        "CAST(CASE WHEN nb <= 1 THEN 0 ELSE flow // (nb - 1) END AS BIGINT) AS t_ppm, " +
+        "CAST(CASE WHEN nb <= 1 THEN 0 ELSE flow // (nb - 1) END > 150000 AS BIGINT) AS violates_t15 " +
+        "FROM f ORDER BY 1, 2"),
+    "q_winnow_fingerprint" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm), " +
+        "g4 AS (SELECT doc_id, pos, token || ' ' || lead(token, 1) OVER w || ' ' || " +
+        "lead(token, 2) OVER w || ' ' || lead(token, 3) OVER w AS g FROM tok " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "f AS (SELECT doc_id, CAST(pos - 1 AS BIGINT) AS gpos, " +
+        "CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) AS h FROM g4 WHERE g IS NOT NULL), " +
+        "m AS (SELECT doc_id, gpos, min(struct_pack(h := h, np := -gpos)) " +
+        "OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn " +
+        "FROM f), " +
+        "sel AS (SELECT DISTINCT doc_id, struct_extract(mn, 'np') AS np, " +
+        "struct_extract(mn, 'h') AS selh FROM m WHERE gpos >= 7), " +
+        "ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM f GROUP BY 1), " +
+        "fp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, " +
+        "CAST(sum(selh) AS BIGINT) AS fp_sum FROM sel GROUP BY 1), " +
+        "j AS (SELECT d.doc_id, coalesce(ng.n_grams, 0) AS n_grams, " +
+        "coalesce(fp.n_fp, 0) AS n_fp, coalesce(fp.fp_sum, 0) AS fp_sum " +
+        "FROM (SELECT doc_id FROM documents) d " +
+        "LEFT JOIN ng ON ng.doc_id = d.doc_id LEFT JOIN fp ON fp.doc_id = d.doc_id) " +
+        "SELECT doc_id, n_grams, n_fp, fp_sum, " +
+        s"CAST(CASE WHEN n_grams = 0 THEN 0 ELSE ${ppmDivSql("n_fp", "n_grams")} END AS BIGINT) AS fp_ppm " +
+        "FROM j ORDER BY doc_id"),
+    "q_triplet_mine" ->
+      ("WITH a AS (SELECT vec_id AS anchor, CAST(label AS BIGINT) AS a_label, " +
+        "CAST(embedding AS DOUBLE[]) AS a_emb FROM embeddings WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id AS cand, CAST(label AS BIGINT) AS c_label, " +
+        "CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings WHERE vec_id >= 8), " +
+        "s AS (SELECT anchor, a_label, cand, c_label, " +
+        "CAST(round(list_cosine_similarity(c_emb, a_emb) * 10000, 0) AS BIGINT) AS sim_e4 " +
+        "FROM c CROSS JOIN a), " +
+        "g AS (SELECT anchor, a_label, " +
+        "max(CASE WHEN c_label = a_label THEN struct_pack(sim_e4 := sim_e4, nid := -cand) END) AS p, " +
+        "max(CASE WHEN c_label <> a_label THEN struct_pack(sim_e4 := sim_e4, nid := -cand) END) AS n " +
+        "FROM s GROUP BY 1, 2) " +
+        "SELECT anchor, a_label AS label, " +
+        "-struct_extract(p, 'nid') AS pos_id, struct_extract(p, 'sim_e4') AS pos_sim_e4, " +
+        "-struct_extract(n, 'nid') AS neg_id, struct_extract(n, 'sim_e4') AS neg_sim_e4, " +
+        "struct_extract(p, 'sim_e4') - struct_extract(n, 'sim_e4') AS margin_e4 " +
+        "FROM g ORDER BY anchor"),
+    "q_preference_pairs" ->
+      ("WITH nrm AS (SELECT doc_id, lang, source, " +
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents), " +
+        "f AS (SELECT source, lang, doc_id, " +
+        "CAST(len(string_split(t, ' ')) AS BIGINT) AS nt, CAST(length(t) AS BIGINT) AS nc, " +
+        s"CAST(len(list_filter(string_split(t, ' '), x -> x IN $STOP_SQL)) AS BIGINT) AS sh, " +
+        "CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS pc " +
+        "FROM nrm), " +
+        "sc AS (SELECT source, lang, doc_id, CASE WHEN nt = 0 OR nc = 0 THEN -1000000 " +
+        s"ELSE (${ppmDivSql("sh", "nt")}) - (${ppmDivSql("pc", "nc")}) END AS score FROM f), " +
+        "g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "max(struct_pack(score := score, nid := -doc_id)) AS best, " +
+        "min(struct_pack(score := score, id := doc_id)) AS worst FROM sc GROUP BY 1, 2) " +
+        "SELECT source, lang, n_docs, " +
+        "-struct_extract(best, 'nid') AS chosen_id, " +
+        "CAST(struct_extract(best, 'score') AS BIGINT) AS chosen_score, " +
+        "struct_extract(worst, 'id') AS rejected_id, " +
+        "CAST(struct_extract(worst, 'score') AS BIGINT) AS rejected_score, " +
+        "CAST(struct_extract(best, 'score') - struct_extract(worst, 'score') AS BIGINT) AS margin " +
+        "FROM g WHERE struct_extract(best, 'score') - struct_extract(worst, 'score') >= 1 " +
+        "ORDER BY 1, 2"),
+    "q_winnow_matches" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm), " +
+        "g4 AS (SELECT doc_id, pos, token || ' ' || lead(token, 1) OVER w || ' ' || " +
+        "lead(token, 2) OVER w || ' ' || lead(token, 3) OVER w AS g FROM tok " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "f AS (SELECT doc_id, CAST(pos - 1 AS BIGINT) AS gpos, " +
+        "CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) AS h FROM g4 WHERE g IS NOT NULL), " +
+        "m AS (SELECT doc_id, gpos, min(struct_pack(h := h, np := -gpos)) " +
+        "OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn " +
+        "FROM f), " +
+        "sel AS (SELECT DISTINCT doc_id, struct_extract(mn, 'h') AS selh " +
+        "FROM m WHERE gpos >= 7), " +
+        "keep AS (SELECT selh FROM (SELECT selh, count(*) AS df FROM sel GROUP BY 1) " +
+        "WHERE df BETWEEN 2 AND 50), " +
+        "k AS (SELECT sel.doc_id, sel.selh FROM sel JOIN keep ON keep.selh = sel.selh) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k a JOIN k b ON a.selh = b.selh AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"),
+    "q_embed_dim_stats" ->
+      ("WITH v AS (SELECT CAST(i - 1 AS BIGINT) AS dim, " +
+        "CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT) AS xe4 " +
+        "FROM embeddings CROSS JOIN range(1, 65) t(i)), " +
+        "g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(xe4) AS BIGINT) AS s1, " +
+        "CAST(sum(xe4 * xe4) AS BIGINT) AS s2, min(xe4) AS min_e4, max(xe4) AS max_e4 " +
+        "FROM v GROUP BY 1) " +
+        "SELECT dim, n, " +
+        "CAST((2 * s1 + (CASE WHEN s1 < 0 THEN -1 ELSE 1 END) * n) // (2 * n) AS BIGINT) AS mean_e4, " +
+        "CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_e8, min_e4, max_e4, " +
+        "CAST((n * s2 - s1 * s1) // (n * n) < 1000000 AS BIGINT) AS dead " +
+        "FROM g ORDER BY dim"),
+    "q_cluster_purity" ->
+      ("WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid " +
+        "FROM embeddings ORDER BY vec_id LIMIT 8), " +
+        "assigned AS (SELECT vec_id, label, cid AS cluster_id FROM (" +
+        "SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, c.cid, " +
+        "row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cid) AS rn " +
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), " +
+        "cl AS (SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS nl " +
+        "FROM assigned GROUP BY 1, 2), " +
+        "g AS (SELECT cluster_id, CAST(sum(nl) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS n_labels, " +
+        "max(struct_pack(nl := nl, nlab := -label)) AS m FROM cl GROUP BY 1) " +
+        "SELECT cluster_id, n, n_labels, -struct_extract(m, 'nlab') AS majority_label, " +
+        "struct_extract(m, 'nl') AS majority_n, " +
+        s"CAST(${ppmDivSql("struct_extract(m, 'nl')", "n")} AS BIGINT) AS purity_ppm " +
+        "FROM g ORDER BY cluster_id"),
+    "q_random_projection" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb " +
+        "FROM embeddings WHERE vec_id < 100), " +
+        "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        "list_transform(range(1, 65), i -> a.emb[i] - b.emb[i]) AS dv " +
+        "FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id " +
+        "WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1), " +
+        "sgns AS (SELECT j, list_transform(range(0, 64), i -> " +
+        "CASE WHEN CAST('0x' || substr(md5('jl|' || i || '|' || j), 1, 13) AS BIGINT) % 2 = 0 " +
+        "THEN 1.0 ELSE -1.0 END) AS sgn FROM range(16) t(j)), " +
+        "o AS (SELECT va, vb, dv, " +
+        "CAST(round(list_sum(list_transform(dv, x -> x * x)) * 100000000, 0) AS BIGINT) AS od2_e8 " +
+        "FROM p), " +
+        "d AS (SELECT va, vb, od2_e8, CAST(round(list_sum(list_transform(range(1, 65), " +
+        "i -> dv[i] * sgn[i])) * 10000, 0) AS BIGINT) AS pj FROM o CROSS JOIN sgns), " +
+        "g AS (SELECT va, vb, od2_e8, CAST(sum(pj * pj) AS BIGINT) AS pd2_e8 " +
+        "FROM d GROUP BY 1, 2, 3), " +
+        "fin AS (SELECT va, vb, od2_e8, pd2_e8, pd2_e8 // 16 AS pd2n FROM g) " +
+        "SELECT va, vb, od2_e8, pd2_e8, " +
+        s"CAST(CASE WHEN od2_e8 = 0 THEN 0 ELSE ${ppmDivSql("pd2n", "od2_e8")} END AS BIGINT) AS dist_ppm " +
+        "FROM fin ORDER BY va"),
+    "q_kl_divergence" ->
+      (TP_TOK_CTE +
+        ", tfs AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2)" +
+        ", st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s FROM tfs GROUP BY 1)" +
+        ", uni AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ct FROM tfs GROUP BY 1)" +
+        ", tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t_tot FROM uni)" +
+        ", terms AS (SELECT tfs.source, " +
+        "CAST(round((CAST(tf AS DOUBLE) / n_s) * " +
+        "ln((CAST(tf AS DOUBLE) / n_s) / (CAST(ct AS DOUBLE) / t_tot)) " +
+        "* 1000000000, 0) AS BIGINT) AS term_e9 " +
+        "FROM tfs JOIN uni USING (token) JOIN st USING (source) CROSS JOIN tt) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(term_e9) AS BIGINT) AS kl_e9 FROM terms GROUP BY 1 ORDER BY 1"),
+    "q_mutual_info" ->
+      ("WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS nls " +
+        "FROM documents GROUP BY 1, 2), " +
+        "nl AS (SELECT lang, CAST(sum(nls) AS BIGINT) AS n_l FROM cells GROUP BY 1), " +
+        "nsrc AS (SELECT source, CAST(sum(nls) AS BIGINT) AS n_s FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(nls) AS BIGINT) AS n FROM cells), " +
+        "hl AS (SELECT CAST(sum(CAST(round(-(CAST(n_l AS DOUBLE) / n) * " +
+        "ln(CAST(n_l AS DOUBLE) / n) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS h_lang_e9 " +
+        "FROM nl CROSS JOIN tot), " +
+        "hs AS (SELECT CAST(sum(CAST(round(-(CAST(n_s AS DOUBLE) / n) * " +
+        "ln(CAST(n_s AS DOUBLE) / n) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS h_source_e9 " +
+        "FROM nsrc CROSS JOIN tot), " +
+        "mi AS (SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells, " +
+        "CAST(sum(CAST(round((CAST(nls AS DOUBLE) / n) * " +
+        "ln((CAST(n AS DOUBLE) * nls) / (CAST(n_l AS DOUBLE) * n_s)) " +
+        "* 1000000000, 0) AS BIGINT)) AS BIGINT) AS mi_e9 " +
+        "FROM cells JOIN nl USING (lang) JOIN nsrc USING (source) CROSS JOIN tot) " +
+        "SELECT n, n_cells, mi_e9, h_lang_e9, h_source_e9, " +
+        "CAST(CASE WHEN least(h_lang_e9, h_source_e9) <= 0 THEN 0 ELSE " +
+        s"${ppmDivSql("mi_e9", "least(h_lang_e9, h_source_e9)")} END AS BIGINT) AS nmi_ppm " +
+        "FROM mi CROSS JOIN hl CROSS JOIN hs"),
+    "q_js_sources" ->
+      (TP_TOK_CTE +
+        ", tfs AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2)" +
+        ", st AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s FROM tfs GROUP BY 1)" +
+        ", p AS (SELECT source, token, CAST(tf AS DOUBLE) / n_s AS p, " +
+        "CAST(round((CAST(tf AS DOUBLE) / n_s) * 1000000000, 0) AS BIGINT) AS p_e9 " +
+        "FROM tfs JOIN st USING (source))" +
+        ", pr AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "a.p AS pa, b.p AS pb, a.p_e9 AS pae9, b.p_e9 AS pbe9 " +
+        "FROM p a JOIN p b ON a.token = b.token AND a.source < b.source)" +
+        ", g AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_tokens, " +
+        "CAST(sum(CAST(round(0.5 * (pa * ln(2.0 * pa / (pa + pb)) + " +
+        "pb * ln(2.0 * pb / (pa + pb))) * 1000000000, 0) AS BIGINT)) AS BIGINT) AS inner_e9, " +
+        "CAST(sum(pae9) AS BIGINT) AS sp_a, CAST(sum(pbe9) AS BIGINT) AS sp_b " +
+        "FROM pr GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, shared_tokens, " +
+        "CAST(inner_e9 + CAST(round((2000000000.0 - sp_a - sp_b) * 0.5 * ln(2.0), 0) " +
+        "AS BIGINT) AS BIGINT) AS js_e9 FROM g ORDER BY 1, 2"),
   )
 }

@@ -1490,6 +1490,129 @@ class PlanSpec extends SparkSuite {
       s"the audit is one aggregate chain over customer:\n$exec")
   }
 
+  test("q_t_closeness: bounded broadcasts build the grid — never a cartesian; censuses map-side") {
+    val df = Queries.qTCloseness(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the |bands| and 1-row total frames must broadcast:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("partial_sum"),
+      s"the (class, band) / band censuses must combine map-side:\n$exec")
+    // the cumulative window must be keyed by the class — never a single
+    // global partition over the grid
+    val winLine = exec.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("nation"), s"window must partition by class:\n$winLine")
+  }
+
+  test("q_winnow_fingerprint: doc-keyed window, no cartesian, doc-grain map-side rollup") {
+    val df = Queries.qWinnowFingerprint(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"winnowing is join-free until the doc-keyed readout join:\n$exec")
+    val winLine = exec.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("doc_id"),
+      s"the sliding frame must partition by doc (bounded by one document):\n$winLine")
+    assert(exec.contains("partial_count") || exec.contains("partial_sum"),
+      s"the fingerprint rollup must combine map-side:\n$exec")
+  }
+
+  test("q_triplet_mine: anchors broadcast, conditional argmaxes map-side, no windows") {
+    val df = Queries.qTripletMine(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the 8-row anchor frame must broadcast into the candidate scan:\n$exec")
+    assert(exec.contains("partial_max"),
+      s"the per-anchor argmaxes must combine map-side:\n$exec")
+    assert(!exec.contains("Window"), s"triplet mining needs no window:\n$exec")
+  }
+
+  test("q_preference_pairs: join-free group extremes — map-side struct argmax, no windows") {
+    val df = Queries.qPreferencePairs(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join") && !exec.contains("Window"),
+      s"one scored scan + one group aggregate:\n$exec")
+    assert(exec.contains("partial_max") && exec.contains("partial_min"),
+      s"chosen/rejected extremes must combine map-side:\n$exec")
+  }
+
+  test("q_winnow_matches: fingerprint-keyed equi join — never a cartesian or unkeyed nest") {
+    val df = Queries.qWinnowMatches(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"pairs exist only inside a shared fingerprint's bucket:\n$exec")
+    val winLine = exec.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("doc_id"),
+      s"the winnow frame must partition by doc:\n$winLine")
+  }
+
+  test("q_embed_dim_stats: join-free 64-group census, map-side partials, no windows") {
+    val df = Queries.qEmbedDimStats(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join") && !exec.contains("Window"),
+      s"one posexplode + one dim-grain aggregate:\n$exec")
+    assert(exec.contains("partial_sum"),
+      s"the moment sums must combine map-side:\n$exec")
+  }
+
+  test("q_cluster_purity: inlined-centroid assignment — join-free, map-side, no windows") {
+    val df = Queries.qClusterPurity(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join") && !exec.contains("Window"),
+      s"assignment is a row-local projection against inlined centroids:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("partial_sum"),
+      s"the (cluster, label) census must combine map-side:\n$exec")
+  }
+
+  test("q_random_projection: sign table broadcasts; pair join is keyed; sums map-side") {
+    val df = Queries.qRandomProjection(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the 16-row sign table must broadcast into the pair scan:\n$exec")
+    assert(exec.contains("partial_sum"),
+      s"the projected-distance sum must combine map-side:\n$exec")
+    assert(!exec.contains("Window"), exec)
+  }
+
+  test("q_kl_divergence: token-keyed corpus join, bounded broadcasts, map-side sums") {
+    val df = Queries.qKlDivergence(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$exec")
+    assert(exec.contains("partial_sum"),
+      s"token counts and the term sum must combine map-side:\n$exec")
+    assert(!exec.contains("Window"), exec)
+  }
+
+  test("q_mutual_info: bounded-grid broadcast joins only — no cartesian, no windows") {
+    val df = Queries.qMutualInfo(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"every join is a bounded-frame broadcast:\n$exec")
+    assert(!exec.contains("Window"), exec)
+    assert(exec.contains("partial_sum"), exec)
+  }
+
+  test("q_js_sources: token-keyed pair join — never a cartesian or unkeyed nest") {
+    val df = Queries.qJsSources(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"pairs exist only inside a shared token's bucket:\n$exec")
+    assert(!exec.contains("Window"), exec)
+    assert(exec.contains("partial_sum"),
+      s"shares and term sums must combine map-side:\n$exec")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -503,6 +503,356 @@ class QueriesSpec extends SparkSuite {
       "classes partition the customer table")
   }
 
+  test("q_t_closeness equals the brute-force ordered-band EMD") {
+    def ppm(num: Long, den: Long): Long = {
+      val a = num * 1000L
+      (a / den) * 1000L + ((a % den) * 1000L) / den
+    }
+    val rows = Queries.qTCloseness(spark, SF)
+      .select("nation", "segment", "k", "t_ppm", "violates_t15")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val cust = Tables.customer(spark, SF)
+      .select($"c_nationkey".cast("long"), $"c_mktsegment",
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)"))
+      .as[(Long, String, Long)].collect()
+    val bands = cust.map(_._3).distinct.sorted
+    val n = cust.length.toLong
+    val gl = bands.map(b => b -> cust.count(_._3 == b).toLong).toMap
+    val want = cust.groupBy(c => (c._1, c._2)).map { case ((nat, seg), rs) =>
+      val k = rs.length.toLong
+      var cum = 0L
+      var flow = 0L
+      bands.zipWithIndex.foreach { case (b, i) =>
+        cum += ppm(rs.count(_._3 == b).toLong, k) - ppm(gl(b), n)
+        if (i < bands.length - 1) flow += math.abs(cum)
+      }
+      val t = if (bands.length <= 1) 0L else flow / (bands.length - 1)
+      (nat, seg) -> (k, t)
+    }
+    assert(rows.size == want.size, "one row per quasi-identifier class")
+    rows.foreach { case (nat, seg, k, t, v) =>
+      assert((k, t) == want((nat, seg)), s"class ($nat,$seg)")
+      assert(v == (if (t > 150000L) 1L else 0L), s"($nat,$seg) flag")
+    }
+  }
+
+  test("q_winnow_fingerprint equals brute-force winnowing (rightmost-min, full windows)") {
+    val got = Queries.qWinnowFingerprint(spark, SF)
+      .select("doc_id", "n_grams", "n_fp", "fp_sum", "fp_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h52(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    val docs = Tables.documents(spark, SF)
+      .select($"doc_id", operators.Ops.normalizeText($"text").as("t"))
+      .as[(Long, String)].collect()
+    docs.foreach { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val grams = toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toArray
+      val hs = grams.map(h52)
+      // winnow: for every full window of 8, select the rightmost minimum
+      val sel = (7 until hs.length).flatMap { j =>
+        val win = (j - 7) to j
+        val m = win.map(hs).min
+        Some(win.filter(i => hs(i) == m).max).map(i => (i.toLong, hs(i)))
+      }.distinct
+      val (ng, nfp, fsum) = got(id)
+      assert(ng == grams.length.toLong, s"doc $id n_grams")
+      assert(nfp == sel.size.toLong, s"doc $id n_fp")
+      assert(fsum == sel.map(_._2).sum, s"doc $id fp_sum")
+    }
+    // the winnowing density guarantee: expected 2/(w+1) of grams selected;
+    // assert the realized density sits in a generous band around it
+    val (totG, totF) = got.values.foldLeft((0L, 0L)) {
+      case ((g, f), (ng, nf, _)) => (g + ng, f + nf)
+    }
+    assert(totF * 10 > totG && totF * 2 < totG,
+      s"density $totF/$totG outside (0.1, 0.5)")
+  }
+
+  test("q_triplet_mine equals the brute-force argmax over same/different labels") {
+    val got = Queries.qTripletMine(spark, SF)
+      .select("anchor", "label", "pos_id", "pos_sim_e4", "neg_id", "neg_sim_e4", "margin_e4")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val all = Tables.embeddings(spark, SF)
+      .select($"vec_id", $"label".cast("long"), $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+      .map { case (v, l, e) => (v, l, e.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val anchors = all.filter(_._1 < 8)
+    val cands = all.filter(_._1 >= 8)
+    assert(got.size == anchors.length)
+    got.foreach { case (a, lab, pid, psim, nid, nsim, margin) =>
+      val (_, aLab, aEmb) = anchors.find(_._1 == a).get
+      assert(lab == aLab)
+      def pick(pred: Long => Boolean): (Long, Long) =
+        cands.filter(c => pred(c._2))
+          .map(c => (math.round(cos(c._3, aEmb) * 10000), -c._1))
+          .max match { case (s, ni) => (-ni, s) }
+      assert((pid, psim) == pick(_ == aLab), s"anchor $a positive")
+      assert((nid, nsim) == pick(_ != aLab), s"anchor $a hard negative")
+      assert(margin == psim - nsim, s"anchor $a margin")
+    }
+  }
+
+  test("q_preference_pairs picks the group score extremes with a real margin") {
+    val rows = Queries.qPreferencePairs(spark, SF)
+      .select("source", "lang", "n_docs", "chosen_id", "chosen_score",
+        "rejected_id", "rejected_score", "margin")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // recompute the scores through the same oracle-verified expression,
+    // then brute-force the group extremes in Scala
+    val st = graft.functions.TextStats.textStats(
+      operators.Ops.normalizeText($"text"), Seq("the", "and", "of", "to", "a", "is"))
+    def ppm(num: Long, den: Long): Long = {
+      val a = num * 1000L
+      (a / den) * 1000L + ((a % den) * 1000L) / den
+    }
+    val scored = Tables.documents(spark, SF).select(
+      $"source", $"lang", $"doc_id",
+      st.getField("n_tokens").cast("long"), st.getField("n_chars").cast("long"),
+      st.getField("stop_hits").cast("long"), st.getField("punct_chars").cast("long"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map { case (src, lang, id, nt, nc, sh, pc) =>
+        val score = if (nt == 0 || nc == 0) -1000000L else ppm(sh, nt) - ppm(pc, nc)
+        (src, lang, id, score)
+      }
+    val byGroup = scored.groupBy(r => (r._1, r._2))
+    rows.foreach { case (src, lang, nDocs, cid, cs, rid, rs, margin) =>
+      val g = byGroup((src, lang))
+      assert(nDocs == g.length.toLong)
+      val (bid, bs) = g.map(r => (r._4, -r._3)).max match { case (s, ni) => (-ni, s) }
+      val (wid, ws) = g.map(r => (r._4, r._3)).min match { case (s, i) => (i, s) }
+      assert((cid, cs) == (bid, bs), s"($src,$lang) chosen")
+      assert((rid, rs) == (wid, ws), s"($src,$lang) rejected")
+      assert(margin == cs - rs && margin >= 1 && cid != rid, s"($src,$lang) margin")
+    }
+    // groups absent from the output are exactly the zero-margin ones
+    val present = rows.map(r => (r._1, r._2)).toSet
+    byGroup.foreach { case (key, g) =>
+      val gap = g.map(_._4).max - g.map(_._4).min
+      assert(present.contains(key) == (gap >= 1), s"$key coverage (gap=$gap)")
+    }
+  }
+
+  test("q_winnow_matches equals brute-force shared-fingerprint pairing") {
+    val got = Queries.qWinnowMatches(spark, SF)
+      .select("doc_a", "doc_b", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h52(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    val docs = Tables.documents(spark, SF)
+      .select($"doc_id", operators.Ops.normalizeText($"text").as("t"))
+      .as[(Long, String)].collect()
+    val sel: Map[Long, Set[Long]] = docs.map { case (id, t) =>
+      val hs = t.split(" ").filter(_.nonEmpty).sliding(4)
+        .filter(_.length == 4).map(g => h52(g.mkString(" "))).toArray
+      val picks = (7 until hs.length).map { j =>
+        val win = (j - 7) to j
+        val m = win.map(hs).min
+        hs(win.filter(i => hs(i) == m).max)
+      }.toSet
+      id -> picks
+    }.toMap
+    val df = sel.toSeq.flatMap { case (id, hs) => hs.map(h => (h, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .filter { case (_, ds) => ds.size >= 2 && ds.size <= 50 }
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    df.values.foreach { ds =>
+      val sorted = ds.toSeq.sorted
+      for (i <- sorted.indices; jj <- (i + 1) until sorted.length)
+        pairCount((sorted(i), sorted(jj))) =
+          pairCount.getOrElse((sorted(i), sorted(jj)), 0L) + 1L
+    }
+    val want = pairCount.toSeq.collect {
+      case ((a, b), n) if n >= 2 => (a, b, n)
+    }.sorted
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(got.nonEmpty, "the fixture's duplicated docs must surface")
+  }
+
+  test("q_embed_dim_stats equals the brute-force integer census") {
+    val got = Queries.qEmbedDimStats(spark, SF)
+      .select("dim", "n", "mean_e4", "var_e8", "min_e4", "max_e4", "dead")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val embs = Tables.embeddings(spark, SF)
+      .select($"embedding").as[Array[Float]].collect()
+    assert(got.size == 64)
+    got.foreach { case (dim, n, mean, v, mn, mx, dead) =>
+      val xs = embs.map(e => math.round(e(dim.toInt).toDouble * 10000))
+      val s1 = xs.sum
+      val s2 = xs.map(x => x * x).sum
+      assert(n == xs.length.toLong, s"dim $dim n")
+      assert(mean == (2 * s1 + (if (s1 < 0) -1L else 1L) * n) / (2 * n), s"dim $dim mean")
+      assert(v == (n * s2 - s1 * s1) / (n * n), s"dim $dim var")
+      assert((mn, mx) == (xs.min, xs.max), s"dim $dim range")
+      assert(dead == (if (v < 1000000L) 1L else 0L), s"dim $dim dead flag")
+    }
+  }
+
+  test("q_cluster_purity equals brute-force seeded-centroid assignment") {
+    val got = Queries.qClusterPurity(spark, SF)
+      .select("cluster_id", "n", "n_labels", "majority_label", "majority_n", "purity_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val all = Tables.embeddings(spark, SF)
+      .select($"vec_id", $"label".cast("long"), $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+      .map { case (v, l, e) => (v, l, e.map(_.toDouble)) }
+    val cents = all.sortBy(_._1).take(8).map(c => (c._1, c._3))
+    def assign(e: Array[Double]): Long =
+      cents.map { case (cid, c) =>
+        (e.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+    val byCluster = all.groupBy(r => assign(r._3))
+    assert(got.map(_._2).sum == all.length.toLong, "clusters partition the corpus")
+    got.foreach { case (cid, n, nLabels, majLab, majN, ppm) =>
+      val labels = byCluster(cid).map(_._2)
+      assert(n == labels.length.toLong, s"cluster $cid size")
+      assert(nLabels == labels.distinct.length.toLong, s"cluster $cid labels")
+      val (wantN, wantLab) = labels.groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq.map { case (l, c) => (c, -l) }.max
+      assert((majLab, majN) == (-wantLab, wantN), s"cluster $cid majority")
+      val a = majN * 1000L
+      assert(ppm == (a / n) * 1000L + ((a % n) * 1000L) / n, s"cluster $cid purity")
+    }
+  }
+
+  test("q_random_projection: exact seeded projection, JL distortion concentrated near 1") {
+    val got = Queries.qRandomProjection(spark, SF)
+      .select("va", "vb", "od2_e8", "pd2_e8", "dist_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 50)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"jl|$i|$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2 == 0) 1.0 else -1.0
+    }
+    val emb = Tables.embeddings(spark, SF)
+      .where($"vec_id" < 100).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (v, e) => v -> e.map(_.toDouble) }.toMap
+    got.foreach { case (va, vb, od2, pd2, ppm) =>
+      assert(vb == va + 1 && va % 2 == 0)
+      val dv = emb(va).zip(emb(vb)).map { case (x, y) => x - y }
+      assert(od2 == math.round(dv.map(x => x * x).sum * 1e8), s"pair $va orig dist")
+      val wantPd2 = (0 until 16).map { j =>
+        val pj = math.round(dv.zipWithIndex.map { case (x, i) => x * sign(i, j) }.sum * 1e4)
+        pj * pj
+      }.sum
+      assert(pd2 == wantPd2, s"pair $va projected dist")
+      val pd2n = pd2 / 16
+      val a = pd2n * 1000L
+      val wantPpm = if (od2 == 0) 0L else (a / od2) * 1000L + ((a % od2) * 1000L) / od2
+      assert(ppm == wantPpm, s"pair $va distortion")
+    }
+    // JL concentration: every audited pair within 3x, the mean within 25%
+    got.foreach { case (va, _, _, _, ppm) =>
+      assert(ppm > 330000L && ppm < 3000000L, s"pair $va distortion $ppm out of band")
+    }
+    val mean = got.map(_._5).sum / got.size
+    assert(mean > 750000L && mean < 1250000L, s"mean distortion $mean")
+  }
+
+  test("q_kl_divergence equals the brute-force snapped term sum and is nonnegative") {
+    val got = Queries.qKlDivergence(spark, SF)
+      .select("source", "n_tokens", "kl_e9")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val toks = Tables.documents(spark, SF)
+      .select($"source", operators.Ops.normalizeText($"text").as("t"))
+      .as[(String, String)].collect()
+      .flatMap { case (src, t) => t.split(" ").filter(_.nonEmpty).map(tok => (src, tok)) }
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tot = toks.length.toLong
+    val want = tf.toSeq.groupBy(_._1._1).map { case (src, terms) =>
+      val kl = terms.map { case ((_, tok), f) =>
+        val p = f.toDouble / ns(src)
+        val q = ct(tok).toDouble / tot
+        math.round(p * math.log(p / q) * 1e9)
+      }.sum
+      src -> (terms.size.toLong, kl)
+    }
+    assert(got == want)
+    got.values.foreach { case (nTok, kl) =>
+      // Gibbs: true KL >= 0; the snapped sum can undershoot by <= n/2 ulps
+      assert(kl >= -nTok, s"kl_e9 $kl below the snapping floor")
+    }
+  }
+
+  test("q_mutual_info equals the brute-force census and respects MI <= min entropy") {
+    val row = Queries.qMutualInfo(spark, SF)
+      .select("n", "n_cells", "mi_e9", "h_lang_e9", "h_source_e9", "nmi_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val pairs = Tables.documents(spark, SF).select($"lang", $"source")
+      .as[(String, String)].collect()
+    val n = pairs.length.toLong
+    val cells = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nl = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nsrc = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val mi = cells.map { case ((l, s2), c) =>
+      math.round((c.toDouble / n) * math.log(n.toDouble * c / (nl(l).toDouble * nsrc(s2))) * 1e9)
+    }.sum
+    def h(m: Map[String, Long]): Long =
+      m.values.map(c => math.round(-(c.toDouble / n) * math.log(c.toDouble / n) * 1e9)).sum
+    assert(row._1 == n && row._2 == cells.size.toLong)
+    assert(row._3 == mi && row._4 == h(nl) && row._5 == h(nsrc))
+    val minH = math.min(row._4, row._5)
+    assert(row._3 <= minH + row._2, "MI bounded by the smaller marginal entropy")
+    val a = mi * 1000L
+    assert(row._6 == (a / minH) * 1000L + ((a % minH) * 1000L) / minH)
+  }
+
+  test("q_js_sources equals the exact decomposition and approximates direct JS") {
+    val got = Queries.qJsSources(spark, SF)
+      .select("src_a", "src_b", "shared_tokens", "js_e9")
+      .as[(String, String, Long, Long)].collect().toSeq
+    val toks = Tables.documents(spark, SF)
+      .select($"source", operators.Ops.normalizeText($"text").as("t"))
+      .as[(String, String)].collect()
+      .flatMap { case (src, t) => t.split(" ").filter(_.nonEmpty).map(tok => (src, tok)) }
+    val ns = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val dist: Map[String, Map[String, Double]] = toks.groupBy(_._1).map { case (src, ts) =>
+      src -> ts.groupBy(_._2).map { case (tok, xs) => tok -> xs.length.toDouble / ns(src) }
+    }
+    val sources = ns.keys.toSeq.sorted
+    assert(got.size == sources.size * (sources.size - 1) / 2)
+    got.foreach { case (a, b, shared, js) =>
+      val (pa, pb) = (dist(a), dist(b))
+      val common = pa.keySet.intersect(pb.keySet)
+      assert(shared == common.size.toLong, s"($a,$b) shared support")
+      val inner = common.toSeq.map { t =>
+        val (p, q) = (pa(t), pb(t))
+        math.round(0.5 * (p * math.log(2.0 * p / (p + q)) + q * math.log(2.0 * q / (p + q))) * 1e9)
+      }.sum
+      val spA = common.toSeq.map(t => math.round(pa(t) * 1e9)).sum
+      val spB = common.toSeq.map(t => math.round(pb(t) * 1e9)).sum
+      val corr = math.round((2e9 - spA - spB) * 0.5 * math.log(2.0))
+      assert(js == inner + corr, s"($a,$b) decomposition")
+      // against the direct definition over the union support
+      val direct = (pa.keySet ++ pb.keySet).toSeq.map { t =>
+        val p = pa.getOrElse(t, 0.0)
+        val q = pb.getOrElse(t, 0.0)
+        val m = (p + q) / 2
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+      }.sum
+      assert(math.abs(js / 1e9 - direct) < 1e-3, s"($a,$b) vs direct JS")
+      assert(js >= -1000L && js <= math.round(math.log(2.0) * 1e9) + 1000L,
+        s"($a,$b) JS range")
+    }
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
