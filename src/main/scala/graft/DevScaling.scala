@@ -211,7 +211,16 @@ object DevScaling {
       // token-keyed (never broadcast-vocab) joins, e9-snapped row-local
       // log terms summed as integers; JS pair expansion bounded by
       // |sources| per token bucket
-      "q_kl_divergence", "q_mutual_info", "q_js_sources")
+      "q_kl_divergence", "q_mutual_info", "q_js_sources",
+      // survival/stump/PSI wave: customer-keyed gap windows + calendar-
+      // bounded curve frames; 64-bucket and 10-bin censuses over 1-row
+      // stats broadcasts
+      "q_survival_curve", "q_gini_split", "q_psi_drift",
+      // resampling/decomposition wave: the Poisson-bootstrap expansion is
+      // row-local and combines to 64 rows per partition before the
+      // exchange; the decomposition windows run over the calendar-bounded
+      // day series
+      "q_bootstrap_ci", "q_seasonal_decompose")
 
     def time(name: String, dir: String): Double = {
       val fn = Queries.all(name)
@@ -223,9 +232,13 @@ object DevScaling {
       }.min
     }
 
-    // optional 3rd arg: comma-separated query-name filter for focused reruns
+    // optional 3rd arg: comma-separated query-name filter for focused
+    // reruns — any registered query, not just the curated picks (so bench
+    // regressions can be adjudicated in a quiet JVM with this tool)
     val onlyArg = if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val selected = onlyArg.map(o => picks.filter(o)).getOrElse(picks)
+    val selected = onlyArg
+      .map(o => o.toSeq.sorted.filter(Queries.all.contains))
+      .getOrElse(picks)
 
     println(f"[scaling] ${"query"}%-20s ${"t_1x"}%8s ${"t_" + reps + "x"}%8s ratio")
     selected.foreach { q =>

@@ -6193,6 +6193,323 @@ object Queries {
       .orderBy("va")
   }
 
+  /** Kaplan–Meier survival curve over reorder gaps — the churn/retention
+    * estimator done right: every consecutive order pair contributes an
+    * observed event (time = gap days), each customer's last order
+    * contributes a CENSORED observation (time to the corpus horizon), and
+    * S(t) = Π_{u≤t}(1 − d_u/n_u) over the event times — the estimator
+    * that uses censored customers correctly instead of dropping them.
+    * Determinism: each step factor `ln(1 − d/n)` is row-local double
+    * work from exact int64 counts snapped to e9, the log-survival is an
+    * INTEGER cumulative sum, and only the final display value takes
+    * `exp` (rounded to 4 — the continuous-expression doctrine); once the
+    * risk set dies out (d = n) survival pins to exactly 0 via a running
+    * flag, never a −∞ log. Shapes at 100 TB: the gap derivation is a
+    * per-customer window (bounded by one customer's orders), the census
+    * is map-side, and every curve window runs over the DISTINCT gap-day
+    * frame — calendar-bounded at any corpus size. */
+  def qSurvivalCurve(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("dte"), col("o_orderkey"))
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("dte"))
+    val mx = o.agg(max(col("dte")).as("maxd"))
+    val obs = o.withColumn("nxt", lead(col("dte"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .select(
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("dte")))
+          .otherwise(datediff(col("maxd"), col("dte"))).cast("long").as("t"),
+        col("nxt").isNotNull.cast("long").as("ev"))
+    val census = obs.groupBy("t").agg(
+      sum(col("ev")).as("d_ev"),
+      sum(lit(1L) - col("ev")).as("c_cens"),
+      count(lit(1)).as("n_at"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("n_risk", sum(col("n_at")).over(wDesc))
+      .withColumn("term_e9", expr(
+        "CASE WHEN d_ev = 0 THEN 0L WHEN d_ev >= n_risk THEN 0L " +
+          "ELSE CAST(round(ln(1.0 - CAST(d_ev AS DOUBLE) / n_risk) " +
+          "* 1000000000, 0) AS BIGINT) END"))
+      .withColumn("dead", max((col("d_ev") === col("n_risk")).cast("int")).over(wAsc))
+      .withColumn("cum_e9", sum(col("term_e9")).over(wAsc))
+      .select(col("t"), col("n_risk"), col("d_ev"), col("c_cens"),
+        when(col("dead") === 1, lit(null).cast("bigint"))
+          .otherwise(col("cum_e9")).as("logs_e9"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("cum_e9").cast("double") / lit(1e9)), 4)).as("s_r4"))
+      .orderBy("t")
+  }
+
+  /** Decision-stump split finder — the first node of a tree learner (and
+    * the standard univariate feature-importance probe) as a relational
+    * op: the feature (first embedding coordinate, e4-snapped) buckets
+    * into 64 equal-width cells against a 1-row min/max broadcast (pure
+    * integer normalization, the q_zorder_layout pattern), the class
+    * censuses accumulate once over the bucket order, and every candidate
+    * threshold "left = buckets ≤ b" is scored by weighted Gini impurity
+    * — row-local double work from exact int64 counts snapped to e9, with
+    * the argmin taken under the (gini, bucket) integer total order and
+    * marked on the output curve. Windows touch only the ≤64-row bucket
+    * frame; output ≤63 thresholds at any corpus size. */
+  def qGiniSplit(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(
+      expr("CAST(round(CAST(embedding[0] AS DOUBLE) * 10000, 0) AS BIGINT)").as("x_e4"),
+      (col("label") < 5).cast("long").as("y"))
+    val st = e.agg(min(col("x_e4")).as("xmin"), max(col("x_e4")).as("xmax"),
+      count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val census = e.crossJoin(broadcast(st))
+      .withColumn("bucket", expr(
+        "CASE WHEN xmax = xmin THEN 0L ELSE least(63L, ((x_e4 - xmin) * 64) div (xmax - xmin)) END"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"),
+        max(col("xmin")).as("xmin"), max(col("xmax")).as("xmax"),
+        max(col("n")).as("n"), max(col("pos")).as("pos"))
+    val wAsc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = census
+      .withColumn("n_left", sum(col("n_b")).over(wAsc))
+      .withColumn("pos_left", sum(col("pos_b")).over(wAsc))
+      .where(col("n_left") < col("n"))
+      .withColumn("thr_e4", expr("xmin + ((bucket + 1) * (xmax - xmin)) div 64"))
+      .withColumn("wgini_e9", expr(
+        "CAST(round(((n_left - (CAST(pos_left AS DOUBLE) * pos_left + " +
+          "CAST(n_left - pos_left AS DOUBLE) * (n_left - pos_left)) / n_left) + " +
+          "((n - n_left) - (CAST(pos - pos_left AS DOUBLE) * (pos - pos_left) + " +
+          "CAST((n - n_left) - (pos - pos_left) AS DOUBLE) * ((n - n_left) - (pos - pos_left))) " +
+          "/ (n - n_left))) / n * 1000000000, 0) AS BIGINT)"))
+    val best = scored.agg(min(struct(col("wgini_e9"), col("bucket"))).as("b"))
+      .select(col("b.bucket").as("best_bucket"))
+    scored.crossJoin(broadcast(best))
+      .select(col("bucket"), col("thr_e4"), col("n_left"), col("pos_left"),
+        col("wgini_e9"),
+        (col("bucket") === col("best_bucket")).cast("bigint").as("is_best"))
+      .transform(ps(col("bucket")))
+  }
+
+  /** Population Stability Index — the model-monitoring drift scorecard
+    * (the third drift lens next to [[qKsDrift]]'s max-gap and
+    * [[qTvdDrift]]'s L1): the event value distribution of the first 7
+    * days (reference window) against everything after, over 10
+    * equal-width bins from a 1-row min/max broadcast, with add-one
+    * smoothing so empty bins stay finite — PSI = Σ (p−q)·ln(p/q), each
+    * bin's term row-local double work from exact smoothed int64 counts
+    * snapped to e9 (the snap-then-sum doctrine; the spec asserts the
+    * conventional <0.1/0.25 thresholds on the total). Shapes: one binned
+    * map-side census over the scan, a dense 10-row grid by left join,
+    * bounded broadcasts, 10 output rows at any corpus size. */
+  def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("ts"), col("value"))
+      .where(col("value").isNotNull)
+    val st = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+      min(col("ts")).as("t0"))
+    val census = ev.crossJoin(broadcast(st))
+      .withColumn("bin", expr(
+        "CASE WHEN vmax = vmin THEN 0L ELSE least(9L, " +
+          "CAST(floor((value - vmin) * 10.0 / (vmax - vmin)) AS BIGINT)) END"))
+      .withColumn("is_ref",
+        (col("ts") < col("t0") + expr("INTERVAL 7 DAYS")).cast("long"))
+      .groupBy("bin")
+      .agg(sum(col("is_ref")).as("ref_n"), sum(lit(1L) - col("is_ref")).as("cur_n"))
+    val grid = s.range(10).toDF("bin").join(census, Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val tot = grid.agg(sum(col("ref_n")).as("rt"), sum(col("cur_n")).as("ct"))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("ref_ppm", expr(ppmDiv("(ref_n + 1)", "(rt + 10)")))
+      .withColumn("cur_ppm", expr(ppmDiv("(cur_n + 1)", "(ct + 10)")))
+      .withColumn("term_e9", expr(
+        "CAST(round((CAST(ref_n + 1 AS DOUBLE) / (rt + 10) - " +
+          "CAST(cur_n + 1 AS DOUBLE) / (ct + 10)) * " +
+          "ln((CAST(ref_n + 1 AS DOUBLE) / (rt + 10)) / " +
+          "(CAST(cur_n + 1 AS DOUBLE) / (ct + 10))) * 1000000000, 0) AS BIGINT)"))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        col("ref_ppm"), col("cur_ppm"), col("term_e9"))
+      .transform(ps(col("bin")))
+  }
+
+  /** Maximal-Marginal-Relevance re-ranking — the diversification step a
+    * RAG retriever runs between ANN and the context window: from the
+    * cosine top-20 candidate pool, greedily select 5 documents
+    * maximizing `λ·relevance − (1−λ)·max-similarity-to-already-selected`
+    * (λ = 0.7, in exact integer tenths: `score = 7·rel_e4 − 3·div_e4`),
+    * so near-duplicate hits don't crowd the context. The corpus-sized
+    * work is ONE scan — the top-20 pool is TakeOrdered under the
+    * (sim, id) total order — followed by ONE bounded 20-row driver
+    * round-trip (the [[probeAndCentroids]] class: the greedy argmax over
+    * a ≤20-element pool is a constant-size problem, and expressing its 5
+    * dependent steps relationally was measured to re-derive the corpus
+    * scan per step, 20 s vs 2 s at sf0.01). Similarities snap to e4
+    * before every comparison (ties to the smaller id), and the DuckDB
+    * oracle replays the identical 5 steps as chained materialized
+    * CTEs — the hash match proves the driver-side greedy bit-equal to
+    * the relational formulation. */
+  def qMmrRerank(s: SparkSession, d: String): DataFrame = {
+    val pool = mmrPool(s, d).collect().map { r =>
+      (r.getLong(0), Similarity.toDoubleVec(r, 1), r.getLong(2))
+    }
+    def cosE4(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000)
+    }
+    var selected = Vector.empty[(Long, Array[Double])]
+    val rows = (1 to 5).map { i =>
+      val rem = pool.filterNot(c => selected.exists(_._1 == c._1))
+      val best = rem.map { case (v, e, r) =>
+        val div = if (selected.isEmpty) 0L
+          else selected.map(x => cosE4(e, x._2)).max
+        (v, e, r, div, r * 7 - div * 3)
+      }.minBy { case (v, _, _, _, sc) => (-sc, v) }
+      selected = selected :+ ((best._1, best._2))
+      (i.toLong, best._1, best._3, best._4, best._5)
+    }
+    import s.implicits._
+    rows.toDF("step", "vec", "rel_e4", "div_e4", "score")
+  }
+
+  /** The corpus-sized stage of [[qMmrRerank]]: the cosine top-20
+    * candidate pool as one TakeOrdered pass (plan pinned in PlanSpec). */
+  private[graft] def mmrPool(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.where(col("vec_id") === 0).select(col("embedding").as("p_emb"))
+    emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("s", cosine_sim(col("embedding"), col("p_emb")))
+      .select(col("vec_id").as("vec"), col("embedding").as("emb"),
+        expr("CAST(round(s * 10000, 0) AS BIGINT)").as("rel_e4"))
+      .orderBy(col("rel_e4").desc, col("vec")).limit(20)
+  }
+
+  /** Top-k leaderboard churn — the stability audit behind any "top
+    * products/terms/creators" surface: per month the top-10 parts by
+    * revenue (exact cents, grouped top-k under the (revenue, part)
+    * total order), then each consecutive month pair scored by overlap
+    * count and Jaccard of the two top sets — a high-churn leaderboard
+    * means rankings are noise, a frozen one means it never surfaces
+    * anything new. Shapes: one (month, part) map-side census, the
+    * ranking window partitioned per month (the `q_window_topk` grouped
+    * shape), and the month-pair join runs over the bounded
+    * 10-per-month top frame — calendar-bounded output. */
+  def qTopkChurn(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(expr("CAST(date_trunc('month', o_orderdate) AS DATE)").as("month"),
+        col("l_partkey").as("part"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("month", "part").agg(sum(col("cents")).as("rev_c"))
+    val w = Window.partitionBy("month").orderBy(col("rev_c").desc, col("part"))
+    val top = rev.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .select(col("month"), col("part"))
+    val months = rev.select("month").distinct()
+    val consec = months
+      .join(months.select(add_months(col("month"), -1).as("month")).distinct(),
+        Seq("month"))
+      .select(col("month"), add_months(col("month"), 1).as("next_month"))
+    val common = top
+      .join(top.select(add_months(col("month"), -1).as("month"),
+        col("part").as("part2")), Seq("month"))
+      .where(col("part") === col("part2"))
+      .groupBy("month").agg(count(lit(1)).as("n_common"))
+    consec.join(common, Seq("month"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard_ppm", expr(ppmDiv("n_common", "(20 - n_common)")))
+      .select(col("month"), col("next_month"), col("n_common"), col("jaccard_ppm"))
+      .transform(ps(col("month")))
+  }
+
+  /** Poisson-bootstrap confidence interval — the resampling method that
+    * actually works at 100 TB (Chamandy et al.'s large-scale bootstrap):
+    * a classical resample needs global coordination, but drawing each
+    * row's multiplicity in resample b as an independent Poisson(1) —
+    * here via inverse-CDF thresholds on a SEEDED uniform from portable
+    * md5, so both engines draw the identical resamples — makes
+    * every replicate a map-side weighted sum. B = 64 replicates expand
+    * row-locally, combining map-side before any shuffle — the exchange
+    * carries 64 rows per partition, not 64× the data; values snap to e4
+    * so replicate sums are exact integers, each replicate mean is a
+    * round-half-up integer division, and the 95 % percentile interval
+    * reads ranks 2 and 63 of the 64-row replicate frame. The uniforms
+    * use the MinHash kernel's one-digest-many-families trick: 8 md5
+    * digests per row (materialized in a projection BELOW the slice
+    * explode, so each is computed once), each feeding 8 independent
+    * 16-bit slices — 8× fewer digests than a per-(row, b) hash, measured
+    * 7.6 s → ~1 s at sf0.1. ONE output row at any corpus size. */
+  def qBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+      .select(col("event_id"),
+        expr("CAST(round(value * 10000, 0) AS BIGINT)").as("ve4"))
+    val reps = ev
+      .select(col("event_id"), col("ve4"), explode(expr("sequence(0, 7)")).as("g"))
+      .withColumn("dig",
+        expr("md5(concat(CAST(event_id AS STRING), '#', CAST(g AS STRING)))"))
+      .select(col("ve4"), col("g"), col("dig"), explode(expr("sequence(0, 7)")).as("sl"))
+      .withColumn("b", col("g") * 8 + col("sl"))
+      // 0.5D/65536.0D: double literals — a bare 0.5 parses as DECIMAL in
+      // Spark SQL, dragging u into decimal arithmetic (slow) and the CDF
+      // thresholds into truncated decimal literals
+      .withColumn("u", expr(
+        "(CAST(conv(substr(dig, sl * 4 + 1, 4), 16, 10) AS BIGINT) + 0.5D) / 65536.0D"))
+      .withColumn("k", expr(
+        "CASE WHEN u < 0.36787944117144233 THEN 0L WHEN u < 0.7357588823428847 THEN 1L " +
+          "WHEN u < 0.9196986029286058 THEN 2L WHEN u < 0.9810118431238462 THEN 3L " +
+          "WHEN u < 0.9963401531726563 THEN 4L WHEN u < 0.9994058151824183 THEN 5L " +
+          "ELSE 6L END"))
+      .groupBy("b")
+      .agg(sum(col("k")).as("n_b"), sum(col("ve4") * col("k")).as("s_b"))
+      .withColumn("mean_b", expr(
+        s"CASE WHEN n_b = 0 THEN 0L ELSE ${roundDiv("s_b", "n_b", 1L)} END"))
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+    val ci = ranked.agg(
+      max(when(col("rn") === 2, col("mean_b"))).as("ci_lo_e4"),
+      max(when(col("rn") === 63, col("mean_b"))).as("ci_hi_e4"))
+    val tot = ev.agg(count(lit(1)).as("n"), sum(col("ve4")).as("sv"))
+      .select(col("n"), expr(roundDiv("sv", "n", 1L)).as("mean_e4"))
+    tot.crossJoin(broadcast(ci))
+  }
+
+  /** Additive seasonal decomposition (STL-lite) of the daily revenue
+    * series — `y = trend + seasonal + residual`, every component EXACT
+    * integer cents: the trend is a centered 7-observed-day moving
+    * average (round-half-up integer division; null at the 3-row series
+    * edges, the standard convention), the seasonal component is the
+    * per-ISO-weekday mean of the detrended series (sign-adjusted
+    * round-half-away division — detrended values go negative), and the
+    * residual closes the identity exactly where the trend exists. Every
+    * window runs over the DISTINCT-day frame — calendar-bounded at any
+    * corpus size — and the day census itself combines map-side over the
+    * scan. */
+  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(col("o_orderdate").cast("date").as("dte"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("dte").agg(sum(col("cents")).as("y_c"))
+    val wMa = Window.orderBy(col("dte")).rowsBetween(-3, 3)
+    val wCnt = Window.orderBy(col("dte"))
+    val trended = daily
+      .withColumn("ma_n", count(lit(1)).over(wMa))
+      .withColumn("ma_s", sum(col("y_c")).over(wMa))
+      .withColumn("trend_c",
+        when(col("ma_n") === 7, expr(roundDiv("ma_s", "7", 1L))))
+      .withColumn("dow", expr("CAST(weekday(dte) AS BIGINT) + 1"))
+      .withColumn("detr", col("y_c") - col("trend_c"))
+    val seasonal = trended.where(col("detr").isNotNull)
+      .groupBy("dow").agg(sum(col("detr")).as("sd"), count(lit(1)).as("nd"))
+      .select(col("dow"), expr(
+        "(2 * sd + (CASE WHEN sd < 0 THEN -1L ELSE 1L END) * nd) div (2 * nd)")
+        .as("seasonal_c"))
+    trended.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("dte"), col("y_c"), col("trend_c"), col("dow"),
+        col("seasonal_c"),
+        (col("y_c") - col("trend_c") - col("seasonal_c")).as("resid_c"))
+      .orderBy("dte")
+  }
+
   /** Per-source KL divergence from the corpus — the domain-divergence
     * statistic behind mixture design and DSIR-style selection: a source
     * whose unigram distribution sits far from the corpus carries novel
@@ -6806,7 +7123,47 @@ object Queries {
     "q_kl_divergence" -> (qKlDivergence _),
     "q_mutual_info" -> (qMutualInfo _),
     "q_js_sources" -> (qJsSources _),
+    "q_survival_curve" -> (qSurvivalCurve _),
+    "q_gini_split" -> (qGiniSplit _),
+    "q_psi_drift" -> (qPsiDrift _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q_mmr_rerank" -> (qMmrRerank _),
+    "q_topk_churn" -> (qTopkChurn _),
   )
+
+  /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
+    * MATERIALIZED CTEs (materialization is load-bearing — DuckDB inlines
+    * multiply-referenced CTEs, and the selected-set chain references each
+    * step several times). */
+  private def mmrOracleSql: String = {
+    val head =
+      "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "p AS (SELECT emb AS p_emb FROM e WHERE vec_id = 0), " +
+        "c AS MATERIALIZED (SELECT vec_id AS vec, emb, " +
+        "CAST(round(list_cosine_similarity(emb, p_emb) * 10000, 0) AS BIGINT) AS rel_e4 " +
+        "FROM e CROSS JOIN p WHERE vec_id <> 0 ORDER BY rel_e4 DESC, vec LIMIT 20), " +
+        "m AS MATERIALIZED (SELECT a.vec AS av, b.vec AS bv, " +
+        "CAST(round(list_cosine_similarity(a.emb, b.emb) * 10000, 0) AS BIGINT) AS s_e4 " +
+        "FROM c a JOIN c b ON a.vec <> b.vec), " +
+        "s1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS step, vec, rel_e4, " +
+        "CAST(0 AS BIGINT) AS div_e4, rel_e4 * 7 AS score FROM c " +
+        "ORDER BY score DESC, vec LIMIT 1), " +
+        "sel1 AS (SELECT vec FROM s1), "
+    val steps = (2 to 5).map { i =>
+      s"r$i AS (SELECT c.vec, c.rel_e4, coalesce((SELECT max(m.s_e4) FROM m " +
+        s"WHERE m.av = c.vec AND m.bv IN (SELECT vec FROM sel${i - 1})), 0) AS div_e4 " +
+        s"FROM c WHERE c.vec NOT IN (SELECT vec FROM sel${i - 1})), " +
+        s"s$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS step, vec, rel_e4, div_e4, " +
+        s"rel_e4 * 7 - div_e4 * 3 AS score FROM r$i ORDER BY score DESC, vec LIMIT 1), " +
+        s"sel$i AS (SELECT vec FROM sel${i - 1} UNION ALL SELECT vec FROM s$i), "
+    }.mkString
+    val all = head + steps
+    all.stripSuffix(", ") + " " +
+      "SELECT step, vec, rel_e4, div_e4, score FROM (" +
+      (1 to 5).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+  }
 
   /** Shared CTE prefix for the training-prep oracles: normalized text with
     * the source column, tokens with positions (empty-text docs dropped —
@@ -9501,5 +9858,134 @@ object Queries {
         "SELECT src_a, src_b, shared_tokens, " +
         "CAST(inner_e9 + CAST(round((2000000000.0 - sp_a - sp_b) * 0.5 * ln(2.0), 0) " +
         "AS BIGINT) AS BIGINT) AS js_e9 FROM g ORDER BY 1, 2"),
+    "q_survival_curve" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS dte FROM orders), " +
+        "mx AS (SELECT max(dte) AS maxd FROM o), " +
+        "g AS (SELECT o_custkey, dte, lead(dte, 1) OVER " +
+        "(PARTITION BY o_custkey ORDER BY dte, o_orderkey) AS nxt FROM o), " +
+        "obs AS (SELECT CASE WHEN nxt IS NOT NULL THEN CAST(date_diff('day', dte, nxt) AS BIGINT) " +
+        "ELSE CAST(date_diff('day', dte, maxd) AS BIGINT) END AS t, " +
+        "CAST(nxt IS NOT NULL AS BIGINT) AS ev FROM g CROSS JOIN mx), " +
+        "census AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_ev, " +
+        "CAST(sum(1 - ev) AS BIGINT) AS c_cens, CAST(count(*) AS BIGINT) AS n_at " +
+        "FROM obs GROUP BY 1), " +
+        "r AS (SELECT *, CAST(sum(n_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS n_risk FROM census), " +
+        "tm AS (SELECT *, CASE WHEN d_ev = 0 THEN 0 WHEN d_ev >= n_risk THEN 0 " +
+        "ELSE CAST(round(ln(1.0 - CAST(d_ev AS DOUBLE) / n_risk) * 1000000000, 0) AS BIGINT) " +
+        "END AS term_e9 FROM r), " +
+        "fin AS (SELECT *, max(CAST(d_ev = n_risk AS INT)) OVER " +
+        "(ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead, " +
+        "CAST(sum(term_e9) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_e9 " +
+        "FROM tm) " +
+        "SELECT t, n_risk, d_ev, c_cens, " +
+        "CASE WHEN dead = 1 THEN NULL ELSE cum_e9 END AS logs_e9, " +
+        "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(CAST(cum_e9 AS DOUBLE) / 1000000000.0), 4) " +
+        "END AS s_r4 FROM fin ORDER BY t"),
+    "q_gini_split" ->
+      ("WITH e AS (SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 10000, 0) AS BIGINT) AS x_e4, " +
+        "CAST(label < 5 AS BIGINT) AS y FROM embeddings), " +
+        "st AS (SELECT min(x_e4) AS xmin, max(x_e4) AS xmax, " +
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos FROM e), " +
+        "census AS (SELECT CASE WHEN xmax = xmin THEN 0 " +
+        "ELSE least(63, ((x_e4 - xmin) * 64) // (xmax - xmin)) END AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b, " +
+        "max(xmin) AS xmin, max(xmax) AS xmax, max(n) AS n, max(pos) AS pos " +
+        "FROM e CROSS JOIN st GROUP BY 1), " +
+        "sc AS (SELECT *, CAST(sum(n_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS n_left, CAST(sum(pos_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS pos_left FROM census), " +
+        "f AS (SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(xmin + ((bucket + 1) * (xmax - xmin)) // 64 AS BIGINT) AS thr_e4, " +
+        "n_left, pos_left, n, pos, " +
+        "CAST(round(((n_left - (CAST(pos_left AS DOUBLE) * pos_left + " +
+        "CAST(n_left - pos_left AS DOUBLE) * (n_left - pos_left)) / n_left) + " +
+        "((n - n_left) - (CAST(pos - pos_left AS DOUBLE) * (pos - pos_left) + " +
+        "CAST((n - n_left) - (pos - pos_left) AS DOUBLE) * ((n - n_left) - (pos - pos_left))) " +
+        "/ (n - n_left))) / n * 1000000000, 0) AS BIGINT) AS wgini_e9 " +
+        "FROM sc WHERE n_left < n), " +
+        "b AS (SELECT min(struct_pack(wgini_e9 := wgini_e9, bucket := bucket)) AS m FROM f) " +
+        "SELECT bucket, thr_e4, n_left, pos_left, wgini_e9, " +
+        "CAST(bucket = struct_extract(m, 'bucket') AS BIGINT) AS is_best " +
+        "FROM f CROSS JOIN b ORDER BY bucket"),
+    "q_psi_drift" ->
+      ("WITH ev AS (SELECT ts, value FROM events WHERE value IS NOT NULL), " +
+        "st AS (SELECT min(value) AS vmin, max(value) AS vmax, min(ts) AS t0 FROM ev), " +
+        "c AS (SELECT CASE WHEN vmax = vmin THEN 0 ELSE least(9, " +
+        "CAST(floor((value - vmin) * 10.0 / (vmax - vmin)) AS BIGINT)) END AS bin, " +
+        "CAST(ts < t0 + INTERVAL 7 DAY AS BIGINT) AS is_ref FROM ev CROSS JOIN st), " +
+        "census AS (SELECT bin, CAST(sum(is_ref) AS BIGINT) AS ref_n, " +
+        "CAST(sum(1 - is_ref) AS BIGINT) AS cur_n FROM c GROUP BY 1), " +
+        "grid AS (SELECT CAST(g.bin AS BIGINT) AS bin, coalesce(ref_n, 0) AS ref_n, " +
+        "coalesce(cur_n, 0) AS cur_n FROM range(10) g(bin) " +
+        "LEFT JOIN census ON census.bin = g.bin), " +
+        "tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt, CAST(sum(cur_n) AS BIGINT) AS ct " +
+        "FROM grid) " +
+        "SELECT bin, ref_n, cur_n, " +
+        s"CAST(${ppmDivSql("(ref_n + 1)", "(rt + 10)")} AS BIGINT) AS ref_ppm, " +
+        s"CAST(${ppmDivSql("(cur_n + 1)", "(ct + 10)")} AS BIGINT) AS cur_ppm, " +
+        "CAST(round((CAST(ref_n + 1 AS DOUBLE) / (rt + 10) - " +
+        "CAST(cur_n + 1 AS DOUBLE) / (ct + 10)) * " +
+        "ln((CAST(ref_n + 1 AS DOUBLE) / (rt + 10)) / " +
+        "(CAST(cur_n + 1 AS DOUBLE) / (ct + 10))) * 1000000000, 0) AS BIGINT) AS term_e9 " +
+        "FROM grid CROSS JOIN tot ORDER BY bin"),
+    "q_bootstrap_ci" ->
+      ("WITH ev AS (SELECT event_id, CAST(round(value * 10000, 0) AS BIGINT) AS ve4 " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "dg AS (SELECT event_id, ve4, CAST(g AS BIGINT) AS g, " +
+        "md5(CAST(event_id AS VARCHAR) || '#' || CAST(g AS VARCHAR)) AS dig " +
+        "FROM ev CROSS JOIN range(8) t(g)), " +
+        "ku AS (SELECT g * 8 + CAST(sl AS BIGINT) AS b, ve4, " +
+        "(CAST('0x' || substr(dig, CAST(sl AS BIGINT) * 4 + 1, 4) AS BIGINT) + 0.5) / 65536.0 AS u " +
+        "FROM dg CROSS JOIN range(8) t2(sl)), " +
+        "kk AS (SELECT b, ve4, CASE WHEN u < 0.36787944117144233 THEN 0 " +
+        "WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 " +
+        "WHEN u < 0.9810118431238462 THEN 3 WHEN u < 0.9963401531726563 THEN 4 " +
+        "WHEN u < 0.9994058151824183 THEN 5 ELSE 6 END AS k FROM ku), " +
+        "g AS (SELECT b, CAST(sum(k) AS BIGINT) AS n_b, CAST(sum(ve4 * k) AS BIGINT) AS s_b " +
+        "FROM kk GROUP BY 1), " +
+        s"m AS (SELECT b, CAST(CASE WHEN n_b = 0 THEN 0 ELSE ${roundDivSql("s_b", "n_b", 1L)} END " +
+        "AS BIGINT) AS mean_b FROM g), " +
+        "rk AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM m), " +
+        "ci AS (SELECT max(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo_e4, " +
+        "max(CASE WHEN rn = 63 THEN mean_b END) AS ci_hi_e4 FROM rk), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(${roundDivSql("sum(ve4)", "count(*)", 1L)} AS BIGINT) AS mean_e4 FROM ev) " +
+        "SELECT n, mean_e4, ci_lo_e4, ci_hi_e4 FROM tot CROSS JOIN ci"),
+    "q_seasonal_decompose" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dte, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y_c " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT dte, y_c, count(*) OVER w AS ma_n, " +
+        "CAST(sum(y_c) OVER w AS BIGINT) AS ma_s, CAST(isodow(dte) AS BIGINT) AS dow " +
+        "FROM daily WINDOW w AS (ORDER BY dte ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        s"tr AS (SELECT dte, y_c, dow, CASE WHEN ma_n = 7 THEN CAST(${roundDivSql("ma_s", "7", 1L)} " +
+        "AS BIGINT) END AS trend_c FROM t), " +
+        "se AS (SELECT dow, CAST((2 * sum(y_c - trend_c) + " +
+        "(CASE WHEN sum(y_c - trend_c) < 0 THEN -1 ELSE 1 END) * count(*)) // (2 * count(*)) " +
+        "AS BIGINT) AS seasonal_c FROM tr WHERE trend_c IS NOT NULL GROUP BY 1) " +
+        "SELECT tr.dte, tr.y_c, tr.trend_c, tr.dow, se.seasonal_c, " +
+        "tr.y_c - tr.trend_c - se.seasonal_c AS resid_c " +
+        "FROM tr LEFT JOIN se ON se.dow = tr.dow ORDER BY tr.dte"),
+    "q_mmr_rerank" -> mmrOracleSql,
+    "q_topk_churn" ->
+      ("WITH rev AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, " +
+        "l_partkey AS part, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) " +
+        "AS BIGINT) AS rev_c FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY 1, 2), " +
+        "top AS (SELECT month, part FROM (SELECT month, part, row_number() OVER " +
+        "(PARTITION BY month ORDER BY rev_c DESC, part) AS rk FROM rev) WHERE rk <= 10), " +
+        "months AS (SELECT DISTINCT month FROM rev), " +
+        "consec AS (SELECT m1.month, CAST(m1.month + INTERVAL 1 MONTH AS DATE) AS next_month " +
+        "FROM months m1 JOIN months m2 ON m2.month = CAST(m1.month + INTERVAL 1 MONTH AS DATE)), " +
+        "common AS (SELECT CAST(t2.month - INTERVAL 1 MONTH AS DATE) AS month, " +
+        "CAST(count(*) AS BIGINT) AS n_common FROM top t1 JOIN top t2 " +
+        "ON t2.month = CAST(t1.month + INTERVAL 1 MONTH AS DATE) AND t2.part = t1.part " +
+        "GROUP BY 1), " +
+        "j AS (SELECT c.month, c.next_month, coalesce(common.n_common, 0) AS n_common " +
+        "FROM consec c LEFT JOIN common ON common.month = c.month) " +
+        "SELECT month, next_month, n_common, " +
+        s"CAST(${ppmDivSql("n_common", "(20 - n_common)")} AS BIGINT) AS jaccard_ppm " +
+        "FROM j ORDER BY month"),
   )
 }

@@ -1613,6 +1613,85 @@ class PlanSpec extends SparkSuite {
       s"shares and term sums must combine map-side:\n$exec")
   }
 
+  test("q_survival_curve: customer-keyed gap window, map-side census, horizon broadcast") {
+    val df = Queries.qSurvivalCurve(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row horizon must broadcast:\n$exec")
+    val gapWin = exec.linesIterator.find(l =>
+      l.contains("windowspecdefinition") && l.contains("o_custkey")).getOrElse("")
+    assert(gapWin.nonEmpty,
+      s"the gap derivation must partition by customer:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("partial_count"),
+      s"the (time, event) census must combine map-side:\n$exec")
+  }
+
+  test("q_gini_split: stats broadcast, bucket census map-side — never a cartesian") {
+    val df = Queries.qGiniSplit(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the 1-row min/max/total frame must broadcast:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("partial_sum"),
+      s"the bucket census must combine map-side:\n$exec")
+  }
+
+  test("q_psi_drift: binned map-side census, bounded broadcasts, no windows") {
+    val df = Queries.qPsiDrift(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the stats and totals frames must broadcast:\n$exec")
+    assert(!exec.contains("Window"), s"PSI is census + row-local terms:\n$exec")
+    assert(exec.contains("partial_sum"), exec)
+  }
+
+  test("q_bootstrap_ci: replicate sums combine map-side; expansion never shuffles raw rows") {
+    val df = Queries.qBootstrapCi(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row CI frame must broadcast onto the totals:\n$exec")
+    assert(exec.contains("partial_sum"),
+      s"the 64 replicate sums must combine map-side before the exchange:\n$exec")
+  }
+
+  test("q_seasonal_decompose: map-side day census; seasonal broadcast; no cartesian") {
+    val df = Queries.qSeasonalDecompose(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("partial_sum"),
+      s"the day census must combine map-side over the scan:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the 7-row seasonal table must broadcast back onto the series:\n$exec")
+  }
+
+  test("q_mmr_rerank: corpus pass is TakeOrdered; greedy steps run on bounded nests") {
+    val df = Queries.qMmrRerank(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-20 pool must never globally sort the corpus:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the probe and the 20-row pool ride broadcasts:\n$exec")
+  }
+
+  test("q_topk_churn: month-partitioned ranking window, map-side census, no cartesian") {
+    val df = Queries.qTopkChurn(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    val winLine = exec.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("month"),
+      s"the top-10 ranking must partition by month:\n$winLine")
+    assert(exec.contains("partial_sum"),
+      s"the (month, part) census must combine map-side:\n$exec")
+  }
+
   test("q_frame_sample: schedule computed from metadata alone — text never read") {
     val p = plan(Queries.qFrameSample(spark, SF))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -853,6 +853,257 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_survival_curve equals brute-force Kaplan-Meier and is monotone") {
+    val got = Queries.qSurvivalCurve(spark, SF)
+      .select("t", "n_risk", "d_ev", "c_cens", "logs_e9", "s_r4")
+      .as[(Long, Long, Long, Long, Option[Long], Double)].collect().toSeq
+    val orders = Tables.orders(spark, SF)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate".cast("date"))
+      .as[(Long, Long, java.sql.Date)].collect()
+      .map { case (c, k, dt) => (c, k, dt.toLocalDate.toEpochDay) }
+    val maxd = orders.map(_._3).max
+    val obs = orders.groupBy(_._1).values.flatMap { os =>
+      val sorted = os.sortBy(o => (o._3, o._2))
+      val gaps = sorted.sliding(2).collect {
+        case Array(a, b) => (b._3 - a._3, 1L)
+      }.toSeq
+      gaps :+ ((maxd - sorted.last._3, 0L))
+    }.toSeq
+    val census = obs.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    var rem = obs.size.toLong
+    var cum = 0L
+    var dead = false
+    val want = census.map { case (t, d, c) =>
+      val nRisk = rem
+      rem -= (d + c)
+      if (d > 0 && d < nRisk)
+        cum += math.round(math.log(1.0 - d.toDouble / nRisk) * 1e9)
+      if (d == nRisk) dead = true
+      val logs = if (dead) None else Some(cum)
+      val s = if (dead) 0.0
+        else BigDecimal(math.exp(cum / 1e9)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t, nRisk, d, c, logs, s)
+    }
+    assert(got == want)
+    // survival is non-increasing and within [0, 1]
+    got.map(_._6).sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+    got.foreach { r => assert(r._6 >= 0.0 && r._6 <= 1.0) }
+    assert(got.head._2 == obs.size.toLong, "full risk set at the first time")
+  }
+
+  test("q_gini_split equals the brute-force stump scan and flags the true argmin") {
+    val got = Queries.qGiniSplit(spark, SF)
+      .select("bucket", "thr_e4", "n_left", "pos_left", "wgini_e9", "is_best")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val e = Tables.embeddings(spark, SF)
+      .select($"embedding", $"label".cast("long")).as[(Array[Float], Long)].collect()
+      .map { case (emb, l) =>
+        (math.round(emb(0).toDouble * 10000), if (l < 5) 1L else 0L)
+      }
+    val (xmin, xmax) = (e.map(_._1).min, e.map(_._1).max)
+    val n = e.length.toLong
+    val pos = e.map(_._2).sum
+    def bucket(x: Long): Long =
+      if (xmax == xmin) 0L else math.min(63L, ((x - xmin) * 64) / (xmax - xmin))
+    val byB = e.groupBy(x => bucket(x._1)).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val buckets = byB.keys.toSeq.sorted
+    var (nl, pl) = (0L, 0L)
+    val want = buckets.flatMap { b =>
+      val (nb, pb) = byB(b)
+      nl += nb; pl += pb
+      if (nl < n) {
+        val nr = n - nl
+        val pr = pos - pl
+        val gl = nl - (pl.toDouble * pl + (nl - pl).toDouble * (nl - pl)) / nl
+        val gr = nr - (pr.toDouble * pr + (nr - pr).toDouble * (nr - pr)) / nr
+        Some((b, xmin + ((b + 1) * (xmax - xmin)) / 64, nl, pl,
+          math.round((gl + gr) / n * 1e9)))
+      } else None
+    }
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == want)
+    assert(got.count(_._6 == 1L) == 1, "exactly one best split")
+    val bestG = got.filter(_._6 == 1L).head._5
+    assert(bestG == got.map(_._5).min, "the flag marks the minimum impurity")
+    val bestB = got.filter(_._6 == 1L).head._1
+    assert(want.filter(_._5 == bestG).map(_._1).min == bestB,
+      "ties break to the smaller bucket")
+  }
+
+  test("q_psi_drift equals the brute-force smoothed PSI and every term is nonnegative") {
+    val got = Queries.qPsiDrift(spark, SF)
+      .select("bin", "ref_n", "cur_n", "ref_ppm", "cur_ppm", "term_e9")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 10 && got.map(_._1) == (0L until 10L))
+    val ev = Tables.events(spark, SF)
+      .select($"ts", $"value").where($"value".isNotNull)
+      .as[(java.sql.Timestamp, Double)].collect()
+    val (vmin, vmax) = (ev.map(_._2).min, ev.map(_._2).max)
+    val t0 = ev.map(_._1.getTime).min
+    val cutoff = t0 + 7L * 24 * 3600 * 1000
+    def bin(v: Double): Long =
+      if (vmax == vmin) 0L
+      else math.min(9L, math.floor((v - vmin) * 10.0 / (vmax - vmin)).toLong)
+    val byBin = ev.groupBy(x => bin(x._2)).view.mapValues { xs =>
+      (xs.count(_._1.getTime < cutoff).toLong, xs.count(_._1.getTime >= cutoff).toLong)
+    }.toMap
+    val rt = byBin.values.map(_._1).sum
+    val ct = byBin.values.map(_._2).sum
+    def ppm(num: Long, den: Long): Long = {
+      val a = num * 1000L
+      (a / den) * 1000L + ((a % den) * 1000L) / den
+    }
+    got.foreach { case (b, rn, cn, rp, cp, term) =>
+      val (wrn, wcn) = byBin.getOrElse(b, (0L, 0L))
+      assert((rn, cn) == (wrn, wcn), s"bin $b census")
+      assert(rp == ppm(rn + 1, rt + 10) && cp == ppm(cn + 1, ct + 10), s"bin $b shares")
+      val p = (rn + 1).toDouble / (rt + 10)
+      val q = (cn + 1).toDouble / (ct + 10)
+      assert(term == math.round((p - q) * math.log(p / q) * 1e9), s"bin $b term")
+      assert(term >= -1L, s"bin $b PSI term must be nonnegative up to snapping")
+    }
+    val psi = got.map(_._6).sum / 1e9
+    assert(psi >= 0.0 && psi < 5.0, s"total PSI $psi sane")
+  }
+
+  test("q_bootstrap_ci equals the brute-force Poisson bootstrap and brackets the mean") {
+    val (n, mean, lo, hi) = Queries.qBootstrapCi(spark, SF)
+      .select("n", "mean_e4", "ci_lo_e4", "ci_hi_e4")
+      .as[(Long, Long, Long, Long)].collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long, b: Int): Double = {
+      val hex = md.digest(s"$id#${b / 8}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val slice = hex.substring((b % 8) * 4, (b % 8) * 4 + 4)
+      (java.lang.Integer.parseInt(slice, 16) + 0.5) / 65536.0
+    }
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    def pois(x: Double): Long = cdf.indexWhere(x < _) match {
+      case -1 => 6L
+      case i  => i.toLong
+    }
+    val ev = Tables.events(spark, SF).where($"value".isNotNull)
+      .select($"event_id", $"value").as[(Long, Double)].collect()
+      .map { case (id, v) => (id, math.round(v * 10000)) }
+    def rdiv(s0: Long, n0: Long): Long = (s0 / n0) + (2 * (s0 % n0) + n0) / (2 * n0)
+    assert(n == ev.length.toLong)
+    assert(mean == rdiv(ev.map(_._2).sum, n))
+    val means = (0 until 64).map { b =>
+      var (nb, sb) = (0L, 0L)
+      ev.foreach { case (id, ve4) =>
+        val k = pois(u(id, b))
+        nb += k; sb += ve4 * k
+      }
+      (if (nb == 0) 0L else rdiv(sb, nb), b)
+    }.sorted
+    assert((lo, hi) == (means(1)._1, means(62)._1), "percentile ranks 2 and 63")
+    assert(lo <= mean && mean <= hi && lo < hi, s"CI [$lo, $hi] brackets $mean")
+  }
+
+  test("q_seasonal_decompose: exact additive identity and brute-force components") {
+    val got = Queries.qSeasonalDecompose(spark, SF)
+      .select("dte", "y_c", "trend_c", "dow", "seasonal_c", "resid_c")
+      .as[(java.sql.Date, Long, Option[Long], Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    val daily = Tables.orders(spark, SF)
+      .select($"o_orderdate".cast("date"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+      .as[(java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.toLocalDate.toEpochDay)
+    assert(got.map(r => (r._1, r._2)).sortBy(_._1.toLocalDate.toEpochDay) ==
+      daily.map(identity), "the day census matches")
+    val ys = daily.map(_._2).toArray
+    def rdiv7(s0: Long): Long = (s0 / 7) + (2 * (s0 % 7) + 7) / 14
+    val trend = ys.indices.map { i =>
+      if (i < 3 || i >= ys.length - 3) None
+      else Some(rdiv7((i - 3 to i + 3).map(ys).sum))
+    }
+    val dows = daily.map(_._1.toLocalDate.getDayOfWeek.getValue.toLong)
+    val detr = ys.indices.collect {
+      case i if trend(i).isDefined => (dows(i), ys(i) - trend(i).get)
+    }
+    val seas = detr.groupBy(_._1).view.mapValues { xs =>
+      val s0 = xs.map(_._2).sum
+      val n0 = xs.length.toLong
+      (2 * s0 + (if (s0 < 0) -1L else 1L) * n0) / (2 * n0)
+    }.toMap
+    val byDate = got.map(r => r._1.toLocalDate.toEpochDay -> r).toMap
+    daily.zipWithIndex.foreach { case ((dt, y), i) =>
+      val (_, gy, gtr, gdow, gse, gre) = byDate(dt.toLocalDate.toEpochDay)
+      assert(gy == y && gdow == dows(i), s"day $dt census/dow")
+      assert(gtr == trend(i), s"day $dt trend")
+      assert(gse == seas.get(dows(i)), s"day $dt seasonal")
+      (gtr, gse, gre) match {
+        case (Some(tr), Some(se), Some(re)) =>
+          assert(y == tr + se + re, s"day $dt additive identity")
+        case _ => assert(gre.isEmpty, s"day $dt residual only where components exist")
+      }
+    }
+  }
+
+  test("q_mmr_rerank equals the brute-force greedy MMR selection") {
+    val got = Queries.qMmrRerank(spark, SF)
+      .select("step", "vec", "rel_e4", "div_e4", "score")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val all = Tables.embeddings(spark, SF)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (v, e) => (v, e.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probe = all.find(_._1 == 0L).get._2
+    val pool = all.filter(_._1 != 0L)
+      .map { case (v, e) => (v, e, math.round(cos(e, probe) * 10000)) }
+      .sortBy { case (v, _, r) => (-r, v) }.take(20)
+    var selected = Seq.empty[(Long, Array[Double])]
+    val want = (1 to 5).map { i =>
+      val remaining = pool.filterNot(c => selected.exists(_._1 == c._1))
+      val scored = remaining.map { case (v, e, r) =>
+        val div = if (selected.isEmpty) 0L
+          else selected.map(s2 => math.round(cos(e, s2._2) * 10000)).max
+        (v, e, r, div, r * 7 - div * 3)
+      }
+      val pick = scored.minBy { case (v, _, _, _, sc) => (-sc, v) }
+      selected = selected :+ ((pick._1, pick._2))
+      (i.toLong, pick._1, pick._3, pick._4, pick._5)
+    }
+    assert(got == want)
+    assert(got.map(_._2).distinct.size == 5, "five distinct documents")
+  }
+
+  test("q_topk_churn equals the brute-force monthly leaderboard overlap") {
+    val got = Queries.qTopkChurn(spark, SF)
+      .select("month", "next_month", "n_common", "jaccard_ppm")
+      .as[(java.sql.Date, java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2.toString, r._3, r._4)).toSeq
+    val li = Tables.orders(spark, SF)
+      .join(Tables.lineitem(spark, SF), $"o_orderkey" === $"l_orderkey")
+      .select(expr("CAST(date_trunc('month', o_orderdate) AS DATE)"),
+        $"l_partkey", expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+      .as[(java.sql.Date, Long, Long)].collect()
+    val rev = li.groupBy(r => (r._1.toLocalDate, r._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+    val top: Map[java.time.LocalDate, Set[Long]] = rev.groupBy(_._1._1).map {
+      case (m, xs) =>
+        m -> xs.map { case ((_, p), c) => (c, p) }
+          .sortBy { case (c, p) => (-c, p) }.take(10).map(_._2).toSet
+    }
+    val months = top.keys.toSeq.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val want = months.filter(m => top.contains(m.plusMonths(1))).map { m =>
+      val common = top(m).intersect(top(m.plusMonths(1))).size.toLong
+      val a = common * 1000L
+      val den = 20L - common
+      (m.toString, m.plusMonths(1).toString, common,
+        (a / den) * 1000L + ((a % den) * 1000L) / den)
+    }
+    assert(got.sortBy(_._1) == want.sortBy(_._1))
+    assert(got.nonEmpty)
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
