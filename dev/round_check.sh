@@ -1,13 +1,57 @@
 #!/usr/bin/env bash
-# Round performance gate: run the official bench, then fail LOUDLY if any
-# query regressed vs the previous round's driver snapshot (double
-# threshold: >1.25x multiplicative AND >0.15 s absolute — the ambient-load
-# noise filter documented in SCALING.md). Record the one-line disposition
-# this prints into SCALING.md each round.
+# Round gate, three checks that have each caught a real slip:
+#   1. registry==SURVEY — every query registered in Queries.all must have a
+#      SURVEY §2.3 row (the snapshot-commit rule that slipped in r9 AND r10),
+#      and the declared-count line is REGENERATED from the registry so the
+#      doc cannot disagree with the code again.
+#   2. test-reports green — the latest target/test-reports must contain zero
+#      failures/errors (r10 committed a red PlanSpec pin without running it).
+#   3. bench + regression diff — run the official bench, then fail LOUDLY if
+#      any query regressed vs the previous round's driver snapshot (double
+#      threshold: >1.25x multiplicative AND >0.15 s absolute — the
+#      ambient-load noise filter documented in SCALING.md).
+# Record the disposition this prints into SCALING.md each round.
 #
 # Usage: dev/round_check.sh [prev_bench.json]   (default: newest BENCH_r*.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+# --- Gate 1: registry == SURVEY §2.3 -------------------------------------
+awk '/val all: Map\[String, Q\] = Map\(/{f=1} f && /^  \)$/{exit} f' \
+    src/main/scala/graft/Queries.scala |
+  grep -oE '"q_[a-z0-9_]+"' | tr -d '"' | sort -u > /tmp/rc_registry.txt
+REG_N=$(wc -l < /tmp/rc_registry.txt)
+grep -oE '\| `q_[a-z0-9_]+`' SURVEY.md | grep -oE 'q_[a-z0-9_]+' |
+  sort -u > /tmp/rc_survey.txt
+MISSING=$(comm -23 /tmp/rc_registry.txt /tmp/rc_survey.txt)
+if [ -n "$MISSING" ]; then
+  echo "round_check: FAIL — registered queries with no SURVEY §2.3 row:" >&2
+  echo "$MISSING" >&2
+  exit 1
+fi
+ORC_N=$(awk '/val oracles: Map\[String, String\] = Map\(/{f=1} f && /^  \)$/{exit} f' \
+    src/main/scala/graft/Queries.scala |
+  grep -oE '"q_[a-z0-9_]+" ->' | sort -u | wc -l)
+sed -i -E "s/(Implemented inventory \(round )[0-9]+(\): \*\*)[0-9]+( declared queries, )[0-9]+( oracle-checked\*\*)/\1${ROUND:-11}\2${REG_N}\3${ORC_N}\4/" SURVEY.md
+echo "round_check: registry==SURVEY OK (${REG_N} registered, ${ORC_N} oracle-checked; count line regenerated)"
+
+# --- Gate 2: latest test-reports green -----------------------------------
+if ls target/test-reports/*.xml >/dev/null 2>&1; then
+  FAILS=$(grep -hoE 'failures="[0-9]+"' target/test-reports/*.xml |
+    grep -oE '[0-9]+' | paste -sd+ - | bc)
+  ERRORS=$(grep -hoE 'errors="[0-9]+"' target/test-reports/*.xml |
+    grep -oE '[0-9]+' | paste -sd+ - | bc)
+  if [ "${FAILS:-0}" != "0" ] || [ "${ERRORS:-0}" != "0" ]; then
+    echo "round_check: FAIL — test-reports: ${FAILS} failures / ${ERRORS} errors" >&2
+    exit 1
+  fi
+  echo "round_check: test-reports green ($(ls target/test-reports/*.xml | wc -l) suites)"
+else
+  echo "round_check: FAIL — no target/test-reports (run sbt test first)" >&2
+  exit 1
+fi
+
+# --- Gate 3: bench + per-query regression diff ---------------------------
 PREV=${1:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}
 [ -n "$PREV" ] || { echo "round_check: no previous BENCH_r*.json found" >&2; exit 2; }
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \

@@ -327,10 +327,27 @@ object Queries {
     * Jaccard ≥ t MUST share a prefix element under any consistent
     * global order, so the shingle-keyed self-join of prefixes generates
     * a complete candidate set while touching only the rarest postings.
-    * Verification computes the exact intersection per candidate (two
-    * co-keyed joins against the full capped sets) and the integer
-    * permille Jaccard. Output is Ω(true pair mass) by semantics — on the
-    * clone-heavy sf1 fixture that is the ~105k intra-clone pairs. */
+    *
+    * PPJoin pruning (Xiao et al.) cuts the verify input BEFORE the
+    * exact-intersection joins ever see a pair: (1) the LENGTH filter
+    * rides the candidate join itself — `J ≥ 0.7` forces
+    * `10·min(|A|,|B|) ≥ 7·max(|A|,|B|)`; (2) the POSITIONAL filter uses
+    * the consistency of the (df, shingle) total order: both prefixes are
+    * sorted by the SAME global order, so the shared prefix matches of a
+    * pair are co-monotone — `max(rn_a)` and `max(rn_b)` land on the same
+    * token, and every shared token NOT matched in both prefixes sits
+    * strictly beyond that last match in BOTH sets. Hence
+    * `|A∩B| ≤ np + min(|A|−pa, |B|−pb)` (np = shared-prefix count,
+    * pa/pb = last-match positions), and `J ≥ 0.7` needs
+    * `|A∩B| ≥ ⌈7(|A|+|B|)/17⌉` — pairs whose bound can't reach it are
+    * pruned with integer-exact arithmetic, changing nothing in the
+    * output (the bound is sound, only impossible pairs die).
+    * Verification computes the exact intersection per surviving
+    * candidate (two co-keyed joins against the full capped sets) and
+    * the integer permille Jaccard, with set sizes carried from the
+    * candidate stage instead of re-joined. Output is Ω(true pair mass)
+    * by semantics — on the clone-heavy sf1 fixture that is the ~105k
+    * intra-clone pairs. */
   def qSetsimJoin(s: SparkSession, d: String): DataFrame = {
     val maxDf = 10
     val sh = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 3)
@@ -343,18 +360,23 @@ object Queries {
     val pr = cs.join(sz, "doc_id")
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "shingle", "rn", "sz")
     val cand = pr.as("a").join(pr.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          lit(10) * least(col("a.sz"), col("b.sz")) >=
+            lit(7) * greatest(col("a.sz"), col("b.sz")))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("np"),
+        max(col("a.rn")).as("pa"), max(col("b.rn")).as("pb"))
+      .where(col("np") + least(col("sza") - col("pa"), col("szb") - col("pb")) >=
+        expr("(7 * (sza + szb) + 16) div 17"))
+      .select("id_a", "id_b", "sza", "szb")
     val inter = cand
       .join(cs.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
       .join(cs.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .groupBy("id_a", "id_b", "sza", "szb").agg(count(lit(1)).as("i"))
     inter
-      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
-      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
       .withColumn("jac_permille", expr("(i * 1000) div (sza + szb - i)"))
       .where(col("jac_permille") >= 700)
       .select("id_a", "id_b", "jac_permille")
@@ -6405,6 +6427,9 @@ object Queries {
     val w = Window.partitionBy("month").orderBy(col("rev_c").desc, col("part"))
     val top = rev.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
       .select(col("month"), col("part"))
+    // actual per-month list sizes (a sparse month may carry < 10 parts) —
+    // the Jaccard union is n_a + n_b - n_common, never a hard-coded 20
+    val sizes = top.groupBy("month").agg(count(lit(1)).as("n_list"))
     val months = rev.select("month").distinct()
     val consec = months
       .join(months.select(add_months(col("month"), -1).as("month")).distinct(),
@@ -6415,9 +6440,14 @@ object Queries {
         col("part").as("part2")), Seq("month"))
       .where(col("part") === col("part2"))
       .groupBy("month").agg(count(lit(1)).as("n_common"))
-    consec.join(common, Seq("month"), "left")
+    consec
+      .join(sizes.withColumnRenamed("n_list", "n_a"), Seq("month"))
+      .join(sizes.select(col("month").as("next_month"),
+        col("n_list").as("n_b")), Seq("next_month"))
+      .join(common, Seq("month"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .withColumn("jaccard_ppm", expr(ppmDiv("n_common", "(20 - n_common)")))
+      .withColumn("jaccard_ppm",
+        expr(ppmDiv("n_common", "(n_a + n_b - n_common)")))
       .select(col("month"), col("next_month"), col("n_common"), col("jaccard_ppm"))
       .transform(ps(col("month")))
   }
@@ -7820,10 +7850,11 @@ object Queries {
         ", cv AS (SELECT doc_id, least(5, coalesce(lead(pos) OVER " +
         "(PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS c FROM ds)" +
         ", cov AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM cv GROUP BY doc_id)" +
-        ", nt AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens FROM norm) " +
+        ", nt AS (SELECT doc_id, CAST(CASE WHEN t = '' THEN 0 " +
+        "ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens FROM norm) " +
         "SELECT nt.doc_id, n_tokens, coalesce(dup_tokens, 0) AS dup_tokens, " +
         "n_tokens - coalesce(dup_tokens, 0) AS kept_tokens, " +
-        "CASE WHEN coalesce(dup_tokens, 0) * 2 >= n_tokens THEN 'drop' " +
+        "CASE WHEN n_tokens > 0 AND coalesce(dup_tokens, 0) * 2 >= n_tokens THEN 'drop' " +
         "WHEN coalesce(dup_tokens, 0) > 0 THEN 'trim' ELSE 'keep' END AS action " +
         "FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id ORDER BY nt.doc_id"),
     "q_funnel" ->
@@ -9975,6 +10006,7 @@ object Queries {
         "GROUP BY 1, 2), " +
         "top AS (SELECT month, part FROM (SELECT month, part, row_number() OVER " +
         "(PARTITION BY month ORDER BY rev_c DESC, part) AS rk FROM rev) WHERE rk <= 10), " +
+        "sizes AS (SELECT month, CAST(count(*) AS BIGINT) AS n_list FROM top GROUP BY 1), " +
         "months AS (SELECT DISTINCT month FROM rev), " +
         "consec AS (SELECT m1.month, CAST(m1.month + INTERVAL 1 MONTH AS DATE) AS next_month " +
         "FROM months m1 JOIN months m2 ON m2.month = CAST(m1.month + INTERVAL 1 MONTH AS DATE)), " +
@@ -9982,10 +10014,13 @@ object Queries {
         "CAST(count(*) AS BIGINT) AS n_common FROM top t1 JOIN top t2 " +
         "ON t2.month = CAST(t1.month + INTERVAL 1 MONTH AS DATE) AND t2.part = t1.part " +
         "GROUP BY 1), " +
-        "j AS (SELECT c.month, c.next_month, coalesce(common.n_common, 0) AS n_common " +
-        "FROM consec c LEFT JOIN common ON common.month = c.month) " +
+        "j AS (SELECT c.month, c.next_month, sa.n_list AS n_a, sb.n_list AS n_b, " +
+        "coalesce(common.n_common, 0) AS n_common " +
+        "FROM consec c JOIN sizes sa ON sa.month = c.month " +
+        "JOIN sizes sb ON sb.month = c.next_month " +
+        "LEFT JOIN common ON common.month = c.month) " +
         "SELECT month, next_month, n_common, " +
-        s"CAST(${ppmDivSql("n_common", "(20 - n_common)")} AS BIGINT) AS jaccard_ppm " +
+        s"CAST(${ppmDivSql("n_common", "(n_a + n_b - n_common)")} AS BIGINT) AS jaccard_ppm " +
         "FROM j ORDER BY month"),
   )
 }

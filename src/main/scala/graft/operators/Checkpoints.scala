@@ -45,13 +45,30 @@ object Checkpoints {
     }
   }
 
-  /** Drop all persisted RDD blocks (non-blocking). Safe only when no
-    * in-flight job can still read a checkpointed frame — after a query's
-    * sink has fully materialized, or between batch passes (what the
-    * Bench/Verify harnesses do after each query). Unpersisting a
-    * localCheckpoint a concurrent query still reads is not a slow
-    * recompute but a job failure: truncated lineage cannot be rebuilt. */
-  def release(spark: SparkSession): Unit =
+  /** Drop all persisted RDD blocks (non-blocking) and, on the durable
+    * tier, reclaim the per-round checkpoint directories. Safe only when
+    * no in-flight job can still read a checkpointed frame AND no held
+    * DataFrame will be re-executed — after a query's sink has fully
+    * materialized, or between batch passes (what the Bench/Verify
+    * harnesses do after each query). Unpersisting a localCheckpoint (or
+    * deleting a reliable checkpoint's files) a concurrent query still
+    * reads is not a slow recompute but a job failure: truncated lineage
+    * cannot be rebuilt.
+    *
+    * The DFS reclaim matters for long-lived batch sessions: Spark only
+    * deletes `rdd-*` checkpoint dirs itself under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * context-construction conf, and GC-timing-dependent even then), so
+    * without this a session accumulates one directory per iteration per
+    * query for the SparkContext lifetime. */
+  def release(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getCheckpointDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
+    }
+  }
 }

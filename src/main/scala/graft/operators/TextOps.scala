@@ -101,7 +101,13 @@ object TextOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
       .withColumn("kept_tokens", col("n_tokens") - col("dup_tokens"))
       .withColumn("action",
-        when(col("dup_tokens") * 2 >= col("n_tokens"), lit("drop"))
+        // n_tokens > 0 is explicit so an empty-normalized document is
+        // 'keep' by construction in BOTH engines (DuckDB's string_split('')
+        // yields [''] = 1 token; the native Shingles yields [] = 0 — the
+        // oracle guards its count to 0 to match, and neither side may let
+        // 0*2 >= 0 flip the action to 'drop')
+        when(col("n_tokens") > 0 &&
+            col("dup_tokens") * 2 >= col("n_tokens"), lit("drop"))
           .when(col("dup_tokens") > 0, lit("trim"))
           .otherwise(lit("keep")))
   }

@@ -150,9 +150,12 @@ object EventStreams {
     * sorts the BATCH's timestamps (bounded by the micro-batch, never the
     * stream). Cross-batch lateness: an event that lands inside (or within
     * the gap of) the still-open session MERGES into it, extending `start`
-    * backwards and `last` forwards symmetrically (min/max); an event late
-    * relative to an ALREADY-EMITTED session cannot retract it and starts a
-    * new session instead — the same no-retraction contract as the built-in
+    * backwards and `last` forwards symmetrically (min/max); events more
+    * than the gap BEFORE the open session chain among themselves and close
+    * as their own provably-finished sessions (they can never stretch the
+    * open session's start past the gap); an event late relative to an
+    * ALREADY-EMITTED session cannot retract it and starts a new session
+    * instead — the same no-retraction contract as the built-in
     * `session_window` in append mode (a watermark is what bounds that
     * second case in production). */
   def closedUserSessions(events: DataFrame, gapMinutes: Int): Dataset[ClosedSession] = {
@@ -165,21 +168,31 @@ object EventStreams {
       .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[OpenSession]) =>
-          val times = rows.map(_._2).toArray.sorted
-          var open = state.getOption
+          // Interval-merge sessionization: each batch event is a unit
+          // interval, the still-open state session an atomic one; chain
+          // intervals whose gap is <= gapUs in start order. Handles every
+          // cross-batch lateness shape uniformly — a late event inside (or
+          // within the gap of) the open session merges and may extend its
+          // start BACKWARDS; late events more than the gap BEFORE it chain
+          // among THEMSELVES and close as their own sessions (never
+          // stretching the open session's start past the gap). All but the
+          // trailing chained session are provably closed and emitted; the
+          // trailing one stays in state — the same no-retraction contract
+          // as the built-in `session_window` in append mode.
+          val items = (rows.map { case (_, t) => OpenSession(t, t, 1L) } ++
+            state.getOption.iterator).toArray.sortBy(s => (s.start, s.last))
           val out = Seq.newBuilder[ClosedSession]
-          times.foreach { t =>
+          var open: Option[OpenSession] = None
+          items.foreach { it =>
             open match {
-              case Some(s) if t - s.last <= gapUs =>
-                // merge symmetrically: a cross-batch late event may extend
-                // the open session's start BACKWARDS as well as last forwards
-                open = Some(OpenSession(math.min(s.start, t),
-                  math.max(s.last, t), s.n + 1))
+              case Some(s) if it.start - s.last <= gapUs =>
+                open = Some(OpenSession(s.start,
+                  math.max(s.last, it.last), s.n + it.n))
               case Some(s) =>
                 out += ClosedSession(userId, s.start, s.last, s.n)
-                open = Some(OpenSession(t, t, 1L))
+                open = Some(it)
               case None =>
-                open = Some(OpenSession(t, t, 1L))
+                open = Some(it)
             }
           }
           open.foreach(state.update)

@@ -60,6 +60,13 @@ class GraphSpec extends SparkSuite {
       val wrote = java.nio.file.Files.walk(ckpt)
         .anyMatch(p => java.nio.file.Files.isRegularFile(p))
       assert(wrote, "reliable mode must materialize checkpoint files")
+      // release() is the quiescent point: it must reclaim the per-round
+      // rdd-* checkpoint dirs (Spark itself only does so under
+      // cleaner.referenceTracking.cleanCheckpoints, GC-timing-dependent)
+      Checkpoints.release(spark)
+      val remaining = java.nio.file.Files.list(ckpt).count()
+      assert(remaining == 0L,
+        s"release() must reclaim durable checkpoint dirs, $remaining left")
     } finally spark.conf.unset(Checkpoints.DirConf)
   }
 }

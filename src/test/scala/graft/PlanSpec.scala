@@ -1670,14 +1670,23 @@ class PlanSpec extends SparkSuite {
       s"the 7-row seasonal table must broadcast back onto the series:\n$exec")
   }
 
-  test("q_mmr_rerank: corpus pass is TakeOrdered; greedy steps run on bounded nests") {
+  test("q_mmr_rerank: corpus pass is TakeOrdered; greedy result is a bounded local table") {
+    // The corpus-sized work lives in mmrPool (Queries.scala) — pin THAT plan.
+    val pool = Queries.mmrPool(spark, SF)
+    pool.collect()
+    val poolExec = pool.queryExecution.executedPlan.toString
+    assert(poolExec.contains("TakeOrderedAndProject"),
+      s"the top-20 pool must never globally sort the corpus:\n$poolExec")
+    assert(poolExec.contains("BroadcastNestedLoopJoin") && !poolExec.contains("CartesianProduct"),
+      s"the 1-row probe rides a broadcast, never a cartesian:\n$poolExec")
+    // The public query's own plan must be a LocalTableScan of exactly 5 rows —
+    // proof that the greedy loop is a bounded driver step, not a corpus pass.
     val df = Queries.qMmrRerank(spark, SF)
-    df.collect()
+    val rows = df.collect()
+    assert(rows.length == 5, s"MMR selects exactly 5 documents, got ${rows.length}")
     val exec = df.queryExecution.executedPlan.toString
-    assert(exec.contains("TakeOrderedAndProject"),
-      s"the top-20 pool must never globally sort the corpus:\n$exec")
-    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
-      s"the probe and the 20-row pool ride broadcasts:\n$exec")
+    assert(exec.contains("LocalTableScan"),
+      s"the greedy steps run on a bounded driver-side pool:\n$exec")
   }
 
   test("q_topk_churn: month-partitioned ranking window, map-side census, no cartesian") {

@@ -258,4 +258,41 @@ class StreamingSpec extends SparkSuite {
     // without the symmetric (min on start) merge this emits start=1000s
     assert(got == Seq((1L, 950000000L, 1100000000L, 3L)), got.toString)
   }
+
+  test("closed sessions: events far BEFORE the open session close as their own session") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+    val dir = Files.createTempDirectory("graft_stream_early")
+    //   batch 1 opens user 1's session at [10000s, 10100s]
+    //   batch 2 delivers LATE 100s and 110s events (more than the 30-min gap
+    //   BEFORE the open session's start — they must chain with each other and
+    //   close as their own session, NOT stretch start back past the gap) plus
+    //   a 50000s event that closes the [10000,10100] session by gap
+    def stage(name: String, mtimeSec: Long, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_early_w")
+      rows.toDF("user_id", "s")
+        .select($"user_id", expr("timestamp_seconds(s)").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/w")
+      val part = Files.list(Paths.get(s"$tmp/w")).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")).head
+      val dst = Paths.get(dir.toString, name)
+      Files.copy(Paths.get(part), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    stage("b0.parquet", 1000000L, Seq((1L, 10000L), (1L, 10100L)))
+    stage("b1.parquet", 1000060L, Seq((1L, 100L), (1L, 110L), (1L, 50000L)))
+    val schema = new StructType()
+      .add("user_id", LongType).add("ts", TimestampType)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val got = EventStreams.runAvailableNow(
+        EventStreams.closedUserSessions(src, 30).toDF(), "t_early",
+        OutputMode.Append())
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq(
+      (1L, 100000000L, 110000000L, 2L),
+      (1L, 10000000000L, 10100000000L, 2L)), got.toString)
+  }
 }
