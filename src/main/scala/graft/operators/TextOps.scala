@@ -156,14 +156,13 @@ object TextOps {
 
   /** LSH banding over a MinHash signature frame (idCol, mh1..mhK): candidate
     * near-dup pairs = pairs agreeing on ≥1 band. Melts the signature into
-    * (id, band_idx, band_val) and self-joins ONCE on the composite band key
-    * (co-located equi-join shuffle, never a cross join) — a per-band
-    * join-union would recompute the signature 2×numBands times. The two
-    * sides of the self-join still each compute the signature once (Spark's
-    * exchange reuse does not fire across the differently-aliased branches);
-    * at production scale, materialize the signature frame first (persist or
-    * write it — a 100 TB dedup keeps signatures as a durable artifact) and
-    * band-join the materialized table. Emits (id_a, id_b) with id_a < id_b. */
+    * (id, band_idx, band_val) and expands each qualifying bucket in place
+    * on the composite band key (co-located shuffle, never a cross join) —
+    * a per-band join-union would recompute the signature 2×numBands times.
+    * At production scale a 100 TB dedup still keeps signatures as a durable
+    * written artifact between pipeline STAGES; within one execution the
+    * reuse note below makes an extra materialization a measured loss.
+    * Emits (id_a, id_b) with id_a < id_b. */
   /** Signature frame (idCol, mh1..mhK) melted to one row per (doc, band):
     * the shared first step of the pair, map, and cluster dedup paths. */
   private def meltBands(sig: DataFrame, idCol: String, numBands: Int): DataFrame =
@@ -171,15 +170,32 @@ object TextOps {
       posexplode(array((1 to numBands).map(i => col(s"mh$i")): _*))
         .as(Seq("band_idx", "band_val")))
 
+  /** Why the two-branch consumers below (bucket counts + probe in
+    * [[lshCandidatePairs]], reps + members in [[lshDedupMap]]) do NOT
+    * materialize the signature: within one execution AQE's ReusedExchange
+    * dedupes the identical doc-keyed partial-min exchange inside
+    * [[minhashSignatureMd5]] — the expensive part (scan → shingle explode
+    * → md5 → partial min) runs ONCE and each branch replays only its own
+    * cheap final-agg + melt projection on the reused shuffle output
+    * (PlanSpec pins ReusedExchange in `q_minhash_dedup`'s executed plan).
+    * An explicit checkpoint of the melted frame was MEASURED WORSE at
+    * both sf0.1 and sf1 (e.g. q_minhash_est 4.01 → 4.29 s, dedup-map
+    * 0.96 → 1.12 s): it pays block-manager materialization to save a
+    * recompute that was already deduped. The ITERATIVE consumer
+    * ([[lshDedupClustersTrace]]) is the exception and does truncate —
+    * its rounds are separate jobs, where exchange reuse cannot fire. */
+
   def lshCandidatePairs(sig: DataFrame, idCol: String, numBands: Int,
                         maxBucket: Int = 1000,
                         dropObs: Option[org.apache.spark.sql.Observation] = None)
       : DataFrame = {
     val melted = meltBands(sig, idCol, numBands)
     // Group each band bucket and expand pairs in place: ONE signature
-    // computation and one groupBy shuffle. (A self-join would be
-    // semantically identical but computes the signature pipeline on both
-    // sides — exchange reuse does not fire across the aliased branches.)
+    // computation — the bucket-count and probe branches replay only the
+    // final agg + melt over the ReusedExchange'd signature shuffle (see
+    // the reuse note above meltBands) — and one groupBy shuffle. (A
+    // self-join would be semantically identical; the in-place expansion
+    // additionally keeps the pair blowup inside one bucket-keyed task.)
     //
     // Degenerate-bucket guard: the in-place expansion is quadratic in the
     // bucket size, so buckets over `maxBucket` members (an all-identical

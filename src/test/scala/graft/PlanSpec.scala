@@ -49,6 +49,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_min") || p.contains("Functions [partial"), p)
   }
 
+  test("q_minhash_dedup: signature pipeline computed ONCE (AQE reuses the doc-keyed exchange)") {
+    // The bucket-count and probe branches both sit on the signature's
+    // partial-min exchange; AQE must dedupe it so the expensive
+    // scan→shingles→md5 pipeline runs once per execution. (An explicit
+    // checkpoint instead was measured WORSE — see TextOps' reuse note.)
+    val df = Queries.qMinhashDedup(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("ReusedExchange"),
+      s"the two melted-band branches must reuse one signature exchange:\n$exec")
+  }
+
   test("q_semi_join plans a semi join (no row multiplication)") {
     val p = plan(Queries.qSemiJoin(spark, SF))
     assert(p.contains("LeftSemi"), p)
