@@ -831,6 +831,25 @@ object Queries {
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** The LSH path under the oracle: with `hamming == nBits` every vector
+    * passes the bucket filter (a Hamming distance over nBits bits can
+    * never exceed nBits), so the candidate set is the full corpus and the
+    * exact cosine rerank is EXACTLY brute-force top-k — the recall dial's
+    * honest endpoint for signed-random-projection LSH, the same way
+    * `nprobe == nlist` is for IVF. The seeded hyperplane buckets and the
+    * bit_count filter still EXECUTE for every row (the oracle covers the
+    * whole bucket→filter→rerank pipeline, not a shortcut around it);
+    * [[qAnnLsh]] keeps the pruned hamming=2 operating point, rows-only. */
+  def qAnnLshExact(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Similarity.cosineTopKLsh(emb.where(col("vec_id") =!= 0), "vec_id",
+        "embedding", probe, 10, nBits = 8, hamming = 8)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
   /** The IVF path under the oracle: with `nprobe == nlist` every inverted
     * list is scanned, so the result is EXACTLY brute-force top-k — the
     * DuckDB cosine oracle verifies the whole assign→prune→rerank pipeline
@@ -6918,6 +6937,7 @@ object Queries {
     "q_pivot" -> (qPivot _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_exhaustive" -> (qAnnExhaustive _),
+    "q_ann_lsh_exact" -> (qAnnLshExact _),
     "q_vector_norm" -> (qVectorNorm _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_anti_join" -> (qAntiJoin _),
@@ -7404,6 +7424,13 @@ object Queries {
         "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_ann_exhaustive" ->
+      ("WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p), 4) AS sim " +
+        "FROM embeddings, probe WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"),
+    "q_ann_lsh_exact" ->
+      // hamming == nBits keeps every vector, so the LSH pipeline's exact
+      // endpoint is brute-force cosine top-k (the bucket filter still runs
+      // on the Spark side — the oracle checks the full pipeline's output)
       ("WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p), 4) AS sim " +
         "FROM embeddings, probe WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"),

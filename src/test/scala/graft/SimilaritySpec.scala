@@ -62,6 +62,23 @@ class SimilaritySpec extends SparkSuite {
     assert(recall == 0.8, s"recall $recall != pinned 0.8; got=$approx want=$exact")
   }
 
+  test("cosineTopKLsh with hamming == nBits is exactly brute force") {
+    // the honest endpoint of the LSH recall dial (q_ann_lsh_exact's
+    // contract): every vector passes the bucket filter, so bucket→filter→
+    // rerank must reproduce the exact top-10 bit-for-bit
+    val emb = Tables.embeddings(spark, SF)
+    val probe = emb.where($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    val exact = Similarity.cosineTopK(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val full = Similarity.cosineTopKLsh(
+        emb.where($"vec_id" =!= 0), "vec_id", "embedding", probe, 10,
+        nBits = 8, hamming = 8)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    assert(full == exact, s"got=$full want=$exact")
+  }
+
   test("embeddingNearDupPairs finds planted near-duplicates only") {
     val base = Array.tabulate(8)(i => (i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
