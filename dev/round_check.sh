@@ -38,9 +38,9 @@ echo "round_check: registry==SURVEY OK (${REG_N} registered, ${ORC_N} oracle-che
 # --- Gate 2: latest test-reports green -----------------------------------
 if ls target/test-reports/*.xml >/dev/null 2>&1; then
   FAILS=$(grep -hoE 'failures="[0-9]+"' target/test-reports/*.xml |
-    grep -oE '[0-9]+' | paste -sd+ - | bc)
+    grep -oE '[0-9]+' | paste -sd+ - | python3 -c "import sys; print(eval(sys.stdin.read() or '0'))")
   ERRORS=$(grep -hoE 'errors="[0-9]+"' target/test-reports/*.xml |
-    grep -oE '[0-9]+' | paste -sd+ - | bc)
+    grep -oE '[0-9]+' | paste -sd+ - | python3 -c "import sys; print(eval(sys.stdin.read() or '0'))")
   if [ "${FAILS:-0}" != "0" ] || [ "${ERRORS:-0}" != "0" ]; then
     echo "round_check: FAIL — test-reports: ${FAILS} failures / ${ERRORS} errors" >&2
     exit 1

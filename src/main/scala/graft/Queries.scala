@@ -6888,6 +6888,349 @@ object Queries {
       .orderBy("bin_id")
   }
 
+  // ------------------------------------------- round-11 wave: sketches,
+  // tokenizer prep, LM scoring, novelty, calibration, spectral step
+
+  /** Portable HyperLogLog distinct-count — the third cardinality sketch
+    * beside KMV ([[qKmvDistinct]]) and the Spark-private
+    * `approx_count_distinct`: m = 64 registers, bucket = top 6 bits of
+    * the proven-portable 60-bit md5 hash, register = max over the bucket
+    * of ρ(remaining 54 bits) (position of the highest set bit from the
+    * top: ρ = 55 − length(bin(rem)), an INTEGER both engines compute
+    * identically — no float log2 near power-of-two boundaries). The
+    * estimate keeps the harmonic sum EXACT: Σ 2^(55−ρ_j) is an int64
+    * (≤ 64·2^55), with Flajolet's α₆₄·m²·2^55/S and the small-range
+    * linear-counting branch (est ≤ 5m/2 with empty registers →
+    * m·ln(m/V)) both taking their single final double op on that exact
+    * integer state. Shapes at 100 TB: one map-side-combinable max per
+    * (group, bucket) — 64 counters per group at ANY corpus size, the
+    * mergeable-sketch shape — then a 64-row-per-group readout; the
+    * exact audit side is the same distinct the KMV audit pays. */
+  def qHllDistinct(s: SparkSession, d: String): DataFrame = {
+    val m = 64
+    val regs = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .distinct()
+      .withColumn("bucket", expr("h div 18014398509481984")) // 2^54: top 6 bits
+      .withColumn("rem", expr("h % 18014398509481984"))
+      .withColumn("rho", expr("CASE WHEN rem = 0 THEN 55L ELSE 55L - length(bin(rem)) END"))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("reg"))
+    val sk = regs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_full"),
+        sum(expr("shiftleft(1L, CAST(55 - reg AS INT))")).as("s_full"))
+      // empty registers contribute 2^55 each (ρ = 0) — add them without a grid
+      .withColumn("s_inv", expr(s"s_full + (${m}L - n_full) * 36028797018963968L"))
+      .withColumn("zeros", expr(s"${m}L - n_full"))
+    val est = sk.withColumn("est_raw", expr(
+        // Flajolet's α₆₄ = 0.709; one double expression over exact ints
+        s"0.709D * ${m}D * ${m}D * 36028797018963968.0D / CAST(s_inv AS DOUBLE)"))
+      .withColumn("n_hll", expr(
+        s"CAST(round(CASE WHEN est_raw <= 2.5D * ${m}D AND zeros > 0 " +
+          s"THEN ${m}D * ln(${m}D / CAST(zeros AS DOUBLE)) ELSE est_raw END, 0) AS BIGINT)"))
+    val exact = Tables.events(s, d).select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_hll"),
+        expr("(abs(n_hll - n_exact) * 1000000L) div n_exact").as("err_ppm"))
+      .transform(ps(col("event_type")))
+  }
+
+  /** Bigram language-model scoring — the perplexity filter a pretraining
+    * curation pass runs (KenLM-style, here add-one smoothed over the
+    * corpus's own bigrams): context counts derive from the bigram census
+    * itself (Σ_w2 c(w1,w2), so final-token edge effects cancel by
+    * construction), P(w2|w1) = (c+1)/(ctx+V), and each occurrence's
+    * −ln P term is row-local double work from exact int64 counts SNAPPED
+    * to e9 before the per-doc sum (order-free integers over the
+    * exchange); avg NLL is round-half-up integer division, perplexity
+    * `exp` only on the rounded display value. Shapes at 100 TB:
+    * bigrams are row-local 2-shingles, both censuses map-side-combine,
+    * the scoring join is TOKEN-KEYED (vocab-linear — never a vocab
+    * broadcast), V rides a 1-row broadcast. */
+  def qLmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bg = TextOps.explodedShingles(docs, "doc_id", "text", 2)
+    val bgc = bg.groupBy("shingle").agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", expr("substring_index(shingle, ' ', 1)"))
+    val ctx = bgc.groupBy("w1").agg(sum(col("c_bg")).as("c_ctx"))
+    val vocab = TextOps.explodedShingles(docs, "doc_id", "text", 1)
+      .select(col("shingle")).distinct().agg(count(lit(1)).as("v"))
+    val terms = bg
+      .join(bgc.select("shingle", "c_bg", "w1"), "shingle")
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_e9", expr(
+        "CAST(round((ln(CAST(c_ctx + v AS DOUBLE)) - ln(CAST(c_bg + 1 AS DOUBLE))) " +
+          "* 1000000000, 0) AS BIGINT)"))
+    terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_e9")).as("nll_sum_e9"))
+      .withColumn("avg_nll_e9",
+        expr(roundDiv("nll_sum_e9", "n_bigrams", 1L)))
+      .withColumn("ppl_r4",
+        expr("round(exp(CAST(avg_nll_e9 AS DOUBLE) / 1000000000.0D), 4)"))
+      .select("doc_id", "n_bigrams", "avg_nll_e9", "ppl_r4")
+      .orderBy("doc_id")
+  }
+
+  /** One BPE training round — the tokenizer-prep primitive: word
+    * frequencies from the normalized corpus, every DISTINCT word melted
+    * into its adjacent character pairs (2-char substr slices — row-local,
+    * no window), each pair's corpus weight = Σ word_freq over its
+    * occurrences IN that word (a pair repeating inside one word counts
+    * per occurrence, the reference BPE behavior), and the top-20 merge
+    * candidates under the (weight, pair) total order. Shapes at 100 TB:
+    * the word census map-side-combines the corpus down to its vocabulary
+    * ONCE, the pair melt runs over DISTINCT words only (vocab-linear —
+    * the corpus token stream is never re-scanned per round), and the
+    * readout is a TakeOrdered top-20. A full BPE train iterates this
+    * with a merge-apply between rounds; the round is the scale-critical
+    * piece and each subsequent round's input shrinks. */
+  def qBpeMerge(s: SparkSession, d: String): DataFrame = {
+    val words = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+      .groupBy(col("shingle").as("word")).agg(count(lit(1)).as("wf"))
+      .where(length(col("word")) >= 2)
+    words
+      .select(col("wf"), explode(expr(
+        "transform(sequence(0, length(word) - 2), i -> substr(word, i + 1, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** N-gram novelty — the memorization/redundancy audit a curation pass
+    * runs in doc-id (= ingestion) order: a doc's novelty is the share of
+    * its distinct 3-shingles whose FIRST corpus occurrence (min doc_id)
+    * is this doc. High novelty = fresh content; near-zero = the tail of
+    * a crawl re-serving what's already in the corpus. Shapes at 100 TB:
+    * shingles are row-local, the first-occurrence census is ONE
+    * map-side-combinable min at the shingle grain, and membership flows
+    * back as a shingle-keyed equi join (the exact-dedup shuffle) — no
+    * pair expansion, O(docs) output. */
+  def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 3)
+      .distinct()
+    val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr(ppmDiv("n_novel", "n_shingles")))
+      .orderBy("doc_id")
+  }
+
+  /** Brier score + reliability diagram — the probabilistic-model
+    * calibration audit ([[qAucPerClass]]'s companion): a deterministic
+    * pseudo-probability (sigmoid of the first embedding coordinate,
+    * e4-snapped — the continuous-rounding doctrine) against the binary
+    * label, bucketed into 10 probability bins; per bin the count, mean
+    * predicted probability (exact int avg of e4 units), empirical
+    * positive rate (exact ppm), and the Brier contribution
+    * Σ(p − y)² in EXACT e8 integers (p, y both in e4 units — no float
+    * accumulation anywhere). A calibrated model's mean_p ≈ rate per bin;
+    * the gap column is the calibration error a temperature-scaling pass
+    * would fix. Shapes: one map-side census into ≤10 groups, dense grid
+    * via a 10-row range, bounded output. */
+  def qBrierCalibration(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(expr("CAST(round(1.0D / (1.0D + exp(-CAST(embedding[0] AS DOUBLE))) " +
+        "* 10000, 0) AS BIGINT)").as("p_e4"),
+        expr("CAST(label < 5 AS BIGINT)").as("y"))
+    val census = e
+      .withColumn("bin", expr("least(9L, p_e4 div 1000)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("p_e4")).as("sp"),
+        sum(col("y")).as("pos"),
+        sum(expr("(p_e4 - y * 10000) * (p_e4 - y * 10000)")).as("brier_e8"))
+    s.range(10).toDF("bin")
+      .join(census, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n").isNull, lit(0L))
+          .otherwise(expr(roundDiv("sp", "n", 1L))).as("mean_p_e4"),
+        when(col("n").isNull, lit(0L))
+          .otherwise(expr(ppmDiv("pos", "n"))).as("rate_ppm"),
+        coalesce(col("brier_e8"), lit(0L)).as("brier_e8"))
+      .withColumn("gap_e4",
+        expr("abs(mean_p_e4 - (rate_ppm div 100))"))
+      .transform(ps(col("bin")))
+  }
+
+  /** One power-iteration step over the embedding covariance — the
+    * spectral primitive under PCA/eigen-diagnostics (top component ≈
+    * iterated matvec): w = Cov·v₀ with a seeded ±1 start vector (the
+    * [[qRandomProjection]] sign family). Exactness doctrine: coordinates
+    * snap to e4 at the scan; the covariance is defined ABOUT THE
+    * e4-SNAPPED MEAN (round-half-up), so every centered coordinate,
+    * every row's centered dot s_r = Σ_d c_rd·v₀_d, and every per-dim
+    * product sum Σ_r c_rd·s_r are EXACT int64s (|c| ≤ 2·10⁴,
+    * |s| ≤ 64·2·10⁴ → per-row products ≤ 2.6·10¹⁰, safe past the 100×
+    * fixture); the per-n normalization is a sign-adjusted round-half-away
+    * integer division and only the display value divides once as a
+    * double. Shapes at 100 TB: pass 1 is a melted 64-group map-side mean
+    * census; the means come back as ONE broadcast 64-element array (an
+    * array_sort(collect_list(struct)) readout — 64 rows, never a
+    * vec-grain shuffle), the centered dot s_r is a row-local zip fold
+    * against the inlined sign family, and the matvec is a second melted
+    * 64-group map-side census — two linear passes, zero vec-keyed
+    * exchanges. */
+  def qPcaPower(s: SparkSession, d: String): DataFrame = {
+    val signsArr = "transform(sequence(0, 63), dd -> CASE WHEN CAST(conv(substr(md5(" +
+      "concat('pca|', CAST(dd AS STRING))), 1, 13), 16, 10) AS BIGINT) % 2 = 0 " +
+      "THEN 1L ELSE -1L END)"
+    val e4 = Tables.embeddings(s, d).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))")
+      .as("xe4"))
+    val mu = e4.select(posexplode(col("xe4")).as(Seq("d", "x")))
+      .groupBy("d").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("mu_e4", expr(
+        // sign-adjusted round-half-away: sx may be negative
+        "(2 * sx + (CASE WHEN sx < 0 THEN -1 ELSE 1 END) * n) div (2 * n)"))
+    val mu1 = mu.agg(expr(
+      "transform(array_sort(collect_list(struct(d, mu_e4))), t -> t.mu_e4)").as("mu"))
+    e4.crossJoin(broadcast(mu1))
+      .withColumn("c", expr("zip_with(xe4, mu, (x, m) -> x - m)"))
+      .withColumn("s_r", expr(s"aggregate(zip_with(c, $signsArr, " +
+        "(cc, sg) -> cc * sg), 0L, (acc, v) -> acc + v)"))
+      .select(col("s_r"), posexplode(col("c")).as(Seq("d", "c_d")))
+      .groupBy("d")
+      .agg(sum(col("c_d") * col("s_r")).as("w_num"), count(lit(1)).as("n"))
+      .withColumn("w_e8", expr(
+        "(2 * w_num + (CASE WHEN w_num < 0 THEN -1 ELSE 1 END) * n) div (2 * n)"))
+      .withColumn("w_r4", expr("round(CAST(w_e8 AS DOUBLE) / 100000000.0D, 4)"))
+      .select(col("d").cast("long").as("d"), col("w_num"), col("w_e8"), col("w_r4"))
+      .transform(ps(col("d")))
+  }
+
+  /** Watermark-fit audit — the streaming-observability query that SIZES a
+    * watermark before you deploy one: with the monotone ingest id
+    * (event_id) as the arrival-order proxy, an event's lateness is how far
+    * its event time lags the maximum event time already seen FOR ITS KEY
+    * (the per-key high-watermark — exactly what `withWatermark` tracks),
+    * bucketed into the operational delays (on-time / ≤1m / ≤5m / ≤15m /
+    * ≤1h / worse) with cumulative coverage ppm — read the row where
+    * coverage crosses your SLA and that bucket IS your watermark. Shapes
+    * at 100 TB: the running max is a USER-KEYED window (bounded by one
+    * key's history, never a global sort), the census map-side-combines
+    * into ≤6 groups, and the cumulative window runs over the 6-row grid. */
+  def qWatermarkFit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = ev.withColumn("prev_max", max(col("ts_us")).over(w))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(col("prev_max") - col("ts_us"), lit(0L))))
+      .withColumn("bucket", expr(
+        "CASE WHEN late_us = 0 THEN 0L WHEN late_us <= 60000000L THEN 1L " +
+          "WHEN late_us <= 300000000L THEN 2L WHEN late_us <= 900000000L THEN 3L " +
+          "WHEN late_us <= 3600000000L THEN 4L ELSE 5L END"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val tot = census.agg(sum(col("n")).as("t"))
+    val cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    s.range(6).toDF("bucket")
+      .join(census, Seq("bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum(col("n")).over(cw))
+      .withColumn("cum_ppm", expr(ppmDiv("cum_n", "t")))
+      .select("bucket", "n", "cum_n", "cum_ppm")
+      .transform(ps(col("bucket")))
+  }
+
+  /** Out-of-vocabulary rate — the tokenizer-coverage audit between
+    * [[qBpeMerge]] and a training run: vocabulary = the corpus top-1000
+    * tokens under the (count, token) total order, then each doc's OOV
+    * share in exact ppm. A capped vocab is WHAT a tokenizer ships, so the corpus
+    * must be scored against the cap, not the full type inventory. Shapes
+    * at 100 TB: one map-side token census, a TakeOrdered top-1000 (never
+    * a global sort), the vocab riding a broadcast into the second pass,
+    * and a per-doc map-side aggregate — O(docs) output. */
+  def qOovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+    val vocab = toks.groupBy(col("shingle").as("token"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(1000)
+      .select(col("token"), lit(1L).as("in_v"))
+    toks.select(col("doc_id"), col("shingle").as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr(ppmDiv("n_oov", "n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  /** The BPE ITERATE step [[qBpeMerge]] feeds: apply the round-1 winning
+    * merge to the vocabulary and re-count symbol pairs — one full
+    * train round. Words become space-separated symbol sequences, the
+    * winning pair (a 1-row broadcast argmax under the (weight, pair)
+    * total order) is applied as leftmost non-overlapping string
+    * replacement (`replace('a a a', 'a a', 'aa')` = 'aa a' — exactly
+    * BPE's sequential-scan semantics, identical in both engines), and
+    * the post-merge pair census keys on `sym1|sym2` (symbols are now
+    * multi-char). Shapes: everything runs on the DISTINCT-word
+    * vocabulary (the corpus collapsed once, as in round 1); the
+    * winner is a bounded broadcast; TakeOrdered top-20 readout. */
+  def qBpeApply(s: SparkSession, d: String): DataFrame = {
+    val wc = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
+      .groupBy(col("shingle").as("word")).agg(count(lit(1)).as("wf"))
+      .where(length(col("word")) >= 2)
+    val best = wc
+      .select(col("wf"), explode(expr(
+        "transform(sequence(0, length(word) - 2), i -> substr(word, i + 1, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("weight"))
+      .orderBy(col("weight").desc, col("pair")).limit(1)
+      .select(expr("substr(pair, 1, 1)").as("c1"), expr("substr(pair, 2, 1)").as("c2"))
+    wc.crossJoin(broadcast(best))
+      .withColumn("merged", expr(
+        "replace(array_join(split(word, ''), ' '), concat(c1, ' ', c2), concat(c1, c2))"))
+      .withColumn("syms", split(col("merged"), " "))
+      .where(size(col("syms")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), i -> " +
+          "concat(element_at(syms, i + 1), '|', element_at(syms, i + 2)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("weight"))
+      .orderBy(col("weight").desc, col("pair")).limit(20)
+  }
+
+  /** Common-neighbor link prediction over the co-purchase graph — the
+    * recommender/graph-completion primitive next to the triangle tier:
+    * candidate pairs = two parts sharing a wedge center, scored by the
+    * Jaccard of their neighborhoods, existing edges anti-joined away,
+    * top-50 under the (score, pair) total order. The wedge expansion is
+    * the LSH-bucket shape with the SAME degree-cap defense: only centers
+    * of degree ≤ 50 pair their neighbors (a hub's wedge set is quadratic
+    * pair mass contributing ~0 signal — the df-cap argument), and the
+    * score is DEFINED over the capped graph so both engines agree
+    * exactly; neighborhood sizes count capped-eligible neighbors,
+    * consistent with the common count. */
+  def qLinkPredict(s: SparkSession, d: String): DataFrame = {
+    val (e, _) = coPurchaseGraph(s, d)
+    val adj = e.select(col("pa").as("w"), col("pb").as("x"))
+      .unionAll(e.select(col("pb").as("w"), col("pa").as("x")))
+    val eligible = adj.join(
+      adj.groupBy("w").agg(count(lit(1)).as("dw")).where(col("dw") <= 50)
+        .select("w"), "w")
+    val degc = eligible.groupBy("x").agg(count(lit(1)).as("degc"))
+    eligible.as("a").join(eligible.as("b"),
+        col("a.w") === col("b.w") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("xa"), col("b.x").as("xb"))
+      .agg(count(lit(1)).as("common"))
+      .join(e.select(col("pa").as("xa"), col("pb").as("xb")),
+        Seq("xa", "xb"), "left_anti")
+      .join(degc.select(col("x").as("xa"), col("degc").as("da")), "xa")
+      .join(degc.select(col("x").as("xb"), col("degc").as("db")), "xb")
+      .withColumn("jaccard_ppm", expr(ppmDiv("common", "(da + db - common)")))
+      .orderBy(col("jaccard_ppm").desc, col("xa"), col("xb"))
+      .limit(50)
+      .select("xa", "xb", "common", "jaccard_ppm")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -7180,6 +7523,16 @@ object Queries {
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_topk_churn" -> (qTopkChurn _),
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_lm_perplexity" -> (qLmPerplexity _),
+    "q_bpe_merge" -> (qBpeMerge _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_brier_calibration" -> (qBrierCalibration _),
+    "q_pca_power" -> (qPcaPower _),
+    "q_watermark_fit" -> (qWatermarkFit _),
+    "q_oov_rate" -> (qOovRate _),
+    "q_bpe_apply" -> (qBpeApply _),
+    "q_link_predict" -> (qLinkPredict _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -10049,5 +10402,168 @@ object Queries {
         "SELECT month, next_month, n_common, " +
         s"CAST(${ppmDivSql("n_common", "(n_a + n_b - n_common)")} AS BIGINT) AS jaccard_ppm " +
         "FROM j ORDER BY month"),
+    "q_hll_distinct" ->
+      ("WITH hv AS (SELECT DISTINCT event_type, " +
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM events), " +
+        "r AS (SELECT event_type, h // 18014398509481984 AS bucket, " +
+        "h % 18014398509481984 AS rem FROM hv), " +
+        "regs AS (SELECT event_type, bucket, CAST(max(CASE WHEN rem = 0 THEN 55 " +
+        "ELSE 55 - length(bin(rem)) END) AS BIGINT) AS reg FROM r GROUP BY 1, 2), " +
+        "sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_full, " +
+        "CAST(sum(CAST(1 AS BIGINT) << CAST(55 - reg AS INT)) AS BIGINT) AS s_full " +
+        "FROM regs GROUP BY 1), " +
+        "sv AS (SELECT event_type, s_full + (64 - n_full) * 36028797018963968 AS s_inv, " +
+        "64 - n_full AS zeros FROM sk), " +
+        "est AS (SELECT event_type, zeros, " +
+        // keep every factor DOUBLE: DuckDB parses bare decimal literals as
+        // DECIMAL and overflows the 2^55 product in decimal arithmetic
+        "CAST(0.709 AS DOUBLE) * 4096.0 * CAST(36028797018963968 AS DOUBLE) " +
+        "/ CAST(s_inv AS DOUBLE) AS est_raw FROM sv), " +
+        "hll AS (SELECT event_type, CAST(round(CASE WHEN est_raw <= 2.5 * 64 AND zeros > 0 " +
+        "THEN 64 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE est_raw END, 0) AS BIGINT) AS n_hll " +
+        "FROM est), " +
+        "ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM " +
+        "(SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1) " +
+        "SELECT hll.event_type, n_exact, n_hll, " +
+        "(abs(n_hll - n_exact) * 1000000) // n_exact AS err_ppm " +
+        "FROM hll JOIN ex ON ex.event_type = hll.event_type ORDER BY hll.event_type"),
+    "q_lm_perplexity" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm WHERE t <> '')" +
+        ", bg AS (SELECT doc_id, token AS w1, token || ' ' || lead(token, 1) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS shingle FROM tok)" +
+        ", bgv AS (SELECT doc_id, w1, shingle FROM bg WHERE shingle IS NOT NULL)" +
+        ", bgc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS c_bg FROM bgv GROUP BY 1)" +
+        ", ctx AS (SELECT split_part(shingle, ' ', 1) AS w1, CAST(sum(c_bg) AS BIGINT) " +
+        "AS c_ctx FROM bgc GROUP BY 1)" +
+        ", voc AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok)" +
+        ", terms AS (SELECT doc_id, CAST(round((ln(CAST(c_ctx + v AS DOUBLE)) - " +
+        "ln(CAST(c_bg + 1 AS DOUBLE))) * 1000000000, 0) AS BIGINT) AS nll_e9 " +
+        "FROM bgv JOIN bgc USING (shingle) JOIN ctx ON ctx.w1 = bgv.w1 CROSS JOIN voc)" +
+        ", agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(nll_e9) AS BIGINT) AS se9 FROM terms GROUP BY 1) " +
+        s"SELECT doc_id, n_bigrams, CAST(${roundDivSql("se9", "n_bigrams", 1L)} AS BIGINT) " +
+        "AS avg_nll_e9, " +
+        s"round(exp(CAST(${roundDivSql("se9", "n_bigrams", 1L)} AS DOUBLE) / 1000000000.0), 4) " +
+        "AS ppl_r4 FROM agg ORDER BY doc_id"),
+    "q_bpe_merge" ->
+      (NORM_CTE +
+        ", tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm WHERE t <> '')" +
+        ", wc AS (SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM tok " +
+        "WHERE length(token) >= 2 GROUP BY 1)" +
+        ", pr AS (SELECT wf, unnest(list_transform(range(length(word) - 1), " +
+        "i -> substr(word, CAST(i + 1 AS INT), 2))) AS pair FROM wc) " +
+        "SELECT pair, CAST(sum(wf) AS BIGINT) AS weight FROM pr GROUP BY 1 " +
+        "ORDER BY weight DESC, pair LIMIT 20"),
+    "q_ngram_novelty" ->
+      (SIG_CTE +
+        ", shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
+        ", fst AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1)" +
+        ", pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(CAST(first_doc = doc_id AS INTEGER)) AS BIGINT) AS n_novel " +
+        "FROM shd JOIN fst USING (shingle) GROUP BY 1) " +
+        "SELECT doc_id, n_shingles, n_novel, " +
+        s"CAST(${ppmDivSql("n_novel", "n_shingles")} AS BIGINT) AS novelty_ppm " +
+        "FROM pd ORDER BY doc_id"),
+    "q_brier_calibration" ->
+      ("WITH e AS (SELECT CAST(round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) " +
+        "* 10000, 0) AS BIGINT) AS p_e4, CAST(label < 5 AS BIGINT) AS y FROM embeddings), " +
+        "census AS (SELECT least(9, p_e4 // 1000) AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(p_e4) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS pos, " +
+        "CAST(sum((p_e4 - y * 10000) * (p_e4 - y * 10000)) AS BIGINT) AS brier_e8 " +
+        "FROM e GROUP BY 1), " +
+        "g AS (SELECT CAST(t.bin AS BIGINT) AS bin, coalesce(n, 0) AS n, " +
+        s"CASE WHEN n IS NULL THEN 0 ELSE CAST(${roundDivSql("sp", "n", 1L)} AS BIGINT) END " +
+        "AS mean_p_e4, " +
+        s"CASE WHEN n IS NULL THEN 0 ELSE CAST(${ppmDivSql("pos", "n")} AS BIGINT) END " +
+        "AS rate_ppm, coalesce(brier_e8, 0) AS brier_e8 " +
+        "FROM range(10) t(bin) LEFT JOIN census ON census.bin = t.bin) " +
+        "SELECT bin, n, mean_p_e4, rate_ppm, brier_e8, " +
+        "abs(mean_p_e4 - (rate_ppm // 100)) AS gap_e4 FROM g ORDER BY bin"),
+    "q_pca_power" ->
+      ("WITH m AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x, " +
+        "generate_subscripts(embedding, 1) AS dd FROM embeddings), " +
+        "e AS (SELECT vec_id, CAST(dd AS BIGINT) - 1 AS d, " +
+        "CAST(round(x * 10000, 0) AS BIGINT) AS xe4 FROM m), " +
+        "mu AS (SELECT d, CAST(sum(xe4) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n " +
+        "FROM e GROUP BY 1), " +
+        "mue AS (SELECT d, (2 * sx + (CASE WHEN sx < 0 THEN -1 ELSE 1 END) * n) // (2 * n) " +
+        "AS mu_e4 FROM mu), " +
+        "sg AS (SELECT d, CASE WHEN CAST('0x' || substr(md5('pca|' || CAST(d AS VARCHAR)), " +
+        "1, 13) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM mue), " +
+        "c AS (SELECT vec_id, e.d, xe4 - mu_e4 AS c FROM e JOIN mue ON mue.d = e.d), " +
+        "s AS (SELECT vec_id, CAST(sum(c * sgn) AS BIGINT) AS s_r FROM c " +
+        "JOIN sg ON sg.d = c.d GROUP BY 1), " +
+        "w AS (SELECT d, CAST(sum(c * s_r) AS BIGINT) AS w_num, " +
+        "CAST(count(*) AS BIGINT) AS n FROM c JOIN s USING (vec_id) GROUP BY 1) " +
+        "SELECT d, w_num, (2 * w_num + (CASE WHEN w_num < 0 THEN -1 ELSE 1 END) * n) " +
+        "// (2 * n) AS w_e8, " +
+        "round(CAST((2 * w_num + (CASE WHEN w_num < 0 THEN -1 ELSE 1 END) * n) // (2 * n) " +
+        "AS DOUBLE) / 100000000.0, 4) AS w_r4 FROM w ORDER BY d"),
+    "q_watermark_fit" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), " +
+        "lt AS (SELECT greatest(0, coalesce(max(ts_us) OVER (PARTITION BY user_id " +
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_us, 0)) " +
+        "AS late_us FROM ev), " +
+        "b AS (SELECT CASE WHEN late_us = 0 THEN 0 WHEN late_us <= 60000000 THEN 1 " +
+        "WHEN late_us <= 300000000 THEN 2 WHEN late_us <= 900000000 THEN 3 " +
+        "WHEN late_us <= 3600000000 THEN 4 ELSE 5 END AS bucket FROM lt), " +
+        "census AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), " +
+        "grid AS (SELECT CAST(g.bucket AS BIGINT) AS bucket, coalesce(n, 0) AS n " +
+        "FROM range(6) g(bucket) LEFT JOIN census ON census.bucket = g.bucket), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM grid), " +
+        "cum AS (SELECT bucket, n, CAST(sum(n) OVER (ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n " +
+        "FROM grid) " +
+        "SELECT bucket, n, cum_n, " +
+        s"CAST(${ppmDivSql("cum_n", "t")} AS BIGINT) AS cum_ppm " +
+        "FROM cum CROSS JOIN tot ORDER BY bucket"),
+    "q_oov_rate" ->
+      (NORM_CTE +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm WHERE t <> '')" +
+        ", voc AS (SELECT token FROM (SELECT token, count(*) AS c FROM tok GROUP BY 1 " +
+        "ORDER BY c DESC, token LIMIT 1000))" +
+        ", pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+        "FROM tok LEFT JOIN voc ON voc.token = tok.token GROUP BY 1) " +
+        "SELECT doc_id, n_tokens, n_oov, " +
+        s"CAST(${ppmDivSql("n_oov", "n_tokens")} AS BIGINT) AS oov_ppm " +
+        "FROM pd ORDER BY doc_id"),
+    "q_bpe_apply" ->
+      (NORM_CTE +
+        ", tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm WHERE t <> '')" +
+        ", wc AS (SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM tok " +
+        "WHERE length(token) >= 2 GROUP BY 1)" +
+        ", pr AS (SELECT wf, unnest(list_transform(range(length(word) - 1), " +
+        "i -> substr(word, CAST(i + 1 AS INT), 2))) AS pair FROM wc)" +
+        ", best AS (SELECT substr(pair, 1, 1) AS c1, substr(pair, 2, 1) AS c2 FROM " +
+        "(SELECT pair, CAST(sum(wf) AS BIGINT) AS weight FROM pr GROUP BY 1 " +
+        "ORDER BY weight DESC, pair LIMIT 1))" +
+        ", mg AS (SELECT wf, string_split(replace(array_to_string(string_split(word, ''), ' '), " +
+        "c1 || ' ' || c2, c1 || c2), ' ') AS syms FROM wc CROSS JOIN best)" +
+        ", p2 AS (SELECT wf, unnest(list_transform(range(len(syms) - 1), " +
+        "i -> syms[CAST(i + 1 AS INT)] || '|' || syms[CAST(i + 2 AS INT)])) AS pair " +
+        "FROM mg WHERE len(syms) >= 2) " +
+        "SELECT pair, CAST(sum(wf) AS BIGINT) AS weight FROM p2 GROUP BY 1 " +
+        "ORDER BY weight DESC, pair LIMIT 20"),
+    "q_link_predict" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "adj AS (SELECT pa AS w, pb AS x FROM e UNION ALL SELECT pb, pa FROM e), " +
+        "cd AS (SELECT w FROM (SELECT w, count(*) AS dw FROM adj GROUP BY 1) WHERE dw <= 50), " +
+        "el AS (SELECT adj.w, adj.x FROM adj JOIN cd USING (w)), " +
+        "degc AS (SELECT x, CAST(count(*) AS BIGINT) AS degc FROM el GROUP BY 1), " +
+        "cand AS (SELECT a.x AS xa, b.x AS xb, CAST(count(*) AS BIGINT) AS common " +
+        "FROM el a JOIN el b ON a.w = b.w AND a.x < b.x GROUP BY 1, 2), " +
+        "ne AS (SELECT cand.* FROM cand LEFT JOIN e ON e.pa = cand.xa AND e.pb = cand.xb " +
+        "WHERE e.pa IS NULL), " +
+        "sc AS (SELECT xa, xb, common, da.degc AS da, db.degc AS db FROM ne " +
+        "JOIN degc da ON da.x = ne.xa JOIN degc db ON db.x = ne.xb) " +
+        "SELECT xa, xb, common, " +
+        s"CAST(${ppmDivSql("common", "(da + db - common)")} AS BIGINT) AS jaccard_ppm " +
+        "FROM sc ORDER BY jaccard_ppm DESC, xa, xb LIMIT 50"),
   )
 }

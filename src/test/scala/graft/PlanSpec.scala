@@ -1720,4 +1720,113 @@ class PlanSpec extends SparkSuite {
     assert(!readSchema.contains("text"),
       s"the schedule must not scan the content/text column:\n$readSchema")
   }
+
+  test("q_hll_distinct: mergeable-sketch shape — register max combines map-side") {
+    val df = Queries.qHllDistinct(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("partial_max") || exec.contains("Functions [partial"),
+      s"the (group, bucket) register max must combine map-side:\n$exec")
+  }
+
+  test("q_lm_perplexity: token-keyed scoring joins; V rides a broadcast; no cartesian") {
+    val df = Queries.qLmPerplexity(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("partial_sum") || exec.contains("partial_count"),
+      s"the bigram census must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin") || exec.contains("BroadcastHashJoin"),
+      s"the 1-row vocabulary size must broadcast:\n$exec")
+  }
+
+  test("q_bpe_merge: vocab-linear pair melt; TakeOrdered readout") {
+    val df = Queries.qBpeMerge(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-20 readout must never globally sort the pair table:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the pair-weight census must combine map-side:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
+  test("q_ngram_novelty: shingle-keyed first-occurrence census, no pair expansion") {
+    val df = Queries.qNgramNovelty(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("partial_min") || exec.contains("Functions [partial"),
+      s"the first-occurrence min must combine map-side:\n$exec")
+  }
+
+  test("q_brier_calibration: one map-side census into a bounded bin grid") {
+    val df = Queries.qBrierCalibration(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the bin census must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the 10-row grid join must broadcast:\n$exec")
+  }
+
+  test("q_watermark_fit: user-keyed running max — never a global event sort") {
+    val df = Queries.qWatermarkFit(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    val winLine = exec.linesIterator
+      .find(l => l.contains("windowspecdefinition") && l.contains("ts_us"))
+      .getOrElse("")
+    assert(winLine.contains("user_id"),
+      s"the lateness window must partition by user:\n$winLine")
+    assert(exec.contains("partial_sum") || exec.contains("partial_count") ||
+      exec.contains("Functions [partial"),
+      s"the bucket census must combine map-side:\n$exec")
+  }
+
+  test("q_oov_rate: TakeOrdered vocab + broadcast scoring join") {
+    val df = Queries.qOovRate(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-1000 vocab must never globally sort the token census:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the 1000-row vocab must broadcast into the scoring pass:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
+  test("q_bpe_apply: winner rides a broadcast; vocab-only recount; TakeOrdered") {
+    val df = Queries.qBpeApply(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"the 1-row winning merge must ride a broadcast:\n$exec")
+  }
+
+  test("q_link_predict: wedge equi-join on the center — never an all-pairs nest") {
+    val df = Queries.qLinkPredict(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the center-keyed wedge join only:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the top-50 readout must never globally sort the candidate set:\n$exec")
+  }
+
+  test("q_pca_power: melted 64-group censuses only — never a vec-keyed exchange") {
+    val df = Queries.qPcaPower(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(!exec.contains("hashpartitioning(vec_id"),
+      s"the matvec must never shuffle at the vector grain:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the per-dim censuses must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row mean array must ride a broadcast:\n$exec")
+  }
 }

@@ -1104,6 +1104,201 @@ class QueriesSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_hll_distinct: estimator within the m=64 error budget; exact side exact") {
+    val rows = Queries.qHllDistinct(spark, SF)
+      .select("event_type", "n_exact", "n_hll", "err_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val want = Tables.events(spark, SF).select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (et, exact, hll, err) =>
+      assert(exact == want(et), s"$et exact side drifted")
+      assert(hll > 0, s"$et estimate must be positive")
+      // HLL std error ≈ 1.04/√64 = 13 %; 30 % is a 2.3σ determinism-safe
+      // bound (the estimate itself is a pinned deterministic value)
+      assert(err <= 300000L, s"$et err_ppm $err exceeds the 30% budget")
+    }
+  }
+
+  test("q_bpe_merge == brute-force pair weights on the collected corpus") {
+    val got = Queries.qBpeMerge(spark, SF)
+      .as[(String, Long)].collect().toSeq
+    val words = Tables.documents(spark, SF)
+      .select(operators.Ops.normalizeText(col("text")).as("t")).as[String].collect()
+      .filter(_.nonEmpty).flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val weights = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, wf) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        weights(p) = weights.getOrElse(p, 0L) + wf
+      }
+    }
+    val want = weights.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("q_ngram_novelty: first occurrences partition the shingle universe") {
+    val rows = Queries.qNgramNovelty(spark, SF)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val distinctShingles = operators.TextOps
+      .explodedShingles(Tables.documents(spark, SF), "doc_id", "text", 3)
+      .select("shingle").distinct().count()
+    // every distinct shingle first-occurs in exactly one doc
+    assert(rows.map(_._3).sum == distinctShingles)
+    // the earliest doc carrying shingles is 100% novel by construction
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1000000L, s"first doc novelty ${first._4}")
+    rows.foreach { case (id, n, nov, ppm) =>
+      assert(nov <= n && ppm <= 1000000L, s"doc $id: $nov/$n ppm=$ppm")
+    }
+  }
+
+  test("q_brier_calibration == brute-force bins on the collected fixture") {
+    val got = Queries.qBrierCalibration(spark, SF)
+      .select("bin", "n", "mean_p_e4", "rate_ppm", "brier_e8")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val raw = Tables.embeddings(spark, SF)
+      .select(col("embedding").getItem(0).cast("double").as("x"),
+        expr("CAST(label < 5 AS BIGINT)").as("y"))
+      .as[(Double, Long)].collect()
+    val cells = raw.map { case (x, y) =>
+      val p = math.round(1.0 / (1.0 + math.exp(-x)) * 10000)
+      (math.min(9L, p / 1000), p, y)
+    }
+    val want = (0L to 9L).map { b =>
+      val in = cells.filter(_._1 == b)
+      if (in.isEmpty) (b, 0L, 0L, 0L, 0L)
+      else {
+        val n = in.length.toLong
+        val sp = in.map(_._2).sum
+        val pos = in.map(_._3).sum
+        val mean = (sp / n) * 1 + (2 * (sp % n) * 1 + n) / (2 * n)
+        val rate = (pos * 1000 / n) * 1000 + ((pos * 1000 % n) * 1000) / n
+        val brier = in.map { case (_, p, y) => (p - y * 10000) * (p - y * 10000) }.sum
+        (b, n, mean, rate, brier)
+      }
+    }
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("q_pca_power == brute-force covariance matvec on the collected fixture") {
+    val got = Queries.qPcaPower(spark, SF)
+      .select("d", "w_num").as[(Long, Long)].collect().toMap
+    val vecs = Tables.embeddings(spark, SF)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].collect()
+      .map(_.map(x => math.round(x * 10000)))
+    val dim = vecs.head.length
+    val n = vecs.length.toLong
+    val mu = (0 until dim).map { dd =>
+      val sx = vecs.map(_(dd)).sum
+      (2 * sx + (if (sx < 0) -1 else 1) * n) / (2 * n)
+    }
+    val sgn = (0 until dim).map { dd =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pca|$dd".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      if (java.lang.Long.parseLong(h, 16) % 2 == 0) 1L else -1L
+    }
+    val want = (0 until dim).map { dd =>
+      val w = vecs.map { v =>
+        val c = (0 until dim).map(j => v(j) - mu(j))
+        val sr = (0 until dim).map(j => c(j) * sgn(j)).sum
+        c(dd) * sr
+      }.sum
+      dd.toLong -> w
+    }.toMap
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("q_lm_perplexity: bigram accounting closes and NLL is nonnegative") {
+    val rows = Queries.qLmPerplexity(spark, SF)
+      .select("doc_id", "n_bigrams", "avg_nll_e9", "ppl_r4")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // per-doc bigram count = token count − 1 (docs with ≥2 tokens)
+    val toks = operators.TextOps
+      .explodedShingles(Tables.documents(spark, SF), "doc_id", "text", 1)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, nbg, nll, ppl) =>
+      assert(nbg == toks(id) - 1, s"doc $id bigrams $nbg vs tokens ${toks(id)}")
+      assert(nll >= 0L && ppl >= 1.0, s"doc $id nll=$nll ppl=$ppl")
+    }
+  }
+
+  test("q_watermark_fit: coverage is monotone and closes at 1e6 ppm") {
+    val rows = Queries.qWatermarkFit(spark, SF)
+      .select("bucket", "n", "cum_n", "cum_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 5L))
+    assert(rows.map(_._2).sum == Tables.events(spark, SF).count())
+    val cums = rows.map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last == 1000000L, s"coverage must close: ${cums.last}")
+    // cum_n really is the running sum of n
+    assert(rows.map(_._2).scanLeft(0L)(_ + _).tail.toSeq == rows.map(_._3).toSeq)
+  }
+
+  test("q_oov_rate == brute-force top-1000 vocab scoring") {
+    val got = Queries.qOovRate(spark, SF)
+      .select("doc_id", "n_tokens", "n_oov")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val toks = Tables.documents(spark, SF)
+      .select(col("doc_id"), operators.Ops.normalizeText(col("text")).as("t"))
+      .as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        if (t.isEmpty) Seq.empty[(Long, String)] else t.split(" ").toSeq.map(id -> _) }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (tk, c) => (-c, tk) }.take(1000).map(_._1).toSet
+    val want = toks.groupBy(_._1).toSeq.map { case (id, ts) =>
+      (id, ts.length.toLong, ts.count(t => !vocab(t._2)).toLong)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q_bpe_apply: the winning pair disappears from the char-pair census") {
+    // after merging winner (c1, c2) into one symbol, no adjacent symbol
+    // pair can be the single-char pair c1|c2 again (a 'a|a' style winner
+    // can only resurface as longer merged symbols like 'aa|a')
+    val winner = Queries.qBpeMerge(spark, SF)
+      .select("pair").as[String].head()
+    val after = Queries.qBpeApply(spark, SF)
+      .select("pair", "weight").as[(String, Long)].collect()
+    assert(after.nonEmpty)
+    val single = s"${winner.substring(0, 1)}|${winner.substring(1, 2)}"
+    assert(!after.map(_._1).contains(single),
+      s"merged pair $single must not survive its own application: ${after.toSeq}")
+    // weights descending under the (weight, pair) order
+    val ws = after.map(_._2).toSeq
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_link_predict: scores bounded, no existing edge leaks into the candidates") {
+    val got = Queries.qLinkPredict(spark, SF)
+      .select("xa", "xb", "common", "jaccard_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c, j) =>
+      assert(a < b && c >= 1 && j >= 0 && j <= 1000000L, s"($a,$b,$c,$j)")
+    }
+    // none of the predicted links already exists in the >=2-co-order graph
+    val op = Tables.lineitem(spark, SF)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val edgeCount = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    op.values.foreach { parts =>
+      val ps = parts.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        edgeCount((ps(i), ps(j))) = edgeCount.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val edges = edgeCount.filter(_._2 >= 2).keySet
+    got.foreach { case (a, b, _, _) =>
+      assert(!edges((a, b)), s"($a,$b) is already an edge")
+    }
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
