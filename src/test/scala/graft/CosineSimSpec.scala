@@ -39,6 +39,32 @@ class CosineSimSpec extends SparkSuite {
     assert(withNull.select(cosine_sim($"a", $"b")).collect()(0).isNullAt(0))
   }
 
+  test("literal-probe specialization is bit-identical to the generic path") {
+    // the ANN pattern: cosine_sim(embedding, lit(probe)) takes the baked-
+    // probe fast path (probe values + norm computed at plan time). Pin it
+    // bit-equal (==, not tolerance) to the column-vs-column generic path
+    // on real embeddings, probe on either side, plus the edge shapes.
+    val emb = Tables.embeddings(spark, SF).limit(200)
+    val probe = emb.where($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    val probeCol = array(probe.map(v => lit(v)): _*) // array<float> literal
+    val viaSelf = emb.as("a")
+      .join(emb.where($"vec_id" === 0).select($"embedding".as("p")))
+      .select($"vec_id", cosine_sim($"embedding", $"p").as("s"))
+      .as[(Long, Double)].collect().toMap
+    val viaLitR = emb.select($"vec_id", cosine_sim($"embedding", probeCol).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val viaLitL = emb.select($"vec_id", cosine_sim(probeCol, $"embedding").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaLitR == viaSelf, "probe-right path drifted from generic")
+    assert(viaLitL == viaSelf, "probe-left path drifted from generic")
+    // zero-norm literal probe → exactly 0.0; longer/shorter probe → min-length
+    val edge = Seq(Array(3f, 4f)).toDF("a")
+    assert(edge.select(cosine_sim($"a", array(lit(0f), lit(0f)))).as[Double].head() == 0.0)
+    assert(math.abs(edge.select(cosine_sim($"a", array(lit(3f), lit(4f), lit(9f))))
+      .as[Double].head() - 1.0) < 1e-12)
+  }
+
   test("SQL registration via GraftExtensions registry entry") {
     val (name, _, builder) = graft.functions.CosineSim.registryEntry
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
