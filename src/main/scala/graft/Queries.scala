@@ -7231,6 +7231,137 @@ object Queries {
       .select("xa", "xb", "common", "jaccard_ppm")
   }
 
+  /** Isotonic (PAV) calibration over the [[qBrierCalibration]] reliability
+    * grid — the monotone recalibration a probabilistic model actually
+    * ships: the isotonic fit at bin i is the minimax
+    * `max_{j≤i} min_{k≥i} pooled-rate(j..k)` (the closed form of
+    * pool-adjacent-violators), with every pooled rate an EXACT ppm from
+    * integer (pos, n) prefix sums, so the fit is deterministic in both
+    * engines (PAV over ppm-quantized rates — quantization is the
+    * declared semantics, not an approximation). Shapes at 100 TB: the
+    * corpus pass is the same single map-side ≤10-bin census as the
+    * Brier query; ALL minimax work — (j,k) pooling pairs, the (i,j,k)
+    * triples, both extremes — lives on broadcast frames bounded by
+    * B = 10 bins (≤ 220 triple rows at any corpus size). */
+  def qIsotonicCalibrate(s: SparkSession, d: String): DataFrame = {
+    val bins = Tables.embeddings(s, d)
+      .select(expr("CAST(round(1.0D / (1.0D + exp(-4.0D * CAST(embedding[0] AS DOUBLE))) " +
+        "* 10000, 0) AS BIGINT)").as("p_e4"),
+        expr("CAST(label < 5 AS BIGINT)").as("y"))
+      .withColumn("bin", expr("least(9L, p_e4 div 1000)"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cn", sum(col("n")).over(wcum))
+      .withColumn("cp", sum(col("pos")).over(wcum))
+    val pairs = cum.as("j").join(broadcast(cum.as("k")),
+        col("j.bin") <= col("k.bin"))
+      .select(col("j.bin").as("j"), col("k.bin").as("k"),
+        (col("k.cp") - col("j.cp") + col("j.pos")).as("pp"),
+        (col("k.cn") - col("j.cn") + col("j.n")).as("nn"))
+      .withColumn("ratio_ppm", expr(ppmDiv("pp", "nn")))
+    val fit = bins.select(col("bin").as("i"))
+      .join(broadcast(pairs), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min(col("ratio_ppm")).as("mn"))
+      .groupBy("i").agg(max(col("mn")).as("iso_ppm"))
+    bins.join(fit, col("bin") === col("i"))
+      .withColumn("rate_ppm", expr(ppmDiv("pos", "n")))
+      .select(col("bin"), col("n"), col("rate_ppm"), col("iso_ppm"))
+      .transform(ps(col("bin")))
+  }
+
+  /** Clamped running inventory balance — the stock/ledger kernel that
+    * LOOKS like it needs a sequential fold (`b_i = max(b_{i-1} + d_i, 0)`
+    * cannot be written as a plain window sum) but collapses to TWO
+    * windows via the identity `b_i = S_i − min(0, min_{j≤i} S_j)`
+    * (provable by induction: once the running prefix-sum minimum is
+    * subtracted, every zero-clamp event is absorbed exactly). Deltas are
+    * exact integer units (+qty on 'N' movements, −qty otherwise, under
+    * the unique (date, order, line) total order per part); the per-part
+    * summary reports movements, peak balance, stockout count (a zero
+    * balance hit by an outbound move), and the final balance via the
+    * proven max-of-struct last-row idiom. The upper-AND-lower clamped
+    * variant has no window identity — that one genuinely needs a
+    * per-key fold (`aggregate` over a bounded key's collected moves),
+    * the documented boundary of this trick. Shapes: part-keyed windows
+    * (bounded by one part's history), one map-side summary, O(parts)
+    * output. */
+  def qStockBalance(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey").as("part"),
+      col("l_shipdate").cast("date").as("dte"), col("l_orderkey").as("ok"),
+      col("l_linenumber").cast("long").as("ln"),
+      expr("CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity, 0) AS BIGINT) " +
+        "ELSE -CAST(round(l_quantity, 0) AS BIGINT) END").as("delta"))
+    val w = Window.partitionBy("part").orderBy("dte", "ok", "ln")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    li.withColumn("s", sum(col("delta")).over(w))
+      .withColumn("balance", col("s") - least(lit(0L), min(col("s")).over(w)))
+      .groupBy("part").agg(
+        count(lit(1)).as("n_moves"),
+        max(col("balance")).as("max_balance"),
+        sum(when(col("balance") === 0L && col("delta") < 0L, 1L).otherwise(0L))
+          .as("n_stockouts"),
+        max(struct(col("dte"), col("ok"), col("ln"), col("balance")))
+          .getField("balance").as("final_balance"))
+      .orderBy("part")
+  }
+
+  /** Fellegi–Sunter record-linkage weights — the probabilistic layer over
+    * blocked entity resolution ([[qFuzzyMatch]]'s companion): each
+    * field's u-probability is its random-agreement rate Σ(f_v/N)² (one
+    * value-frequency census per field, exact ppm), the per-field
+    * agree/disagree log-weights `ln(m/u)` / `ln((1−m)/(1−u))` (m = 0.9
+    * declared) are CONSTANTS snapped to e9 — so every pair's match score
+    * is an exact integer sum of field constants. Candidate pairs come
+    * from phone-prefix blocking with the LSH-style bucket cap (blocks
+    * over 100 members are skipped BEFORE any pair exists — the quadratic
+    * hub defense), and the readout is the top-50 scored pairs under the
+    * (score, pair) total order. */
+  def qErWeights(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
+      expr("c_custkey div 50").as("blk"),
+      col("c_mktsegment").as("seg"),
+      expr("c_nationkey").cast("long").as("nat"),
+      expr("CAST(floor(c_acctbal / 1000.0D) AS BIGINT)").as("band"))
+    val n1 = c.agg(count(lit(1)).as("nt"))
+    def uPpm(field: String) = c.groupBy(field).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("s2"))
+      .crossJoin(broadcast(n1))
+      .select(expr(ppmDiv("s2", "(nt * nt)")).as(s"u_$field"))
+    val us = uPpm("seg").crossJoin(uPpm("nat")).crossJoin(uPpm("band"))
+      .selectExpr(
+        Seq("u_seg", "u_nat", "u_band").flatMap(u =>
+          Seq(weightAgree(u), weightDisagree(u))): _*)
+    val sizes = c.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .where(col("bn").between(2, 100)).select("blk")
+    val blocked = c.join(sizes, "blk")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (col("a.seg") === col("b.seg")).as("ag_seg"),
+        (col("a.nat") === col("b.nat")).as("ag_nat"),
+        (col("a.band") === col("b.band")).as("ag_band"))
+      .crossJoin(broadcast(us))
+      .withColumn("score_e9", expr(
+        "(CASE WHEN ag_seg THEN wa_u_seg ELSE wd_u_seg END) + " +
+          "(CASE WHEN ag_nat THEN wa_u_nat ELSE wd_u_nat END) + " +
+          "(CASE WHEN ag_band THEN wa_u_band ELSE wd_u_band END)"))
+      .select(col("id_a"), col("id_b"), col("score_e9"))
+      .orderBy(col("score_e9").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  /** e9-snapped agree/disagree weight constants for one field from its
+    * u ppm: `wa = round(ln(0.9/u)·1e9)`, `wd = round(ln(0.1/(1−u))·1e9)`
+    * — row-local doubles from exact ppm integers, snapped before any
+    * sum (the snap-then-sum doctrine). */
+  private def weightAgree(uCol: String): String =
+    s"CAST(round(ln(0.9D / (CAST($uCol AS DOUBLE) / 1000000.0D)) * 1000000000, 0) " +
+      s"AS BIGINT) AS wa_$uCol"
+  private def weightDisagree(uCol: String): String =
+    s"CAST(round(ln(0.1D / (1.0D - CAST($uCol AS DOUBLE) / 1000000.0D)) * 1000000000, 0) " +
+      s"AS BIGINT) AS wd_$uCol"
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -7533,6 +7664,9 @@ object Queries {
     "q_oov_rate" -> (qOovRate _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_link_predict" -> (qLinkPredict _),
+    "q_isotonic_calibrate" -> (qIsotonicCalibrate _),
+    "q_stock_balance" -> (qStockBalance _),
+    "q_er_weights" -> (qErWeights _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -10565,5 +10699,74 @@ object Queries {
         "SELECT xa, xb, common, " +
         s"CAST(${ppmDivSql("common", "(da + db - common)")} AS BIGINT) AS jaccard_ppm " +
         "FROM sc ORDER BY jaccard_ppm DESC, xa, xb LIMIT 50"),
+    "q_isotonic_calibrate" ->
+      ("WITH e AS (SELECT CAST(round(1.0 / (1.0 + exp(-4.0 * CAST(embedding[1] AS DOUBLE))) " +
+        "* 10000, 0) AS BIGINT) AS p_e4, CAST(label < 5 AS BIGINT) AS y FROM embeddings), " +
+        "bins AS (SELECT least(9, p_e4 // 1000) AS bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS pos FROM e GROUP BY 1), " +
+        "cum AS (SELECT bin, n, pos, CAST(sum(n) OVER (ORDER BY bin " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn, " +
+        "CAST(sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp " +
+        "FROM bins), " +
+        "pairs AS (SELECT j.bin AS j, k.bin AS k, k.cp - j.cp + j.pos AS pp, " +
+        "k.cn - j.cn + j.n AS nn FROM cum j JOIN cum k ON j.bin <= k.bin), " +
+        s"pr AS (SELECT j, k, CAST(${ppmDivSql("pp", "nn")} AS BIGINT) AS ratio_ppm " +
+        "FROM pairs), " +
+        "f1 AS (SELECT i.bin AS i, pr.j, min(ratio_ppm) AS mn FROM bins i " +
+        "JOIN pr ON pr.j <= i.bin AND pr.k >= i.bin GROUP BY 1, 2), " +
+        "fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_ppm FROM f1 GROUP BY 1) " +
+        "SELECT bins.bin, n, " +
+        s"CAST(${ppmDivSql("pos", "n")} AS BIGINT) AS rate_ppm, iso_ppm " +
+        "FROM bins JOIN fit ON fit.i = bins.bin ORDER BY bin"),
+    "q_stock_balance" ->
+      ("WITH li AS (SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS dte, " +
+        "l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln, " +
+        "CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity, 0) AS BIGINT) " +
+        "ELSE -CAST(round(l_quantity, 0) AS BIGINT) END AS delta FROM lineitem), " +
+        "s1 AS (SELECT part, dte, ok, ln, delta, CAST(sum(delta) OVER " +
+        "(PARTITION BY part ORDER BY dte, ok, ln ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s " +
+        "FROM li), " +
+        "s2 AS (SELECT *, s - least(0, CAST(min(s) OVER (PARTITION BY part " +
+        "ORDER BY dte, ok, ln ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS balance FROM s1) " +
+        "SELECT part, CAST(count(*) AS BIGINT) AS n_moves, " +
+        "CAST(max(balance) AS BIGINT) AS max_balance, " +
+        "CAST(sum(CASE WHEN balance = 0 AND delta < 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_stockouts, " +
+        "struct_extract(max(struct_pack(dte := dte, ok := ok, ln := ln, " +
+        "balance := balance)), 'balance') AS final_balance " +
+        "FROM s2 GROUP BY part ORDER BY part"),
+    "q_er_weights" ->
+      ("WITH c AS (SELECT c_custkey AS id, c_custkey // 50 AS blk, " +
+        "c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat, " +
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band FROM customer), " +
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c), " +
+        "useg AS (SELECT CAST(" + ppmDivSql("s2", "(nt * nt)") + " AS BIGINT) AS u FROM " +
+        "(SELECT CAST(sum(f * f) AS BIGINT) AS s2 FROM " +
+        "(SELECT CAST(count(*) AS BIGINT) AS f FROM c GROUP BY seg)) CROSS JOIN nt), " +
+        "unat AS (SELECT CAST(" + ppmDivSql("s2", "(nt * nt)") + " AS BIGINT) AS u FROM " +
+        "(SELECT CAST(sum(f * f) AS BIGINT) AS s2 FROM " +
+        "(SELECT CAST(count(*) AS BIGINT) AS f FROM c GROUP BY nat)) CROSS JOIN nt), " +
+        "uband AS (SELECT CAST(" + ppmDivSql("s2", "(nt * nt)") + " AS BIGINT) AS u FROM " +
+        "(SELECT CAST(sum(f * f) AS BIGINT) AS s2 FROM " +
+        "(SELECT CAST(count(*) AS BIGINT) AS f FROM c GROUP BY band)) CROSS JOIN nt), " +
+        "w AS (SELECT " +
+        "CAST(round(ln(0.9 / (CAST(useg.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_seg, " +
+        "CAST(round(ln(0.1 / (1.0 - CAST(useg.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_seg, " +
+        "CAST(round(ln(0.9 / (CAST(unat.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_nat, " +
+        "CAST(round(ln(0.1 / (1.0 - CAST(unat.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_nat, " +
+        "CAST(round(ln(0.9 / (CAST(uband.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_band, " +
+        "CAST(round(ln(0.1 / (1.0 - CAST(uband.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_band " +
+        "FROM useg CROSS JOIN unat CROSS JOIN uband), " +
+        "sizes AS (SELECT blk FROM (SELECT blk, count(*) AS bn FROM c GROUP BY 1) " +
+        "WHERE bn BETWEEN 2 AND 100), " +
+        "bl AS (SELECT c.* FROM c JOIN sizes USING (blk)), " +
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, a.seg = b.seg AS ag_seg, " +
+        "a.nat = b.nat AS ag_nat, a.band = b.band AS ag_band " +
+        "FROM bl a JOIN bl b ON a.blk = b.blk AND a.id < b.id) " +
+        "SELECT id_a, id_b, " +
+        "(CASE WHEN ag_seg THEN wa_seg ELSE wd_seg END) + " +
+        "(CASE WHEN ag_nat THEN wa_nat ELSE wd_nat END) + " +
+        "(CASE WHEN ag_band THEN wa_band ELSE wd_band END) AS score_e9 " +
+        "FROM p CROSS JOIN w ORDER BY score_e9 DESC, id_a, id_b LIMIT 50"),
   )
 }

@@ -1817,6 +1817,37 @@ class PlanSpec extends SparkSuite {
       s"the top-50 readout must never globally sort the candidate set:\n$exec")
   }
 
+  test("q_isotonic_calibrate: one corpus census; minimax entirely on broadcast frames") {
+    val df = Queries.qIsotonicCalibrate(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(!exec.contains("SortMergeJoin"),
+      s"every minimax join runs on ≤220-row broadcast frames:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the bin census must combine map-side:\n$exec")
+  }
+
+  test("q_stock_balance: part-keyed windows; never a global move sort") {
+    val df = Queries.qStockBalance(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    val winLine = exec.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("part"),
+      s"the running-balance windows must partition by part:\n$winLine")
+  }
+
+  test("q_er_weights: block-keyed pair join; weights ride a broadcast; TakeOrdered") {
+    val df = Queries.qErWeights(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("TakeOrderedAndProject"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin") || exec.contains("BroadcastHashJoin"),
+      s"the 1-row weight table must broadcast:\n$exec")
+  }
+
   test("q_pca_power: melted 64-group censuses only — never a vec-keyed exchange") {
     val df = Queries.qPcaPower(spark, SF)
     df.collect()

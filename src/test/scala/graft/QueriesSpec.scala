@@ -1299,6 +1299,94 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_isotonic_calibrate == brute-force minimax PAV; fit is non-decreasing") {
+    val got = Queries.qIsotonicCalibrate(spark, SF)
+      .select("bin", "n", "rate_ppm", "iso_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    val cells = Tables.embeddings(spark, SF)
+      .select(col("embedding").getItem(0).cast("double").as("x"),
+        expr("CAST(label < 5 AS BIGINT)").as("y"))
+      .as[(Double, Long)].collect()
+      .map { case (x, y) =>
+        (math.min(9L, math.round(1.0 / (1.0 + math.exp(-4.0 * x)) * 10000) / 1000), y)
+      }
+    val bins = got.map(_._1)
+    def ppm(pos: Long, n: Long): Long =
+      (pos * 1000 / n) * 1000 + ((pos * 1000 % n) * 1000) / n
+    val agg = bins.map { b =>
+      val in = cells.filter(_._1 == b)
+      b -> ((in.length.toLong, in.map(_._2).sum))
+    }.toMap
+    val want = bins.map { i =>
+      val fits = for (j <- bins.filter(_ <= i)) yield {
+        (for (k <- bins.filter(_ >= i)) yield {
+          val seg = bins.filter(b => b >= j && b <= k)
+          val n = seg.map(agg(_)._1).sum
+          val pos = seg.map(agg(_)._2).sum
+          ppm(pos, n)
+        }).min
+      }
+      (i, fits.max)
+    }
+    assert(got.map(r => (r._1, r._4)) == want, s"got=$got\nwant=$want")
+    val iso = got.map(_._4)
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b }, s"not monotone: $iso")
+  }
+
+  test("q_stock_balance == brute-force sequential clamp fold") {
+    val got = Queries.qStockBalance(spark, SF)
+      .select("part", "n_moves", "max_balance", "n_stockouts", "final_balance")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val moves = Tables.lineitem(spark, SF)
+      .select(col("l_partkey"), col("l_shipdate").cast("date").cast("string"),
+        col("l_orderkey"), col("l_linenumber").cast("long"),
+        expr("CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity, 0) AS BIGINT) " +
+          "ELSE -CAST(round(l_quantity, 0) AS BIGINT) END"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    val want = moves.groupBy(_._1).toSeq.map { case (part, ms) =>
+      val ordered = ms.sortBy(m => (m._2, m._3, m._4)).map(_._5)
+      var b = 0L; var mx = 0L; var so = 0L
+      ordered.foreach { d =>
+        b = math.max(b + d, 0L)
+        mx = math.max(mx, b)
+        if (b == 0L && d < 0L) so += 1
+      }
+      (part, ordered.length.toLong, mx, so, b)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("q_er_weights: u-probabilities exact; all-agree pairs take the max score") {
+    val rows = Queries.qErWeights(spark, SF)
+      .select("id_a", "id_b", "score_e9").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_._3).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // brute-force the seg-field u and the max possible score on the fixture
+    val c = Tables.customer(spark, SF)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey").cast("long"),
+        expr("CAST(floor(c_acctbal / 1000.0D) AS BIGINT)"))
+      .as[(Long, String, Long, Long)].collect()
+    val n = c.length.toLong
+    def uPpm[K](vals: Seq[K]): Long = {
+      val s2 = vals.groupBy(identity).values.map(g => g.length.toLong * g.length).sum
+      val den = n * n
+      (s2 * 1000 / den) * 1000 + ((s2 * 1000 % den) * 1000) / den
+    }
+    def wa(u: Long): Long = math.round(math.log(0.9 / (u / 1e6)) * 1e9)
+    val maxScore = wa(uPpm(c.map(_._2).toSeq)) + wa(uPpm(c.map(_._3).toSeq)) +
+      wa(uPpm(c.map(_._4).toSeq))
+    // at least one blocked pair agrees on everything at this fixture scale,
+    // and nothing can exceed the all-agree score
+    assert(scores.head <= maxScore)
+    val byId = c.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.foreach { case (a, b, sc) =>
+      assert(a / 50 == b / 50, s"pair ($a,$b) not in one ingest block")
+      if (byId(a) == byId(b)) assert(sc == maxScore, s"all-agree pair ($a,$b) score $sc != $maxScore")
+    }
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
