@@ -7362,6 +7362,27 @@ object Queries {
     s"CAST(round(ln(0.1D / (1.0D - CAST($uCol AS DOUBLE) / 1000000.0D)) * 1000000000, 0) " +
       s"AS BIGINT) AS wd_$uCol"
 
+  /** Batch statement of
+    * [[graft.streaming.EventStreams.runningTopKPerUser]]'s contract —
+    * the `transformWithState` (Spark 4 arbitrary-state v2, RocksDB)
+    * running top-3 of event values per user, as the user-keyed ranking
+    * window it converges to after an AvailableNow replay (StreamingSpec
+    * asserts the replay's final Update-mode emissions equal this frame).
+    * The top-k of a value MULTISET is order-insensitive, so parity needs
+    * no tie bookkeeping; cents are exact integers. User-keyed window,
+    * O(users·k) output. */
+  def qRunningTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cents").desc, col("event_id"))
+    Tables.events(s, d).where(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select("user_id", "rank", "cents")
+      .orderBy("user_id", "rank")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -7667,6 +7688,7 @@ object Queries {
     "q_isotonic_calibrate" -> (qIsotonicCalibrate _),
     "q_stock_balance" -> (qStockBalance _),
     "q_er_weights" -> (qErWeights _),
+    "q_running_topk" -> (qRunningTopk _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -10768,5 +10790,11 @@ object Queries {
         "(CASE WHEN ag_nat THEN wa_nat ELSE wd_nat END) + " +
         "(CASE WHEN ag_band THEN wa_band ELSE wd_band END) AS score_e9 " +
         "FROM p CROSS JOIN w ORDER BY score_e9 DESC, id_a, id_b LIMIT 50"),
+    "q_running_topk" ->
+      ("WITH ev AS (SELECT user_id, event_id, CAST(round(value * 100, 0) AS BIGINT) " +
+        "AS cents FROM events WHERE value IS NOT NULL), " +
+        "r AS (SELECT user_id, cents, CAST(row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY cents DESC, event_id) AS BIGINT) AS rank FROM ev) " +
+        "SELECT user_id, rank, cents FROM r WHERE rank <= 3 ORDER BY user_id, rank"),
   )
 }

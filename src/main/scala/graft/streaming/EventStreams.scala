@@ -25,6 +25,39 @@ case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
   * stream runs. */
 case class OpenSession(start: Long, last: Long, n: Long)
 
+/** One rank row of a user's running top-k, emitted by
+  * [[EventStreams.runningTopKPerUser]]. */
+case class TopKRow(user_id: Long, rank: Long, cents: Long)
+
+/** `transformWithState` processor (the Spark 4 arbitrary-state v2 API,
+  * RocksDB-backed): per user, a running TOP-K of event values in exact
+  * cents. State is ONE fixed-k array per user — constant bytes however
+  * long the stream runs — and each batch that touches a user re-emits
+  * that user's full current top-k (Update-mode semantics: the latest
+  * emission per user is the answer). The top-k of a multiset of values
+  * is order-insensitive, so replay parity with the batch window form is
+  * exact without any tie-break bookkeeping. */
+class TopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), TopKRow] {
+  @transient private var top: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    top = getHandle.getValueState[Array[Long]]("top",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[TopKRow] = {
+    val cur = if (top.exists()) top.get() else Array.empty[Long]
+    val merged = (cur ++ rows.map(_._2)).sorted(Ordering[Long].reverse).take(k)
+    top.update(merged)
+    merged.iterator.zipWithIndex.map { case (v, i) => TopKRow(key, i + 1L, v) }
+  }
+}
+
 /** Structured Streaming tier over the `events` table shape.
   *
   * The reference's "streaming" is a daily batch re-run (`@daily` DAG,
@@ -89,6 +122,28 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user top-k event values via `transformWithState` — the
+    * Spark 4 arbitrary-state v2 API ([[TopKProcessor]]): requires the
+    * RocksDB state store (the caller's session must set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `RocksDBStateStoreProvider`; StreamingSpec does). Update-mode
+    * emissions: the LATEST rows per user are its current top-k, and an
+    * `AvailableNow` replay's final emissions equal the batch window
+    * top-k ([[graft.Queries.qRunningTopk]] — the oracle-checked batch
+    * statement of this operator's contract). */
+  def runningTopKPerUser(events: DataFrame, k: Int): Dataset[TopKRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where(col("value").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 
 
   /** Custom stateful sessionization via `mapGroupsWithState`: one evolving
@@ -302,6 +357,28 @@ object EventStreams {
   /** Run any streaming frame to completion over the currently-available
     * input (batch-parity execution) into an in-memory table; returns the
     * final table content. */
+  /** AvailableNow replay capturing each micro-batch's (batchId, rows) via
+    * `foreachBatch` — for Update-mode operators whose LATEST emission per
+    * key is the answer: a memory sink accumulates across batches and
+    * cannot tell them apart, so reconciling "current state" from it is
+    * impossible; per-batch capture makes the recency explicit. */
+  def runAvailableNowBatches(df: DataFrame)
+      : Seq[(Long, Seq[org.apache.spark.sql.Row])] = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[org.apache.spark.sql.Row])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_fb").toString
+    val q = df.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) => {
+        buf += ((id, b.collect().toSeq)); ()
+      })
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
   def runAvailableNow(df: DataFrame, queryName: String,
                       outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream

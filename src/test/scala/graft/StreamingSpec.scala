@@ -259,6 +259,52 @@ class StreamingSpec extends SparkSuite {
     assert(got == Seq((1L, 950000000L, 1100000000L, 3L)), got.toString)
   }
 
+  test("transformWithState running top-k: staged replay converges to the batch window") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two single-file micro-batches: split the fixture by event_id parity
+      // so most users are touched in BOTH batches (cross-batch state merge)
+      val dir = Files.createTempDirectory("graft_stream_topk")
+      def stage(name: String, mtimeSec: Long, parity: Int): Unit = {
+        val tmp = Files.createTempDirectory("graft_topk_w")
+        batchEvents.where($"event_id" % 2 === parity)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/w")
+        val part = Files.list(Paths.get(s"$tmp/w")).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dst = Paths.get(dir.toString, name)
+        Files.copy(Paths.get(part), dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000))
+      }
+      stage("b0.parquet", 1000000L, 0)
+      stage("b1.parquet", 1000060L, 1)
+      val src = EventStreams.readEventsStream(
+        spark, dir.toString, s"$SF/events.parquet")
+        .select($"user_id", $"ts", $"value")
+      val batches = EventStreams.runAvailableNowBatches(
+        EventStreams.runningTopKPerUser(src, 3).toDF())
+      assert(batches.length >= 2, s"expected 2 micro-batches, got ${batches.length}")
+      // latest emission per user = rows of the LAST batch touching that user
+      val latest = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long)]]
+      batches.sortBy(_._1).foreach { case (_, rows) =>
+        rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+          latest(u) = rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        }
+      }
+      val want = Queries.qRunningTopk(spark, SF)
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      assert(latest.keySet == want.keySet,
+        s"user sets differ: ${latest.keySet.size} vs ${want.keySet.size}")
+      want.foreach { case (u, rows) =>
+        assert(latest(u) == rows, s"user $u: got ${latest(u)} want $rows")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("closed sessions: events far BEFORE the open session close as their own session") {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
