@@ -7383,6 +7383,101 @@ object Queries {
       .orderBy("user_id", "rank")
   }
 
+  /** Neyman allocation — the survey-sampling DESIGN op behind
+    * [[qStratifiedSample]]: a fixed budget of B = 1000 samples split
+    * across strata ∝ N_h·S_h (size × spread buys the most variance
+    * reduction). Spread is the population stddev from EXACT integer cent
+    * moments (`n·Σx² − (Σx)²` — int64-safe past the 100× fixture),
+    * rounded to e4 only at the weight; the integer allocation uses
+    * LARGEST-REMAINDER apportionment (floor the quotas, hand the
+    * leftover seats to the biggest remainders under a total order) so
+    * the parts sum to EXACTLY B in both engines — no float rounding can
+    * gain or lose a sample. One map-side census per stratum; all
+    * apportionment windows on the ≤|strata| frame. */
+  def qNeymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val B = 1000L
+    val st = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("stratum"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_h"), sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sx2"))
+      // weight_e4 = N_h · stddev_pop in e4 cents. The sqrt is continuous
+      // (rounding-doctrine-safe) but the INT form n·Σx²−(Σx)² overflows
+      // int64 past ~sf0.1, so the variance is composed in doubles with an
+      // expression-identical op sequence in both engines (every operand
+      // explicitly CAST — an int/int slip would be exact division in
+      // Spark and integer division in DuckDB).
+      .withColumn("w_e4", expr(
+        "CAST(round(sqrt(CAST(sx2 AS DOUBLE) / CAST(n_h AS DOUBLE) - " +
+          "(CAST(sx AS DOUBLE) / CAST(n_h AS DOUBLE)) * " +
+          "(CAST(sx AS DOUBLE) / CAST(n_h AS DOUBLE))) * " +
+          "CAST(n_h AS DOUBLE) * 10000.0D, 0) AS BIGINT)"))
+    val tot = st.agg(sum(col("w_e4")).as("wt"))
+    val quotas = st.crossJoin(broadcast(tot))
+      .withColumn("q_num", col("w_e4") * lit(B))
+      .withColumn("base", expr("q_num div wt"))
+      .withColumn("rem", expr("q_num % wt"))
+    val wrk = Window.orderBy(col("rem").desc, col("stratum"))
+    val short = quotas.agg((lit(B) - sum(col("base"))).as("left1"))
+    quotas.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(wrk).cast("long"))
+      .withColumn("alloc", col("base") + when(col("rk") <= col("left1"), 1L).otherwise(0L))
+      .select("stratum", "n_h", "w_e4", "base", "alloc")
+      .transform(ps(col("stratum")))
+  }
+
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * system must beat, evaluated honestly: forecast(day) = revenue(day−7),
+    * scored over every day with a 7-day-lag observation by weekday-grouped
+    * MAPE and bias (absolute/percentage errors in exact integer cents/ppm;
+    * the division is the two-step exact ppm, the means round-half-up).
+    * The daily census is map-side; the lag is ONE calendar-bounded window
+    * (the day frame, not the fact table); output is the 7 ISO weekdays. */
+  def qNaiveForecast(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("dte"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("a_c"))
+    val wl = Window.orderBy("dte")
+    val bt = daily
+      .withColumn("f_c", lag(col("a_c"), 7).over(wl))
+      .withColumn("dlag", lag(col("dte"), 7).over(wl))
+      // the lag-7 ROW must be exactly 7 calendar days back (gaps disqualify)
+      .where(col("f_c").isNotNull && expr("date_add(dlag, 7)") === col("dte"))
+      .withColumn("ae_c", expr("abs(a_c - f_c)"))
+      .withColumn("ape_ppm", expr(ppmDiv("ae_c", "a_c")))
+    bt.groupBy(expr("CAST(weekday(dte) + 1 AS BIGINT)").as("isodow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ae_c")).as("sum_ae_c"),
+        sum(col("a_c") - col("f_c")).as("bias_c"),
+        sum(col("ape_ppm")).as("sum_ape"))
+      .withColumn("mape_ppm", expr(roundDiv("sum_ape", "n_days", 1L)))
+      .select("isodow", "n_days", "sum_ae_c", "bias_c", "mape_ppm")
+      .transform(ps(col("isodow")))
+  }
+
+  /** Exponential freshness decay — the recency weighting every trending /
+    * feed-ranking surface applies: each event contributes
+    * `exp(−age/τ)` (τ = 7 days) against the corpus max timestamp, the
+    * per-event term a row-local double from exact µs integers SNAPPED to
+    * e9 before the per-type sum (order-free integer aggregation), and the
+    * freshness ratio (decayed mass / raw count) in exact ppm of e9 units.
+    * The max-ts is a 1-row broadcast; the census map-side-combines. */
+  def qFreshnessDecay(s: SparkSession, d: String): DataFrame = {
+    val tauUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val mx = ev.agg(max(col("ts_us")).as("tmax"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("w_e9", expr(
+        s"CAST(round(exp(-CAST(tmax - ts_us AS DOUBLE) / ${tauUs}.0D) * 1000000000, 0) " +
+          "AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("w_e9")).as("decayed_e9"))
+      .withColumn("fresh_ppm", expr(ppmDiv("decayed_e9", "(n * 1000000000)")))
+      .transform(ps(col("event_type")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -7689,6 +7784,9 @@ object Queries {
     "q_stock_balance" -> (qStockBalance _),
     "q_er_weights" -> (qErWeights _),
     "q_running_topk" -> (qRunningTopk _),
+    "q_neyman_alloc" -> (qNeymanAlloc _),
+    "q_naive_forecast" -> (qNaiveForecast _),
+    "q_freshness_decay" -> (qFreshnessDecay _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -10796,5 +10894,51 @@ object Queries {
         "r AS (SELECT user_id, cents, CAST(row_number() OVER (PARTITION BY user_id " +
         "ORDER BY cents DESC, event_id) AS BIGINT) AS rank FROM ev) " +
         "SELECT user_id, rank, cents FROM r WHERE rank <= 3 ORDER BY user_id, rank"),
+    "q_neyman_alloc" ->
+      ("WITH st AS (SELECT c_mktsegment AS stratum, CAST(count(*) AS BIGINT) AS n_h, " +
+        "CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sx, " +
+        "CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT) * " +
+        "CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sx2 " +
+        "FROM customer GROUP BY 1), " +
+        "wgt AS (SELECT stratum, n_h, " +
+        "CAST(round(sqrt(CAST(sx2 AS DOUBLE) / CAST(n_h AS DOUBLE) - " +
+        "(CAST(sx AS DOUBLE) / CAST(n_h AS DOUBLE)) * " +
+        "(CAST(sx AS DOUBLE) / CAST(n_h AS DOUBLE))) * " +
+        "CAST(n_h AS DOUBLE) * 10000.0, 0) AS BIGINT) AS w_e4 FROM st), " +
+        "tot AS (SELECT CAST(sum(w_e4) AS BIGINT) AS wt FROM wgt), " +
+        "q AS (SELECT stratum, n_h, w_e4, (w_e4 * 1000) // wt AS base, " +
+        "(w_e4 * 1000) % wt AS rem FROM wgt CROSS JOIN tot), " +
+        "sh AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS left1 FROM q), " +
+        "rk AS (SELECT q.*, CAST(row_number() OVER (ORDER BY rem DESC, stratum) AS BIGINT) " +
+        "AS rk FROM q) " +
+        "SELECT stratum, n_h, w_e4, base, " +
+        "base + (CASE WHEN rk <= left1 THEN 1 ELSE 0 END) AS alloc " +
+        "FROM rk CROSS JOIN sh ORDER BY stratum"),
+    "q_naive_forecast" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dte, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS a_c " +
+        "FROM orders GROUP BY 1), " +
+        "lg AS (SELECT dte, a_c, lag(a_c, 7) OVER (ORDER BY dte) AS f_c, " +
+        "lag(dte, 7) OVER (ORDER BY dte) AS dlag FROM daily), " +
+        "bt AS (SELECT CAST(isodow(dte) AS BIGINT) AS isodow, a_c, f_c, " +
+        "abs(a_c - f_c) AS ae_c, " +
+        s"CAST(${ppmDivSql("abs(a_c - f_c)", "a_c")} AS BIGINT) AS ape_ppm " +
+        "FROM lg WHERE f_c IS NOT NULL AND dlag + INTERVAL 7 DAY = dte), " +
+        "g AS (SELECT isodow, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(ae_c) AS BIGINT) AS sum_ae_c, CAST(sum(a_c - f_c) AS BIGINT) AS bias_c, " +
+        "CAST(sum(ape_ppm) AS BIGINT) AS sum_ape FROM bt GROUP BY 1) " +
+        "SELECT isodow, n_days, sum_ae_c, bias_c, " +
+        s"CAST(${roundDivSql("sum_ape", "n_days", 1L)} AS BIGINT) AS mape_ppm " +
+        "FROM g ORDER BY isodow"),
+    "q_freshness_decay" ->
+      ("WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "mx AS (SELECT CAST(max(ts_us) AS BIGINT) AS tmax FROM ev), " +
+        "t AS (SELECT event_type, CAST(round(exp(-CAST(tmax - ts_us AS DOUBLE) " +
+        "/ 604800000000.0) * 1000000000, 0) AS BIGINT) AS w_e9 FROM ev CROSS JOIN mx), " +
+        "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(w_e9) AS BIGINT) AS decayed_e9 FROM t GROUP BY 1) " +
+        "SELECT event_type, n, decayed_e9, " +
+        s"CAST(${ppmDivSql("decayed_e9", "(n * 1000000000)")} AS BIGINT) AS fresh_ppm " +
+        "FROM g ORDER BY event_type"),
   )
 }

@@ -1848,6 +1848,37 @@ class PlanSpec extends SparkSuite {
       s"the 1-row weight table must broadcast:\n$exec")
   }
 
+  test("q_neyman_alloc: one stratum census; apportionment on the bounded frame") {
+    val df = Queries.qNeymanAlloc(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the stratum census must combine map-side:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals ride broadcasts:\n$exec")
+  }
+
+  test("q_naive_forecast: lag window runs on the calendar-bounded day frame") {
+    val df = Queries.qNaiveForecast(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the daily census must combine map-side BELOW the lag window:\n$exec")
+  }
+
+  test("q_freshness_decay: 1-row max broadcast; map-side decayed census") {
+    val df = Queries.qFreshnessDecay(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the corpus-max timestamp must ride a broadcast:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the per-type decayed census must combine map-side:\n$exec")
+  }
+
   test("q_pca_power: melted 64-group censuses only — never a vec-keyed exchange") {
     val df = Queries.qPcaPower(spark, SF)
     df.collect()

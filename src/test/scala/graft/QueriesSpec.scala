@@ -1387,6 +1387,72 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_neyman_alloc: apportionment sums to exactly B; weights match brute force") {
+    val got = Queries.qNeymanAlloc(spark, SF)
+      .select("stratum", "n_h", "w_e4", "base", "alloc")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._5).sum == 1000L, s"allocations must sum to B: $got")
+    got.foreach { case (st, _, _, base, alloc) =>
+      assert(alloc == base || alloc == base + 1, s"$st alloc $alloc vs base $base")
+    }
+    val cells = Tables.customer(spark, SF)
+      .select(col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    got.foreach { case (st, nH, wE4, _, _) =>
+      val xs = cells.filter(_._1 == st).map(_._2)
+      assert(nH == xs.length.toLong)
+      val n = xs.length.toDouble
+      val sx = xs.sum.toDouble
+      val sx2 = xs.map(x => x * x).sum.toDouble
+      val want = math.round(math.sqrt(sx2 / n - (sx / n) * (sx / n)) * n * 10000.0)
+      assert(wE4 == want, s"$st weight $wE4 != $want")
+    }
+  }
+
+  test("q_naive_forecast == brute-force lag-7 backtest") {
+    val got = Queries.qNaiveForecast(spark, SF)
+      .select("isodow", "n_days", "sum_ae_c", "bias_c", "mape_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    val daily = Tables.orders(spark, SF)
+      .groupBy(col("o_orderdate").cast("date").as("dte"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("a"))
+      .orderBy("dte").as[(java.sql.Date, Long)].collect()
+    val series = daily.map { case (d, a) => (d.toLocalDate, a) }
+    val rows = series.zipWithIndex.flatMap { case ((d, a), i) =>
+      if (i >= 7 && series(i - 7)._1.plusDays(7) == d) {
+        val f = series(i - 7)._2
+        val ae = math.abs(a - f)
+        val ape = (ae * 1000 / a) * 1000 + ((ae * 1000 % a) * 1000) / a
+        Some((d.getDayOfWeek.getValue.toLong, ae, a - f, ape))
+      } else None
+    }
+    val want = rows.groupBy(_._1).toSeq.map { case (dow, rs) =>
+      val n = rs.length.toLong
+      val sape = rs.map(_._4).sum
+      (dow, n, rs.map(_._2).sum, rs.map(_._3).sum,
+        (sape / n) * 1 + (2 * (sape % n) * 1 + n) / (2 * n))
+    }.sortBy(_._1)
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("q_freshness_decay: ratios bounded, counts exact, decay really decays") {
+    val got = Queries.qFreshnessDecay(spark, SF)
+      .select("event_type", "n", "decayed_e9", "fresh_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val counts = Tables.events(spark, SF).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (et, n, dec, ppm) =>
+      assert(n == counts(et))
+      assert(dec > 0L && dec <= n * 1000000000L, s"$et decayed mass out of range")
+      assert(ppm > 0L && ppm <= 1000000L, s"$et ppm $ppm")
+      // a multi-week event log cannot be fully fresh
+      assert(ppm < 1000000L, s"$et decay must bite on a multi-week log")
+    }
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
