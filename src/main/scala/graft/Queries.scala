@@ -6937,9 +6937,11 @@ object Queries {
       .transform(ps(col("event_type")))
   }
 
-  /** Bigram language-model scoring — the perplexity filter a pretraining
-    * curation pass runs (KenLM-style, here add-one smoothed over the
-    * corpus's own bigrams): context counts derive from the bigram census
+  /** Bigram language-model scoring with ADD-ONE SMOOTHING — the
+    * perplexity filter a pretraining curation pass runs when eval text
+    * may contain bigrams the reference corpus lacks ([[qBigramPpx]] is
+    * the unsmoothed train==eval surprisal; smoothing + true perplexity
+    * display are what this adds): context counts derive from the bigram census
     * itself (Σ_w2 c(w1,w2), so final-token edge effects cancel by
     * construction), P(w2|w1) = (c+1)/(ctx+V), and each occurrence's
     * −ln P term is row-local double work from exact int64 counts SNAPPED
@@ -6974,55 +6976,11 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** One BPE training round — the tokenizer-prep primitive: word
-    * frequencies from the normalized corpus, every DISTINCT word melted
-    * into its adjacent character pairs (2-char substr slices — row-local,
-    * no window), each pair's corpus weight = Σ word_freq over its
-    * occurrences IN that word (a pair repeating inside one word counts
-    * per occurrence, the reference BPE behavior), and the top-20 merge
-    * candidates under the (weight, pair) total order. Shapes at 100 TB:
-    * the word census map-side-combines the corpus down to its vocabulary
-    * ONCE, the pair melt runs over DISTINCT words only (vocab-linear —
-    * the corpus token stream is never re-scanned per round), and the
-    * readout is a TakeOrdered top-20. A full BPE train iterates this
-    * with a merge-apply between rounds; the round is the scale-critical
-    * piece and each subsequent round's input shrinks. */
-  def qBpeMerge(s: SparkSession, d: String): DataFrame = {
-    val words = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 1)
-      .groupBy(col("shingle").as("word")).agg(count(lit(1)).as("wf"))
-      .where(length(col("word")) >= 2)
-    words
-      .select(col("wf"), explode(expr(
-        "transform(sequence(0, length(word) - 2), i -> substr(word, i + 1, 2))"))
-        .as("pair"))
-      .groupBy("pair").agg(sum(col("wf")).as("weight"))
-      .orderBy(col("weight").desc, col("pair"))
-      .limit(20)
-  }
-
-  /** N-gram novelty — the memorization/redundancy audit a curation pass
-    * runs in doc-id (= ingestion) order: a doc's novelty is the share of
-    * its distinct 3-shingles whose FIRST corpus occurrence (min doc_id)
-    * is this doc. High novelty = fresh content; near-zero = the tail of
-    * a crawl re-serving what's already in the corpus. Shapes at 100 TB:
-    * shingles are row-local, the first-occurrence census is ONE
-    * map-side-combinable min at the shingle grain, and membership flows
-    * back as a shingle-keyed equi join (the exact-dedup shuffle) — no
-    * pair expansion, O(docs) output. */
-  def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
-    val sh = TextOps.explodedShingles(Tables.documents(s, d), "doc_id", "text", 3)
-      .distinct()
-    val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .withColumn("novelty_ppm", expr(ppmDiv("n_novel", "n_shingles")))
-      .orderBy("doc_id")
-  }
-
   /** Brier score + reliability diagram — the probabilistic-model
-    * calibration audit ([[qAucPerClass]]'s companion): a deterministic
+    * calibration audit ([[qAucPerClass]]'s companion; [[qCalibrationBins]]
+    * bins by global score DECILE while this bins by predicted
+    * PROBABILITY and adds the Brier decomposition — the pair of views a
+    * calibration review wants): a deterministic
     * pseudo-probability (sigmoid of the first embedding coordinate,
     * e4-snapped — the continuous-rounding doctrine) against the binary
     * label, bucketed into 10 probability bins; per bin the count, mean
@@ -7058,10 +7016,12 @@ object Queries {
       .transform(ps(col("bin")))
   }
 
-  /** One power-iteration step over the embedding covariance — the
-    * spectral primitive under PCA/eigen-diagnostics (top component ≈
-    * iterated matvec): w = Cov·v₀ with a seeded ±1 start vector (the
-    * [[qRandomProjection]] sign family). Exactness doctrine: coordinates
+  /** One power-iteration step over the embedding COVARIANCE — true PCA
+    * needs the centered second moment; [[qPowerIteration]] is the
+    * uncentered Gram step with display-rounded doubles, while this one
+    * centers at the snapped mean and keeps every sum an exact int64:
+    * w = Cov·v₀ with a seeded ±1 start vector (the [[qRandomProjection]]
+    * sign family). Exactness doctrine: coordinates
     * snap to e4 at the scan; the covariance is defined ABOUT THE
     * e4-SNAPPED MEAN (round-half-up), so every centered coordinate,
     * every row's centered dot s_r = Σ_d c_rd·v₀_d, and every per-dim
@@ -7140,8 +7100,10 @@ object Queries {
       .transform(ps(col("bucket")))
   }
 
-  /** Out-of-vocabulary rate — the tokenizer-coverage audit between
-    * [[qBpeMerge]] and a training run: vocabulary = the corpus top-1000
+  /** Out-of-vocabulary rate — the PER-DOCUMENT tokenizer-coverage audit
+    * ([[qVocabCoverage]] gives the corpus-level coverage curve; the
+    * per-doc grain is what a curation filter drops on) between
+    * [[qBpeMerges]] and a training run: vocabulary = the corpus top-1000
     * tokens under the (count, token) total order, then each doc's OOV
     * share in exact ppm. A capped vocab is WHAT a tokenizer ships, so the corpus
     * must be scored against the cap, not the full type inventory. Shapes
@@ -7163,9 +7125,10 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** The BPE ITERATE step [[qBpeMerge]] feeds: apply the round-1 winning
-    * merge to the vocabulary and re-count symbol pairs — one full
-    * train round. Words become space-separated symbol sequences, the
+  /** The BPE ITERATE step [[qBpeMerges]] feeds (that query is the
+    * round-1 COUNT step): apply the winning merge to the vocabulary and
+    * re-count symbol pairs — one full train round, the piece the count
+    * step alone doesn't exercise. Words become space-separated symbol sequences, the
     * winning pair (a 1-row broadcast argmax under the (weight, pair)
     * total order) is applied as leftmost non-overlapping string
     * replacement (`replace('a a a', 'a a', 'aa')` = 'aa a' — exactly
@@ -7268,42 +7231,6 @@ object Queries {
       .withColumn("rate_ppm", expr(ppmDiv("pos", "n")))
       .select(col("bin"), col("n"), col("rate_ppm"), col("iso_ppm"))
       .transform(ps(col("bin")))
-  }
-
-  /** Clamped running inventory balance — the stock/ledger kernel that
-    * LOOKS like it needs a sequential fold (`b_i = max(b_{i-1} + d_i, 0)`
-    * cannot be written as a plain window sum) but collapses to TWO
-    * windows via the identity `b_i = S_i − min(0, min_{j≤i} S_j)`
-    * (provable by induction: once the running prefix-sum minimum is
-    * subtracted, every zero-clamp event is absorbed exactly). Deltas are
-    * exact integer units (+qty on 'N' movements, −qty otherwise, under
-    * the unique (date, order, line) total order per part); the per-part
-    * summary reports movements, peak balance, stockout count (a zero
-    * balance hit by an outbound move), and the final balance via the
-    * proven max-of-struct last-row idiom. The upper-AND-lower clamped
-    * variant has no window identity — that one genuinely needs a
-    * per-key fold (`aggregate` over a bounded key's collected moves),
-    * the documented boundary of this trick. Shapes: part-keyed windows
-    * (bounded by one part's history), one map-side summary, O(parts)
-    * output. */
-  def qStockBalance(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_partkey").as("part"),
-      col("l_shipdate").cast("date").as("dte"), col("l_orderkey").as("ok"),
-      col("l_linenumber").cast("long").as("ln"),
-      expr("CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity, 0) AS BIGINT) " +
-        "ELSE -CAST(round(l_quantity, 0) AS BIGINT) END").as("delta"))
-    val w = Window.partitionBy("part").orderBy("dte", "ok", "ln")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    li.withColumn("s", sum(col("delta")).over(w))
-      .withColumn("balance", col("s") - least(lit(0L), min(col("s")).over(w)))
-      .groupBy("part").agg(
-        count(lit(1)).as("n_moves"),
-        max(col("balance")).as("max_balance"),
-        sum(when(col("balance") === 0L && col("delta") < 0L, 1L).otherwise(0L))
-          .as("n_stockouts"),
-        max(struct(col("dte"), col("ok"), col("ln"), col("balance")))
-          .getField("balance").as("final_balance"))
-      .orderBy("part")
   }
 
   /** Fellegi–Sunter record-linkage weights — the probabilistic layer over
@@ -7457,7 +7384,9 @@ object Queries {
   }
 
   /** Exponential freshness decay — the recency weighting every trending /
-    * feed-ranking surface applies: each event contributes
+    * feed-ranking surface applies ([[qEwmaDecay]] smooths a per-user
+    * SERIES with an 8-tap FIR; this weights the whole log against
+    * corpus-now for ranking mass): each event contributes
     * `exp(−age/τ)` (τ = 7 days) against the corpus max timestamp, the
     * per-event term a row-local double from exact µs integers SNAPPED to
     * e9 before the per-type sum (order-free integer aggregation), and the
@@ -7772,8 +7701,6 @@ object Queries {
     "q_topk_churn" -> (qTopkChurn _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_lm_perplexity" -> (qLmPerplexity _),
-    "q_bpe_merge" -> (qBpeMerge _),
-    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_brier_calibration" -> (qBrierCalibration _),
     "q_pca_power" -> (qPcaPower _),
     "q_watermark_fit" -> (qWatermarkFit _),
@@ -7781,7 +7708,6 @@ object Queries {
     "q_bpe_apply" -> (qBpeApply _),
     "q_link_predict" -> (qLinkPredict _),
     "q_isotonic_calibrate" -> (qIsotonicCalibrate _),
-    "q_stock_balance" -> (qStockBalance _),
     "q_er_weights" -> (qErWeights _),
     "q_running_topk" -> (qRunningTopk _),
     "q_neyman_alloc" -> (qNeymanAlloc _),
@@ -10701,25 +10627,6 @@ object Queries {
         "AS avg_nll_e9, " +
         s"round(exp(CAST(${roundDivSql("se9", "n_bigrams", 1L)} AS DOUBLE) / 1000000000.0), 4) " +
         "AS ppl_r4 FROM agg ORDER BY doc_id"),
-    "q_bpe_merge" ->
-      (NORM_CTE +
-        ", tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm WHERE t <> '')" +
-        ", wc AS (SELECT token AS word, CAST(count(*) AS BIGINT) AS wf FROM tok " +
-        "WHERE length(token) >= 2 GROUP BY 1)" +
-        ", pr AS (SELECT wf, unnest(list_transform(range(length(word) - 1), " +
-        "i -> substr(word, CAST(i + 1 AS INT), 2))) AS pair FROM wc) " +
-        "SELECT pair, CAST(sum(wf) AS BIGINT) AS weight FROM pr GROUP BY 1 " +
-        "ORDER BY weight DESC, pair LIMIT 20"),
-    "q_ngram_novelty" ->
-      (SIG_CTE +
-        ", shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)" +
-        ", fst AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1)" +
-        ", pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
-        "CAST(sum(CAST(first_doc = doc_id AS INTEGER)) AS BIGINT) AS n_novel " +
-        "FROM shd JOIN fst USING (shingle) GROUP BY 1) " +
-        "SELECT doc_id, n_shingles, n_novel, " +
-        s"CAST(${ppmDivSql("n_novel", "n_shingles")} AS BIGINT) AS novelty_ppm " +
-        "FROM pd ORDER BY doc_id"),
     "q_brier_calibration" ->
       ("WITH e AS (SELECT CAST(round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) " +
         "* 10000, 0) AS BIGINT) AS p_e4, CAST(label < 5 AS BIGINT) AS y FROM embeddings), " +
@@ -10838,23 +10745,6 @@ object Queries {
         "SELECT bins.bin, n, " +
         s"CAST(${ppmDivSql("pos", "n")} AS BIGINT) AS rate_ppm, iso_ppm " +
         "FROM bins JOIN fit ON fit.i = bins.bin ORDER BY bin"),
-    "q_stock_balance" ->
-      ("WITH li AS (SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS dte, " +
-        "l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln, " +
-        "CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity, 0) AS BIGINT) " +
-        "ELSE -CAST(round(l_quantity, 0) AS BIGINT) END AS delta FROM lineitem), " +
-        "s1 AS (SELECT part, dte, ok, ln, delta, CAST(sum(delta) OVER " +
-        "(PARTITION BY part ORDER BY dte, ok, ln ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s " +
-        "FROM li), " +
-        "s2 AS (SELECT *, s - least(0, CAST(min(s) OVER (PARTITION BY part " +
-        "ORDER BY dte, ok, ln ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS balance FROM s1) " +
-        "SELECT part, CAST(count(*) AS BIGINT) AS n_moves, " +
-        "CAST(max(balance) AS BIGINT) AS max_balance, " +
-        "CAST(sum(CASE WHEN balance = 0 AND delta < 0 THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_stockouts, " +
-        "struct_extract(max(struct_pack(dte := dte, ok := ok, ln := ln, " +
-        "balance := balance)), 'balance') AS final_balance " +
-        "FROM s2 GROUP BY part ORDER BY part"),
     "q_er_weights" ->
       ("WITH c AS (SELECT c_custkey AS id, c_custkey // 50 AS blk, " +
         "c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat, " +

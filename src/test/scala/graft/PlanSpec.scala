@@ -1741,26 +1741,6 @@ class PlanSpec extends SparkSuite {
       s"the 1-row vocabulary size must broadcast:\n$exec")
   }
 
-  test("q_bpe_merge: vocab-linear pair melt; TakeOrdered readout") {
-    val df = Queries.qBpeMerge(spark, SF)
-    df.collect()
-    val exec = df.queryExecution.executedPlan.toString
-    assert(exec.contains("TakeOrderedAndProject"),
-      s"the top-20 readout must never globally sort the pair table:\n$exec")
-    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
-      s"the pair-weight census must combine map-side:\n$exec")
-    assert(!exec.contains("CartesianProduct"), exec)
-  }
-
-  test("q_ngram_novelty: shingle-keyed first-occurrence census, no pair expansion") {
-    val df = Queries.qNgramNovelty(spark, SF)
-    df.collect()
-    val exec = df.queryExecution.executedPlan.toString
-    assert(!exec.contains("CartesianProduct"), exec)
-    assert(exec.contains("partial_min") || exec.contains("Functions [partial"),
-      s"the first-occurrence min must combine map-side:\n$exec")
-  }
-
   test("q_brier_calibration: one map-side census into a bounded bin grid") {
     val df = Queries.qBrierCalibration(spark, SF)
     df.collect()
@@ -1826,16 +1806,6 @@ class PlanSpec extends SparkSuite {
       s"every minimax join runs on ≤220-row broadcast frames:\n$exec")
     assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
       s"the bin census must combine map-side:\n$exec")
-  }
-
-  test("q_stock_balance: part-keyed windows; never a global move sort") {
-    val df = Queries.qStockBalance(spark, SF)
-    df.collect()
-    val exec = df.queryExecution.executedPlan.toString
-    assert(!exec.contains("CartesianProduct"), exec)
-    val winLine = exec.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
-    assert(winLine.contains("part"),
-      s"the running-balance windows must partition by part:\n$winLine")
   }
 
   test("q_er_weights: block-keyed pair join; weights ride a broadcast; TakeOrdered") {

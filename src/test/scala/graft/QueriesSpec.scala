@@ -1120,42 +1120,6 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
-  test("q_bpe_merge == brute-force pair weights on the collected corpus") {
-    val got = Queries.qBpeMerge(spark, SF)
-      .as[(String, Long)].collect().toSeq
-    val words = Tables.documents(spark, SF)
-      .select(operators.Ops.normalizeText(col("text")).as("t")).as[String].collect()
-      .filter(_.nonEmpty).flatMap(_.split(" ")).filter(_.length >= 2)
-      .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val weights = scala.collection.mutable.Map.empty[String, Long]
-    words.foreach { case (w, wf) =>
-      (0 until w.length - 1).foreach { i =>
-        val p = w.substring(i, i + 2)
-        weights(p) = weights.getOrElse(p, 0L) + wf
-      }
-    }
-    val want = weights.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
-    assert(got == want, s"got=$got\nwant=$want")
-  }
-
-  test("q_ngram_novelty: first occurrences partition the shingle universe") {
-    val rows = Queries.qNgramNovelty(spark, SF)
-      .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
-      .as[(Long, Long, Long, Long)].collect()
-    assert(rows.nonEmpty)
-    val distinctShingles = operators.TextOps
-      .explodedShingles(Tables.documents(spark, SF), "doc_id", "text", 3)
-      .select("shingle").distinct().count()
-    // every distinct shingle first-occurs in exactly one doc
-    assert(rows.map(_._3).sum == distinctShingles)
-    // the earliest doc carrying shingles is 100% novel by construction
-    val first = rows.minBy(_._1)
-    assert(first._4 == 1000000L, s"first doc novelty ${first._4}")
-    rows.foreach { case (id, n, nov, ppm) =>
-      assert(nov <= n && ppm <= 1000000L, s"doc $id: $nov/$n ppm=$ppm")
-    }
-  }
-
   test("q_brier_calibration == brute-force bins on the collected fixture") {
     val got = Queries.qBrierCalibration(spark, SF)
       .select("bin", "n", "mean_p_e4", "rate_ppm", "brier_e8")
@@ -1262,7 +1226,7 @@ class QueriesSpec extends SparkSuite {
     // after merging winner (c1, c2) into one symbol, no adjacent symbol
     // pair can be the single-char pair c1|c2 again (a 'a|a' style winner
     // can only resurface as longer merged symbols like 'aa|a')
-    val winner = Queries.qBpeMerge(spark, SF)
+    val winner = Queries.qBpeMerges(spark, SF)
       .select("pair").as[String].head()
     val after = Queries.qBpeApply(spark, SF)
       .select("pair", "weight").as[(String, Long)].collect()
@@ -1332,29 +1296,6 @@ class QueriesSpec extends SparkSuite {
     assert(got.map(r => (r._1, r._4)) == want, s"got=$got\nwant=$want")
     val iso = got.map(_._4)
     assert(iso.zip(iso.tail).forall { case (a, b) => a <= b }, s"not monotone: $iso")
-  }
-
-  test("q_stock_balance == brute-force sequential clamp fold") {
-    val got = Queries.qStockBalance(spark, SF)
-      .select("part", "n_moves", "max_balance", "n_stockouts", "final_balance")
-      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
-    val moves = Tables.lineitem(spark, SF)
-      .select(col("l_partkey"), col("l_shipdate").cast("date").cast("string"),
-        col("l_orderkey"), col("l_linenumber").cast("long"),
-        expr("CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity, 0) AS BIGINT) " +
-          "ELSE -CAST(round(l_quantity, 0) AS BIGINT) END"))
-      .as[(Long, String, Long, Long, Long)].collect()
-    val want = moves.groupBy(_._1).toSeq.map { case (part, ms) =>
-      val ordered = ms.sortBy(m => (m._2, m._3, m._4)).map(_._5)
-      var b = 0L; var mx = 0L; var so = 0L
-      ordered.foreach { d =>
-        b = math.max(b + d, 0L)
-        mx = math.max(mx, b)
-        if (b == 0L && d < 0L) so += 1
-      }
-      (part, ordered.length.toLong, mx, so, b)
-    }.sortBy(_._1)
-    assert(got == want)
   }
 
   test("q_er_weights: u-probabilities exact; all-agree pairs take the max score") {
