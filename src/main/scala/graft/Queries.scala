@@ -7407,6 +7407,34 @@ object Queries {
       .transform(ps(col("event_type")))
   }
 
+  /** Grouped top-3 shipments per part via the BOUNDED-BUFFER typed
+    * aggregator ([[graft.functions.TopKAgg]]) — the scale path beside the
+    * window formulation ([[qWindowTopk]]'s `row_number() ≤ k` shape): the
+    * window must shuffle AND sort the whole fact table before discarding
+    * all but k per group, while the aggregator truncates to k pairs per
+    * group IN THE MAP TASKS, so the exchange carries k·|groups| rows at
+    * any corpus size (DevHeavyTail measures the shuffle collapse —
+    * SCALING.md). Total order (cents desc, row id asc); row id =
+    * `orderkey·10 + linenumber` (linenumber ≤ 7 — collision-free and
+    * engine-portable). */
+  def qPartTopShipments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKAgg(3).toColumn
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"),
+        expr("l_orderkey * 10 + l_linenumber").as("rid"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.name("top"))
+      .toDF("part", "top")
+      .select(col("part"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("part"), (col("i") + 1).cast("long").as("rank"),
+        col("p._1").as("cents"), col("p._2").as("rid"))
+      .orderBy("part", "rank")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -7713,6 +7741,7 @@ object Queries {
     "q_neyman_alloc" -> (qNeymanAlloc _),
     "q_naive_forecast" -> (qNaiveForecast _),
     "q_freshness_decay" -> (qFreshnessDecay _),
+    "q_part_top_shipments" -> (qPartTopShipments _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -10830,5 +10859,12 @@ object Queries {
         "SELECT event_type, n, decayed_e9, " +
         s"CAST(${ppmDivSql("decayed_e9", "(n * 1000000000)")} AS BIGINT) AS fresh_ppm " +
         "FROM g ORDER BY event_type"),
+    "q_part_top_shipments" ->
+      ("WITH li AS (SELECT l_partkey AS part, " +
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +
+        "l_orderkey * 10 + l_linenumber AS rid FROM lineitem), " +
+        "r AS (SELECT part, cents, rid, CAST(row_number() OVER (PARTITION BY part " +
+        "ORDER BY cents DESC, rid) AS BIGINT) AS rank FROM li) " +
+        "SELECT part, rank, cents, rid FROM r WHERE rank <= 3 ORDER BY part, rank"),
   )
 }

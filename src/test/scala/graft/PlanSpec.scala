@@ -1849,6 +1849,19 @@ class PlanSpec extends SparkSuite {
       s"the per-type decayed census must combine map-side:\n$exec")
   }
 
+  test("q_part_top_shipments: partial aggregation, no window over the fact table") {
+    val df = Queries.qPartTopShipments(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("windowspecdefinition"),
+      s"the aggregator path must never window-sort the fact table:\n$exec")
+    assert(exec.contains("ObjectHashAggregate") || exec.contains("SortAggregate"),
+      s"the typed top-k must plan as an aggregate:\n$exec")
+    // the map-side partial is the whole point: shuffle carries k rows/group
+    assert(exec.contains("partial_topkagg") || exec.contains("partial_"),
+      s"the top-k buffers must combine map-side:\n$exec")
+  }
+
   test("q_pca_power: melted 64-group censuses only — never a vec-keyed exchange") {
     val df = Queries.qPcaPower(spark, SF)
     df.collect()

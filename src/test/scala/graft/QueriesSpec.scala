@@ -1394,6 +1394,33 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_part_top_shipments (bounded-buffer aggregator) == window row_number form") {
+    val got = Queries.qPartTopShipments(spark, SF)
+      .select("part", "rank", "cents", "rid")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("cents").desc, col("rid"))
+    val want = Tables.lineitem(spark, SF)
+      .select(col("l_partkey").as("part"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"),
+        expr("l_orderkey * 10 + l_linenumber").as("rid"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select("part", "rank", "cents", "rid")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+    // mergeability: reduce-then-merge over an arbitrary split == one pass
+    val agg = new graft.functions.TopKAgg(3)
+    val xs = Seq((5L, 1L), (9L, 2L), (9L, 1L), (3L, 7L), (9L, 9L), (7L, 4L))
+    val onePass = xs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = xs.splitAt(2)
+    val split = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(onePass) == agg.finish(split))
+    assert(agg.finish(onePass) == Seq((9L, 1L), (9L, 2L), (9L, 9L)))
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
