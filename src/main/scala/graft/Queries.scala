@@ -7238,7 +7238,9 @@ object Queries {
     * field's u-probability is its random-agreement rate Σ(f_v/N)² (one
     * value-frequency census per field, exact ppm), the per-field
     * agree/disagree log-weights `ln(m/u)` / `ln((1−m)/(1−u))` (m = 0.9
-    * declared) are CONSTANTS snapped to e9 — so every pair's match score
+    * declared; u clamped into [1, 999999] ppm so a constant or unique
+    * field can never drive a log to ±∞ — an infinity would CAST
+    * divergently between engines) are CONSTANTS snapped to e9 — so every pair's match score
     * is an exact integer sum of field constants. Candidate pairs come
     * from phone-prefix blocking with the LSH-style bucket cap (blocks
     * over 100 members are skipped BEFORE any pair exists — the quadratic
@@ -7283,11 +7285,11 @@ object Queries {
     * — row-local doubles from exact ppm integers, snapped before any
     * sum (the snap-then-sum doctrine). */
   private def weightAgree(uCol: String): String =
-    s"CAST(round(ln(0.9D / (CAST($uCol AS DOUBLE) / 1000000.0D)) * 1000000000, 0) " +
-      s"AS BIGINT) AS wa_$uCol"
+    s"CAST(round(ln(0.9D / (CAST(greatest(least($uCol, 999999L), 1L) AS DOUBLE) " +
+      s"/ 1000000.0D)) * 1000000000, 0) AS BIGINT) AS wa_$uCol"
   private def weightDisagree(uCol: String): String =
-    s"CAST(round(ln(0.1D / (1.0D - CAST($uCol AS DOUBLE) / 1000000.0D)) * 1000000000, 0) " +
-      s"AS BIGINT) AS wd_$uCol"
+    s"CAST(round(ln(0.1D / (1.0D - CAST(greatest(least($uCol, 999999L), 1L) AS DOUBLE) " +
+      s"/ 1000000.0D)) * 1000000000, 0) AS BIGINT) AS wd_$uCol"
 
   /** Batch statement of
     * [[graft.streaming.EventStreams.runningTopKPerUser]]'s contract —
@@ -10789,12 +10791,12 @@ object Queries {
         "(SELECT CAST(sum(f * f) AS BIGINT) AS s2 FROM " +
         "(SELECT CAST(count(*) AS BIGINT) AS f FROM c GROUP BY band)) CROSS JOIN nt), " +
         "w AS (SELECT " +
-        "CAST(round(ln(0.9 / (CAST(useg.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_seg, " +
-        "CAST(round(ln(0.1 / (1.0 - CAST(useg.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_seg, " +
-        "CAST(round(ln(0.9 / (CAST(unat.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_nat, " +
-        "CAST(round(ln(0.1 / (1.0 - CAST(unat.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_nat, " +
-        "CAST(round(ln(0.9 / (CAST(uband.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_band, " +
-        "CAST(round(ln(0.1 / (1.0 - CAST(uband.u AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_band " +
+        "CAST(round(ln(0.9 / (CAST(greatest(least(useg.u, 999999), 1) AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_seg, " +
+        "CAST(round(ln(0.1 / (1.0 - CAST(greatest(least(useg.u, 999999), 1) AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_seg, " +
+        "CAST(round(ln(0.9 / (CAST(greatest(least(unat.u, 999999), 1) AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_nat, " +
+        "CAST(round(ln(0.1 / (1.0 - CAST(greatest(least(unat.u, 999999), 1) AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_nat, " +
+        "CAST(round(ln(0.9 / (CAST(greatest(least(uband.u, 999999), 1) AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wa_band, " +
+        "CAST(round(ln(0.1 / (1.0 - CAST(greatest(least(uband.u, 999999), 1) AS DOUBLE) / 1000000.0)) * 1000000000, 0) AS BIGINT) AS wd_band " +
         "FROM useg CROSS JOIN unat CROSS JOIN uband), " +
         "sizes AS (SELECT blk FROM (SELECT blk, count(*) AS bn FROM c GROUP BY 1) " +
         "WHERE bn BETWEEN 2 AND 100), " +
