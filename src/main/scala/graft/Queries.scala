@@ -7437,6 +7437,217 @@ object Queries {
       .orderBy("part", "rank")
   }
 
+  /** DuckDB restatement of [[qIpfRaking]]: the 5 declared raking rounds
+    * unrolled as MATERIALIZED CTE pairs (each round's frame is referenced
+    * twice — by its own margin sum and by the rescale — and DuckDB
+    * re-derives inlined CTEs per reference; see the q_kcore adjudication). */
+  private[graft] lazy val ipfOracleSql: String = {
+    val rescale = "(w // s) * t + ((w % s) * t) // s"
+    val rounds = (1 to 5).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"r$i AS MATERIALIZED (SELECT $prev.seg, nat, $rescale AS w FROM $prev " +
+        s"JOIN (SELECT seg, CAST(sum(w) AS BIGINT) AS s FROM $prev GROUP BY 1) rs " +
+        s"ON rs.seg = $prev.seg JOIN rt ON rt.seg = $prev.seg), " +
+        s"c$i AS MATERIALIZED (SELECT seg, r$i.nat, $rescale AS w FROM r$i " +
+        s"JOIN (SELECT nat, CAST(sum(w) AS BIGINT) AS s FROM r$i GROUP BY 1) cs " +
+        s"ON cs.nat = r$i.nat JOIN ct ON ct.nat = r$i.nat)"
+    }.mkString(", ")
+    "WITH cust AS (SELECT c_custkey, c_mktsegment AS seg, " +
+      "CAST(c_nationkey AS BIGINT) AS nat FROM customer), " +
+      "resp AS (SELECT cust.* FROM cust JOIN (SELECT DISTINCT o_custkey FROM orders) o " +
+      "ON o.o_custkey = cust.c_custkey), " +
+      "c0 AS (SELECT seg, nat, CAST(count(*) * 1000 AS BIGINT) AS w FROM resp GROUP BY 1, 2), " +
+      "rt AS (SELECT seg, CAST(count(*) * 1000 AS BIGINT) AS t FROM cust GROUP BY 1), " +
+      "ct AS (SELECT nat, CAST(count(*) * 1000 AS BIGINT) AS t FROM cust GROUP BY 1), " +
+      rounds + ", " +
+      "n0 AS (SELECT seg, nat, CAST(count(*) AS BIGINT) AS n FROM resp GROUP BY 1, 2) " +
+      "SELECT c5.seg, c5.nat, n, w AS w_e3, " +
+      s"CAST(${ppmDivSql("w", "(n * 1000)")} AS BIGINT) AS factor_ppm " +
+      "FROM c5 JOIN n0 ON n0.seg = c5.seg AND n0.nat = c5.nat ORDER BY c5.seg, c5.nat"
+  }
+
+  /** Iterative proportional fitting (raking) — the survey-weighting
+    * algorithm behind every nonresponse adjustment: the (segment, nation)
+    * census of customers WITH orders is reweighted until its margins
+    * match the FULL customer population's margins (the subpopulation
+    * "responded"; the population margins are known). Five
+    * row-scale/column-scale rounds, every step EXACT integer arithmetic:
+    * weights live in e3 units, each rescale is the overflow-safe
+    * two-step `(w div S)·T + ((w mod S)·T) div S` (floor semantics,
+    * declared), and margin sums are int64 — bit-identical in both
+    * engines with no float products anywhere. Shapes at 100 TB: the two
+    * corpus censuses are map-side; ALL raking rounds run on the bounded
+    * ≤|segments|·|nations| cell grid (125 rows) — broadcast joins only.
+    * Convergence to ~0.1 % in 5 rounds is typical for well-conditioned
+    * margins; the round count is declared, not adaptive (the fixpoint
+    * doctrine's materialized-CTE restatement). */
+  def qIpfRaking(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"))
+    val responded = cust.join(
+      Tables.orders(s, d).select(col("o_custkey").as("c_custkey")).distinct(),
+      "c_custkey")
+    var cells = responded.groupBy("seg", "nat")
+      .agg((count(lit(1)) * 1000L).as("w"))
+    val rowT = cust.groupBy("seg").agg((count(lit(1)) * 1000L).as("t_row"))
+    val colT = cust.groupBy("nat").agg((count(lit(1)) * 1000L).as("t_col"))
+    val rescale = "(w div s) * t + ((w % s) * t) div s"
+    (1 to 5).foreach { _ =>
+      val rs = cells.groupBy("seg").agg(sum(col("w")).as("s"))
+      cells = cells.join(broadcast(rs), "seg").join(broadcast(rowT), "seg")
+        .withColumn("w", expr(rescale.replace("t", "t_row")))
+        .select("seg", "nat", "w")
+      val cs = cells.groupBy("nat").agg(sum(col("w")).as("s"))
+      cells = cells.join(broadcast(cs), "nat").join(broadcast(colT), "nat")
+        .withColumn("w", expr(rescale.replace("t", "t_col")))
+        .select("seg", "nat", "w")
+        // per-round lineage cut (the fixpoint doctrine): without it the
+        // 10-deep chained self-referencing join tree makes Catalyst
+        // re-optimize the whole prefix per round — measured 70 s → ~2 s
+        // on the 125-row grid
+        .transform(Checkpoints.truncate)
+    }
+    val n0 = responded.groupBy("seg", "nat").agg(count(lit(1)).as("n"))
+    cells.join(n0, Seq("seg", "nat"))
+      .withColumn("factor_ppm", expr(ppmDiv("w", "(n * 1000)")))
+      .select(col("seg"), col("nat"), col("n"), col("w").as("w_e3"),
+        col("factor_ppm"))
+      .transform(ps(col("seg"), col("nat")))
+  }
+
+  /** DuckDB restatement of [[qMarkovAttribution]]: the 16 declared power
+    * iterations unrolled as MATERIALIZED CTEs over the (scenario, state)
+    * grid (aggregation is illegal in a recursive CTE term, so the
+    * fixpoint-as-unrolled-CTEs doctrine applies; each p_k is referenced
+    * by the next round's join). Integer formula identical to the driver
+    * loop: `Σ(P_ppm·p_e9) div 10⁶` with CONV pinned at 10⁹, NULL and the
+    * removed channel at 0. */
+  private[graft] lazy val markovOracleSql: String = {
+    val iters = (1 to 16).map { k =>
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"p$k AS MATERIALIZED (SELECT sc.removed, tp.src AS state, " +
+        "CAST(CASE WHEN tp.src = sc.removed THEN 0 ELSE " +
+        "CAST(sum(tp.p_ppm * (CASE WHEN tp.dst = 'CONV' THEN 1000000000 " +
+        "WHEN tp.dst = 'NULL' THEN 0 WHEN tp.dst = sc.removed THEN 0 " +
+        s"ELSE coalesce(pv.p, 0) END)) AS BIGINT) // 1000000 END AS BIGINT) AS p " +
+        s"FROM tp CROSS JOIN scen sc LEFT JOIN $prev pv " +
+        "ON pv.removed = sc.removed AND pv.state = tp.dst " +
+        "GROUP BY sc.removed, tp.src)"
+    }.mkString(", ")
+    "WITH ev AS (SELECT user_id, event_id, event_type AS typ, epoch_us(ts) AS ts_us, " +
+      "CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+      "AS BIGINT) AS rk FROM events), " +
+      "fp AS (SELECT user_id, min(rk) AS fp FROM ev WHERE typ = 'purchase' GROUP BY 1), " +
+      "kept AS (SELECT ev.* FROM ev LEFT JOIN fp USING (user_id) " +
+      "WHERE fp.fp IS NULL OR ev.rk <= fp.fp), " +
+      "mp AS (SELECT user_id, rk, typ, lead(typ, 1) OVER " +
+      "(PARTITION BY user_id ORDER BY rk) AS nxt FROM kept), " +
+      "tr AS (SELECT typ AS src, CASE WHEN nxt = 'purchase' THEN 'CONV' " +
+      "ELSE coalesce(nxt, 'NULL') END AS dst FROM mp WHERE typ <> 'purchase' " +
+      "UNION ALL SELECT 'START' AS src, CASE WHEN typ = 'purchase' THEN 'CONV' " +
+      "ELSE typ END AS dst FROM mp WHERE rk = 1), " +
+      "cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2), " +
+      "ot AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1), " +
+      s"tp AS MATERIALIZED (SELECT cnt.src, dst, CAST(${ppmDivSql("c", "tot")} AS BIGINT) " +
+      "AS p_ppm FROM cnt JOIN ot ON ot.src = cnt.src), " +
+      "states AS (SELECT DISTINCT src FROM cnt), " +
+      "scen AS MATERIALIZED (SELECT 'base' AS removed UNION ALL " +
+      "SELECT src FROM states WHERE src <> 'START'), " +
+      "p0 AS (SELECT sc.removed, s.src AS state, CAST(0 AS BIGINT) AS p " +
+      "FROM scen sc CROSS JOIN states s), " +
+      iters + ", " +
+      "fin AS (SELECT removed, p FROM p16 WHERE state = 'START'), " +
+      "base AS (SELECT p AS pb FROM fin WHERE removed = 'base'), " +
+      "ch AS (SELECT removed AS channel, p AS pr FROM fin WHERE removed <> 'base'), " +
+      "dr AS (SELECT channel, pb, pr, pb - pr AS drop_e9 FROM ch CROSS JOIN base), " +
+      "td AS (SELECT CAST(sum(drop_e9) AS BIGINT) AS t FROM dr) " +
+      "SELECT channel, pb AS p_base_e9, pr AS p_removed_e9, drop_e9, " +
+      s"CAST(CASE WHEN t > 0 THEN ${ppmDivSql("drop_e9", "t")} ELSE 0 END AS BIGINT) " +
+      "AS share_ppm FROM dr CROSS JOIN td ORDER BY channel"
+  }
+
+  /** Markov removal-effect attribution — the principled multi-touch model
+    * next to the positional [[qAttribution]]: user journeys truncate at
+    * the FIRST purchase (CONV absorbs; journeys without one absorb at
+    * NULL), transitions count START→first / step→step / step→terminal,
+    * and each channel's credit is its REMOVAL EFFECT — how much the
+    * absorption probability P(CONV | START) drops when the channel is
+    * deleted from the chain (transitions into it becoming NULL). The
+    * corpus-sized work is entirely distributed (user-keyed rank/lead
+    * windows + one map-side transition census); the chain itself is a
+    * ≤|event types|+3-state matrix — a documented BOUNDED driver
+    * round-trip (≤49 count rows, the IVF/MMR precedent) that runs 16
+    * declared power iterations per scenario in EXACT integer arithmetic
+    * (transition ppm via the two-step division, state values in e9,
+    * `Σ(P_ppm·p_e9) div 10⁶` per step — the oracle replays the identical
+    * iterations as materialized CTEs, proving the driver math
+    * bit-equal). Output: per channel the base/removed conversion, the
+    * drop, and the normalized share. */
+  def qMarkovAttribution(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type").as("typ"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+    val fp = ev.where(col("typ") === "purchase")
+      .groupBy("user_id").agg(min(col("rk")).as("fp"))
+    val kept = ev.join(fp, Seq("user_id"), "left")
+      .where(col("fp").isNull || col("rk") <= col("fp"))
+    val wk = Window.partitionBy("user_id").orderBy("rk")
+    val mapped = kept
+      .withColumn("nxt_raw", lead(col("typ"), 1).over(wk))
+      .withColumn("dst", when(col("nxt_raw") === "purchase", lit("CONV"))
+        .otherwise(coalesce(col("nxt_raw"), lit("NULL"))))
+    val trans = mapped.where(col("typ") =!= "purchase")
+      .select(col("typ").as("src"), col("dst"))
+    val starts = mapped.where(col("rk") === 1L)
+      .select(lit("START").as("src"),
+        when(col("typ") === "purchase", lit("CONV")).otherwise(col("typ")).as("dst"))
+    val counts = trans.unionAll(starts).groupBy("src", "dst")
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // ---- bounded driver math (≤49 rows), exact integers throughout ----
+    def ppmOf(n: Long, den: Long): Long =
+      (n * 1000 / den) * 1000 + ((n * 1000 % den) * 1000) / den
+    val outTot = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pT = counts.map { case (s0, t0, c) => (s0, t0) -> ppmOf(c, outTot(s0)) }.toMap
+    val states = counts.map(_._1).distinct.sorted
+    val channels = states.filterNot(_ == "START").sorted
+    def absorb(removed: Option[String]): Long = {
+      var p = states.map(_ -> 0L).toMap
+      (1 to 16).foreach { _ =>
+        p = states.map { s0 =>
+          s0 -> (if (removed.contains(s0)) 0L
+          else {
+            val acc = counts.filter(_._1 == s0).map { case (_, t0, _) =>
+              val pv = t0 match {
+                case "CONV" => 1000000000L
+                case "NULL" => 0L
+                case x if removed.contains(x) => 0L
+                case x => p.getOrElse(x, 0L)
+              }
+              pT((s0, t0)) * pv
+            }.sum
+            acc / 1000000L
+          })
+        }.toMap
+      }
+      p("START")
+    }
+    val base = absorb(None)
+    val rows = channels.map { ch =>
+      val rem = absorb(Some(ch))
+      (ch, base, rem, base - rem)
+    }
+    val totDrop = rows.map(_._4).sum
+    import s.implicits._
+    rows.toSeq.map { case (ch, b, r, drp) =>
+      (ch, b, r, drp, if (totDrop > 0) ppmOf(drp, totDrop) else 0L)
+    }.toDF("channel", "p_base_e9", "p_removed_e9", "drop_e9", "share_ppm")
+      .orderBy("channel")
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -7744,6 +7955,8 @@ object Queries {
     "q_naive_forecast" -> (qNaiveForecast _),
     "q_freshness_decay" -> (qFreshnessDecay _),
     "q_part_top_shipments" -> (qPartTopShipments _),
+    "q_ipf_raking" -> (qIpfRaking _),
+    "q_markov_attribution" -> (qMarkovAttribution _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -10861,6 +11074,8 @@ object Queries {
         "SELECT event_type, n, decayed_e9, " +
         s"CAST(${ppmDivSql("decayed_e9", "(n * 1000000000)")} AS BIGINT) AS fresh_ppm " +
         "FROM g ORDER BY event_type"),
+    "q_ipf_raking" -> ipfOracleSql,
+    "q_markov_attribution" -> markovOracleSql,
     "q_part_top_shipments" ->
       ("WITH li AS (SELECT l_partkey AS part, " +
         "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +

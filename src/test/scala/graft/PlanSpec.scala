@@ -1862,6 +1862,24 @@ class PlanSpec extends SparkSuite {
       s"the top-k buffers must combine map-side:\n$exec")
   }
 
+  test("q_ipf_raking: corpus censuses map-side; raking rounds broadcast-only") {
+    val df = Queries.qIpfRaking(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(!exec.contains("SortMergeJoin"),
+      s"every raking join runs on the 125-row broadcast grid:\n$exec")
+  }
+
+  test("q_markov_attribution: chain math is a bounded driver step (LocalTableScan)") {
+    val df = Queries.qMarkovAttribution(spark, SF)
+    val rows = df.collect()
+    assert(rows.length <= 10, s"bounded channel output, got ${rows.length}")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("LocalTableScan"),
+      s"the absorption iterations run on the collected ≤49-row matrix:\n$exec")
+  }
+
   test("q_pca_power: melted 64-group censuses only — never a vec-keyed exchange") {
     val df = Queries.qPcaPower(spark, SF)
     df.collect()

@@ -1421,6 +1421,52 @@ class QueriesSpec extends SparkSuite {
     assert(agg.finish(onePass) == Seq((9L, 1L), (9L, 2L), (9L, 9L)))
   }
 
+  test("q_ipf_raking: five rounds land the margins on the population targets") {
+    val got = Queries.qIpfRaking(spark, SF)
+      .select("seg", "nat", "n", "w_e3", "factor_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (sg, nt, n, w, f) =>
+      assert(n > 0 && w > 0 && f > 0, s"($sg,$nt): n=$n w=$w f=$f")
+    }
+    // after the final column scale, the nation margins are EXACT (the last
+    // rescale fixes them); the segment margins should be within 0.5% of
+    // their targets — the raking convergence claim
+    val segT = Tables.customer(spark, SF).groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    val natT = Tables.customer(spark, SF).groupBy("c_nationkey").count()
+      .as[(Long, Long)].collect().map { case (k, v) => k -> v * 1000L }.toMap
+    val natM = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    natM.foreach { case (nt, m) =>
+      assert(math.abs(m - natT(nt)) <= natM.size,
+        s"nation $nt margin $m vs target ${natT(nt)} (floor slack only)")
+    }
+    val segM = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    segM.foreach { case (sg, m) =>
+      val t = segT(sg) * 1000L
+      assert(math.abs(m - t).toDouble / t < 0.005,
+        s"segment $sg margin $m vs target $t drifted > 0.5%")
+    }
+  }
+
+  test("q_markov_attribution: removal only hurts; shares conserve") {
+    val got = Queries.qMarkovAttribution(spark, SF)
+      .select("channel", "p_base_e9", "p_removed_e9", "drop_e9", "share_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val base = got.head._2
+    assert(base > 0L && base <= 1000000000L)
+    got.foreach { case (ch, b, r, d0, sh) =>
+      assert(b == base, "one base probability for all rows")
+      assert(r >= 0L && r <= b, s"$ch removal must not raise conversion")
+      assert(d0 == b - r && sh >= 0L && sh <= 1000000L, s"$ch d=$d0 sh=$sh")
+    }
+    // floor-division shares: sum within |channels| ppm of exactly 1e6
+    val tot = got.map(_._5).sum
+    assert(tot <= 1000000L && tot >= 1000000L - got.length,
+      s"shares must conserve: $tot")
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
