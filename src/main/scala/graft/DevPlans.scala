@@ -157,6 +157,34 @@ object DevPlans {
         "e4 inside the scan stage, and both argmaxes are conditional " +
         "struct-max aggregates — map-side partials, no window, no sort; " +
         "the readout is |anchors| rows."),
+      "q_minhash_dedup" -> ("LSH banding with the AQE reuse pin: the " +
+        "bucket-count and probe branches both sit on the signature's " +
+        "doc-keyed partial-min exchange, and ReusedExchange dedupes it — " +
+        "the scan→shingles→md5 pipeline runs ONCE per execution (an " +
+        "explicit checkpoint was measured worse; SCALING.md)."),
+      "q_setsim_join" -> ("Exact set-similarity with PPJoin pruning: the " +
+        "length filter rides the prefix candidate join itself, the " +
+        "positional suffix-bound prunes grouped candidates before the " +
+        "exact-intersection joins, and set sizes carry through instead of " +
+        "re-joining — sf1 wall 20.9 s → 3.3 s warm."),
+      "q_hll_distinct" -> ("Portable HyperLogLog: one map-side register-max " +
+        "census per (group, bucket) — 64 mergeable counters per group at " +
+        "any corpus size; the harmonic sum stays an exact int64 and the " +
+        "estimate takes one final double op."),
+      "q_part_top_shipments" -> ("Bounded-buffer grouped top-k: the typed " +
+        "aggregator truncates to k pairs per group in the MAP tasks " +
+        "(partial_topkagg), so the exchange carries k·|groups| rows — " +
+        "no windowspecdefinition anywhere over the fact table."),
+      "q_ipf_raking" -> ("Survey raking: two map-side corpus censuses, " +
+        "then five exact-integer rescale rounds that never leave the " +
+        "≤125-row broadcast grid — per-round lineage cuts keep the " +
+        "10-join chain from re-optimizing its whole prefix."),
+      "q_markov_attribution" -> ("Removal-effect attribution: the plan IS " +
+        "a LocalTableScan — the corpus work (rank/lead truncation + the " +
+        "transition census) ran during construction, and the 16-iteration " +
+        "absorption solve is a documented bounded driver step over the " +
+        "collected ≤49-row matrix, replayed bit-equal by the oracle's " +
+        "materialized CTEs."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
