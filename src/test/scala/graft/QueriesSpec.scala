@@ -1237,6 +1237,30 @@ class QueriesSpec extends SparkSuite {
     // weights descending under the (weight, pair) order
     val ws = after.map(_._2).toSeq
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    // full brute-force equality: apply the merge in Scala (leftmost
+    // non-overlapping over the symbol sequence) and recount symbol pairs
+    val words = Tables.documents(spark, SF)
+      .select(operators.Ops.normalizeText(col("text")).as("t")).as[String].collect()
+      .filter(_.nonEmpty).flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (c1, c2) = (winner.substring(0, 1), winner.substring(1, 2))
+    val weights = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, wf) =>
+      val syms0 = w.split("").toSeq
+      val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms0.length) {
+        if (i + 1 < syms0.length && syms0(i) == c1 && syms0(i + 1) == c2) {
+          merged += c1 + c2; i += 2
+        } else { merged += syms0(i); i += 1 }
+      }
+      (0 until merged.length - 1).foreach { j =>
+        val p = s"${merged(j)}|${merged(j + 1)}"
+        weights(p) = weights.getOrElse(p, 0L) + wf
+      }
+    }
+    val want = weights.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(after.toSeq == want, s"got=${after.toSeq}\nwant=$want")
   }
 
   test("q_link_predict: scores bounded, no existing edge leaks into the candidates") {
