@@ -7648,6 +7648,40 @@ object Queries {
       .orderBy("channel")
   }
 
+  /** Temperature-scaling fit — the calibration REPAIR step that
+    * [[qBrierCalibration]]'s gap column motivates and [[qIsotonicCalibrate]]
+    * complements (temperature is the parametric, order-preserving fix;
+    * isotonic the nonparametric one): grid-search τ ∈ {0.5, 0.6, …, 2.0}
+    * minimizing the binary NLL of `sigmoid(4x/τ)` against the labels.
+    * Each (row, τ) NLL term is row-local double work from exact inputs
+    * SNAPPED to e9 before the per-τ sum (order-free integer totals), and
+    * the winner is an exact `min(struct(nll, τ))` under a total order —
+    * grid search is DECLARED semantics, so both engines agree exactly
+    * (a gradient fit would converge engine-dependently). Shapes at
+    * 100 TB: the 16-row τ grid rides a broadcast into one scan — the
+    * expansion is row-local and combines map-side into 16 totals. */
+  def qTemperatureFit(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(s, d)
+      .select(col("embedding").getItem(0).cast("double").as("x"),
+        expr("CAST(label < 5 AS BIGINT)").as("y"))
+    val grid = s.range(16).toDF("i")
+      .select((col("i") + 5).cast("long").as("tau_e1"))
+    val terms = cells.crossJoin(broadcast(grid))
+      .withColumn("nll_e9", expr(
+        "CAST(round(-(CAST(y AS DOUBLE) * ln(1.0D / (1.0D + exp(-4.0D * x " +
+          "/ (CAST(tau_e1 AS DOUBLE) / 10.0D)))) + (1.0D - CAST(y AS DOUBLE)) " +
+          "* ln(1.0D - 1.0D / (1.0D + exp(-4.0D * x / (CAST(tau_e1 AS DOUBLE) " +
+          "/ 10.0D))))) * 1000000000, 0) AS BIGINT)"))
+    val byTau = terms.groupBy("tau_e1")
+      .agg(count(lit(1)).as("n"), sum(col("nll_e9")).as("nll_sum_e9"))
+    val best = byTau.agg(min(struct(col("nll_sum_e9"), col("tau_e1"))).as("b"))
+      .select(col("b.tau_e1").as("best_tau"))
+    byTau.crossJoin(broadcast(best))
+      .withColumn("is_best", (col("tau_e1") === col("best_tau")).cast("bigint"))
+      .select("tau_e1", "n", "nll_sum_e9", "is_best")
+      .transform(ps(col("tau_e1")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -7957,6 +7991,7 @@ object Queries {
     "q_part_top_shipments" -> (qPartTopShipments _),
     "q_ipf_raking" -> (qIpfRaking _),
     "q_markov_attribution" -> (qMarkovAttribution _),
+    "q_temperature_fit" -> (qTemperatureFit _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -11076,6 +11111,21 @@ object Queries {
         "FROM g ORDER BY event_type"),
     "q_ipf_raking" -> ipfOracleSql,
     "q_markov_attribution" -> markovOracleSql,
+    "q_temperature_fit" ->
+      ("WITH cells AS (SELECT CAST(embedding[1] AS DOUBLE) AS x, " +
+        "CAST(label < 5 AS BIGINT) AS y FROM embeddings), " +
+        "grid AS (SELECT CAST(g.i + 5 AS BIGINT) AS tau_e1 FROM range(16) g(i)), " +
+        "terms AS (SELECT tau_e1, CAST(round(-(CAST(y AS DOUBLE) * " +
+        "ln(1.0 / (1.0 + exp(-4.0 * x / (CAST(tau_e1 AS DOUBLE) / 10.0)))) + " +
+        "(1.0 - CAST(y AS DOUBLE)) * ln(1.0 - 1.0 / (1.0 + exp(-4.0 * x " +
+        "/ (CAST(tau_e1 AS DOUBLE) / 10.0))))) * 1000000000, 0) AS BIGINT) AS nll_e9 " +
+        "FROM cells CROSS JOIN grid), " +
+        "bt AS (SELECT tau_e1, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(nll_e9) AS BIGINT) AS nll_sum_e9 FROM terms GROUP BY 1), " +
+        "best AS (SELECT struct_extract(min(struct_pack(nll_sum_e9 := nll_sum_e9, " +
+        "tau_e1 := tau_e1)), 'tau_e1') AS best_tau FROM bt) " +
+        "SELECT tau_e1, n, nll_sum_e9, CAST(tau_e1 = best_tau AS BIGINT) AS is_best " +
+        "FROM bt CROSS JOIN best ORDER BY tau_e1"),
     "q_part_top_shipments" ->
       ("WITH li AS (SELECT l_partkey AS part, " +
         "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, " +

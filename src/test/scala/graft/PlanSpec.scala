@@ -1880,6 +1880,17 @@ class PlanSpec extends SparkSuite {
       s"the absorption iterations run on the collected ≤49-row matrix:\n$exec")
   }
 
+  test("q_temperature_fit: grid rides a broadcast; 16 totals combine map-side") {
+    val df = Queries.qTemperatureFit(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the 16-row tau grid must broadcast into the scan:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"per-tau NLL totals must combine map-side:\n$exec")
+  }
+
   test("q_pca_power: melted 64-group censuses only — never a vec-keyed exchange") {
     val df = Queries.qPcaPower(spark, SF)
     df.collect()

@@ -1491,6 +1491,27 @@ class QueriesSpec extends SparkSuite {
       s"shares must conserve: $tot")
   }
 
+  test("q_temperature_fit == brute-force grid NLL; exactly one winner") {
+    val got = Queries.qTemperatureFit(spark, SF)
+      .select("tau_e1", "n", "nll_sum_e9", "is_best")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (5L to 20L) && got.map(_._4).sum == 1L)
+    val cells = Tables.embeddings(spark, SF)
+      .select(col("embedding").getItem(0).cast("double").as("x"),
+        expr("CAST(label < 5 AS BIGINT)").as("y"))
+      .as[(Double, Long)].collect()
+    val want = (5L to 20L).map { t =>
+      val nll = cells.map { case (x, y) =>
+        val p = 1.0 / (1.0 + math.exp(-4.0 * x / (t / 10.0)))
+        math.round(-(y * math.log(p) + (1 - y) * math.log(1.0 - p)) * 1e9)
+      }.sum
+      (t, cells.length.toLong, nll)
+    }
+    assert(got.map(r => (r._1, r._2, r._3)) == want)
+    val best = want.minBy(r => (r._3, r._1))._1
+    assert(got.find(_._4 == 1L).get._1 == best)
+  }
+
   test("two-step ppm division is exact where the naive *10^6 would overflow") {
     // ground truth in BigInt; num up to 2^63/1000 — far past the 9.2e12
     // point where `num * 1000000` wraps (ANSI: errors). Contract: num <=
