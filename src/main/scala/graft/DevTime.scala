@@ -1,0 +1,26 @@
+package graft
+
+/** Dev tool: min-of-2 warm noop-sink timing of named queries against an
+  * arbitrary fixture dir — the quiet-JVM adjudication primitive
+  * ([[DevScaling]]'s `time` loop without the fixed-dim replica build), for
+  * full-dimension comparisons (e.g. sf0.1 vs the [[DevSfGen]] sf1 build)
+  * where the fixed-dim organic-growth shape would be the wrong model.
+  * `runMain graft.DevTime <dir> <q1,q2,...>` */
+object DevTime {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(",").toSeq.filter(Queries.all.contains)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    names.foreach { name =>
+      val fn = Queries.all(name)
+      fn(spark, dir).write.mode("overwrite").format("noop").save() // warmup
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[time] $name%-24s $dir $t%8.2f s")
+    }
+    spark.stop()
+  }
+}

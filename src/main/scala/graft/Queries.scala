@@ -7682,6 +7682,178 @@ object Queries {
       .transform(ps(col("tau_e1")))
   }
 
+  /** Jaro-Winkler entity-resolution pass over the part-name vocabulary —
+    * the record-linkage scoring step, exercising the native
+    * [[graft.functions.JaroWinkler]] expression (codegen'd static kernel;
+    * Spark ships no prefix-weighted edit metric). Names dedupe to their
+    * VOCABULARY first (64 adjective×noun combinations, saturated by
+    * sf0.01 — FIXTURES.md), so the pair frame is vocab-bounded at any
+    * fact scale; blocking on the trailing noun keeps candidates to
+    * same-category names (the [[qFuzzyMatch]] discipline, which scores
+    * the Levenshtein tier of the same problem). Each surviving pair
+    * carries both sides' part support — the merge-decision weight an ER
+    * pipeline needs downstream. */
+  def qJaroEr(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.JaroWinkler.jaro_winkler
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", expr("element_at(split(p_name, ' '), -1)"))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"),
+      col("noun"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"),
+      col("noun"))
+    a.join(b, Seq("noun"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("jw_e9",
+        round(jaro_winkler(col("name_a"), col("name_b")) * lit(1000000000L), 0)
+          .cast("bigint"))
+      .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
+      .where(col("jw_e9") >= 800000000L)
+      .orderBy(col("jw_e9").desc, col("name_a"), col("name_b"))
+  }
+
+  /** Exact Shapley-value channel attribution over the four non-conversion
+    * event channels (click/error/signup/view → bits 0-3, alphabetical;
+    * purchase = conversion). The coalition game is `v(S) = converted
+    * users whose touched-channel set ⊆ S` — monotone by construction, so
+    * every marginal `v(S∪{i}) − v(S)` is ≥ 0 and the exact factorial
+    * weights `w(|S|) = |S|!·(3−|S|)! ∈ {6,2,2,6}` (denominator 4! = 24)
+    * keep the whole computation in integers: `Σ_i φ_i·24 = 24·v(full)`
+    * (the efficiency axiom, asserted in QueriesSpec). Shapes at 100 TB:
+    * one user-keyed census (the only data-sized shuffle), then a ≤16-row
+    * mask census against a 16-row subset grid and a 4-row channel frame —
+    * every post-census join is broadcast of a bounded frame. Contrast
+    * [[qMarkovAttribution]] (removal-effect on the transition matrix) and
+    * [[qAttribution]] (positional rules): three attribution doctrines,
+    * one census shape. */
+  def qShapleyAttribution(s: SparkSession, d: String): DataFrame = {
+    val user = Tables.events(s, d).select(col("user_id"),
+        expr("CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 " +
+          "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END").as("bit"),
+        expr("CAST(event_type = 'purchase' AS INT)").as("pur"))
+      .groupBy(col("user_id"))
+      .agg(expr("CAST(bit_or(bit) AS BIGINT)").as("mask"),
+        expr("CAST(max(pur) AS BIGINT)").as("conv"))
+    val maskCensus = user.groupBy(col("mask"))
+      .agg(sum(col("conv")).as("conv_n"))
+    val subsets = s.range(16).toDF("s")
+    val v = broadcast(subsets)
+      .join(broadcast(maskCensus), expr("(mask & s) = mask"), "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("conv_n")), lit(0L)).as("v"))
+    val channels = s.range(4).toDF("i")
+      .withColumn("channel", expr(
+        "CASE i WHEN 0 THEN 'click' WHEN 1 THEN 'error' " +
+          "WHEN 2 THEN 'signup' ELSE 'view' END"))
+    val phi = broadcast(channels)
+      .join(broadcast(v.as("lo")), expr("(shiftright(lo.s, CAST(i AS INT)) & 1) = 0"))
+      .join(broadcast(v.as("hi")),
+        expr("hi.s = (lo.s | shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)))"))
+      .withColumn("w", expr(
+        "CASE WHEN bit_count(lo.s) IN (0, 3) THEN 6 ELSE 2 END"))
+      .groupBy(col("channel"))
+      .agg(sum(expr("w * (hi.v - lo.v)")).as("phi_x24"))
+    val tot = v.where(col("s") === 15L)
+      .select((col("v") * 24L).as("tot_x24"))
+    phi.crossJoin(broadcast(tot))
+      .select(col("channel"), col("phi_x24"),
+        expr(s"CASE WHEN tot_x24 = 0 THEN 0 ELSE CAST(${ppmDiv("phi_x24", "tot_x24")} AS BIGINT) END")
+          .as("share_ppm"))
+      .transform(ps(col("channel")))
+  }
+
+  /** A-Priori frequent-triple mining over order baskets (items =
+    * distinct parts per order, the [[qPartAffinity]] basket model one
+    * level deeper): L2 = pairs with support ≥ 2, candidate triples
+    * joined from L2 pairs sharing their first item with the third pair
+    * membership-pruned (the anti-monotone step — a triple can reach
+    * support 2 only if all three of its pairs did), then true support
+    * counted with every join leg restricted to L2 pairs. Lossless vs the
+    * brute enumeration (the oracle IS the brute enumeration) because
+    * support is anti-monotone. Shapes at 100 TB: basket sizes are
+    * bounded (~5 lines/order at every sf), so the per-basket pair
+    * expansion is a constant factor on the fact table — the pair mass is
+    * fact-LINEAR, not quadratic — and L2/candidates are
+    * frequency-pruned frames that broadcast. */
+  def qFrequentTriples(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val pairOcc = op.as("a")
+      .join(op.as("b"), expr("a.k = b.k AND a.p < b.p"))
+      .select(col("a.k").as("k"), col("a.p").as("pa"), col("b.p").as("pb"))
+    val l2 = pairOcc.groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("supp2"))
+      .where(col("supp2") >= 2L)
+      .select("pa", "pb")
+    val cand = l2.as("x")
+      .join(l2.as("y"), expr("x.pa = y.pa AND x.pb < y.pb"))
+      .select(col("x.pa").as("ca"), col("x.pb").as("cb"), col("y.pb").as("cc"))
+      .join(broadcast(l2.select(col("pa").as("cb"), col("pb").as("cc"))),
+        Seq("cb", "cc"), "left_semi")
+    val occ2 = pairOcc.join(broadcast(l2), Seq("pa", "pb"), "left_semi")
+    occ2.as("o2").join(op.as("c"), expr("o2.k = c.k AND o2.pb < c.p"))
+      .select(col("o2.pa").as("pa"), col("o2.pb").as("pb"), col("c.p").as("pc"))
+      .join(broadcast(cand.select(col("ca").as("pa"), col("cb").as("pb"),
+        col("cc").as("pc"))), Seq("pa", "pb", "pc"), "left_semi")
+      .groupBy(col("pa"), col("pb"), col("pc"))
+      .agg(count(lit(1)).as("supp"))
+      .where(col("supp") >= 2L)
+      .orderBy("pa", "pb", "pc")
+  }
+
+  /** CUPED variance reduction for the A/B readout ([[qAbtestChi2]] /
+    * [[qAbQuantiles]] are the test tier; this is the sensitivity tier):
+    * pre-period covariate X = each user's value mass before Jan 16,
+    * experiment metric Y = mass after; θ = cov(X,Y)/var(X) pooled across
+    * arms, adjusted metric `Y − θX` (the X̄ recentering shifts both arms
+    * identically and cancels in the arm contrast, so it is omitted).
+    * Every per-event value snaps to e3 BEFORE summing (order-free exact
+    * user aggregates); the centered second moments `n·Sxy − Sx·Sy` etc.
+    * are exact DECIMAL(38,0) products of long sums (they overflow a long
+    * at fleet scale), and θ_e9 plus the realized variance-reduction ρ²
+    * are presented through byte-identical double expressions from those
+    * exact integers in both engines. Shapes at 100 TB: one user-keyed
+    * census (the only data-sized shuffle), a 1-row pooled moment frame
+    * broadcast back over the 2-row arm census — the adjustment never
+    * rescans events. */
+  def qCuped(s: SparkSession, d: String): DataFrame = {
+    val user = Tables.events(s, d).select(
+        (col("user_id") % 2).as("arm"), col("user_id"),
+        expr("CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN " +
+          "CAST(round(value * 1000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("xv"),
+        expr("CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN " +
+          "CAST(round(value * 1000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("yv"))
+      .groupBy(col("arm"), col("user_id"))
+      .agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+    val pooled = user.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))").as("cxx"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))").as("cxy"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))").as("cyy"))
+      .select(
+        expr("CASE WHEN cxx = 0 THEN 0 ELSE CAST(round(CAST(cxy AS DOUBLE) " +
+          "/ CAST(cxx AS DOUBLE) * 1000000000, 0) AS BIGINT) END").as("theta_e9"),
+        expr("CASE WHEN cxx = 0 OR cyy = 0 THEN 0 ELSE CAST(round(" +
+          "CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) / (CAST(cxx AS DOUBLE) " +
+          "* CAST(cyy AS DOUBLE)) * 1000000, 0) AS BIGINT) END").as("varred_ppm"))
+    user.crossJoin(broadcast(pooled))
+      .withColumn("adj12", expr("y * 1000000000 - theta_e9 * x"))
+      .groupBy(col("arm"), col("theta_e9"), col("varred_ppm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
+        sum(expr("CAST(adj12 AS DECIMAL(38,0))")).as("sadj"))
+      .select(col("arm"), col("n_users"),
+        expr(s"CAST(${roundDiv("sy", "n_users", 1000L)} AS BIGINT)").as("mean_raw_e6"),
+        expr("CAST(round(CAST(sadj AS DOUBLE) / CAST(n_users AS DOUBLE) " +
+          "/ 1000000.0, 0) AS BIGINT)").as("mean_adj_e6"),
+        col("theta_e9"), col("varred_ppm"))
+      .transform(ps(col("arm")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -7992,6 +8164,10 @@ object Queries {
     "q_ipf_raking" -> (qIpfRaking _),
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_temperature_fit" -> (qTemperatureFit _),
+    "q_jaro_er" -> (qJaroEr _),
+    "q_shapley_attribution" -> (qShapleyAttribution _),
+    "q_frequent_triples" -> (qFrequentTriples _),
+    "q_cuped" -> (qCuped _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -11133,5 +11309,74 @@ object Queries {
         "r AS (SELECT part, cents, rid, CAST(row_number() OVER (PARTITION BY part " +
         "ORDER BY cents DESC, rid) AS BIGINT) AS rank FROM li) " +
         "SELECT part, rank, cents, rid FROM r WHERE rank <= 3 ORDER BY part, rank"),
+    "q_jaro_er" ->
+      ("WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts, " +
+        "string_split(p_name, ' ')[-1] AS noun FROM part GROUP BY 1), " +
+        "p AS (SELECT a.p_name AS name_a, b.p_name AS name_b, " +
+        "a.n_parts AS n_a, b.n_parts AS n_b, " +
+        "CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000000, 0) " +
+        "AS BIGINT) AS jw_e9 FROM n a JOIN n b ON a.noun = b.noun " +
+        "AND a.p_name < b.p_name) " +
+        "SELECT name_a, name_b, n_a, n_b, jw_e9 FROM p WHERE jw_e9 >= 800000000 " +
+        "ORDER BY jw_e9 DESC, name_a, name_b"),
+    "q_shapley_attribution" ->
+      ("WITH u AS (SELECT user_id, CAST(bit_or(CASE event_type " +
+        "WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 " +
+        "WHEN 'view' THEN 8 ELSE 0 END) AS BIGINT) AS mask, " +
+        "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS conv FROM events GROUP BY 1), " +
+        "mc AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS conv_n FROM u GROUP BY 1), " +
+        "v AS (SELECT g.s, CAST(coalesce(sum(mc.conv_n), 0) AS BIGINT) AS v " +
+        "FROM (SELECT CAST(i AS BIGINT) AS s FROM range(16) t(i)) g " +
+        "LEFT JOIN mc ON (mc.mask & g.s) = mc.mask GROUP BY 1), " +
+        "ch AS (SELECT CAST(i AS BIGINT) AS i, CASE i WHEN 0 THEN 'click' " +
+        "WHEN 1 THEN 'error' WHEN 2 THEN 'signup' ELSE 'view' END AS channel " +
+        "FROM range(4) t(i)), " +
+        "phi AS (SELECT ch.channel, CAST(sum((CASE WHEN bit_count(lo.s) IN (0, 3) " +
+        "THEN 6 ELSE 2 END) * (hi.v - lo.v)) AS BIGINT) AS phi_x24 " +
+        "FROM ch JOIN v lo ON ((lo.s >> i) & 1) = 0 " +
+        "JOIN v hi ON hi.s = (lo.s | (1 << i)) GROUP BY 1), " +
+        "tot AS (SELECT v * 24 AS tot_x24 FROM v WHERE s = 15) " +
+        "SELECT channel, phi_x24, CASE WHEN tot_x24 = 0 THEN 0 ELSE " +
+        s"CAST(${ppmDivSql("phi_x24", "tot_x24")} AS BIGINT) END AS share_ppm " +
+        "FROM phi CROSS JOIN tot ORDER BY channel"),
+    "q_frequent_triples" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), " +
+        "tri AS (SELECT a.p AS pa, b.p AS pb, c.p AS pc, " +
+        "CAST(count(*) AS BIGINT) AS supp FROM op a " +
+        "JOIN op b ON a.k = b.k AND a.p < b.p " +
+        "JOIN op c ON b.k = c.k AND b.p < c.p GROUP BY 1, 2, 3) " +
+        "SELECT pa, pb, pc, supp FROM tri WHERE supp >= 2 ORDER BY pa, pb, pc"),
+    "q_cuped" ->
+      ("WITH u AS (SELECT user_id % 2 AS arm, user_id, " +
+        "CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN " +
+        "CAST(round(value * 1000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN " +
+        "CAST(round(value * 1000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx, " +
+        "sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy, " +
+        "sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy FROM u), " +
+        "c AS (SELECT CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * " +
+        "CAST(sx AS HUGEINT) AS cxx, CAST(n AS HUGEINT) * sxy - " +
+        "CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS cxy, " +
+        "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) " +
+        "AS cyy FROM m), " +
+        "p AS (SELECT CASE WHEN cxx = 0 THEN 0 ELSE CAST(round(CAST(cxy AS DOUBLE) " +
+        "/ CAST(cxx AS DOUBLE) * 1000000000, 0) AS BIGINT) END AS theta_e9, " +
+        "CASE WHEN cxx = 0 OR cyy = 0 THEN 0 ELSE CAST(round(CAST(cxy AS DOUBLE) " +
+        "* CAST(cxy AS DOUBLE) / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)) " +
+        "* 1000000, 0) AS BIGINT) END AS varred_ppm FROM c), " +
+        "adj AS (SELECT arm, theta_e9, varred_ppm, y, " +
+        "y * 1000000000 - theta_e9 * x AS adj12 FROM u CROSS JOIN p), " +
+        "g AS (SELECT arm, theta_e9, varred_ppm, CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(y) AS BIGINT) AS sy, sum(CAST(adj12 AS HUGEINT)) AS sadj " +
+        "FROM adj GROUP BY 1, 2, 3) " +
+        "SELECT arm, n_users, " +
+        s"CAST(${roundDivSql("sy", "n_users", 1000L)} AS BIGINT) AS mean_raw_e6, " +
+        "CAST(round(CAST(sadj AS DOUBLE) / CAST(n_users AS DOUBLE) / 1000000.0, 0) " +
+        "AS BIGINT) AS mean_adj_e6, theta_e9, varred_ppm FROM g ORDER BY arm"),
   )
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     Seq(CosineSim.registryEntry, Shingles.registryEntry, SimHash64.registryEntry,
-        TextStats.registryEntry).foreach {
+        TextStats.registryEntry, JaroWinkler.registryEntry).foreach {
       case (name, info, builder) =>
         e.injectFunction((FunctionIdentifier(name), info, builder))
     }

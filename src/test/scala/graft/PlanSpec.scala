@@ -1903,4 +1903,50 @@ class PlanSpec extends SparkSuite {
     assert(exec.contains("BroadcastNestedLoopJoin"),
       s"the 1-row mean array must ride a broadcast:\n$exec")
   }
+
+  test("q_jaro_er: vocab census first, noun-blocked equi-join, native jw codegen") {
+    val df = Queries.qJaroEr(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("NestedLoop"),
+      s"blocking must be an equi-join on the noun:\n$exec")
+    assert(exec.contains("jaro_winkler"),
+      s"the native expression must appear in the physical plan:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"the name-vocabulary census must combine map-side before the join:\n$exec")
+  }
+
+  test("q_shapley_attribution: one user census; every post-census join broadcast") {
+    val df = Queries.qShapleyAttribution(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(!exec.contains("SortMergeJoin"),
+      s"subset-grid and channel joins run on ≤16-row broadcast frames:\n$exec")
+    assert(exec.contains("partial_"),
+      s"the user-mask census must combine map-side:\n$exec")
+  }
+
+  test("q_frequent_triples: L2/candidate prunes broadcast; no pair blowup path") {
+    val df = Queries.qFrequentTriples(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("NestedLoop"),
+      s"all joins equi-keyed on the basket:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the frequency-pruned L2/candidate frames must broadcast:\n$exec")
+  }
+
+  test("q_cuped: user census map-side; pooled moments ride one 1-row broadcast") {
+    val df = Queries.qCuped(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(!exec.contains("SortMergeJoin"),
+      s"the only join is the broadcast pooled-moment frame:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"theta/varred must ride a 1-row broadcast back over users:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the per-user census must combine map-side:\n$exec")
+  }
 }

@@ -1532,4 +1532,116 @@ class QueriesSpec extends SparkSuite {
       assert(got == want, s"num=$n den=$d got=$got want=$want")
     }
   }
+
+  test("q_shapley_attribution == brute-force permutation Shapley; efficiency axiom") {
+    val got = Queries.qShapleyAttribution(spark, SF)
+      .select("channel", "phi_x24", "share_ppm")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq("click", "error", "signup", "view"))
+    // brute force: 4! = 24 orderings, marginal contribution of each channel
+    // when it arrives, summed — that sum IS phi·24 exactly
+    val bits = Map("click" -> 1L, "error" -> 2L, "signup" -> 4L, "view" -> 8L)
+    val users = Tables.events(spark, SF)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+      .groupBy(_._1).toSeq.map { case (_, evs) =>
+        val types = evs.map(_._2).toSet
+        (bits.filter(b => types(b._1)).values.sum,
+          if (types("purchase")) 1L else 0L)
+      }
+    def v(s: Long): Long = users.filter(u => (u._1 & s) == u._1).map(_._2).sum
+    val chans = Seq("click", "error", "signup", "view")
+    val brute = chans.map { c =>
+      c -> chans.permutations.map { perm =>
+        val before = perm.takeWhile(_ != c).map(bits).sum
+        v(before | bits(c)) - v(before)
+      }.sum
+    }.toMap
+    got.foreach { case (c, phi, _) =>
+      assert(phi == brute(c), s"$c: got $phi want ${brute(c)}")
+    }
+    assert(got.map(_._2).sum == 24L * v(15L), "efficiency: Σφ·24 = 24·v(N)")
+    val shares = got.map(_._3).sum
+    assert(shares <= 1000000L && shares >= 1000000L - 4, s"shares sum $shares")
+  }
+
+  test("q_frequent_triples == brute-force enumeration; A-Priori consistency") {
+    val got = Queries.qFrequentTriples(spark, SF)
+      .select("pa", "pb", "pc", "supp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val baskets = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).sorted).toSeq
+    val brute = baskets.flatMap(_.combinations(3).map(c => (c(0), c(1), c(2))))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L)
+      .map { case ((a, b, c), s0) => (a, b, c, s0) }.toSet
+    assert(got == brute, s"got ${got.size} brute ${brute.size}")
+    // anti-monotone: every pair inside an emitted triple reaches support 2
+    val pairSupp = baskets.flatMap(_.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    got.foreach { case (a, b, c, _) =>
+      Seq((a, b), (a, c), (b, c)).foreach { p =>
+        assert(pairSupp(p) >= 2, s"pair $p under triple ($a,$b,$c)")
+      }
+    }
+  }
+
+  test("q_cuped matches brute-force pooled-theta math; reduction in [0, 1e6]") {
+    val got = Queries.qCuped(spark, SF)
+      .select("arm", "n_users", "mean_raw_e6", "mean_adj_e6", "theta_e9", "varred_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(0L, 1L))
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val users = Tables.events(spark, SF)
+      .select($"user_id", $"ts", $"value").as[(Long, java.sql.Timestamp, Double)]
+      .collect().groupBy(_._1).map { case (uid, evs) =>
+        (uid % 2,
+          evs.filter(_._2.before(cut)).map(e => math.round(e._3 * 1000)).sum,
+          evs.filter(e => !e._2.before(cut)).map(e => math.round(e._3 * 1000)).sum)
+      }.toSeq
+    val n = users.size
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val cxx = (BigInt(n) * users.map(u => BigInt(u._2) * BigInt(u._2)).sum
+      - BigInt(sx) * BigInt(sx))
+    val cxy = (BigInt(n) * users.map(u => BigInt(u._2) * BigInt(u._3)).sum
+      - BigInt(sx) * BigInt(sy))
+    val cyy = (BigInt(n) * users.map(u => BigInt(u._3) * BigInt(u._3)).sum
+      - BigInt(sy) * BigInt(sy))
+    val theta = math.round(cxy.toDouble / cxx.toDouble * 1e9)
+    val varred = math.round(cxy.toDouble * cxy.toDouble
+      / (cxx.toDouble * cyy.toDouble) * 1e6)
+    got.foreach { case (arm, nu, rawE6, adjE6, t, vr) =>
+      assert(t == theta && vr == varred, s"pooled stats drifted on arm $arm")
+      assert(vr >= 0L && vr <= 1000000L)
+      val armU = users.filter(_._1 == arm)
+      assert(nu == armU.size.toLong)
+      val wantRaw = ((BigInt(armU.map(_._3).sum) * 1000 * 2
+        + BigInt(armU.size)) / (2 * BigInt(armU.size))).toLong
+      assert(rawE6 == wantRaw, s"arm $arm raw mean")
+      val sadj = armU.map(u => BigInt(u._3) * BigInt(1000000000L)
+        - BigInt(theta) * BigInt(u._2)).sum
+      assert(adjE6 == math.round(sadj.toDouble / armU.size / 1e6),
+        s"arm $arm adj mean")
+    }
+  }
+
+  test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
+    val got = Queries.qJaroEr(spark, SF)
+      .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val names = Tables.part(spark, SF).groupBy($"p_name")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect()
+    assert(names.length <= 64, "vocabulary must stay bounded")
+    def jw(a: String, b: String): Double = graft.functions.JaroWinkler.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val brute = (for {
+      (a, na) <- names; (b, nb) <- names
+      if a < b && a.split(' ').last == b.split(' ').last
+      e9 = math.round(jw(a, b) * 1e9)
+      if e9 >= 800000000L
+    } yield (a, b, na, nb, e9)).toSet
+    assert(got == brute, s"got ${got.size} brute ${brute.size}")
+  }
 }
