@@ -7441,6 +7441,39 @@ object Queries {
     * unrolled as MATERIALIZED CTE pairs (each round's frame is referenced
     * twice — by its own margin sum and by the rescale — and DuckDB
     * re-derives inlined CTEs per reference; see the q_kcore adjudication). */
+  /** [[qLogisticStep]]'s oracle: the three GD iterations replayed as
+    * materialized CTE chains — per-step census over the embedding scan
+    * with the previous weights in scope, update by the shared
+    * truncate-toward-zero `//`, weights re-snapped to e9 integers each
+    * step so both engines stay bit-identical. */
+  private[graft] lazy val logisticOracleSql: String = {
+    val z = "CAST(w0 AS DOUBLE) / 1e9 + CAST(w1 AS DOUBLE) / 1e9 * x1 " +
+      "+ CAST(w2 AS DOUBLE) / 1e9 * x2"
+    def g(xj: String) =
+      s"CAST(round((1.0 / (1.0 + exp(-($z))) - y) * $xj * 1000000000, 0) AS BIGINT)"
+    val steps = (1 to 3).map { i =>
+      val prev = if (i == 1) "w0cte" else s"w$i${"p"}cte"
+      // census over cells with the previous weights in scope
+      s"c$i AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum(${g("1.0")}) AS BIGINT) AS g0, " +
+        s"CAST(sum(${g("x1")}) AS BIGINT) AS g1, " +
+        s"CAST(sum(${g("x2")}) AS BIGINT) AS g2, " +
+        s"CAST(min(w0) AS BIGINT) AS pw0, CAST(min(w1) AS BIGINT) AS pw1, " +
+        s"CAST(min(w2) AS BIGINT) AS pw2 FROM cells CROSS JOIN $prev), " +
+        s"w${i + 1}pcte AS (SELECT pw0 - g0 // n AS w0, pw1 - g1 // n AS w1, " +
+        s"pw2 - g2 // n AS w2 FROM c$i)"
+    }.mkString(", ")
+    "WITH cells AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1, " +
+      "CAST(embedding[2] AS DOUBLE) AS x2, " +
+      "CAST(CAST(label < 5 AS BIGINT) AS DOUBLE) AS y FROM embeddings), " +
+      "w0cte AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
+      "CAST(0 AS BIGINT) AS w2), " + steps + " " +
+      "SELECT step, w0 AS w0_e9, w1 AS w1_e9, w2 AS w2_e9 FROM (" +
+      (1 to 3).map(i => s"SELECT CAST($i AS BIGINT) AS step, w0, w1, w2 " +
+        s"FROM w${i + 1}pcte").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+  }
+
   private[graft] lazy val ipfOracleSql: String = {
     val rescale = "(w // s) * t + ((w % s) * t) // s"
     val rounds = (1 to 5).map { i =>
@@ -7854,6 +7887,150 @@ object Queries {
       .transform(ps(col("arm")))
   }
 
+  /** Closed-form two-feature OLS via the normal equations — multiple
+    * regression as ONE map-side census ([[qRegrTrend]] is the
+    * single-feature tier): y = price dollars on x₁ = quantity, x₂ =
+    * discount e2. The nine raw power sums are exact longs; the centered
+    * (×n) second moments `n·Sxy − Sx·Sy` are exact DECIMAL(38,0)/HUGEINT
+    * products (they pass 2⁶³ at fleet scale); the Cramer solve, intercept
+    * and R² are byte-identical double expressions from those exact
+    * integers — the engines agree because the INPUTS are bit-equal and
+    * the IEEE op sequence is shared. Shapes at 100 TB: one scan, nine
+    * map-side-combined totals, a 1-row solve — no second pass, no
+    * gradient loop, no shuffle beyond the single-row aggregate. */
+  def qOlsClosed(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d).select(
+      expr("CAST(l_quantity AS BIGINT)").as("x1"),
+      expr("CAST(round(l_discount * 100, 0) AS BIGINT)").as("x2"),
+      expr("CAST(round(l_extendedprice, 0) AS BIGINT)").as("y"))
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    cells.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(expr("x1 * x1")).as("s11"), sum(expr("x1 * x2")).as("s12"),
+        sum(expr("x2 * x2")).as("s22"), sum(expr("x1 * y")).as("s1y"),
+        sum(expr("x2 * y")).as("s2y"), sum(expr("y * y")).as("syy"))
+      .select(col("n"),
+        expr(s"${dec.format("n")} * ${dec.format("s11")} - ${dec.format("s1")} * ${dec.format("s1")}").as("a11"),
+        expr(s"${dec.format("n")} * ${dec.format("s12")} - ${dec.format("s1")} * ${dec.format("s2")}").as("a12"),
+        expr(s"${dec.format("n")} * ${dec.format("s22")} - ${dec.format("s2")} * ${dec.format("s2")}").as("a22"),
+        expr(s"${dec.format("n")} * ${dec.format("s1y")} - ${dec.format("s1")} * ${dec.format("sy")}").as("b1"),
+        expr(s"${dec.format("n")} * ${dec.format("s2y")} - ${dec.format("s2")} * ${dec.format("sy")}").as("b2"),
+        expr(s"${dec.format("n")} * ${dec.format("syy")} - ${dec.format("sy")} * ${dec.format("sy")}").as("cyy"),
+        col("s1"), col("s2"), col("sy"))
+      .withColumn("det", expr("CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) " +
+        "- CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)"))
+      .withColumn("beta1d", expr("(CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE) " +
+        "- CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det"))
+      .withColumn("beta2d", expr("(CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE) " +
+        "- CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det"))
+      .select(col("n"),
+        expr("CAST(round(beta1d * 1000000, 0) AS BIGINT)").as("beta_qty_e6"),
+        expr("CAST(round(beta2d * 1000000, 0) AS BIGINT)").as("beta_disc_e6"),
+        expr("CAST(round((CAST(sy AS DOUBLE) - beta1d * CAST(s1 AS DOUBLE) " +
+          "- beta2d * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) * 1000, 0) " +
+          "AS BIGINT)").as("intercept_e3"),
+        expr("CAST(round((beta1d * CAST(b1 AS DOUBLE) + beta2d * CAST(b2 AS DOUBLE)) " +
+          "/ CAST(cyy AS DOUBLE) * 1000000, 0) AS BIGINT)").as("r2_ppm"))
+  }
+
+  /** Three declared gradient-descent steps of two-feature logistic
+    * regression ([[qKmeansStep]] is the clustering iterate; this is the
+    * GLM one): y = (label < 5) on the first two embedding dims, weights
+    * carried as e9 integers so every step RE-SNAPS to a bit-identical
+    * state in both engines (a float weight would accumulate engine
+    * drift). Per step: the sigmoid residual terms are row-local doubles
+    * from exact broadcast weights, e9-snapped BEFORE the sum (order-free
+    * integer gradients), and the update `w −= Σg div n` uses the shared
+    * truncate-toward-zero integer division. Shapes at 100 TB: each step
+    * is one scan with three map-side-combined totals and a 1-row weight
+    * broadcast — the classic distributed-GD shape; iterating further =
+    * looping this plan with the checkpoint discipline. */
+  def qLogisticStep(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(s, d).select(
+      expr("CAST(embedding[0] AS DOUBLE)").as("x1"),
+      expr("CAST(embedding[1] AS DOUBLE)").as("x2"),
+      expr("CAST(CAST(label < 5 AS BIGINT) AS DOUBLE)").as("y"))
+    val g = (w: String, xj: String) => // e9-snapped per-row gradient term
+      s"CAST(round((1.0D / (1.0D + exp(-($w))) - y) * $xj * 1000000000, 0) AS BIGINT)"
+    def stepOnce(w: DataFrame, i: Int): DataFrame = {
+      val z = "CAST(w0 AS DOUBLE) / 1e9 + CAST(w1 AS DOUBLE) / 1e9 * x1 " +
+        "+ CAST(w2 AS DOUBLE) / 1e9 * x2"
+      cells.crossJoin(broadcast(w))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(g(z, "1.0D"))).as("g0"), sum(expr(g(z, "x1"))).as("g1"),
+          sum(expr(g(z, "x2"))).as("g2"),
+          first(col("w0")).as("w0"), first(col("w1")).as("w1"),
+          first(col("w2")).as("w2"))
+        .select(expr("w0 - g0 div n").as("w0"), expr("w1 - g1 div n").as("w1"),
+          expr("w2 - g2 div n").as("w2"), lit(i.toLong).as("step"))
+    }
+    def w0row = s.sql("SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1, " +
+      "CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) step")
+    // emit all three states: replaying the fold per step costs 1+2+3 scans
+    // and keeps the query a pure DataFrame — no driver math, no collect
+    val states = (1 to 3).map(k => (1 to k).foldLeft(w0row)(stepOnce))
+    states.reduce(_ unionByName _)
+      .select(col("step"), col("w0").as("w0_e9"), col("w1").as("w1_e9"),
+        col("w2").as("w2_e9"))
+      .transform(ps(col("step")))
+  }
+
+  /** Merkle-style two-level table diff — the replica-reconciliation step
+    * [[qTableChecksum]] motivates and [[qSnapshotDiff]] brute-forces:
+    * both versions summarize into 256 md5-keyed buckets (count + XOR'd
+    * 60-bit row hashes, all map-side-combinable), the bucket summaries
+    * join to name the DIRTY buckets, and only rows hashing into a dirty
+    * bucket enter the row-grain full-outer diff (broadcast semi-join
+    * filter). At 100 TB with a 0.1 % drift rate this is the difference
+    * between shuffling two full tables and shuffling ~the changed rows:
+    * the checksum pass is map-side, the diff pass is drift-proportional.
+    * Version deltas are declared arithmetic on the shared fixture
+    * (adds ≡ 0 mod 1013, drops ≡ 0 mod 1009, cent bumps ≡ 0 mod 997). */
+  def qMerkleDiff(s: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture — collapse to
+    // one exact-cent payload per rid so the diff has a true key
+    val base = Tables.lineitem(s, d).select(
+      expr("l_orderkey * 10 + l_linenumber").as("rid"),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("rid")).agg(sum(col("cents")).as("cents"))
+    val old = base.where(expr("rid % 1013 != 0"))
+    val nw = base.where(expr("rid % 1009 != 0"))
+      .select(col("rid"),
+        expr("cents + CASE WHEN rid % 997 = 0 THEN 100 ELSE 0 END").as("cents"))
+    val bucketOf = "CAST(conv(substr(md5(CAST(rid AS STRING)), 1, 2), 16, 10) AS BIGINT)"
+    def summarize(df: DataFrame): DataFrame = df.select(
+        expr(bucketOf).as("bucket"),
+        expr("CAST(conv(substr(md5(concat_ws('|', rid, cents)), 1, 15), 16, 10) " +
+          "AS BIGINT)").as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("ck"))
+    val dirty = summarize(old)
+      .select(col("bucket"), col("n").as("old_n"), col("ck").as("old_ck"))
+      .join(summarize(nw)
+        .select(col("bucket"), col("n").as("new_n"), col("ck").as("new_ck")),
+        Seq("bucket"), "full_outer")
+      .where(expr("old_n IS DISTINCT FROM new_n OR old_ck IS DISTINCT FROM new_ck"))
+      .select(col("bucket"), coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+    def keyed(df: DataFrame, cn: String): DataFrame = df
+      .select(expr(bucketOf).as("bucket"), col("rid"), col("cents").as(cn))
+      .join(broadcast(dirty.select(col("bucket"))), Seq("bucket"), "left_semi")
+    val diff = keyed(old, "old_c")
+      .join(keyed(nw, "new_c"), Seq("bucket", "rid"), "full_outer")
+      .groupBy(col("bucket"))
+      .agg(sum(expr("CAST(old_c IS NULL AS BIGINT)")).as("n_added"),
+        sum(expr("CAST(new_c IS NULL AS BIGINT)")).as("n_removed"),
+        sum(expr("CAST(old_c IS NOT NULL AND new_c IS NOT NULL " +
+          "AND old_c != new_c AS BIGINT)")).as("n_changed"))
+    dirty.join(diff, Seq("bucket"), "left")
+      .select(expr("bucket div 16").as("super"), col("bucket"),
+        col("old_n"), col("new_n"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"))
+      .orderBy(col("bucket"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -8168,6 +8345,9 @@ object Queries {
     "q_shapley_attribution" -> (qShapleyAttribution _),
     "q_frequent_triples" -> (qFrequentTriples _),
     "q_cuped" -> (qCuped _),
+    "q_ols_closed" -> (qOlsClosed _),
+    "q_logistic_step" -> (qLogisticStep _),
+    "q_merkle_diff" -> (qMerkleDiff _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -11378,5 +11558,74 @@ object Queries {
         s"CAST(${roundDivSql("sy", "n_users", 1000L)} AS BIGINT) AS mean_raw_e6, " +
         "CAST(round(CAST(sadj AS DOUBLE) / CAST(n_users AS DOUBLE) / 1000000.0, 0) " +
         "AS BIGINT) AS mean_adj_e6, theta_e9, varred_ppm FROM g ORDER BY arm"),
+    "q_ols_closed" ->
+      ("WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x1, " +
+        "CAST(round(l_discount * 100, 0) AS BIGINT) AS x2, " +
+        "CAST(round(l_extendedprice, 0) AS BIGINT) AS y FROM lineitem), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2, " +
+        "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1 * x1) AS BIGINT) AS s11, " +
+        "CAST(sum(x1 * x2) AS BIGINT) AS s12, CAST(sum(x2 * x2) AS BIGINT) AS s22, " +
+        "CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y, " +
+        "CAST(sum(y * y) AS BIGINT) AS syy FROM cells), " +
+        "c AS (SELECT n, s1, s2, sy, " +
+        "CAST(n AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS a11, " +
+        "CAST(n AS HUGEINT) * s12 - CAST(s1 AS HUGEINT) * CAST(s2 AS HUGEINT) AS a12, " +
+        "CAST(n AS HUGEINT) * s22 - CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT) AS a22, " +
+        "CAST(n AS HUGEINT) * s1y - CAST(s1 AS HUGEINT) * CAST(sy AS HUGEINT) AS b1, " +
+        "CAST(n AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * CAST(sy AS HUGEINT) AS b2, " +
+        "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS cyy " +
+        "FROM m), " +
+        "b AS (SELECT *, CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) " +
+        "- CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) AS det FROM c), " +
+        "bb AS (SELECT *, (CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE) " +
+        "- CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det AS beta1d, " +
+        "(CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE) " +
+        "- CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det AS beta2d FROM b) " +
+        "SELECT n, CAST(round(beta1d * 1000000, 0) AS BIGINT) AS beta_qty_e6, " +
+        "CAST(round(beta2d * 1000000, 0) AS BIGINT) AS beta_disc_e6, " +
+        "CAST(round((CAST(sy AS DOUBLE) - beta1d * CAST(s1 AS DOUBLE) " +
+        "- beta2d * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) * 1000, 0) AS BIGINT) " +
+        "AS intercept_e3, " +
+        "CAST(round((beta1d * CAST(b1 AS DOUBLE) + beta2d * CAST(b2 AS DOUBLE)) " +
+        "/ CAST(cyy AS DOUBLE) * 1000000, 0) AS BIGINT) AS r2_ppm FROM bb"),
+    "q_logistic_step" -> logisticOracleSql,
+    "q_merkle_diff" ->
+      ("WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS rid, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) " +
+        "AS cents FROM lineitem GROUP BY 1), " +
+        "old AS (SELECT rid, cents FROM base WHERE rid % 1013 != 0), " +
+        "nw AS (SELECT rid, cents + CASE WHEN rid % 997 = 0 THEN 100 ELSE 0 END " +
+        "AS cents FROM base WHERE rid % 1009 != 0), " +
+        "so AS (SELECT CAST('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 2) " +
+        "AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS old_n, " +
+        "CAST(bit_xor(CAST('0x' || substr(md5(concat_ws('|', rid, cents)), 1, 15) " +
+        "AS BIGINT)) AS BIGINT) AS old_ck FROM old GROUP BY 1), " +
+        "sn AS (SELECT CAST('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 2) " +
+        "AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS new_n, " +
+        "CAST(bit_xor(CAST('0x' || substr(md5(concat_ws('|', rid, cents)), 1, 15) " +
+        "AS BIGINT)) AS BIGINT) AS new_ck FROM nw GROUP BY 1), " +
+        "dirty AS (SELECT coalesce(so.bucket, sn.bucket) AS bucket, " +
+        "coalesce(old_n, 0) AS old_n, coalesce(new_n, 0) AS new_n " +
+        "FROM so FULL OUTER JOIN sn ON so.bucket = sn.bucket " +
+        "WHERE old_n IS DISTINCT FROM new_n OR old_ck IS DISTINCT FROM new_ck), " +
+        "ko AS (SELECT CAST('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 2) " +
+        "AS BIGINT) AS bucket, rid, cents AS old_c FROM old), " +
+        "kn AS (SELECT CAST('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 2) " +
+        "AS BIGINT) AS bucket, rid, cents AS new_c FROM nw), " +
+        "kod AS (SELECT ko.* FROM ko SEMI JOIN dirty ON ko.bucket = dirty.bucket), " +
+        "knd AS (SELECT kn.* FROM kn SEMI JOIN dirty ON kn.bucket = dirty.bucket), " +
+        "diff AS (SELECT coalesce(kod.bucket, knd.bucket) AS bucket, " +
+        "CAST(sum(CASE WHEN old_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added, " +
+        "CAST(sum(CASE WHEN new_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "CAST(sum(CASE WHEN old_c IS NOT NULL AND new_c IS NOT NULL " +
+        "AND old_c != new_c THEN 1 ELSE 0 END) AS BIGINT) AS n_changed " +
+        "FROM kod FULL OUTER JOIN knd ON kod.bucket = knd.bucket " +
+        "AND kod.rid = knd.rid GROUP BY 1) " +
+        "SELECT dirty.bucket // 16 AS super, dirty.bucket, old_n, new_n, " +
+        "coalesce(n_added, 0) AS n_added, coalesce(n_removed, 0) AS n_removed, " +
+        "coalesce(n_changed, 0) AS n_changed " +
+        "FROM dirty LEFT JOIN diff ON dirty.bucket = diff.bucket " +
+        "ORDER BY dirty.bucket"),
   )
 }

@@ -1949,4 +1949,36 @@ class PlanSpec extends SparkSuite {
     assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
       s"the per-user census must combine map-side:\n$exec")
   }
+
+  test("q_ols_closed: one scan, one map-side census, zero joins") {
+    val df = Queries.qOlsClosed(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"), s"the closed form needs no join at all:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the nine power sums must combine map-side:\n$exec")
+  }
+
+  test("q_logistic_step: weights ride broadcasts; gradients combine map-side") {
+    val df = Queries.qLogisticStep(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(!exec.contains("SortMergeJoin"),
+      s"the 1-row weight frames must broadcast into each scan:\n$exec")
+    assert(exec.contains("BroadcastNestedLoopJoin"), exec)
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"per-step gradient totals must combine map-side:\n$exec")
+  }
+
+  test("q_merkle_diff: row-grain diff runs behind a broadcast dirty-bucket semi") {
+    val df = Queries.qMerkleDiff(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("NestedLoop"), exec)
+    assert(exec.contains("LeftSemi"),
+      s"only dirty buckets' rows may enter the full-outer diff:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"bucket checksums must combine map-side:\n$exec")
+  }
 }

@@ -1626,6 +1626,101 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_ols_closed == BigInt normal equations solved in the same IEEE order") {
+    val got = Queries.qOlsClosed(spark, SF)
+      .select("n", "beta_qty_e6", "beta_disc_e6", "intercept_e3", "r2_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val cells = Tables.lineitem(spark, SF)
+      .select($"l_quantity".cast("long"),
+        expr("CAST(round(l_discount * 100, 0) AS BIGINT)"),
+        expr("CAST(round(l_extendedprice, 0) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+    val n = BigInt(cells.length)
+    def S(f: ((Long, Long, Long)) => BigInt) = cells.map(f).sum
+    val (s1, s2, sy) = (S(c => BigInt(c._1)), S(c => BigInt(c._2)), S(c => BigInt(c._3)))
+    val a11 = n * S(c => BigInt(c._1) * c._1) - s1 * s1
+    val a12 = n * S(c => BigInt(c._1) * c._2) - s1 * s2
+    val a22 = n * S(c => BigInt(c._2) * c._2) - s2 * s2
+    val b1 = n * S(c => BigInt(c._1) * c._3) - s1 * sy
+    val b2 = n * S(c => BigInt(c._2) * c._3) - s2 * sy
+    val cyy = n * S(c => BigInt(c._3) * c._3) - sy * sy
+    val det = a11.toDouble * a22.toDouble - a12.toDouble * a12.toDouble
+    val beta1 = (b1.toDouble * a22.toDouble - b2.toDouble * a12.toDouble) / det
+    val beta2 = (b2.toDouble * a11.toDouble - b1.toDouble * a12.toDouble) / det
+    assert(got._1 == n.toLong)
+    assert(got._2 == math.round(beta1 * 1e6) && got._3 == math.round(beta2 * 1e6))
+    assert(got._4 == math.round(
+      (sy.toDouble - beta1 * s1.toDouble - beta2 * s2.toDouble) / n.toDouble * 1000))
+    val r2 = (beta1 * b1.toDouble + beta2 * b2.toDouble) / cyy.toDouble
+    assert(got._5 == math.round(r2 * 1e6))
+    // the synthetic fixture draws price independently of quantity/discount,
+    // so the honest fit is near-zero — the operator is the census + solve
+    assert(got._5 >= 0L && got._5 <= 1000000L)
+  }
+
+  test("q_logistic_step == brute-force replay; integer weights re-snap per step") {
+    val got = Queries.qLogisticStep(spark, SF)
+      .select("step", "w0_e9", "w1_e9", "w2_e9")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    val cells = Tables.embeddings(spark, SF)
+      .select(expr("CAST(embedding[0] AS DOUBLE)"),
+        expr("CAST(embedding[1] AS DOUBLE)"),
+        expr("CAST(CAST(label < 5 AS BIGINT) AS DOUBLE)"))
+      .as[(Double, Double, Double)].collect()
+    var w = (0L, 0L, 0L)
+    val states = (1 to 3).map { _ =>
+      var (g0, g1, g2) = (0L, 0L, 0L)
+      cells.foreach { case (x1, x2, y) =>
+        val z = w._1.toDouble / 1e9 + w._2.toDouble / 1e9 * x1 + w._3.toDouble / 1e9 * x2
+        val r = 1.0 / (1.0 + math.exp(-z)) - y
+        g0 += math.round(r * 1e9); g1 += math.round(r * x1 * 1e9)
+        g2 += math.round(r * x2 * 1e9)
+      }
+      val nn = cells.length
+      w = (w._1 - g0 / nn, w._2 - g1 / nn, w._3 - g2 / nn)
+      w
+    }
+    got.zip(states).foreach { case ((k, w0, w1, w2), want) =>
+      assert((w0, w1, w2) == want, s"step $k drifted: got ${(w0, w1, w2)} want $want")
+    }
+  }
+
+  test("q_merkle_diff == brute per-bucket status; clean buckets truly identical") {
+    val got = Queries.qMerkleDiff(spark, SF)
+      .select("super", "bucket", "old_n", "new_n", "n_added", "n_removed", "n_changed")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val base = Tables.lineitem(spark, SF)
+      .select(expr("l_orderkey * 10 + l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (r, cs) => (r, cs.map(_._2).sum) }
+    def bucketOf(rid: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(rid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(2), 16)
+    }
+    val old = base.filter(_._1 % 1013 != 0).toMap
+    val nw = base.filter(_._1 % 1009 != 0)
+      .map { case (r, c) => r -> (if (r % 997 == 0) c + 100 else c) }.toMap
+    val perBucket = (old.keySet ++ nw.keySet).groupBy(bucketOf)
+    val want = perBucket.toSeq.map { case (b, rids) =>
+      val added = rids.count(r => !old.contains(r) && nw.contains(r))
+      val removed = rids.count(r => old.contains(r) && !nw.contains(r))
+      val changed = rids.count(r =>
+        old.contains(r) && nw.contains(r) && old(r) != nw(r))
+      (b, rids.count(old.contains), rids.count(nw.contains),
+        added.toLong, removed.toLong, changed.toLong)
+    }.filter(t => t._4 + t._5 + t._6 > 0)
+      .map(t => (t._1 / 16, t._1, t._2.toLong, t._3.toLong, t._4, t._5, t._6))
+      .sortBy(_._2)
+    assert(got == want, s"got ${got.size} buckets, want ${want.size}")
+    // and the query's totals reconcile with the global drift counts
+    assert(got.map(_._5).sum == base.count(r =>
+      r._1 % 1013 == 0 && r._1 % 1009 != 0).toLong)
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
