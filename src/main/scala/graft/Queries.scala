@@ -8031,6 +8031,124 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Sequential probability ratio test over the event stream — the
+    * always-valid sequential tier beside the fixed-horizon
+    * [[qAbtestChi2]]: H₀ purchase-rate 0.18 vs H₁ 0.22, α = β = 0.05.
+    * Per-trial log-likelihood increments are HARDCODED e9 integers
+    * (ln(22/18), ln(78/82) — no cross-engine `ln` anywhere), trials run
+    * in event-id order (the declared ingest sequence), and the running
+    * LLR is the two-phase scalable prefix sum
+    * ([[graft.operators.Ops.prefixSumScalable]] — bucket bases + local
+    * windows, never a single-task global window). The verdict is the
+    * first boundary crossing (±ln 19 ≈ ±2.944·10⁹ e9) by exact
+    * `min(struct(trial, …))`, or `continue` with the final LLR when the
+    * walk never exits. Always exactly one row. */
+  def qSprt(s: SparkSession, d: String): DataFrame = {
+    val trials = Tables.events(s, d).select(col("event_id"),
+      expr("CASE WHEN event_type = 'purchase' THEN CAST(200670695 AS BIGINT) " +
+        "ELSE CAST(-50010421 AS BIGINT) END").as("llr_e9"))
+    val ranked = Ops.globalRowNumberScalable(
+      Ops.prefixSumScalable(trials, "event_id", "llr_e9", "cum_excl"),
+      "event_id", Seq.empty, "trial")
+      .withColumn("cum_e9", col("cum_excl") + col("llr_e9"))
+    val bound = 2944438979L
+    val crossed = ranked
+      .where(col("cum_e9") >= bound || col("cum_e9") <= -bound)
+      .agg(min(struct(col("trial"), col("cum_e9"))).as("c"))
+      .select(col("c.trial").as("c_trial"), col("c.cum_e9").as("c_cum"))
+    val tot = trials.agg(count(lit(1)).as("n_trials"),
+      sum(col("llr_e9")).as("final_llr_e9"))
+    tot.crossJoin(broadcast(crossed))
+      .select(
+        expr("CASE WHEN c_trial IS NULL THEN 'continue' " +
+          s"WHEN c_cum >= $bound THEN 'accept_h1' ELSE 'accept_h0' END")
+          .as("decision"),
+        coalesce(col("c_trial"), col("n_trials")).as("n_at_decision"),
+        coalesce(col("c_cum"), col("final_llr_e9")).as("llr_e9"),
+        col("n_trials"))
+  }
+
+  /** Lead-lag cross-correlation between daily order volume and daily
+    * revenue at lags −7…+7 — the alignment diagnostic [[qRollingCorr]]'s
+    * same-day windows cannot see (does volume LEAD revenue?). One
+    * map-side daily census (calendar-bounded), then every lagged pairing
+    * is a broadcast join of that tiny frame against the 15-row lag grid;
+    * Pearson r per lag from exact-integer sums (products in
+    * DECIMAL(38,0)/HUGEINT) presented through the shared
+    * `num / sqrt(d1·d2)` double expression — IEEE sqrt is correctly
+    * rounded, so the engines agree bit-for-bit before the e6 snap. */
+  def qXcorrLeadlag(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(round(o_totalprice, 0) AS BIGINT) div 1000")).as("y"))
+    val lags = s.range(-7, 8).toDF("lag")
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    broadcast(daily.as("a")).crossJoin(broadcast(lags))
+      .join(broadcast(daily.as("b")),
+        expr("b.day = date_add(a.day, CAST(lag AS INT))"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a.x")).as("sx"), sum(col("b.y")).as("sy"),
+        sum(expr(s"${dec.format("a.x")} * ${dec.format("a.x")}")).as("sxx"),
+        sum(expr(s"${dec.format("b.y")} * ${dec.format("b.y")}")).as("syy"),
+        sum(expr(s"${dec.format("a.x")} * ${dec.format("b.y")}")).as("sxy"))
+      .select(col("lag"), col("n_days"),
+        expr(s"${dec.format("n_days")} * sxy - ${dec.format("sx")} * ${dec.format("sy")}").as("num"),
+        expr(s"${dec.format("n_days")} * sxx - ${dec.format("sx")} * ${dec.format("sx")}").as("d1"),
+        expr(s"${dec.format("n_days")} * syy - ${dec.format("sy")} * ${dec.format("sy")}").as("d2"))
+      .select(col("lag"), col("n_days"),
+        expr("CASE WHEN d1 = 0 OR d2 = 0 THEN 0 ELSE " +
+          "CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) " +
+          "* CAST(d2 AS DOUBLE)) * 1000000, 0) AS BIGINT) END").as("r_e6"))
+      .transform(ps(col("lag")))
+  }
+
+  /** McNemar's test for paired binary outcomes — did each user's
+    * error-proneness CHANGE between the two calendar halves? (The paired
+    * tier beside the independent-sample [[qAbtestChi2]].) One user census
+    * builds the 2×2 discordance table; the statistic `(b−c)²/(b+c)` and
+    * its continuity-corrected form are exact integer ratios (round-half-up
+    * e6). Shapes at 100 TB: one user-keyed census, then a single-row
+    * readout — nothing else. */
+  def qMcnemar(s: SparkSession, d: String): DataFrame = {
+    val user = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(expr("max(CASE WHEN event_type = 'error' AND " +
+        "ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END)").as("a"),
+        expr("max(CASE WHEN event_type = 'error' AND " +
+          "ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END)").as("b"))
+    user.agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(a = 1 AND b = 0 AS BIGINT)")).as("n_ab"),
+        sum(expr("CAST(a = 0 AND b = 1 AS BIGINT)")).as("n_ba"))
+      .select(col("n_users"), col("n_ab"), col("n_ba"),
+        expr("CASE WHEN n_ab + n_ba = 0 THEN 0 ELSE " +
+          s"CAST(${roundDiv("((n_ab - n_ba) * (n_ab - n_ba))", "(n_ab + n_ba)", 1000000L)} " +
+          "AS BIGINT) END").as("mcnemar_e6"),
+        expr("CASE WHEN n_ab + n_ba = 0 THEN 0 ELSE " +
+          s"CAST(${roundDiv("(greatest(abs(n_ab - n_ba) - 1, 0) * greatest(abs(n_ab - n_ba) - 1, 0))",
+            "(n_ab + n_ba)", 1000000L)} AS BIGINT) END").as("mcnemar_cc_e6"))
+  }
+
+  /** Leave-one-source-out jackknife over the corpus — which source PULLS
+    * the pooled document-length profile, the ablation readout a curation
+    * loop wants before dropping a source ([[qJsSources]] measures
+    * distributional distance; this measures pooled-metric influence).
+    * Everything derives from ONE |sources|-row census of exact integer
+    * character masses: pooled mean, each leave-one-out mean, and the
+    * influence delta are round-half-up e3 ratios of exact longs. */
+  def qJackknifeSources(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val pooled = bySrc.agg(sum(col("n_docs")).as("nn"), sum(col("chars")).as("ss"))
+    bySrc.crossJoin(broadcast(pooled))
+      .select(col("source"), col("n_docs"),
+        expr(s"CAST(${roundDiv("ss", "nn", 1000L)} AS BIGINT)").as("pooled_mean_e3"),
+        expr(s"CAST(${roundDiv("(ss - chars)", "(nn - n_docs)", 1000L)} AS BIGINT)")
+          .as("loo_mean_e3"))
+      .withColumn("influence_e3", col("loo_mean_e3") - col("pooled_mean_e3"))
+      .transform(ps(col("source")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -8348,6 +8466,10 @@ object Queries {
     "q_ols_closed" -> (qOlsClosed _),
     "q_logistic_step" -> (qLogisticStep _),
     "q_merkle_diff" -> (qMerkleDiff _),
+    "q_sprt" -> (qSprt _),
+    "q_xcorr_leadlag" -> (qXcorrLeadlag _),
+    "q_mcnemar" -> (qMcnemar _),
+    "q_jackknife_sources" -> (qJackknifeSources _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -11627,5 +11749,75 @@ object Queries {
         "coalesce(n_changed, 0) AS n_changed " +
         "FROM dirty LEFT JOIN diff ON dirty.bucket = diff.bucket " +
         "ORDER BY dirty.bucket"),
+    "q_sprt" ->
+      ("WITH t AS (SELECT event_id, CASE WHEN event_type = 'purchase' " +
+        "THEN CAST(200670695 AS BIGINT) ELSE CAST(-50010421 AS BIGINT) END " +
+        "AS llr_e9 FROM events), " +
+        "r AS (SELECT CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) " +
+        "AS trial, CAST(sum(llr_e9) OVER (ORDER BY event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_e9 FROM t), " +
+        "x AS (SELECT struct_extract(min(struct_pack(trial := trial, " +
+        "cum_e9 := cum_e9)), 'trial') AS c_trial, " +
+        "struct_extract(min(struct_pack(trial := trial, cum_e9 := cum_e9)), " +
+        "'cum_e9') AS c_cum FROM r " +
+        "WHERE cum_e9 >= 2944438979 OR cum_e9 <= -2944438979), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_trials, " +
+        "CAST(sum(llr_e9) AS BIGINT) AS final_llr_e9 FROM t) " +
+        "SELECT CASE WHEN c_trial IS NULL THEN 'continue' " +
+        "WHEN c_cum >= 2944438979 THEN 'accept_h1' ELSE 'accept_h0' END " +
+        "AS decision, CAST(coalesce(c_trial, n_trials) AS BIGINT) " +
+        "AS n_at_decision, CAST(coalesce(c_cum, final_llr_e9) AS BIGINT) " +
+        "AS llr_e9, n_trials FROM tot CROSS JOIN x"),
+    "q_xcorr_leadlag" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS x, " +
+        "CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT) // 1000) AS BIGINT) AS y " +
+        "FROM orders GROUP BY 1), " +
+        "lg AS (SELECT CAST(i AS BIGINT) AS lag FROM range(-7, 8) t(i)), " +
+        "j AS (SELECT lag, a.x AS x, b.y AS y FROM daily a CROSS JOIN lg " +
+        "JOIN daily b ON b.day = a.day + CAST(lag AS INT)), " +
+        "g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx, " +
+        "sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy, " +
+        "sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy FROM j GROUP BY 1), " +
+        "c AS (SELECT lag, n_days, CAST(n_days AS HUGEINT) * sxy " +
+        "- CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num, " +
+        "CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS d1, " +
+        "CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS d2 " +
+        "FROM g) " +
+        "SELECT lag, n_days, CASE WHEN d1 = 0 OR d2 = 0 THEN 0 ELSE " +
+        "CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) " +
+        "* CAST(d2 AS DOUBLE)) * 1000000, 0) AS BIGINT) END AS r_e6 " +
+        "FROM c ORDER BY lag"),
+    "q_mcnemar" ->
+      ("WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'error' AND " +
+        "ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS a, " +
+        "max(CASE WHEN event_type = 'error' AND " +
+        "ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS b " +
+        "FROM events GROUP BY 1), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ab, " +
+        "CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ba " +
+        "FROM u) " +
+        "SELECT n_users, n_ab, n_ba, " +
+        "CASE WHEN n_ab + n_ba = 0 THEN 0 ELSE " +
+        s"CAST(${roundDivSql("((n_ab - n_ba) * (n_ab - n_ba))", "(n_ab + n_ba)", 1000000L)} " +
+        "AS BIGINT) END AS mcnemar_e6, " +
+        "CASE WHEN n_ab + n_ba = 0 THEN 0 ELSE " +
+        s"CAST(${roundDivSql("(greatest(abs(n_ab - n_ba) - 1, 0) * greatest(abs(n_ab - n_ba) - 1, 0))",
+          "(n_ab + n_ba)", 1000000L)} AS BIGINT) END AS mcnemar_cc_e6 FROM g"),
+    "q_jackknife_sources" ->
+      ("WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1), " +
+        "p AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn, " +
+        "CAST(sum(chars) AS BIGINT) AS ss FROM s) " +
+        "SELECT source, n_docs, " +
+        s"CAST(${roundDivSql("ss", "nn", 1000L)} AS BIGINT) AS pooled_mean_e3, " +
+        s"CAST(${roundDivSql("(ss - chars)", "(nn - n_docs)", 1000L)} AS BIGINT) " +
+        "AS loo_mean_e3, " +
+        s"CAST(${roundDivSql("(ss - chars)", "(nn - n_docs)", 1000L)} AS BIGINT) " +
+        s"- CAST(${roundDivSql("ss", "nn", 1000L)} AS BIGINT) AS influence_e3 " +
+        "FROM s CROSS JOIN p ORDER BY source"),
   )
 }

@@ -1981,4 +1981,45 @@ class PlanSpec extends SparkSuite {
     assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
       s"bucket checksums must combine map-side:\n$exec")
   }
+
+  test("q_sprt: running LLR is bucket-partitioned, never a one-task stream fold") {
+    val df = Queries.qSprt(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("hashpartitioning(__bucket") ||
+      exec.contains("hashpartitioning(knownfloatingpointnormalized"),
+      s"the prefix sum must run on value buckets:\n$exec")
+    val winLines = exec.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__bucket")),
+      s"every window must be bucket-keyed:\n$exec")
+  }
+
+  test("q_xcorr_leadlag: every join runs on the calendar-bounded daily frame") {
+    val df = Queries.qXcorrLeadlag(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(!exec.contains("SortMergeJoin"),
+      s"daily census and lag grid are broadcast-sized:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"the daily census must combine map-side:\n$exec")
+  }
+
+  test("q_mcnemar: one user census, single-row readout, no joins") {
+    val df = Queries.qMcnemar(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"), s"no join belongs in a paired census:\n$exec")
+    assert(exec.contains("partial_max") || exec.contains("Functions [partial"),
+      s"the per-user flags must combine map-side:\n$exec")
+  }
+
+  test("q_jackknife_sources: |sources| census with a 1-row pooled broadcast") {
+    val df = Queries.qJackknifeSources(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the pooled totals must ride a 1-row broadcast:\n$exec")
+  }
 }

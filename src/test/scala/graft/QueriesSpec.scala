@@ -1721,6 +1721,96 @@ class QueriesSpec extends SparkSuite {
       r._1 % 1013 == 0 && r._1 % 1009 != 0).toLong)
   }
 
+  test("q_sprt == brute sequential replay; the crossing is the FIRST one") {
+    val got = Queries.qSprt(spark, SF)
+      .select("decision", "n_at_decision", "llr_e9", "n_trials")
+      .as[(String, Long, Long, Long)].head()
+    val trials = Tables.events(spark, SF)
+      .select($"event_id", ($"event_type" === "purchase"))
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    val bound = 2944438979L
+    var cum = 0L
+    var hit: Option[(Long, Long, String)] = None
+    trials.zipWithIndex.foreach { case ((_, p), i) =>
+      cum += (if (p) 200670695L else -50010421L)
+      if (hit.isEmpty && (cum >= bound || cum <= -bound))
+        hit = Some((i + 1L, cum, if (cum >= bound) "accept_h1" else "accept_h0"))
+    }
+    val want = hit.map(h => (h._3, h._1, h._2, trials.length.toLong))
+      .getOrElse(("continue", trials.length.toLong, cum, trials.length.toLong))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("q_xcorr_leadlag == brute lagged Pearson; day overlap bookkeeping") {
+    val got = Queries.qXcorrLeadlag(spark, SF)
+      .select("lag", "n_days", "r_e6").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (-7L to 7L))
+    val daily = Tables.orders(spark, SF)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(round(o_totalprice, 0) AS BIGINT) div 1000")).as("y"))
+      .select($"day".cast("string"), $"x", $"y")
+      .as[(String, Long, Long)].collect()
+      .map(r => java.time.LocalDate.parse(r._1) -> (r._2, r._3)).toMap
+    got.foreach { case (lag, nDays, rE6) =>
+      val pairs = daily.toSeq.flatMap { case (d, (x, _)) =>
+        daily.get(d.plusDays(lag)).map { case (_, y) => (x, y) }
+      }
+      assert(nDays == pairs.length.toLong, s"lag $lag overlap")
+      val n = BigInt(pairs.length)
+      val (sx, sy) = (pairs.map(p => BigInt(p._1)).sum, pairs.map(p => BigInt(p._2)).sum)
+      val num = n * pairs.map(p => BigInt(p._1) * p._2).sum - sx * sy
+      val d1 = n * pairs.map(p => BigInt(p._1) * p._1).sum - sx * sx
+      val d2 = n * pairs.map(p => BigInt(p._2) * p._2).sum - sy * sy
+      val want = if (d1 == 0 || d2 == 0) 0L
+        else math.round(num.toDouble / math.sqrt(d1.toDouble * d2.toDouble) * 1e6)
+      assert(rE6 == want && math.abs(rE6) <= 1000000L, s"lag $lag: $rE6 vs $want")
+    }
+  }
+
+  test("q_mcnemar == brute discordance table") {
+    val got = Queries.qMcnemar(spark, SF)
+      .select("n_users", "n_ab", "n_ba", "mcnemar_e6", "mcnemar_cc_e6")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val users = Tables.events(spark, SF)
+      .select($"user_id", $"ts", $"event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+      .groupBy(_._1).toSeq.map { case (_, evs) =>
+        (evs.exists(e => e._3 == "error" && e._2.before(cut)),
+          evs.exists(e => e._3 == "error" && !e._2.before(cut)))
+      }
+    val b = users.count(u => u._1 && !u._2).toLong
+    val c = users.count(u => !u._1 && u._2).toLong
+    def stat(d: Long): Long =
+      if (b + c == 0) 0L
+      else ((BigInt(d) * d * 1000000 * 2 + BigInt(b + c)) / (2 * BigInt(b + c))).toLong
+    assert(got == ((users.size.toLong, b, c, stat(b - c),
+      stat(math.max(math.abs(b - c) - 1, 0)))), s"got $got")
+  }
+
+  test("q_jackknife_sources: influence sign mirrors the source's pull; exact ratios") {
+    val got = Queries.qJackknifeSources(spark, SF)
+      .select("source", "n_docs", "pooled_mean_e3", "loo_mean_e3", "influence_e3")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val bySrc = Tables.documents(spark, SF).groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("c"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (nn, ss) = (bySrc.values.map(_._1).sum, bySrc.values.map(_._2).sum)
+    def rd(num: Long, den: Long): Long =
+      ((BigInt(num) * 1000 * 2 + BigInt(den)) / (2 * BigInt(den))).toLong
+    got.foreach { case (src, n, pooled, loo, infl) =>
+      assert(n == bySrc(src)._1 && pooled == rd(ss, nn))
+      assert(loo == rd(ss - bySrc(src)._2, nn - n) && infl == loo - pooled)
+      // dropping a below-average source must RAISE the leave-one-out mean
+      val srcMeanBelow = bySrc(src)._2 * nn < ss * n
+      if (infl != 0L)
+        assert(srcMeanBelow == (infl > 0L), s"$src influence sign")
+    }
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
