@@ -7441,6 +7441,36 @@ object Queries {
     * unrolled as MATERIALIZED CTE pairs (each round's frame is referenced
     * twice — by its own margin sum and by the rescale — and DuckDB
     * re-derives inlined CTEs per reference; see the q_kcore adjudication). */
+  /** [[qBradleyTerry]]'s oracle: the two MM iterations replayed as
+    * materialized CTEs over the same basket-bounded pair census, all
+    * arithmetic in the shared truncate-toward-zero integer division. */
+  private[graft] lazy val btOracleSql: String = {
+    val iter = (i: Int, prev: String) =>
+      s"t$i AS MATERIALIZED (SELECT m.i, m.j, m.n_ij, " +
+        s"(m.n_ij * 1000000000000) // (wi.w_e6 + wj.w_e6) AS t_e6 " +
+        s"FROM m JOIN $prev wi ON wi.p = m.i JOIN $prev wj ON wj.p = m.j), " +
+        s"d$i AS (SELECT p, CAST(sum(t_e6) AS BIGINT) AS d_e6 FROM " +
+        s"(SELECT i AS p, t_e6 FROM t$i UNION ALL SELECT j AS p, t_e6 FROM t$i) " +
+        s"GROUP BY 1), " +
+        s"w$i AS (SELECT wt.p, CASE WHEN d_e6 = 0 THEN 1000000 ELSE " +
+        s"(wt.wins * 1000000000000) // d_e6 END AS w_e6 " +
+        s"FROM wt JOIN d$i ON d$i.p = wt.p)"
+    "WITH li AS (SELECT l_orderkey AS k, l_partkey AS p, " +
+      "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) " +
+      "AS cents FROM lineitem GROUP BY 1, 2), " +
+      "m AS (SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS n_ij, " +
+      "CAST(sum(CASE WHEN a.cents < b.cents THEN 0 ELSE 1 END) AS BIGINT) " +
+      "AS wins_i FROM li a JOIN li b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2), " +
+      "wt AS (SELECT p, CAST(sum(w) AS BIGINT) AS wins, " +
+      "CAST(count(*) AS BIGINT) AS n_opp FROM " +
+      "(SELECT i AS p, wins_i AS w FROM m " +
+      "UNION ALL SELECT j AS p, n_ij - wins_i AS w FROM m) GROUP BY 1), " +
+      "w0 AS (SELECT p, CAST(1000000 AS BIGINT) AS w_e6 FROM wt), " +
+      iter(1, "w0") + ", " + iter(2, "w1") + " " +
+      "SELECT wt.p, wt.wins, wt.n_opp, w2.w_e6 FROM wt JOIN w2 ON w2.p = wt.p " +
+      "ORDER BY w2.w_e6 DESC, wt.p LIMIT 20"
+  }
+
   /** [[qLogisticStep]]'s oracle: the three GD iterations replayed as
     * materialized CTE chains — per-step census over the embedding scan
     * with the previous weights in scope, update by the shared
@@ -8149,6 +8179,93 @@ object Queries {
       .transform(ps(col("source")))
   }
 
+  /** Bradley-Terry strength fitting from pairwise outcomes — the
+    * arena-style model-ranking computation an LLM-eval pipeline runs on
+    * preference pairs ([[qPreferencePairs]] mines them; this fits the
+    * latent strengths): within each order every part pair "competes"
+    * (winner = higher exact cents, tie → lower key — declared), and two
+    * declared MM iterations `w'_i = W_i / Σ_j n_ij/(w_i+w_j)` run in e6
+    * integer arithmetic (per-pair terms `n_ij·10¹² div (w_i+w_j)` — the
+    * truncate-toward-zero division both engines share; no normalization,
+    * strengths are scale-free by declaration). Shapes at 100 TB: pair
+    * mass is basket-bounded (fact-LINEAR); each iteration is two
+    * item-keyed equi-joins of the pair census against the strength
+    * table + one map-side census; readout is TakeOrdered top-20. */
+  def qBradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        col("l_partkey").as("p"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("k"), col("p")).agg(sum(col("cents")).as("cents"))
+    // the pair census feeds winsTot plus two joins per MM iteration — five
+    // executions of the self-join without a cut (measured 69 s at sf1);
+    // truncate once under the configured durability tier (9 s)
+    val matches = Checkpoints.truncate(li.as("a")
+      .join(li.as("b"), expr("a.k = b.k AND a.p < b.p"))
+      .select(col("a.p").as("i"), col("b.p").as("j"),
+        expr("CASE WHEN a.cents > b.cents THEN 1 " +
+          "WHEN a.cents < b.cents THEN 0 ELSE 1 END").as("win_i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_ij"), sum(col("win_i")).as("wins_i")))
+    val winsTot = matches.select(col("i").as("p"), col("wins_i").as("w"))
+      .unionAll(matches.select(col("j").as("p"),
+        (col("n_ij") - col("wins_i")).as("w")))
+      .groupBy(col("p")).agg(sum(col("w")).as("wins"),
+        count(lit(1)).as("n_opp"))
+    var strength = winsTot.select(col("p"), lit(1000000L).as("w_e6"))
+    (1 to 2).foreach { _ =>
+      val terms = matches
+        .join(strength.select(col("p").as("i"), col("w_e6").as("wi")), Seq("i"))
+        .join(strength.select(col("p").as("j"), col("w_e6").as("wj")), Seq("j"))
+        .select(col("i"), col("j"), col("n_ij"),
+          expr("(n_ij * 1000000000000) div (wi + wj)").as("t_e6"))
+      val denom = terms.select(col("i").as("p"), col("t_e6"))
+        .unionAll(terms.select(col("j").as("p"), col("t_e6")))
+        .groupBy(col("p")).agg(sum(col("t_e6")).as("d_e6"))
+      strength = winsTot.join(denom, Seq("p"))
+        .select(col("p"),
+          expr("CASE WHEN d_e6 = 0 THEN 1000000 " +
+            "ELSE (wins * 1000000000000) div d_e6 END").as("w_e6"))
+    }
+    winsTot.join(strength, Seq("p"))
+      .select(col("p"), col("wins"), col("n_opp"), col("w_e6"))
+      .orderBy(col("w_e6").desc, col("p"))
+      .limit(20)
+  }
+
+  /** Simpson's-paradox audit — does the pooled association between deep
+    * discounting and returns REVERSE inside any brand? (The
+    * aggregation-trust check every dashboard rollup needs;
+    * [[qReaggAudit]] checks additive re-aggregation, this checks
+    * directional.) x = discount ≥ 5 %, y = returned; per-brand and pooled
+    * risk differences `P(y|x) − P(y|¬x)` are exact ppm integers from one
+    * map-side census over the bounded brand grid; `reversed` flags a
+    * strict sign flip vs the pooled direction. */
+  def qSimpsonReversal(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("CAST(l_discount >= 0.05 AS BIGINT)").as("x"),
+        expr("CAST(l_returnflag = 'R' AS BIGINT)").as("y"))
+    val byBrand = cells.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("nx"),
+        sum(expr("x * y")).as("nxy"),
+        sum(expr("(1 - x) * y")).as("nny"))
+    val dppm = (nxy: String, nx: String, nny: String, n: String) =>
+      s"CASE WHEN $nx = 0 OR $n - $nx = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        s"CAST(${ppmDiv(nxy, nx)} AS BIGINT) - " +
+        s"CAST(${ppmDiv(nny, s"($n - $nx)")} AS BIGINT) END"
+    val pooled = byBrand.agg(sum(col("n")).as("pn"), sum(col("nx")).as("pnx"),
+        sum(col("nxy")).as("pnxy"), sum(col("nny")).as("pnny"))
+      .select(expr(dppm("pnxy", "pnx", "pnny", "pn")).as("pooled_d_ppm"))
+    byBrand.crossJoin(broadcast(pooled))
+      .select(col("brand"), col("n"),
+        expr(dppm("nxy", "nx", "nny", "n")).as("d_ppm"), col("pooled_d_ppm"))
+      .withColumn("reversed",
+        expr("CAST(d_ppm * pooled_d_ppm < 0 AS BIGINT)"))
+      .transform(ps(col("brand")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -8470,6 +8587,8 @@ object Queries {
     "q_xcorr_leadlag" -> (qXcorrLeadlag _),
     "q_mcnemar" -> (qMcnemar _),
     "q_jackknife_sources" -> (qJackknifeSources _),
+    "q_bradley_terry" -> (qBradleyTerry _),
+    "q_simpson_reversal" -> (qSimpsonReversal _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -11819,5 +11938,26 @@ object Queries {
         s"CAST(${roundDivSql("(ss - chars)", "(nn - n_docs)", 1000L)} AS BIGINT) " +
         s"- CAST(${roundDivSql("ss", "nn", 1000L)} AS BIGINT) AS influence_e3 " +
         "FROM s CROSS JOIN p ORDER BY source"),
+    "q_bradley_terry" -> btOracleSql,
+    "q_simpson_reversal" -> {
+      val dppm = (nxy: String, nx: String, nny: String, n: String) =>
+        s"CASE WHEN $nx = 0 OR $n - $nx = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          s"CAST(${ppmDivSql(nxy, nx)} AS BIGINT) - " +
+          s"CAST(${ppmDivSql(nny, s"($n - $nx)")} AS BIGINT) END"
+      "WITH cells AS (SELECT p.p_brand AS brand, " +
+        "CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS x, " +
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), " +
+        "g AS (SELECT brand, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS nx, CAST(sum(x * y) AS BIGINT) AS nxy, " +
+        "CAST(sum((1 - x) * y) AS BIGINT) AS nny FROM cells GROUP BY 1), " +
+        "pl AS (SELECT CAST(sum(n) AS BIGINT) AS pn, CAST(sum(nx) AS BIGINT) AS pnx, " +
+        "CAST(sum(nxy) AS BIGINT) AS pnxy, CAST(sum(nny) AS BIGINT) AS pnny FROM g) " +
+        "SELECT brand, n, " + dppm("nxy", "nx", "nny", "n") + " AS d_ppm, " +
+        dppm("pnxy", "pnx", "pnny", "pn") + " AS pooled_d_ppm, " +
+        "CAST((" + dppm("nxy", "nx", "nny", "n") + ") * (" +
+        dppm("pnxy", "pnx", "pnny", "pn") + ") < 0 AS BIGINT) AS reversed " +
+        "FROM g CROSS JOIN pl ORDER BY brand"
+    },
   )
 }

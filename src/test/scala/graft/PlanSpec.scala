@@ -2022,4 +2022,28 @@ class PlanSpec extends SparkSuite {
     assert(exec.contains("BroadcastNestedLoopJoin"),
       s"the pooled totals must ride a 1-row broadcast:\n$exec")
   }
+
+  test("q_bradley_terry: basket-bounded pair census cut once; TakeOrdered readout") {
+    val df = Queries.qBradleyTerry(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("NestedLoop"), exec)
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"top-20 must never globally sort:\n$exec")
+    // the truncate shows as a scan of the checkpointed pair census — the
+    // expensive self-join must appear ZERO times in this downstream plan
+    assert(!exec.contains("SortMergeJoin [k"),
+      s"the basket self-join must be cut out by the checkpoint:\n$exec")
+  }
+
+  test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
+    val df = Queries.qSimpsonReversal(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"), exec)
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the part dim must broadcast into the fact scan:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"the brand census must combine map-side:\n$exec")
+  }
 }

@@ -1811,6 +1811,72 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_bradley_terry == brute MM replay; strengths positive, readout total") {
+    val got = Queries.qBradleyTerry(spark, SF)
+      .select("p", "wins", "n_opp", "w_e6").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.size == 20 && got.forall(_._4 > 0L))
+    val li = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_partkey",
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((k, p), rs) => (k, p, rs.map(_._3).sum) }
+    val matches = li.groupBy(_._1).values.toSeq.flatMap { basket =>
+      for {
+        a <- basket; b <- basket if a._2 < b._2
+      } yield ((a._2, b._2), if (a._3 >= b._3) 1L else 0L)
+    }.groupBy(_._1).toSeq.map { case ((i, j), ws) =>
+      (i, j, ws.size.toLong, ws.map(_._2).sum)
+    }
+    val wins = (matches.map(m => m._1 -> m._4) ++
+      matches.map(m => m._2 -> (m._3 - m._4)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val nOpp = (matches.map(m => m._1 -> 1L) ++ matches.map(m => m._2 -> 1L))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.size.toLong }
+    var w = wins.keys.map(_ -> 1000000L).toMap
+    (1 to 2).foreach { _ =>
+      val d = matches.flatMap { case (i, j, nij, _) =>
+        val t = nij * 1000000000000L / (w(i) + w(j))
+        Seq(i -> t, j -> t)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      w = w.map { case (p, _) =>
+        p -> (if (d(p) == 0L) 1000000L else wins(p) * 1000000000000L / d(p))
+      }
+    }
+    val want = w.toSeq.map { case (p, s0) => (p, wins(p), nOpp(p), s0) }
+      .sortBy(t => (-t._4, t._1)).take(20)
+    assert(got == want, s"got ${got.take(3)}… want ${want.take(3)}…")
+  }
+
+  test("q_simpson_reversal == brute risk differences; reversal is a sign flip") {
+    val got = Queries.qSimpsonReversal(spark, SF)
+      .select("brand", "n", "d_ppm", "pooled_d_ppm", "reversed")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val brand = Tables.part(spark, SF).select($"p_partkey", $"p_brand")
+      .as[(Long, String)].collect().toMap
+    val cells = Tables.lineitem(spark, SF)
+      .select($"l_partkey", ($"l_discount" >= 0.05).cast("long"),
+        ($"l_returnflag" === "R").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (brand(r._1), r._2, r._3))
+    def dppm(rows: Seq[(String, Long, Long)]): Long = {
+      val nx = rows.count(_._2 == 1L).toLong
+      val nn = rows.size - nx
+      if (nx == 0 || nn == 0) 0L
+      else rows.filter(_._2 == 1L).map(_._3).sum * 1000000L / nx -
+        rows.filter(_._2 == 0L).map(_._3).sum * 1000000L / nn
+    }
+    val pooled = dppm(cells.toSeq)
+    got.foreach { case (b, n, d, pd, rev) =>
+      val rows = cells.filter(_._1 == b).toSeq
+      assert(n == rows.size.toLong && pd == pooled)
+      assert(d == dppm(rows), s"brand $b")
+      assert(rev == (if (d * pooled < 0) 1L else 0L))
+    }
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
