@@ -7476,7 +7476,10 @@ object Queries {
     * with the previous weights in scope, update by the shared
     * truncate-toward-zero `//`, weights re-snapped to e9 integers each
     * step so both engines stay bit-identical. */
-  private[graft] lazy val logisticOracleSql: String = {
+  /** Shared WITH-fragment: the embedding cells plus the three GD-step
+    * CTEs (final weights land in `w4pcte`) — composed by
+    * [[logisticOracleSql]] and the [[qUncertaintySample]] oracle. */
+  private lazy val logisticStepsCte: String = {
     val z = "CAST(w0 AS DOUBLE) / 1e9 + CAST(w1 AS DOUBLE) / 1e9 * x1 " +
       "+ CAST(w2 AS DOUBLE) / 1e9 * x2"
     def g(xj: String) =
@@ -7493,16 +7496,31 @@ object Queries {
         s"w${i + 1}pcte AS (SELECT pw0 - g0 // n AS w0, pw1 - g1 // n AS w1, " +
         s"pw2 - g2 // n AS w2 FROM c$i)"
     }.mkString(", ")
-    "WITH cells AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1, " +
+    "cells AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+      "CAST(embedding[1] AS DOUBLE) AS x1, " +
       "CAST(embedding[2] AS DOUBLE) AS x2, " +
       "CAST(CAST(label < 5 AS BIGINT) AS DOUBLE) AS y FROM embeddings), " +
       "w0cte AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
-      "CAST(0 AS BIGINT) AS w2), " + steps + " " +
+      "CAST(0 AS BIGINT) AS w2), " + steps
+  }
+
+  private[graft] lazy val logisticOracleSql: String =
+    "WITH " + logisticStepsCte + " " +
       "SELECT step, w0 AS w0_e9, w1 AS w1_e9, w2 AS w2_e9 FROM (" +
       (1 to 3).map(i => s"SELECT CAST($i AS BIGINT) AS step, w0, w1, w2 " +
         s"FROM w${i + 1}pcte").mkString(" UNION ALL ") +
       ") ORDER BY step"
-  }
+
+  /** [[qUncertaintySample]]'s oracle: score with the step-3 weights and
+    * take the 20 smallest exact-integer margins. */
+  private[graft] lazy val uncertaintyOracleSql: String =
+    "WITH " + logisticStepsCte + ", " +
+      "scored AS (SELECT vec_id, label, CAST(round(1000000000 / (1.0 + " +
+      "exp(-(CAST(w0 AS DOUBLE) / 1e9 + CAST(w1 AS DOUBLE) / 1e9 * x1 " +
+      "+ CAST(w2 AS DOUBLE) / 1e9 * x2))), 0) AS BIGINT) AS p_e9 " +
+      "FROM cells CROSS JOIN w4pcte) " +
+      "SELECT vec_id, label, p_e9, abs(p_e9 - 500000000) AS margin_e9 " +
+      "FROM scored ORDER BY margin_e9, vec_id LIMIT 20"
 
   private[graft] lazy val ipfOracleSql: String = {
     val rescale = "(w // s) * t + ((w % s) * t) // s"
@@ -7976,10 +7994,27 @@ object Queries {
     * broadcast — the classic distributed-GD shape; iterating further =
     * looping this plan with the checkpoint discipline. */
   def qLogisticStep(s: SparkSession, d: String): DataFrame = {
-    val cells = Tables.embeddings(s, d).select(
+    // emit all three states: replaying the fold per step costs 1+2+3 scans
+    // and keeps the query a pure DataFrame — no driver math, no collect
+    val states = (1 to 3).map(k => logisticFold(s, d, k))
+    states.reduce(_ unionByName _)
+      .select(col("step"), col("w0").as("w0_e9"), col("w1").as("w1_e9"),
+        col("w2").as("w2_e9"))
+      .transform(ps(col("step")))
+  }
+
+  /** The [[qLogisticStep]] embedding frame: first two dims + binary label. */
+  private def logisticCells(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
       expr("CAST(embedding[0] AS DOUBLE)").as("x1"),
       expr("CAST(embedding[1] AS DOUBLE)").as("x2"),
       expr("CAST(CAST(label < 5 AS BIGINT) AS DOUBLE)").as("y"))
+
+  /** k snapped GD steps of the 2-feature logistic fit — the shared iterate
+    * behind [[qLogisticStep]] (all three states) and
+    * [[qUncertaintySample]] (final weights as the scoring model). */
+  private def logisticFold(s: SparkSession, d: String, k: Int): DataFrame = {
+    val cells = logisticCells(s, d)
     val g = (w: String, xj: String) => // e9-snapped per-row gradient term
       s"CAST(round((1.0D / (1.0D + exp(-($w))) - y) * $xj * 1000000000, 0) AS BIGINT)"
     def stepOnce(w: DataFrame, i: Int): DataFrame = {
@@ -7994,15 +8029,9 @@ object Queries {
         .select(expr("w0 - g0 div n").as("w0"), expr("w1 - g1 div n").as("w1"),
           expr("w2 - g2 div n").as("w2"), lit(i.toLong).as("step"))
     }
-    def w0row = s.sql("SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1, " +
+    val w0row = s.sql("SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1, " +
       "CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) step")
-    // emit all three states: replaying the fold per step costs 1+2+3 scans
-    // and keeps the query a pure DataFrame — no driver math, no collect
-    val states = (1 to 3).map(k => (1 to k).foldLeft(w0row)(stepOnce))
-    states.reduce(_ unionByName _)
-      .select(col("step"), col("w0").as("w0_e9"), col("w1").as("w1_e9"),
-        col("w2").as("w2_e9"))
-      .transform(ps(col("step")))
+    (1 to k).foldLeft(w0row)(stepOnce)
   }
 
   /** Merkle-style two-level table diff — the replica-reconciliation step
@@ -8264,6 +8293,101 @@ object Queries {
       .withColumn("reversed",
         expr("CAST(d_ppm * pooled_d_ppm < 0 AS BIGINT)"))
       .transform(ps(col("brand")))
+  }
+
+  /** 5-fold cross-validated OLS — [[qOlsClosed]] made honest about
+    * generalization, in TWO passes total: pass 1 is the same nine-sum
+    * census GROUPED by Knuth-hash fold (5 rows); each fold's TRAIN model
+    * solves on the pooled-minus-fold sums (the jackknife complement — no
+    * per-fold rescan), pass 2 scores every row against its fold's
+    * out-of-fold betas (5-row broadcast) and censuses the e0-snapped
+    * squared residuals. Out-of-fold R² per fold from exact integers
+    * through shared double expressions. This is the distributed-CV
+    * shape: fold models from ONE census, evaluation in ONE scan. */
+  def qCrossvalOls(s: SparkSession, d: String): DataFrame = {
+    val foldExpr = "(((l_orderkey * 10 + l_linenumber) % 2147483648) " +
+      "* 2654435761) % 4294967296 % 5"
+    val cells = Tables.lineitem(s, d).select(
+      expr(foldExpr).as("fold"),
+      expr("CAST(l_quantity AS BIGINT)").as("x1"),
+      expr("CAST(round(l_discount * 100, 0) AS BIGINT)").as("x2"),
+      expr("CAST(round(l_extendedprice, 0) AS BIGINT)").as("y"))
+    val byFold = cells.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(expr("x1 * x1")).as("s11"), sum(expr("x1 * x2")).as("s12"),
+        sum(expr("x2 * x2")).as("s22"), sum(expr("x1 * y")).as("s1y"),
+        sum(expr("x2 * y")).as("s2y"), sum(expr("y * y")).as("syy"))
+    val pooled = byFold.agg(sum(col("n")).as("pn"), sum(col("s1")).as("p1"),
+      sum(col("s2")).as("p2"), sum(col("sy")).as("py"),
+      sum(col("s11")).as("p11"), sum(col("s12")).as("p12"),
+      sum(col("s22")).as("p22"), sum(col("s1y")).as("p1y"),
+      sum(col("s2y")).as("p2y"))
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    def cm(a: String, b: String, ab: String) = // centered ×n train moment
+      s"${dec.format("tn")} * ($ab) - ${dec.format(a)} * ${dec.format(b)}"
+    val models = byFold.crossJoin(broadcast(pooled))
+      .select(col("fold"), col("n").as("n_test"),
+        col("sy").as("tsy"), col("syy").as("tsyy"),
+        expr("pn - n").as("tn"), expr("p1 - s1").as("t1"),
+        expr("p2 - s2").as("t2"), expr("py - sy").as("ty"),
+        expr("p11 - s11").as("t11"), expr("p12 - s12").as("t12"),
+        expr("p22 - s22").as("t22"), expr("p1y - s1y").as("t1y"),
+        expr("p2y - s2y").as("t2y"))
+      .select(col("fold"), col("n_test"), col("tsy"), col("tsyy"),
+        col("tn"), col("t1"), col("t2"), col("ty"),
+        expr(cm("t1", "t1", "t11")).as("a11"),
+        expr(cm("t1", "t2", "t12")).as("a12"),
+        expr(cm("t2", "t2", "t22")).as("a22"),
+        expr(cm("t1", "ty", "t1y")).as("b1"),
+        expr(cm("t2", "ty", "t2y")).as("b2"))
+      .withColumn("det", expr("CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) " +
+        "- CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)"))
+      .withColumn("beta1d", expr("(CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE) " +
+        "- CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det"))
+      .withColumn("beta2d", expr("(CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE) " +
+        "- CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det"))
+      .withColumn("b0d", expr("(CAST(ty AS DOUBLE) - beta1d * CAST(t1 AS DOUBLE) " +
+        "- beta2d * CAST(t2 AS DOUBLE)) / CAST(tn AS DOUBLE)"))
+    val sse = cells.join(broadcast(models.select(col("fold"), col("b0d"),
+        col("beta1d"), col("beta2d"))), Seq("fold"))
+      .select(col("fold"), expr("CAST(round((CAST(y AS DOUBLE) - b0d " +
+        "- beta1d * CAST(x1 AS DOUBLE) - beta2d * CAST(x2 AS DOUBLE)) " +
+        "* (CAST(y AS DOUBLE) - b0d - beta1d * CAST(x1 AS DOUBLE) " +
+        "- beta2d * CAST(x2 AS DOUBLE)), 0) AS BIGINT)").as("r2t"))
+      .groupBy(col("fold")).agg(sum(col("r2t")).as("sse"))
+    models.join(sse, Seq("fold"))
+      .select(col("fold"), col("n_test"),
+        expr("CAST(round(beta1d * 1000000, 0) AS BIGINT)").as("beta_qty_e6"),
+        expr("CAST(round(beta2d * 1000000, 0) AS BIGINT)").as("beta_disc_e6"),
+        expr("CAST(round((1.0D - CAST(sse AS DOUBLE) * CAST(n_test AS DOUBLE) " +
+          "/ (CAST(n_test AS DOUBLE) * CAST(tsyy AS DOUBLE) " +
+          "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) " +
+          "AS BIGINT)").as("oof_r2_ppm"))
+      .transform(ps(col("fold")))
+  }
+
+  /** Margin-based uncertainty sampling — the active-learning acquisition
+    * step: score every embedding with [[qLogisticStep]]'s final (step-3)
+    * weights and surface the 20 rows the model is LEAST sure about
+    * (|p − ½| smallest). The e9-snapped probability makes the margin an
+    * exact integer, so the top-k is a total-order TakeOrdered, not a
+    * float sort; the weight frame is the same 1-row broadcast the GD
+    * iterate uses. */
+  def qUncertaintySample(s: SparkSession, d: String): DataFrame = {
+    val w = logisticFold(s, d, 3)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("CAST(embedding[0] AS DOUBLE)").as("x1"),
+        expr("CAST(embedding[1] AS DOUBLE)").as("x2"))
+      .crossJoin(broadcast(w.select(col("w0"), col("w1"), col("w2"))))
+      .withColumn("p_e9", expr("CAST(round(1000000000 / (1.0D + " +
+        "exp(-(CAST(w0 AS DOUBLE) / 1e9 + CAST(w1 AS DOUBLE) / 1e9 * x1 " +
+        "+ CAST(w2 AS DOUBLE) / 1e9 * x2))), 0) AS BIGINT)"))
+      .withColumn("margin_e9", expr("abs(p_e9 - 500000000)"))
+      .select(col("vec_id"), col("label"), col("p_e9"), col("margin_e9"))
+      .orderBy(col("margin_e9"), col("vec_id"))
+      .limit(20)
   }
 
   // ------------------------------------------------------------ registry
@@ -8589,6 +8713,8 @@ object Queries {
     "q_jackknife_sources" -> (qJackknifeSources _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_simpson_reversal" -> (qSimpsonReversal _),
+    "q_crossval_ols" -> (qCrossvalOls _),
+    "q_uncertainty_sample" -> (qUncertaintySample _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -11959,5 +12085,54 @@ object Queries {
         dppm("pnxy", "pnx", "pnny", "pn") + ") < 0 AS BIGINT) AS reversed " +
         "FROM g CROSS JOIN pl ORDER BY brand"
     },
+    "q_uncertainty_sample" -> uncertaintyOracleSql,
+    "q_crossval_ols" ->
+      ("WITH cells AS (SELECT (((l_orderkey * 10 + l_linenumber) % 2147483648) " +
+        "* 2654435761) % 4294967296 % 5 AS fold, " +
+        "CAST(l_quantity AS BIGINT) AS x1, " +
+        "CAST(round(l_discount * 100, 0) AS BIGINT) AS x2, " +
+        "CAST(round(l_extendedprice, 0) AS BIGINT) AS y FROM lineitem), " +
+        "bf AS (SELECT fold, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2, " +
+        "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1 * x1) AS BIGINT) AS s11, " +
+        "CAST(sum(x1 * x2) AS BIGINT) AS s12, CAST(sum(x2 * x2) AS BIGINT) AS s22, " +
+        "CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y, " +
+        "CAST(sum(y * y) AS BIGINT) AS syy FROM cells GROUP BY 1), " +
+        "pl AS (SELECT CAST(sum(n) AS BIGINT) AS pn, CAST(sum(s1) AS BIGINT) AS p1, " +
+        "CAST(sum(s2) AS BIGINT) AS p2, CAST(sum(sy) AS BIGINT) AS py, " +
+        "CAST(sum(s11) AS BIGINT) AS p11, CAST(sum(s12) AS BIGINT) AS p12, " +
+        "CAST(sum(s22) AS BIGINT) AS p22, CAST(sum(s1y) AS BIGINT) AS p1y, " +
+        "CAST(sum(s2y) AS BIGINT) AS p2y FROM bf), " +
+        "tr AS (SELECT fold, n AS n_test, sy AS tsy, syy AS tsyy, " +
+        "pn - n AS tn, p1 - s1 AS t1, p2 - s2 AS t2, py - sy AS ty, " +
+        "p11 - s11 AS t11, p12 - s12 AS t12, p22 - s22 AS t22, " +
+        "p1y - s1y AS t1y, p2y - s2y AS t2y FROM bf CROSS JOIN pl), " +
+        "cmo AS (SELECT fold, n_test, tsy, tsyy, tn, t1, t2, ty, " +
+        "CAST(tn AS HUGEINT) * t11 - CAST(t1 AS HUGEINT) * CAST(t1 AS HUGEINT) AS a11, " +
+        "CAST(tn AS HUGEINT) * t12 - CAST(t1 AS HUGEINT) * CAST(t2 AS HUGEINT) AS a12, " +
+        "CAST(tn AS HUGEINT) * t22 - CAST(t2 AS HUGEINT) * CAST(t2 AS HUGEINT) AS a22, " +
+        "CAST(tn AS HUGEINT) * t1y - CAST(t1 AS HUGEINT) * CAST(ty AS HUGEINT) AS b1, " +
+        "CAST(tn AS HUGEINT) * t2y - CAST(t2 AS HUGEINT) * CAST(ty AS HUGEINT) AS b2 " +
+        "FROM tr), " +
+        "md AS (SELECT *, CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) " +
+        "- CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) AS det FROM cmo), " +
+        "md2 AS (SELECT *, (CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE) " +
+        "- CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det AS beta1d, " +
+        "(CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE) " +
+        "- CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det AS beta2d FROM md), " +
+        "md3 AS (SELECT *, (CAST(ty AS DOUBLE) - beta1d * CAST(t1 AS DOUBLE) " +
+        "- beta2d * CAST(t2 AS DOUBLE)) / CAST(tn AS DOUBLE) AS b0d FROM md2), " +
+        "sse AS (SELECT cells.fold, CAST(sum(CAST(round((CAST(y AS DOUBLE) - b0d " +
+        "- beta1d * CAST(x1 AS DOUBLE) - beta2d * CAST(x2 AS DOUBLE)) " +
+        "* (CAST(y AS DOUBLE) - b0d - beta1d * CAST(x1 AS DOUBLE) " +
+        "- beta2d * CAST(x2 AS DOUBLE)), 0) AS BIGINT)) AS BIGINT) AS sse " +
+        "FROM cells JOIN md3 ON cells.fold = md3.fold GROUP BY 1) " +
+        "SELECT md3.fold, n_test, " +
+        "CAST(round(beta1d * 1000000, 0) AS BIGINT) AS beta_qty_e6, " +
+        "CAST(round(beta2d * 1000000, 0) AS BIGINT) AS beta_disc_e6, " +
+        "CAST(round((1.0 - CAST(sse AS DOUBLE) * CAST(n_test AS DOUBLE) " +
+        "/ (CAST(n_test AS DOUBLE) * CAST(tsyy AS DOUBLE) " +
+        "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
+        "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
   )
 }

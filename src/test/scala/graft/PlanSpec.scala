@@ -2036,6 +2036,29 @@ class PlanSpec extends SparkSuite {
       s"the basket self-join must be cut out by the checkpoint:\n$exec")
   }
 
+  test("q_crossval_ols: two passes — fold census + broadcast-model scoring") {
+    val df = Queries.qCrossvalOls(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"),
+      s"the 5-row model frame must broadcast into the scoring scan:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"row→fold-model lookup must be a broadcast hash join:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"both censuses must combine map-side:\n$exec")
+  }
+
+  test("q_uncertainty_sample: 1-row weight broadcast + TakeOrdered readout") {
+    val df = Queries.qUncertaintySample(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the weight frame must ride a 1-row broadcast:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"top-20 must never globally sort:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

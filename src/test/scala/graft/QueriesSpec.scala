@@ -1877,6 +1877,82 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_crossval_ols == brute fold-complement solve; folds partition the table") {
+    val got = Queries.qCrossvalOls(spark, SF)
+      .select("fold", "n_test", "beta_qty_e6", "beta_disc_e6", "oof_r2_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (0L to 4L))
+    val cells = Tables.lineitem(spark, SF).select(
+      expr("(((l_orderkey * 10 + l_linenumber) % 2147483648) " +
+        "* 2654435761) % 4294967296 % 5"),
+      $"l_quantity".cast("long"),
+      expr("CAST(round(l_discount * 100, 0) AS BIGINT)"),
+      expr("CAST(round(l_extendedprice, 0) AS BIGINT)"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == cells.length.toLong, "folds must partition")
+    got.foreach { case (f, nTest, bq, bd, r2) =>
+      val tr = cells.filter(_._1 != f)
+      val te = cells.filter(_._1 == f)
+      assert(nTest == te.length.toLong)
+      val n = BigInt(tr.length)
+      def S(g: ((Long, Long, Long, Long)) => BigInt) = tr.map(g).sum
+      val (s1, s2, sy) = (S(c => BigInt(c._2)), S(c => BigInt(c._3)), S(c => BigInt(c._4)))
+      val a11 = n * S(c => BigInt(c._2) * c._2) - s1 * s1
+      val a12 = n * S(c => BigInt(c._2) * c._3) - s1 * s2
+      val a22 = n * S(c => BigInt(c._3) * c._3) - s2 * s2
+      val b1 = n * S(c => BigInt(c._2) * c._4) - s1 * sy
+      val b2 = n * S(c => BigInt(c._3) * c._4) - s2 * sy
+      val det = a11.toDouble * a22.toDouble - a12.toDouble * a12.toDouble
+      val beta1 = (b1.toDouble * a22.toDouble - b2.toDouble * a12.toDouble) / det
+      val beta2 = (b2.toDouble * a11.toDouble - b1.toDouble * a12.toDouble) / det
+      val b0 = (sy.toDouble - beta1 * s1.toDouble - beta2 * s2.toDouble) / n.toDouble
+      assert(bq == math.round(beta1 * 1e6) && bd == math.round(beta2 * 1e6),
+        s"fold $f betas")
+      val sse = te.map { c =>
+        val r = c._4.toDouble - b0 - beta1 * c._2.toDouble - beta2 * c._3.toDouble
+        math.round(r * r)
+      }.sum
+      val tn = BigInt(te.length)
+      val tsy = te.map(c => BigInt(c._4)).sum
+      val tsyy = te.map(c => BigInt(c._4) * c._4).sum
+      val want = math.round((1.0 - sse.toDouble * tn.toDouble /
+        (tn.toDouble * tsyy.toDouble - tsy.toDouble * tsy.toDouble)) * 1e6)
+      assert(r2 == want, s"fold $f oof r2")
+    }
+  }
+
+  test("q_uncertainty_sample: margins ascend; scores match the step-3 weights") {
+    val got = Queries.qUncertaintySample(spark, SF)
+      .select("vec_id", "label", "p_e9", "margin_e9")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 20)
+    assert(got.map(_._4) == got.map(_._4).sorted, "margins must ascend")
+    // recompute the step-3 weights exactly as the q_logistic_step brute does
+    val cells = Tables.embeddings(spark, SF)
+      .select($"vec_id", $"label".cast("long"),
+        expr("CAST(embedding[0] AS DOUBLE)"), expr("CAST(embedding[1] AS DOUBLE)"),
+        expr("CAST(CAST(label < 5 AS BIGINT) AS DOUBLE)"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+    var w = (0L, 0L, 0L)
+    (1 to 3).foreach { _ =>
+      var (g0, g1, g2) = (0L, 0L, 0L)
+      cells.foreach { case (_, _, x1, x2, y) =>
+        val z = w._1 / 1e9 + w._2 / 1e9 * x1 + w._3 / 1e9 * x2
+        val r = 1.0 / (1.0 + math.exp(-z)) - y
+        g0 += math.round(r * 1e9); g1 += math.round(r * x1 * 1e9)
+        g2 += math.round(r * x2 * 1e9)
+      }
+      val nn = cells.length
+      w = (w._1 - g0 / nn, w._2 - g1 / nn, w._3 - g2 / nn)
+    }
+    val want = cells.map { case (id, lb, x1, x2, _) =>
+      val p = math.round(1e9 / (1.0 + math.exp(
+        -(w._1 / 1e9 + w._2 / 1e9 * x1 + w._3 / 1e9 * x2))))
+      (id, lb, p, math.abs(p - 500000000L))
+    }.sortBy(t => (t._4, t._1)).take(20).toSeq
+    assert(got == want)
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
