@@ -8390,6 +8390,72 @@ object Queries {
       .limit(20)
   }
 
+  /** Hierarchical (bill-of-materials style) subtree rollup over the
+    * DECLARED 10-ary part forest `parent(p) = p div 10` — the
+    * category-tree aggregation pattern, executed with ZERO joins: a
+    * part's k-th ancestor is pure key arithmetic (`p div 10^k`, the
+    * Dremel-style path encoding), so the whole rollup is one revenue
+    * census exploded to its ≤ 5 ancestor levels and re-aggregated —
+    * map-side combinable end to end. Subtree = self + strict descendants
+    * at most 4 levels below; top-20 ancestors by subtree revenue via
+    * TakeOrdered. At 100 TB this is the difference between a recursive
+    * self-join per level and a fixed 5× row-local expansion. */
+  def qBomRollup(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d).groupBy(col("l_partkey").as("p"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")).as("cents"))
+    val levels = s.range(5).toDF("k")
+    rev.crossJoin(broadcast(levels))
+      .select(expr("p div CAST(pow(10, k) AS BIGINT)").as("anc"),
+        col("k"), col("cents"))
+      .where(col("anc") > 0L)
+      .groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_contrib"), sum(col("cents")).as("subtree_cents"),
+        max(col("k")).as("max_depth"))
+      .orderBy(col("subtree_cents").desc, col("anc"))
+      .limit(20)
+  }
+
+  /** Permutation test for the arm contrast — inference without a
+    * distributional assumption ([[qAbtestChi2]] assumes χ²;
+    * [[qBootstrapCi]] resamples WITHIN arms; this re-randomizes the
+    * assignment itself): 64 deterministic pseudo-permutations flip each
+    * user's arm by a Knuth hash of (user, rep), the observed and all 64
+    * null mean contrasts are exact e6 integers (round-half-up over exact
+    * e3 user masses), and the add-one p-value counts null contrasts at
+    * least as extreme. The 64× expansion is row-local and combines
+    * map-side to 65 cells — the [[qBootstrapCi]] exchange shape. */
+  def qPermutationTest(s: SparkSession, d: String): DataFrame = {
+    val user = Tables.events(s, d).select(col("user_id"),
+        expr("CAST(round(value * 1000, 0) AS BIGINT)").as("v"))
+      .groupBy(col("user_id")).agg(sum(col("v")).as("m"))
+    val reps = s.range(64).toDF("rep")
+    val assigned = user.crossJoin(broadcast(reps))
+      .select(col("rep"), col("m"),
+        expr("(((user_id * 131 + rep * 2654435761 + 17) % 2147483648) " +
+          "* 2654435761) % 4294967296 % 2").as("g"))
+    val nulls = assigned.groupBy(col("rep"))
+      .agg(count(lit(1)).as("n"), sum(expr("g")).as("n1"),
+        sum(expr("CASE WHEN g = 1 THEN m ELSE CAST(0 AS BIGINT) END")).as("s1"),
+        sum(expr("CASE WHEN g = 0 THEN m ELSE CAST(0 AS BIGINT) END")).as("s0"))
+      .select(col("rep"),
+        expr("CASE WHEN n1 = 0 OR n - n1 = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          s"CAST(${roundDiv("s1", "n1", 1000L)} AS BIGINT) - " +
+          s"CAST(${roundDiv("s0", "(n - n1)", 1000L)} AS BIGINT) END").as("d_e6"))
+    val obs = user.select((col("user_id") % 2).as("g"), col("m"))
+      .groupBy().agg(count(lit(1)).as("n"), sum(expr("g")).as("n1"),
+        sum(expr("CASE WHEN g = 1 THEN m ELSE CAST(0 AS BIGINT) END")).as("s1"),
+        sum(expr("CASE WHEN g = 0 THEN m ELSE CAST(0 AS BIGINT) END")).as("s0"))
+      .select(expr(s"CAST(${roundDiv("s1", "n1", 1000L)} AS BIGINT) - " +
+        s"CAST(${roundDiv("s0", "(n - n1)", 1000L)} AS BIGINT)").as("obs_d_e6"))
+    nulls.crossJoin(broadcast(obs))
+      .agg(first(col("obs_d_e6")).as("obs_d_e6"),
+        count(lit(1)).as("n_reps"),
+        sum(expr("CAST(abs(d_e6) >= abs(obs_d_e6) AS BIGINT)")).as("n_extreme"))
+      .select(col("obs_d_e6"), col("n_reps"), col("n_extreme"),
+        expr(s"CAST(${ppmDiv("(n_extreme + 1)", "(n_reps + 1)")} AS BIGINT)")
+          .as("p_ppm"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -8715,6 +8781,8 @@ object Queries {
     "q_simpson_reversal" -> (qSimpsonReversal _),
     "q_crossval_ols" -> (qCrossvalOls _),
     "q_uncertainty_sample" -> (qUncertaintySample _),
+    "q_bom_rollup" -> (qBomRollup _),
+    "q_permutation_test" -> (qPermutationTest _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12134,5 +12202,45 @@ object Queries {
         "/ (CAST(n_test AS DOUBLE) * CAST(tsyy AS DOUBLE) " +
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
+    "q_bom_rollup" ->
+      ("WITH rev AS (SELECT l_partkey AS p, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) " +
+        "AS cents FROM lineitem GROUP BY 1), " +
+        "lv AS (SELECT CAST(i AS BIGINT) AS k FROM range(5) t(i)), " +
+        "x AS (SELECT p // CAST(pow(10, k) AS BIGINT) AS anc, k, cents " +
+        "FROM rev CROSS JOIN lv), " +
+        "g AS (SELECT anc, CAST(count(*) AS BIGINT) AS n_contrib, " +
+        "CAST(sum(cents) AS BIGINT) AS subtree_cents, " +
+        "CAST(max(k) AS BIGINT) AS max_depth FROM x WHERE anc > 0 GROUP BY 1) " +
+        "SELECT anc, n_contrib, subtree_cents, max_depth FROM g " +
+        "ORDER BY subtree_cents DESC, anc LIMIT 20"),
+    "q_permutation_test" ->
+      ("WITH u AS (SELECT user_id, CAST(sum(CAST(round(value * 1000, 0) " +
+        "AS BIGINT)) AS BIGINT) AS m FROM events GROUP BY 1), " +
+        "a AS (SELECT CAST(r.i AS BIGINT) AS rep, m, " +
+        "(((user_id * 131 + CAST(r.i AS BIGINT) * 2654435761 + 17) % 2147483648) " +
+        "* 2654435761) % 4294967296 % 2 AS g FROM u CROSS JOIN range(64) r(i)), " +
+        "nl AS (SELECT rep, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(g) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN g = 1 THEN m ELSE 0 END) AS BIGINT) AS s1, " +
+        "CAST(sum(CASE WHEN g = 0 THEN m ELSE 0 END) AS BIGINT) AS s0 " +
+        "FROM a GROUP BY 1), " +
+        "nd AS (SELECT rep, CASE WHEN n1 = 0 OR n - n1 = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE CAST(${roundDivSql("s1", "n1", 1000L)} AS BIGINT) - " +
+        s"CAST(${roundDivSql("s0", "(n - n1)", 1000L)} AS BIGINT) END AS d_e6 " +
+        "FROM nl), " +
+        "ob AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(user_id % 2) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN m ELSE 0 END) AS BIGINT) AS s1, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN m ELSE 0 END) AS BIGINT) AS s0 " +
+        "FROM u), " +
+        s"ob2 AS (SELECT CAST(${roundDivSql("s1", "n1", 1000L)} AS BIGINT) - " +
+        s"CAST(${roundDivSql("s0", "(n - n1)", 1000L)} AS BIGINT) AS obs_d_e6 FROM ob) " +
+        "SELECT obs_d_e6, CAST(count(*) AS BIGINT) AS n_reps, " +
+        "CAST(sum(CASE WHEN abs(d_e6) >= abs(obs_d_e6) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_extreme, " +
+        s"CAST(${ppmDivSql("(CAST(sum(CASE WHEN abs(d_e6) >= abs(obs_d_e6) THEN 1 ELSE 0 END) AS BIGINT) + 1)",
+          "(CAST(count(*) AS BIGINT) + 1)")} AS BIGINT) AS p_ppm " +
+        "FROM nd CROSS JOIN ob2 GROUP BY obs_d_e6"),
   )
 }

@@ -2059,6 +2059,28 @@ class PlanSpec extends SparkSuite {
       s"top-20 must never globally sort:\n$exec")
   }
 
+  test("q_bom_rollup: hierarchy is key arithmetic — zero joins past the censuses") {
+    val df = Queries.qBomRollup(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("CartesianProduct"),
+      s"ancestors come from div-arithmetic, never a hierarchy join:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"), exec)
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"both rollup levels must combine map-side:\n$exec")
+  }
+
+  test("q_permutation_test: 64x expansion combines map-side to 65 cells") {
+    val df = Queries.qPermutationTest(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("SortMergeJoin"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the rep grid and observed contrast ride broadcasts:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"per-rep sums must combine map-side before the exchange:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

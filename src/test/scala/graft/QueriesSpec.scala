@@ -1953,6 +1953,62 @@ class QueriesSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("q_bom_rollup == brute ancestor walk; subtree containment holds") {
+    val got = Queries.qBomRollup(spark, SF)
+      .select("anc", "n_contrib", "subtree_cents", "max_depth")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 20)
+    val rev = Tables.lineitem(spark, SF)
+      .groupBy($"l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")))
+      .as[(Long, Long)].collect()
+    val byAnc = rev.flatMap { case (p, c) =>
+      (0 to 4).map(k => (p / math.pow(10, k).toLong, k.toLong, c))
+    }.filter(_._1 > 0).groupBy(_._1)
+    val want = byAnc.toSeq.map { case (a, xs) =>
+      (a, xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).max)
+    }.sortBy(t => (-t._3, t._1)).take(20)
+    assert(got == want)
+    // containment: a child ancestor's subtree mass never exceeds its parent's
+    val mass = byAnc.view.mapValues(_.map(_._3).sum).toMap
+    got.foreach { case (a, _, m, _) =>
+      if (a >= 10 && mass.contains(a / 10))
+        assert(m <= mass(a / 10), s"subtree($a) exceeds subtree(${a / 10})")
+    }
+  }
+
+  test("q_permutation_test == brute 64-rep re-randomization; p in (0, 1]") {
+    val got = Queries.qPermutationTest(spark, SF)
+      .select("obs_d_e6", "n_reps", "n_extreme", "p_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    val users = Tables.events(spark, SF)
+      .select($"user_id", expr("CAST(round(value * 1000, 0) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (u, vs) => (u, vs.map(_._2).sum) }
+    def rd(num: Long, den: Long): Long = {
+      val n2 = BigInt(num) * 1000 * 2
+      val neg = n2 < 0
+      val q = ((if (neg) -n2 else n2) + BigInt(den)) / (2 * BigInt(den))
+      (if (neg) -q else q).toLong
+    }
+    def diff(groups: Seq[(Long, Long)]): Long = {
+      val g1 = groups.filter(_._1 == 1L); val g0 = groups.filter(_._1 == 0L)
+      rd(g1.map(_._2).sum, g1.size) - rd(g0.map(_._2).sum, g0.size)
+    }
+    val obs = diff(users.map { case (u, m) => (u % 2, m) })
+    assert(got._1 == obs && got._2 == 64L)
+    val extreme = (0L until 64L).count { rep =>
+      val d = diff(users.map { case (u, m) =>
+        ((((u * 131 + rep * 2654435761L + 17) % 2147483648L)
+          * 2654435761L) % 4294967296L % 2, m)
+      })
+      math.abs(d) >= math.abs(obs)
+    }.toLong
+    assert(got._3 == extreme)
+    assert(got._4 == (extreme + 1) * 1000000L / 65L)
+    assert(got._4 > 0L && got._4 <= 1000000L)
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
