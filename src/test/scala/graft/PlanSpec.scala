@@ -2081,6 +2081,17 @@ class PlanSpec extends SparkSuite {
       s"per-rep sums must combine map-side before the exchange:\n$exec")
   }
 
+  test("q_pagerank_iter: bounded trace; loop capped; rounds cut per iteration") {
+    val (df, rounds) = Queries.pagerankTrace(spark, SF)
+    assert(rounds <= Queries.PrCap)
+    val rows = df.collect()
+    assert(rows.length == Queries.PrCap, "trace always emits PrCap rows")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("LocalTableScan"),
+      s"the trace itself is a bounded local frame (the per-round work ran " +
+        s"as checkpoint-cut jobs):\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

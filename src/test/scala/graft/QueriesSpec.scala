@@ -2009,6 +2009,36 @@ class QueriesSpec extends SparkSuite {
     assert(got._4 > 0L && got._4 <= 1000000L)
   }
 
+  test("q_pagerank_iter == brute 8-round integer replay on the rebuilt graph") {
+    val got = Queries.qPagerankIter(spark, SF)
+      .select("round", "n_nodes", "sum_rank_ppm", "max_delta_ppm", "converged")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (1L to 8L))
+    val op = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val pairs = op.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val sym = pairs.flatMap(e => Seq(e, e.swap))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    val want = (1 to 8).map { i =>
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / deg(e._1)).sum
+      }
+      val next = contrib.map { case (n, sc) => n -> (150000L + 85L * sc / 100L) }
+      val md = next.map { case (n, v) => math.abs(v - r(n)) }.max
+      val row = (i.toLong, next.size.toLong, next.values.sum, md,
+        if (md == 0L) 1L else 0L)
+      r = next
+      row
+    }
+    assert(got == want)
+    assert(got.map(_._2).distinct.size == 1, "node set must stay constant")
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
