@@ -8562,6 +8562,67 @@ object Queries {
       "converged"), rounds)
   }
 
+  /** Modularity of the brand partition on the co-purchase graph — the
+    * community-QUALITY readout that scores what [[qLabelProp]] proposes:
+    * `Q = Σ_c (e_c/m − (a_c/2m)²)` decomposed per community, every term
+    * an exact integer ratio (the squared degree-mass term in
+    * DECIMAL(38,0)/HUGEINT — it passes 2⁶³ at fleet scale). One edge
+    * census with the bounded brand dim broadcast onto both endpoints,
+    * one degree census — bounded |brands| output. */
+  def qGraphModularity(s: SparkSession, d: String): DataFrame = {
+    val (e, deg) = coPurchaseGraph(s, d)
+    val brand = broadcast(Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand")))
+    val labeled = e
+      .join(brand.select(col("p_partkey").as("pa"), col("p_brand").as("ba")), Seq("pa"))
+      .join(brand.select(col("p_partkey").as("pb"), col("p_brand").as("bb")), Seq("pb"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val eIn = labeled.where(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_in"))
+    val aC = deg
+      .join(brand.select(col("p_partkey").as("n"), col("p_brand").as("brand")), Seq("n"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("a_c"))
+    aC.join(eIn, Seq("brand"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("brand"), col("n_nodes"), col("a_c"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("m"),
+        expr("CAST((coalesce(e_in, CAST(0 AS BIGINT)) * 1000000) div m AS BIGINT) " +
+          "- CAST((CAST(a_c AS DECIMAL(38,0)) * CAST(a_c AS DECIMAL(38,0)) " +
+          "* 1000000) div (4 * CAST(m AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("q_contrib_ppm"))
+      .drop("m")
+      .transform(ps(col("brand")))
+  }
+
+  /** Degree assortativity of the co-purchase graph — do hub parts link
+    * to hubs? Pearson correlation of endpoint degrees over the
+    * symmetric edge list (each direction counted, the standard Newman
+    * formulation): two item-keyed degree joins onto the edge stream,
+    * exact centered sums in DECIMAL(38,0)/HUGEINT, presented through
+    * the shared `num / sqrt(d1·d2)` double. One row. */
+  def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    val (e, deg) = coPurchaseGraph(s, d)
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    sym
+      .join(deg.select(col("n").as("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("d").as("y")), Seq("dst"))
+      .agg(count(lit(1)).as("m2"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"${dec.format("x")} * ${dec.format("x")}")).as("sxx"),
+        sum(expr(s"${dec.format("y")} * ${dec.format("y")}")).as("syy"),
+        sum(expr(s"${dec.format("x")} * ${dec.format("y")}")).as("sxy"))
+      .select(col("m2"),
+        expr(s"${dec.format("m2")} * sxy - ${dec.format("sx")} * ${dec.format("sy")}").as("num"),
+        expr(s"${dec.format("m2")} * sxx - ${dec.format("sx")} * ${dec.format("sx")}").as("d1"),
+        expr(s"${dec.format("m2")} * syy - ${dec.format("sy")} * ${dec.format("sy")}").as("d2"))
+      .select(col("m2").as("m_directed_edges"),
+        expr("CASE WHEN d1 = 0 OR d2 = 0 THEN 0 ELSE " +
+          "CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) " +
+          "* CAST(d2 AS DOUBLE)) * 1000000, 0) AS BIGINT) END").as("r_e6"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -8890,6 +8951,8 @@ object Queries {
     "q_bom_rollup" -> (qBomRollup _),
     "q_permutation_test" -> (qPermutationTest _),
     "q_pagerank_iter" -> (qPagerankIter _),
+    "q_graph_modularity" -> (qGraphModularity _),
+    "q_assortativity" -> (qAssortativity _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12310,6 +12373,51 @@ object Queries {
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
     "q_pagerank_iter" -> pagerankOracleSql,
+    "q_graph_modularity" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "dg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT pa AS n FROM e UNION ALL SELECT pb AS n FROM e) GROUP BY 1), " +
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e), " +
+        "ein AS (SELECT pa_b.p_brand AS brand, CAST(count(*) AS BIGINT) AS e_in " +
+        "FROM e JOIN part pa_b ON pa_b.p_partkey = e.pa " +
+        "JOIN part pb_b ON pb_b.p_partkey = e.pb " +
+        "WHERE pa_b.p_brand = pb_b.p_brand GROUP BY 1), " +
+        "ac AS (SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_nodes, " +
+        "CAST(sum(d) AS BIGINT) AS a_c FROM dg JOIN part p ON p.p_partkey = dg.n " +
+        "GROUP BY 1) " +
+        "SELECT ac.brand, n_nodes, a_c, CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, " +
+        "CAST((coalesce(e_in, 0) * 1000000) // m AS BIGINT) " +
+        "- CAST((CAST(a_c AS HUGEINT) * CAST(a_c AS HUGEINT) * 1000000) " +
+        "// (4 * CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS BIGINT) " +
+        "AS q_contrib_ppm FROM ac LEFT JOIN ein ON ein.brand = ac.brand " +
+        "CROSS JOIN mm ORDER BY ac.brand"),
+    "q_assortativity" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "e AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "sym AS (SELECT pa AS src, pb AS dst FROM e " +
+        "UNION ALL SELECT pb AS src, pa AS dst FROM e), " +
+        "dg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT pa AS n FROM e UNION ALL SELECT pb AS n FROM e) GROUP BY 1), " +
+        "j AS (SELECT dx.d AS x, dy.d AS y FROM sym " +
+        "JOIN dg dx ON dx.n = sym.src JOIN dg dy ON dy.n = sym.dst), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS m2, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx, " +
+        "sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy, " +
+        "sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy FROM j), " +
+        "c AS (SELECT m2, CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) " +
+        "* CAST(sy AS HUGEINT) AS num, CAST(m2 AS HUGEINT) * sxx " +
+        "- CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS d1, " +
+        "CAST(m2 AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) " +
+        "AS d2 FROM g) " +
+        "SELECT m2 AS m_directed_edges, CASE WHEN d1 = 0 OR d2 = 0 THEN 0 ELSE " +
+        "CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) " +
+        "* CAST(d2 AS DOUBLE)) * 1000000, 0) AS BIGINT) END AS r_e6 FROM c"),
     "q_bom_rollup" ->
       ("WITH rev AS (SELECT l_partkey AS p, " +
         "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) " +

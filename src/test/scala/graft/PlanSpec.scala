@@ -2092,6 +2092,25 @@ class PlanSpec extends SparkSuite {
         s"as checkpoint-cut jobs):\n$exec")
   }
 
+  test("q_graph_modularity: brand dim broadcast onto both endpoints; bounded output") {
+    val df = Queries.qGraphModularity(spark, SF)
+    val rows = df.collect()
+    assert(rows.length <= 30, "output bounded by |brands|")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the brand dim must broadcast, never shuffle the edge stream extra:\n$exec")
+  }
+
+  test("q_assortativity: degree joins equi-keyed; single-row readout") {
+    val df = Queries.qAssortativity(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("NestedLoop"), exec)
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the moment sums must combine map-side:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

@@ -2039,6 +2039,61 @@ class QueriesSpec extends SparkSuite {
     assert(got.map(_._2).distinct.size == 1, "node set must stay constant")
   }
 
+  test("q_graph_modularity == brute Newman decomposition; Q bounded") {
+    val got = Queries.qGraphModularity(spark, SF)
+      .select("brand", "n_nodes", "a_c", "e_in", "q_contrib_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val op = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_partkey").distinct().as[(Long, Long)].collect()
+    val edges = op.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val brand = Tables.part(spark, SF).select($"p_partkey", $"p_brand")
+      .as[(Long, String)].collect().toMap
+    val m = edges.size.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (b, nNodes, aC, eIn, q) =>
+      val nodes = deg.keys.filter(brand(_) == b).toSeq
+      assert(nNodes == nodes.size.toLong && aC == nodes.map(deg).sum)
+      assert(eIn == edges.count(e => brand(e._1) == b && brand(e._2) == b).toLong)
+      val want = eIn * 1000000L / m -
+        (BigInt(aC) * aC * 1000000 / (4 * BigInt(m) * m)).toLong
+      assert(q == want, s"brand $b")
+    }
+    val total = got.map(_._5).sum
+    assert(total >= -500000L - got.size && total <= 1000000L,
+      s"modularity out of range: $total ppm")
+  }
+
+  test("q_assortativity == brute degree Pearson over directed edges") {
+    val got = Queries.qAssortativity(spark, SF)
+      .select("m_directed_edges", "r_e6").as[(Long, Long)].head()
+    val op = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_partkey").distinct().as[(Long, Long)].collect()
+    val edges = op.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = edges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val n = BigInt(pairs.size)
+    val (sx, sy) = (pairs.map(p => BigInt(p._1)).sum, pairs.map(p => BigInt(p._2)).sum)
+    val num = n * pairs.map(p => BigInt(p._1) * p._2).sum - sx * sy
+    val d1 = n * pairs.map(p => BigInt(p._1) * p._1).sum - sx * sx
+    val d2 = n * pairs.map(p => BigInt(p._2) * p._2).sum - sy * sy
+    assert(got._1 == pairs.size.toLong)
+    val want = if (d1 == 0 || d2 == 0) 0L
+      else math.round(num.toDouble / math.sqrt(d1.toDouble * d2.toDouble) * 1e6)
+    assert(got._2 == want && math.abs(got._2) <= 1000000L)
+    // symmetric edge list ⇒ sx == sy and d1 == d2 exactly
+    assert(sx == sy && d1 == d2)
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
