@@ -8623,6 +8623,42 @@ object Queries {
           "* CAST(d2 AS DOUBLE)) * 1000000, 0) AS BIGINT) END").as("r_e6"))
   }
 
+  /** Wilcoxon-Mann-Whitney rank-sum test — the nonparametric two-sample
+    * location test beside [[qKsDrift]]'s distribution distance and
+    * [[qAbtestChi2]]'s categorical test: order-total cents by arm
+    * (orderkey parity). Exact path: one distinct-value census (n₀, n₁
+    * per cent value), the scalable two-phase prefix sum supplies each
+    * value's rank-before count (never a single-task window over the
+    * value frame), tie-averaged ranks carried ×2 so everything stays
+    * integer (`2·avgrank = 2·before + t + 1`), and the tie-corrected
+    * normal approximation presents z through shared double expressions
+    * from DECIMAL(38,0)/HUGEINT moments (`Σ(t³−t)` passes 2⁶³ under
+    * heavy ties at fleet scale). One row. */
+  def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.orders(s, d).select(
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("v"),
+      (col("o_orderkey") % 2).as("arm"))
+    val census = vals.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("arm")).as("n1v"))
+    val ranked = Ops.prefixSumScalable(census, "v", "t", "before")
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    ranked
+      .agg(sum(col("t") - col("n1v")).as("n0"), sum(col("n1v")).as("n1"),
+        sum(expr("n1v * (2 * before + t + 1)")).as("r1_x2"),
+        sum(expr(s"(${dec.format("t")} * ${dec.format("t")} * ${dec.format("t")}) - ${dec.format("t")}"))
+          .as("tie3"))
+      .select(col("n0"), col("n1"),
+        expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"), col("tie3"),
+        expr(s"${dec.format("n0")} + ${dec.format("n1")}").as("nn"))
+      .select(col("n0"), col("n1"), col("u1_x2"),
+        expr("CASE WHEN n0 = 0 OR n1 = 0 THEN 0 ELSE CAST(round(" +
+          "(CAST(u1_x2 AS DOUBLE) / 2.0D - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0D) " +
+          "/ sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0D " +
+          "* ((CAST(nn AS DOUBLE) + 1.0D) - CAST(tie3 AS DOUBLE) " +
+          "/ (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0D)))) " +
+          "* 1000000, 0) AS BIGINT) END").as("z_e6"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -8953,6 +8989,7 @@ object Queries {
     "q_pagerank_iter" -> (qPagerankIter _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_assortativity" -> (qAssortativity _),
+    "q_mann_whitney" -> (qMannWhitney _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12373,6 +12410,27 @@ object Queries {
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
     "q_pagerank_iter" -> pagerankOracleSql,
+    "q_mann_whitney" ->
+      ("WITH vals AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v, " +
+        "o_orderkey % 2 AS arm FROM orders), " +
+        "census AS (SELECT v, CAST(count(*) AS BIGINT) AS t, " +
+        "CAST(sum(arm) AS BIGINT) AS n1v FROM vals GROUP BY 1), " +
+        "rk AS (SELECT v, t, n1v, CAST(coalesce(sum(t) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS before FROM census), " +
+        "g AS (SELECT CAST(sum(t - n1v) AS BIGINT) AS n0, " +
+        "CAST(sum(n1v) AS BIGINT) AS n1, " +
+        "CAST(sum(n1v * (2 * before + t + 1)) AS BIGINT) AS r1_x2, " +
+        "sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT) " +
+        "- CAST(t AS HUGEINT)) AS tie3 FROM rk), " +
+        "h AS (SELECT n0, n1, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie3, " +
+        "CAST(n0 AS HUGEINT) + CAST(n1 AS HUGEINT) AS nn FROM g) " +
+        "SELECT n0, n1, u1_x2, CASE WHEN n0 = 0 OR n1 = 0 THEN 0 ELSE " +
+        "CAST(round((CAST(u1_x2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) " +
+        "* CAST(n1 AS DOUBLE) / 2.0) / sqrt(CAST(n0 AS DOUBLE) " +
+        "* CAST(n1 AS DOUBLE) / 12.0 * ((CAST(nn AS DOUBLE) + 1.0) " +
+        "- CAST(tie3 AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) " +
+        "- 1.0)))) * 1000000, 0) AS BIGINT) END AS z_e6 FROM h"),
     "q_graph_modularity" ->
       ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
         "e AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +

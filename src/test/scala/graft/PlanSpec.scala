@@ -2111,6 +2111,17 @@ class PlanSpec extends SparkSuite {
       s"the moment sums must combine map-side:\n$exec")
   }
 
+  test("q_mann_whitney: rank prefix is bucket-partitioned, census map-side") {
+    val df = Queries.qMannWhitney(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val winLines = exec.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__bucket")),
+      s"the rank-before prefix must run on value buckets:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"the value census must combine map-side:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

@@ -2094,6 +2094,37 @@ class QueriesSpec extends SparkSuite {
     assert(sx == sy && d1 == d2)
   }
 
+  test("q_mann_whitney == brute rank-sum with tie-averaged ranks") {
+    val got = Queries.qMannWhitney(spark, SF)
+      .select("n0", "n1", "u1_x2", "z_e6").as[(Long, Long, Long, Long)].head()
+    val vals = Tables.orders(spark, SF)
+      .select(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+        ($"o_orderkey" % 2))
+      .as[(Long, Long)].collect()
+    val n1 = vals.count(_._2 == 1L).toLong
+    val n0 = vals.length - n1
+    // tie-averaged ranks over the pooled sample, ×2 to stay integral
+    val sorted = vals.sortBy(_._1)
+    val rank2 = scala.collection.mutable.Map.empty[Long, Long]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      rank2(sorted(i)._1) = (i + 1).toLong + j.toLong // 2·avg of ranks i+1..j
+      i = j
+    }
+    val r1x2 = vals.filter(_._2 == 1L).map(v => rank2(v._1)).sum
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    assert(got._1 == n0 && got._2 == n1 && got._3 == u1x2)
+    val nn = (n0 + n1).toDouble
+    val tie3 = sorted.groupBy(_._1).values
+      .map(g => BigInt(g.length).pow(3) - g.length).sum
+    val z = (u1x2 / 2.0 - n0.toDouble * n1 / 2.0) /
+      math.sqrt(n0.toDouble * n1 / 12.0 *
+        ((nn + 1.0) - tie3.toDouble / (nn * (nn - 1.0))))
+    assert(got._4 == math.round(z * 1e6))
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
