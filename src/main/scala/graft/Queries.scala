@@ -8659,6 +8659,88 @@ object Queries {
           "* 1000000, 0) AS BIGINT) END").as("z_e6"))
   }
 
+  /** Directed association rules with confidence and conviction — the
+    * rule-emission step past [[qPartAffinity]]'s symmetric lift and
+    * [[qFrequentTriples]]' itemsets: each frequent pair yields both
+    * directions, `conf(i→j) = n_ij/n_i` exact ppm and
+    * `conviction(i→j) = n_i·(N − n_j) / (N·(n_i − n_ij))` exact e6 in
+    * DECIMAL(38,0)/HUGEINT (∞ when conf = 1 → sentinel 999999999).
+    * Basket-bounded pair census + broadcast item counts; top-20 rules by
+    * (confidence, support) — no absolute confidence floor, because random
+    * baskets dilute item supports as the corpus grows and a fixed floor
+    * would empty the readout at scale. */
+  def qRuleConfidence(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val nOrders = op.select(col("k")).distinct().agg(count(lit(1)).as("nn"))
+    val item = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val pair = op.as("a").join(op.as("b"), expr("a.k = b.k AND a.p < b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(count(lit(1)).as("n_ij"))
+      .where(col("n_ij") >= 5L)
+    val rules = pair.select(col("i"), col("j"), col("n_ij"))
+      .unionAll(pair.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
+    rules
+      .join(broadcast(item.select(col("p").as("i"), col("np").as("n_i"))), Seq("i"))
+      .join(broadcast(item.select(col("p").as("j"), col("np").as("n_j"))), Seq("j"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("i"), col("j"), col("n_ij"), col("n_i"), col("n_j"),
+        expr(s"CAST(${ppmDiv("n_ij", "n_i")} AS BIGINT)").as("conf_ppm"),
+        expr("CASE WHEN n_i = n_ij THEN CAST(999999999 AS BIGINT) ELSE " +
+          "CAST((CAST(n_i AS DECIMAL(38,0)) * (CAST(nn AS DECIMAL(38,0)) " +
+          "- CAST(n_j AS DECIMAL(38,0))) * 1000000) div " +
+          "(CAST(nn AS DECIMAL(38,0)) * (CAST(n_i AS DECIMAL(38,0)) " +
+          "- CAST(n_ij AS DECIMAL(38,0)))) AS BIGINT) END").as("conviction_e6"))
+      .orderBy(col("conf_ppm").desc, col("n_ij").desc, col("i"), col("j"))
+      .limit(20)
+  }
+
+  /** Benjamini-Hochberg FDR control over per-brand permutation p-values —
+    * the multiple-testing discipline a 25-brand screen needs before
+    * acting on [[qSimpsonReversal]]-style per-group contrasts, EXACT end
+    * to end: per brand, the observed return-rate arm contrast and 64
+    * Knuth-hash null contrasts give an add-one permutation p = e/65 with
+    * integer numerator e; the BH step-up `p_(k) ≤ k·α/m` (α = 0.1,
+    * m = 25) cross-multiplies to `e·250 ≤ k·65` — no float ever decides
+    * a rejection. One 64×-expanded map-side census to |brands|·65 cells;
+    * the step-up runs on the bounded brand frame. */
+  def qFdrBh(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_orderkey").as("k"),
+        expr("CAST(l_returnflag = 'R' AS BIGINT)").as("y"))
+    val reps = s.range(64).toDF("rep")
+    def contrast(df: DataFrame, garm: String): DataFrame = df
+      .groupBy(df.columns.filter(c => c != "k" && c != "y").map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(expr(garm)).as("n1"),
+        sum(expr(s"($garm) * y")).as("s1"),
+        sum(expr(s"(1 - ($garm)) * y")).as("s0"))
+      .withColumn("d_ppm", expr("CASE WHEN n1 = 0 OR n - n1 = 0 THEN " +
+        s"CAST(0 AS BIGINT) ELSE CAST(${ppmDiv("s1", "n1")} AS BIGINT) - " +
+        s"CAST(${ppmDiv("s0", "(n - n1)")} AS BIGINT) END"))
+    val obs = contrast(cells, "k % 2")
+      .select(col("brand"), col("d_ppm").as("obs_d_ppm"))
+    val nulls = contrast(cells.crossJoin(broadcast(reps)),
+        "(((k * 131 + rep * 2654435761 + 17) % 2147483648) * 2654435761) " +
+          "% 4294967296 % 2")
+      .select(col("brand"), col("d_ppm"))
+    val e = nulls.join(broadcast(obs), Seq("brand"))
+      .groupBy(col("brand"))
+      .agg(first(col("obs_d_ppm")).as("obs_d_ppm"),
+        (sum(expr("CAST(abs(d_ppm) >= abs(obs_d_ppm) AS BIGINT)")) + 1L).as("e"))
+    val ranked = e.withColumn("rank",
+      row_number().over(Window.orderBy(col("e"), col("brand"))).cast("bigint"))
+    val kmax = ranked.agg(coalesce(max(when(
+      col("e") * 250L <= col("rank") * 65L, col("rank"))), lit(0L)).as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("brand"), col("obs_d_ppm"), col("e"),
+        expr(s"CAST(${ppmDiv("e", "65")} AS BIGINT)").as("p_ppm"),
+        col("rank"),
+        (col("rank") <= col("kmax")).cast("bigint").as("rejected"))
+      .transform(ps(col("brand")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -8990,6 +9072,8 @@ object Queries {
     "q_graph_modularity" -> (qGraphModularity _),
     "q_assortativity" -> (qAssortativity _),
     "q_mann_whitney" -> (qMannWhitney _),
+    "q_rule_confidence" -> (qRuleConfidence _),
+    "q_fdr_bh" -> (qFdrBh _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12410,6 +12494,62 @@ object Queries {
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
     "q_pagerank_iter" -> pagerankOracleSql,
+    "q_rule_confidence" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), " +
+        "nn AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS nn FROM op), " +
+        "item AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM op GROUP BY 1), " +
+        "pair AS (SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS n_ij " +
+        "FROM op a JOIN op b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 " +
+        "HAVING count(*) >= 5), " +
+        "rules AS (SELECT i, j, n_ij FROM pair " +
+        "UNION ALL SELECT j AS i, i AS j, n_ij FROM pair), " +
+        "r2 AS (SELECT r.i, r.j, r.n_ij, ii.np AS n_i, jj.np AS n_j FROM rules r " +
+        "JOIN item ii ON ii.p = r.i JOIN item jj ON jj.p = r.j), " +
+        "r3 AS (SELECT i, j, n_ij, n_i, n_j, " +
+        "CAST(((n_ij * 1000) // n_i) * 1000 + (((n_ij * 1000) % n_i) * 1000) // n_i AS BIGINT) AS conf_ppm, " +
+        "CASE WHEN n_i = n_ij THEN CAST(999999999 AS BIGINT) ELSE " +
+        "CAST((CAST(n_i AS HUGEINT) * (CAST(nn AS HUGEINT) - CAST(n_j AS HUGEINT)) " +
+        "* 1000000) // (CAST(nn AS HUGEINT) * (CAST(n_i AS HUGEINT) " +
+        "- CAST(n_ij AS HUGEINT))) AS BIGINT) END AS conviction_e6 " +
+        "FROM r2 CROSS JOIN nn) " +
+        "SELECT i, j, n_ij, n_i, n_j, conf_ppm, conviction_e6 FROM r3 " +
+        "ORDER BY conf_ppm DESC, n_ij DESC, i, j LIMIT 20"),
+    "q_fdr_bh" ->
+      ("WITH cells AS (SELECT p.p_brand AS brand, l_orderkey AS k, " +
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), " +
+        "ob AS (SELECT brand, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(k % 2) AS BIGINT) AS n1, " +
+        "CAST(sum((k % 2) * y) AS BIGINT) AS s1, " +
+        "CAST(sum((1 - (k % 2)) * y) AS BIGINT) AS s0 FROM cells GROUP BY 1), " +
+        "obd AS (SELECT brand, CASE WHEN n1 = 0 OR n - n1 = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(((s1 * 1000) // n1) * 1000 + (((s1 * 1000) % n1) * 1000) // n1 AS BIGINT) - " +
+        "CAST(((s0 * 1000) // (n - n1)) * 1000 + (((s0 * 1000) % (n - n1)) * 1000) // (n - n1) AS BIGINT) END " +
+        "AS obs_d_ppm FROM ob), " +
+        "nl AS (SELECT brand, CAST(r.i AS BIGINT) AS rep, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum((((k * 131 + CAST(r.i AS BIGINT) * 2654435761 + 17) " +
+        "% 2147483648) * 2654435761) % 4294967296 % 2) AS BIGINT) AS n1, " +
+        "CAST(sum(((((k * 131 + CAST(r.i AS BIGINT) * 2654435761 + 17) " +
+        "% 2147483648) * 2654435761) % 4294967296 % 2) * y) AS BIGINT) AS s1, " +
+        "CAST(sum((1 - ((((k * 131 + CAST(r.i AS BIGINT) * 2654435761 + 17) " +
+        "% 2147483648) * 2654435761) % 4294967296 % 2)) * y) AS BIGINT) AS s0 " +
+        "FROM cells CROSS JOIN range(64) r(i) GROUP BY 1, 2), " +
+        "nld AS (SELECT brand, CASE WHEN n1 = 0 OR n - n1 = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(((s1 * 1000) // n1) * 1000 + (((s1 * 1000) % n1) * 1000) // n1 AS BIGINT) - " +
+        "CAST(((s0 * 1000) // (n - n1)) * 1000 + (((s0 * 1000) % (n - n1)) * 1000) // (n - n1) AS BIGINT) END AS d_ppm " +
+        "FROM nl), " +
+        "e AS (SELECT nld.brand, CAST(min(obs_d_ppm) AS BIGINT) AS obs_d_ppm, " +
+        "CAST(sum(CASE WHEN abs(d_ppm) >= abs(obs_d_ppm) THEN 1 ELSE 0 END) + 1 " +
+        "AS BIGINT) AS e FROM nld JOIN obd ON obd.brand = nld.brand GROUP BY 1), " +
+        "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY e, brand) AS BIGINT) " +
+        "AS rank FROM e), " +
+        "km AS (SELECT CAST(coalesce(max(CASE WHEN e * 250 <= rank * 65 " +
+        "THEN rank END), 0) AS BIGINT) AS kmax FROM rk) " +
+        "SELECT brand, obs_d_ppm, e, " +
+        "CAST(((e * 1000) // 65) * 1000 + (((e * 1000) % 65) * 1000) // 65 AS BIGINT) AS p_ppm, rank, " +
+        "CAST(rank <= kmax AS BIGINT) AS rejected FROM rk CROSS JOIN km " +
+        "ORDER BY brand"),
     "q_mann_whitney" ->
       ("WITH vals AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v, " +
         "o_orderkey % 2 AS arm FROM orders), " +

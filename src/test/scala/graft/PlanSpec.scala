@@ -2122,6 +2122,27 @@ class PlanSpec extends SparkSuite {
       s"the value census must combine map-side:\n$exec")
   }
 
+  test("q_rule_confidence: item counts broadcast; TakeOrdered readout") {
+    val df = Queries.qRuleConfidence(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    // (the 1-row order-count frame legitimately rides a BroadcastNestedLoopJoin)
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("TakeOrderedAndProject"), exec)
+    assert(exec.contains("BroadcastHashJoin"),
+      s"item supports must broadcast onto the rule stream:\n$exec")
+  }
+
+  test("q_fdr_bh: 64x census map-side; step-up on the bounded brand frame") {
+    val df = Queries.qFdrBh(spark, SF)
+    val rows = df.collect()
+    assert(rows.length <= 30, "bounded by |brands|")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the (brand, rep) census must combine map-side:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

@@ -2125,6 +2125,78 @@ class QueriesSpec extends SparkSuite {
     assert(got._4 == math.round(z * 1e6))
   }
 
+  test("q_rule_confidence == brute rule emission; conviction sentinel on conf=1") {
+    val got = Queries.qRuleConfidence(spark, SF)
+      .select("i", "j", "n_ij", "n_i", "n_j", "conf_ppm", "conviction_e6")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val op = Tables.lineitem(spark, SF)
+      .select($"l_orderkey", $"l_partkey").distinct().as[(Long, Long)].collect()
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val item = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = op.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (x <- ps.indices; y <- (x + 1) until ps.length) yield (ps(x), ps(y))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5L).toSeq
+    def ppm(n: Long, d0: Long) = (n * 1000 / d0) * 1000 + ((n * 1000 % d0) * 1000) / d0
+    val want = pairs.flatMap { case ((a, b), nij) =>
+      Seq((a, b, nij), (b, a, nij))
+    }.map { case (i, j, nij) =>
+      val (ni, nj) = (item(i), item(j))
+      val conv = if (ni == nij) 999999999L
+        else (BigInt(ni) * (nOrders - nj) * 1000000 /
+          (BigInt(nOrders) * (ni - nij))).toLong
+      (i, j, nij, ni, nj, ppm(nij, ni), conv)
+    }.sortBy(t => (-t._6, -t._3, t._1, t._2)).take(20)
+    assert(got == want)
+    got.foreach { r =>
+      assert(r._6 <= 1000000L && r._7 >= 0L)
+    }
+  }
+
+  test("q_fdr_bh == brute BH step-up on exact permutation p-values") {
+    val got = Queries.qFdrBh(spark, SF)
+      .select("brand", "obs_d_ppm", "e", "p_ppm", "rank", "rejected")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 25)
+    val brand = Tables.part(spark, SF).select($"p_partkey", $"p_brand")
+      .as[(Long, String)].collect().toMap
+    val cells = Tables.lineitem(spark, SF)
+      .select($"l_partkey", $"l_orderkey", ($"l_returnflag" === "R").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (brand(r._1), r._2, r._3))
+    def ppm(n: Long, d0: Long) = (n * 1000 / d0) * 1000 + ((n * 1000 % d0) * 1000) / d0
+    def dppm(rows: Seq[(Long, Long)]): Long = { // (arm, y)
+      val n1 = rows.count(_._1 == 1L).toLong
+      val n0 = rows.size - n1
+      if (n1 == 0 || n0 == 0) 0L
+      else ppm(rows.filter(_._1 == 1L).map(_._2).sum, n1) -
+        ppm(rows.filter(_._1 == 0L).map(_._2).sum, n0)
+    }
+    val eMap = cells.groupBy(_._1).map { case (b, rows) =>
+      val obs = dppm(rows.toSeq.map(r => (r._2 % 2, r._3)))
+      val ext = (0L until 64L).count { rep =>
+        val d = dppm(rows.toSeq.map { r =>
+          ((((r._2 * 131 + rep * 2654435761L + 17) % 2147483648L)
+            * 2654435761L) % 4294967296L % 2, r._3)
+        })
+        math.abs(d) >= math.abs(obs)
+      }
+      b -> (obs, ext + 1L)
+    }
+    val ranked = eMap.toSeq.sortBy { case (b, (_, e)) => (e, b) }.zipWithIndex
+      .map { case ((b, (obs, e)), idx) => (b, obs, e, idx + 1L) }
+    val kmax = ranked.filter(r => r._3 * 250 <= r._4 * 65)
+      .map(_._4).maxOption.getOrElse(0L)
+    got.foreach { case (b, obs, e, p, rank, rej) =>
+      val w = ranked.find(_._1 == b).get
+      assert((obs, e, rank) == ((w._2, w._3, w._4)), s"brand $b")
+      assert(p == ppm(e, 65L))
+      assert(rej == (if (rank <= kmax) 1L else 0L))
+    }
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
