@@ -8741,6 +8741,62 @@ object Queries {
       .transform(ps(col("brand")))
   }
 
+  /** Power analysis for the next experiment — the design-of-experiments
+    * readout that closes the loop the [[qAbtestChi2]]/[[qCuped]]/
+    * [[qSprt]] tier opens: per-arm sample size to detect a 2 % relative
+    * lift of the event-value mean at α = 0.05, power 0.80,
+    * `n = (z_{α/2}+z_β)²·2σ²/δ²` with the z-sum HARDCODED e9
+    * (1.959963985 + 0.841621234 — no cross-engine quantile function).
+    * Pooled variance from one exact e3-snapped census; the final n and
+    * the achieved-power-at-current-n inputs present through shared
+    * double expressions. One row. */
+  def qPowerAnalysis(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(expr("CAST(round(value * 1000, 0) AS BIGINT)").as("v"))
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    cells.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(expr(s"${dec.format("v")} * ${dec.format("v")}")).as("svv"))
+      .select(col("n"), col("sv"),
+        expr(s"${dec.format("n")} * svv - ${dec.format("sv")} * ${dec.format("sv")}").as("cvv"))
+      .select(col("n"),
+        // σ² and δ = 0.02·mean, both in e3 units, exact inputs → doubles
+        expr("CAST(round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 0) AS BIGINT)")
+          .as("mean_e3"),
+        expr("CAST(round(CAST(cvv AS DOUBLE) / (CAST(n AS DOUBLE) " +
+          "* CAST(n AS DOUBLE)), 0) AS BIGINT)").as("var_e6"),
+        expr("CAST(round(2.801585219 * 2.801585219 * 2.0D " +
+          "* (CAST(cvv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) " +
+          "/ ((0.02D * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) " +
+          "* (0.02D * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))), 0) AS BIGINT)")
+          .as("n_per_arm"))
+  }
+
+  /** Effective sample size of the length-proportional importance weights
+    * per source — the resampling-health check a [[qDsirWeights]]-style
+    * reweighting needs before training on it: `ESS = (Σw)²/Σw²` with
+    * w = n_chars (exact longs; squares in DECIMAL(38,0)/HUGEINT),
+    * reported as exact-ppm efficiency `ESS/n` per source and pooled.
+    * One |sources|-row census — a weight distribution whose efficiency
+    * collapses says the reweighting is a subsample in disguise. */
+  def qEssWeights(s: SparkSession, d: String): DataFrame = {
+    val dec = "CAST(%s AS DECIMAL(38,0))"
+    val bySrc = Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sw"),
+        sum(expr(s"${dec.format("n_chars")} * ${dec.format("n_chars")}")).as("sww"))
+    val pooled = bySrc.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sw")).as("sw"), sum(col("sww")).as("sww"))
+      .select(lit("__all__").as("source"), col("n_docs"), col("sw"), col("sww"))
+    bySrc.unionByName(pooled)
+      .select(col("source"), col("n_docs"),
+        expr("CAST(round(CAST(CAST(sw AS DECIMAL(38,0)) " +
+          "* CAST(sw AS DECIMAL(38,0)) AS DOUBLE) / CAST(sww AS DOUBLE), 0) " +
+          "AS BIGINT)").as("ess"),
+        expr("CAST(round(CAST(CAST(sw AS DECIMAL(38,0)) " +
+          "* CAST(sw AS DECIMAL(38,0)) AS DOUBLE) / CAST(sww AS DOUBLE) " +
+          "/ CAST(n_docs AS DOUBLE) * 1000000, 0) AS BIGINT)").as("efficiency_ppm"))
+      .transform(ps(col("source")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -9074,6 +9130,8 @@ object Queries {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_rule_confidence" -> (qRuleConfidence _),
     "q_fdr_bh" -> (qFdrBh _),
+    "q_power_analysis" -> (qPowerAnalysis _),
+    "q_ess_weights" -> (qEssWeights _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12494,6 +12552,35 @@ object Queries {
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
     "q_pagerank_iter" -> pagerankOracleSql,
+    "q_power_analysis" ->
+      ("WITH cells AS (SELECT CAST(round(value * 1000, 0) AS BIGINT) AS v " +
+        "FROM events), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv, " +
+        "sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS svv FROM cells), " +
+        "c AS (SELECT n, sv, CAST(n AS HUGEINT) * svv - CAST(sv AS HUGEINT) " +
+        "* CAST(sv AS HUGEINT) AS cvv FROM m) " +
+        "SELECT n, CAST(round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 0) AS BIGINT) " +
+        "AS mean_e3, CAST(round(CAST(cvv AS DOUBLE) / (CAST(n AS DOUBLE) " +
+        "* CAST(n AS DOUBLE)), 0) AS BIGINT) AS var_e6, " +
+        "CAST(round(2.801585219 * 2.801585219 * 2.0 " +
+        "* (CAST(cvv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) " +
+        "/ ((0.02 * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* (0.02 * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))), 0) AS BIGINT) " +
+        "AS n_per_arm FROM c"),
+    "q_ess_weights" ->
+      ("WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sw, " +
+        "sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sww " +
+        "FROM documents GROUP BY 1), " +
+        "u AS (SELECT source, n_docs, sw, sww FROM b UNION ALL " +
+        "SELECT '__all__' AS source, CAST(sum(n_docs) AS BIGINT), " +
+        "CAST(sum(sw) AS BIGINT), CAST(sum(sww) AS HUGEINT) FROM b) " +
+        "SELECT source, n_docs, " +
+        "CAST(round(CAST(CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) AS DOUBLE) " +
+        "/ CAST(sww AS DOUBLE), 0) AS BIGINT) AS ess, " +
+        "CAST(round(CAST(CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) AS DOUBLE) " +
+        "/ CAST(sww AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1000000, 0) AS BIGINT) " +
+        "AS efficiency_ppm FROM u ORDER BY source"),
     "q_rule_confidence" ->
       ("WITH op AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), " +
         "nn AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS nn FROM op), " +

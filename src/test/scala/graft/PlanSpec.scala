@@ -2143,6 +2143,24 @@ class PlanSpec extends SparkSuite {
       s"the (brand, rep) census must combine map-side:\n$exec")
   }
 
+  test("q_power_analysis: one census, no joins, single-row readout") {
+    val df = Queries.qPowerAnalysis(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"), s"the design readout needs no join:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the moment census must combine map-side:\n$exec")
+  }
+
+  test("q_ess_weights: |sources| census; pooled row via union, not a rescan join") {
+    val df = Queries.qEssWeights(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"), s"pooled totals re-aggregate the census:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"the source census must combine map-side:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

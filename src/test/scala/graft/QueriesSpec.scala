@@ -2197,6 +2197,47 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_power_analysis == brute sample-size formula from exact moments") {
+    val got = Queries.qPowerAnalysis(spark, SF)
+      .select("n", "mean_e3", "var_e6", "n_per_arm")
+      .as[(Long, Long, Long, Long)].head()
+    val vs = Tables.events(spark, SF)
+      .select(expr("CAST(round(value * 1000, 0) AS BIGINT)"))
+      .as[Long].collect()
+    val n = BigInt(vs.length)
+    val sv = vs.map(BigInt(_)).sum
+    val cvv = n * vs.map(v => BigInt(v) * v).sum - sv * sv
+    val mean = sv.toDouble / n.toDouble
+    val v = cvv.toDouble / (n.toDouble * n.toDouble)
+    val zsum = 2.801585219 // 1.959963985 + 0.841621234, hardcoded in-query
+    val want = math.round(zsum * zsum * 2.0 * v / ((0.02 * mean) * (0.02 * mean)))
+    assert(got == ((n.toLong, math.round(mean), math.round(v), want)))
+    assert(got._4 > 0L, "a 2% MDE on noisy values needs a real sample")
+  }
+
+  test("q_ess_weights: efficiency <= 1e6; pooled row consistent; brute equality") {
+    val got = Queries.qEssWeights(spark, SF)
+      .select("source", "n_docs", "ess", "efficiency_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bySrc = Tables.documents(spark, SF)
+      .select($"source", $"n_chars").as[(String, Long)].collect().toSeq
+    def essOf(ws: Seq[Long]): (Long, Long) = {
+      val sw = ws.map(BigInt(_)).sum
+      val sww = ws.map(w => BigInt(w) * w).sum
+      (math.round((sw * sw).toDouble / sww.toDouble),
+        math.round((sw * sw).toDouble / sww.toDouble / ws.size * 1e6))
+    }
+    got.foreach { case (src, nd, ess, eff) =>
+      val ws = if (src == "__all__") bySrc.map(_._2)
+        else bySrc.filter(_._1 == src).map(_._2)
+      assert(nd == ws.size.toLong, src)
+      assert((ess, eff) == essOf(ws), src)
+      // Cauchy-Schwarz: ESS <= n, efficiency <= 1 (+1 ppm rounding slack)
+      assert(ess <= nd && eff <= 1000001L, src)
+    }
+    assert(got.exists(_._1 == "__all__"), "pooled row present")
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
