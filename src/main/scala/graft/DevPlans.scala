@@ -185,6 +185,31 @@ object DevPlans {
         "absorption solve is a documented bounded driver step over the " +
         "collected ≤49-row matrix, replayed bit-equal by the oracle's " +
         "materialized CTEs."),
+      "q_jaro_er" -> ("Entity resolution with the native jaro_winkler " +
+        "expression: names collapse to their saturated 64-entry vocabulary " +
+        "BEFORE any pair forms (the census is the first aggregate), the " +
+        "noun block is an equi-join, and the codegen'd static kernel scores " +
+        "inside the join stage — no UDF, no cartesian."),
+      "q_shapley_attribution" -> ("Exact Shapley: the ONLY data-sized " +
+        "exchange is the user-mask census; the 16-subset zeta transform, " +
+        "the 4-channel marginal sums and the efficiency total all run on " +
+        "broadcast frames measured in rows, not gigabytes."),
+      "q_merkle_diff" -> ("Merkle reconciliation: two map-side checksum " +
+        "censuses name the dirty buckets, and the row-grain full-outer diff " +
+        "sits BEHIND a broadcast LeftSemi on that bucket list — at a 0.1% " +
+        "drift rate the expensive join touches ~the changed rows, not the " +
+        "table."),
+      "q_crossval_ols" -> ("Distributed 5-fold CV in two passes: one " +
+        "fold-grouped moment census, fold models solved as pooled-minus-" +
+        "fold arithmetic on the 5-row frame, then one scoring scan with " +
+        "the model frame broadcast — no per-fold rescan anywhere."),
+      "q_sprt" -> ("Sequential test: the running LLR is the two-phase " +
+        "scalable prefix sum — bucket bases + bucket-local windows; no " +
+        "single-task stream fold, hardcoded integer LLR increments."),
+      "q_bradley_terry" -> ("Arena ranking: the basket-bounded pair census " +
+        "is checkpoint-cut ONCE and both MM iterations replay it from the " +
+        "cut — the expensive self-join appears zero times in the downstream " +
+        "plan; readout is TakeOrdered top-20."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
