@@ -8797,6 +8797,73 @@ object Queries {
       .transform(ps(col("source")))
   }
 
+  /** Stratified treatment-effect estimate — the observational-causal
+    * adjustment tier ([[qAbtestChi2]] assumes randomization; this
+    * adjusts for a confounder when there wasn't any): treatment = the
+    * order was expedited (priority 1-2), outcome = any line returned,
+    * strata = declared account-balance bands of the ordering customer
+    * (`floor(bal) div 2000` — banding identical in both engines by the
+    * shared truncate-toward-zero division). Per-stratum risk differences
+    * and the n-weighted pooled ATE are exact ppm integers. One order
+    * census (per-order outcome flag), one customer equi-join, one
+    * bounded strata frame. */
+  def qPropensityStrata(s: SparkSession, d: String): DataFrame = {
+    val outcome = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(max(expr("CAST(l_returnflag = 'R' AS BIGINT)")).as("y"))
+    val cells = Tables.orders(s, d)
+      .join(outcome, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal) AS BIGINT) div 2000").as("stratum")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("stratum"),
+        expr("CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT)").as("t"),
+        col("y"))
+    val byStratum = cells.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("nt"),
+        sum(expr("t * y")).as("nty"), sum(expr("(1 - t) * y")).as("ncy"))
+      .withColumn("d_ppm", expr("CASE WHEN nt = 0 OR n - nt = 0 THEN " +
+        s"CAST(0 AS BIGINT) ELSE CAST(${ppmDiv("nty", "nt")} AS BIGINT) - " +
+        s"CAST(${ppmDiv("ncy", "(n - nt)")} AS BIGINT) END"))
+    val pooled = byStratum
+      .agg(sum(col("n")).as("nn"), sum(expr("n * d_ppm")).as("wd"))
+      .select(expr("CAST(wd div nn AS BIGINT)").as("ate_ppm"))
+    byStratum.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("n"), col("nt"), col("d_ppm"), col("ate_ppm"))
+      .transform(ps(col("stratum")))
+  }
+
+  /** Kneser-Ney smoothed bigram model — the LM-smoothing tier past
+    * [[qBigramPpx]]'s MLE surprisal and [[qLmPerplexity]]'s add-one:
+    * absolute discount d = 3/4 (an exact rational, so the whole
+    * probability is the exact integer ratio
+    * `[(4c12-3)·T + 3·N1+(w1·)·N1+(·w2)] / (4·c1·T)` — no float ever
+    * enters), with continuation counts `N1+` from the same bigram
+    * census. Shapes at 100 TB: token-keyed map-side censuses only
+    * (bigram counts, left/right continuation counts, one scalar T);
+    * readout is TakeOrdered top-20 by bigram frequency. */
+  def qKnSmooth(s: SparkSession, d: String): DataFrame = {
+    val bigrams = Tables.documents(s, d)
+      .select(split(lower(Ops.normalizeWs(col("text"))), " ").as("toks"))
+      .select(posexplode(col("toks")).as(Seq("pos", "w1")), col("toks"))
+      .where(col("pos") < size(col("toks")) - 1)
+      .select(col("w1"), expr("toks[pos + 1]").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1fw"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val tTypes = c12.agg(count(lit(1)).as("tt"))
+    c12.join(c1, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(tTypes))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        expr(s"CAST(${ppmDiv(
+          "((4 * c12 - 3) * tt + 3 * n1fw * ncont)", "(4 * c1 * tt)")} AS BIGINT)")
+          .as("p_kn_ppm"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -9132,6 +9199,8 @@ object Queries {
     "q_fdr_bh" -> (qFdrBh _),
     "q_power_analysis" -> (qPowerAnalysis _),
     "q_ess_weights" -> (qEssWeights _),
+    "q_propensity_strata" -> (qPropensityStrata _),
+    "q_kn_smooth" -> (qKnSmooth _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12552,6 +12621,39 @@ object Queries {
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
     "q_pagerank_iter" -> pagerankOracleSql,
+    "q_propensity_strata" ->
+      ("WITH oc AS (SELECT l_orderkey, CAST(max(CASE WHEN l_returnflag = 'R' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS y FROM lineitem GROUP BY 1), " +
+        "cells AS (SELECT CAST(floor(c_acctbal) AS BIGINT) // 2000 AS stratum, " +
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END " +
+        "AS t, y FROM orders o JOIN oc ON o.o_orderkey = oc.l_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey), " +
+        "g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(t) AS BIGINT) AS nt, CAST(sum(t * y) AS BIGINT) AS nty, " +
+        "CAST(sum((1 - t) * y) AS BIGINT) AS ncy FROM cells GROUP BY 1), " +
+        "g2 AS (SELECT stratum, n, nt, CASE WHEN nt = 0 OR n - nt = 0 THEN " +
+        "CAST(0 AS BIGINT) ELSE CAST(((nty * 1000) // nt) * 1000 + (((nty * 1000) % nt) * 1000) // nt AS BIGINT) - " +
+        "CAST(((ncy * 1000) // (n - nt)) * 1000 + (((ncy * 1000) % (n - nt)) * 1000) // (n - nt) AS BIGINT) END AS d_ppm FROM g), " +
+        "pl AS (SELECT CAST(sum(n * d_ppm) // sum(n) AS BIGINT) AS ate_ppm FROM g2) " +
+        "SELECT stratum, n, nt, d_ppm, ate_ppm FROM g2 CROSS JOIN pl " +
+        "ORDER BY stratum"),
+    "q_kn_smooth" ->
+      ("""WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents)""" +
+        ", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token, " +
+        "generate_subscripts(string_split(t, ' '), 1) AS pos FROM norm WHERE t <> '')" +
+        ", bi AS (SELECT token AS w1, lead(token) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok)" +
+        ", c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi " +
+        "WHERE w2 IS NOT NULL GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, " +
+        "CAST(count(*) AS BIGINT) AS n1fw FROM c12 GROUP BY 1), " +
+        "ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM c12 GROUP BY 1), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c12) " +
+        "SELECT c12.w1, c12.w2, c12.c12, c1.c1, " +
+        "CAST(((((4 * c12 - 3) * tt + 3 * n1fw * ncont) * 1000) // (4 * c1 * tt)) * 1000 + (((((4 * c12 - 3) * tt + 3 * n1fw * ncont) * 1000) % (4 * c1 * tt)) * 1000) // (4 * c1 * tt) AS BIGINT) " +
+        "AS p_kn_ppm FROM c12 JOIN c1 ON c1.w1 = c12.w1 " +
+        "JOIN ct ON ct.w2 = c12.w2 CROSS JOIN tt " +
+        "ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 20"),
     "q_power_analysis" ->
       ("WITH cells AS (SELECT CAST(round(value * 1000, 0) AS BIGINT) AS v " +
         "FROM events), " +

@@ -2161,6 +2161,29 @@ class PlanSpec extends SparkSuite {
       s"the source census must combine map-side:\n$exec")
   }
 
+  test("q_propensity_strata: bounded strata frame; pooled ATE rides a broadcast") {
+    val df = Queries.qPropensityStrata(spark, SF)
+    val rows = df.collect()
+    assert(rows.length <= 10, "declared bands bound the output")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row pooled ATE must broadcast:\n$exec")
+    assert(exec.contains("partial_max") || exec.contains("Functions [partial"),
+      s"the per-order outcome flag must combine map-side:\n$exec")
+  }
+
+  test("q_kn_smooth: token-keyed censuses; TakeOrdered readout") {
+    val df = Queries.qKnSmooth(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"top-20 must never globally sort:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"the bigram census must combine map-side:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

@@ -2238,6 +2238,68 @@ class QueriesSpec extends SparkSuite {
     assert(got.exists(_._1 == "__all__"), "pooled row present")
   }
 
+  test("q_propensity_strata == brute stratified ATE; weights reconcile") {
+    val got = Queries.qPropensityStrata(spark, SF)
+      .select("stratum", "n", "nt", "d_ppm", "ate_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    val outcome = Tables.lineitem(spark, SF).groupBy($"l_orderkey")
+      .agg(max(($"l_returnflag" === "R").cast("long")))
+      .as[(Long, Long)].collect().toMap
+    val strat = Tables.customer(spark, SF)
+      .select($"c_custkey", expr("CAST(floor(c_acctbal) AS BIGINT) div 2000"))
+      .as[(Long, Long)].collect().toMap
+    val cells = Tables.orders(spark, SF)
+      .select($"o_orderkey", $"o_custkey",
+        expr("CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+      .flatMap { case (ok, ck, t) =>
+        outcome.get(ok).map(y => (strat(ck), t, y))
+      }
+    def ppm(n: Long, d0: Long) = (n * 1000 / d0) * 1000 + ((n * 1000 % d0) * 1000) / d0
+    got.foreach { case (st, n, nt, d, _) =>
+      val rows = cells.filter(_._1 == st)
+      assert(n == rows.length.toLong && nt == rows.map(_._2).sum)
+      val nty = rows.filter(_._2 == 1L).map(_._3).sum
+      val ncy = rows.filter(_._2 == 0L).map(_._3).sum
+      val want = if (nt == 0 || n == nt) 0L
+        else ppm(nty, nt) - ppm(ncy, n - nt)
+      assert(d == want, s"stratum $st")
+    }
+    val ate = got.map(r => r._2 * r._4).sum / got.map(_._2).sum
+    assert(got.forall(_._5 == ate), "pooled ATE replicated consistently")
+  }
+
+  test("q_kn_smooth == brute KN probabilities; mass never exceeds unity") {
+    val got = Queries.qKnSmooth(spark, SF)
+      .select("w1", "w2", "c12", "c1", "p_kn_ppm")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got.size == 20)
+    val bigrams = Tables.documents(spark, SF)
+      .select(lower(trim(regexp_replace($"text", "\\s+", " "))))
+      .as[String].collect().filter(_.nonEmpty)
+      .flatMap(t => t.split(" ").sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))))
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1fw = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ncont = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tt = c12.size.toLong
+    def ppm(n: Long, d0: Long) = (n * 1000 / d0) * 1000 + ((n * 1000 % d0) * 1000) / d0
+    got.foreach { case (w1, w2, g12, g1, p) =>
+      assert(g12 == c12((w1, w2)) && g1 == c1(w1), s"($w1, $w2) counts")
+      val num = (4 * g12 - 3) * tt + 3 * n1fw(w1) * ncont(w2)
+      assert(p == ppm(num, 4 * g1 * tt), s"($w1, $w2) p")
+      assert(p > 0L && p <= 1000000L)
+    }
+    // the discounted mass Σ_w2 P(w2|w1) stays ≤ 1 for a fully-seen context
+    val w1Top = got.head._1
+    val mass = c12.collect { case ((a, b), cc) if a == w1Top =>
+      BigInt((4 * cc - 3) * tt + 3 * n1fw(a) * ncont(b))
+    }.sum
+    assert(mass <= BigInt(4) * c1(w1Top) * tt, s"KN mass for '$w1Top'")
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
