@@ -8864,6 +8864,56 @@ object Queries {
       .limit(20)
   }
 
+  /** Wilson score interval for each arm's purchase rate — the interval
+    * tier the point-estimate A/B readouts lack (a CI communicates what
+    * [[qAbtestChi2]]'s p-value cannot): `z = 1.959963985` HARDCODED (no
+    * cross-engine quantile), bounds presented through shared double
+    * expressions from the exact per-arm (n, k) census. Wilson, not Wald,
+    * because it never exits [0,1] and behaves at small k — the interval
+    * a rate dashboard should ship. Two rows from one census. */
+  def qWilsonCi(s: SparkSession, d: String): DataFrame = {
+    val z = "1.959963985D"
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(event_type = 'purchase' AS BIGINT)")).as("k"))
+      .select(col("arm"), col("n"), col("k"),
+        expr(s"CAST(round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) " +
+          s"+ $z * $z / (2.0D * CAST(n AS DOUBLE)) - $z * sqrt(" +
+          s"CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * (1.0D - CAST(k AS DOUBLE) " +
+          s"/ CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + $z * $z / (4.0D " +
+          s"* CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / (1.0D + $z * $z " +
+          s"/ CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)").as("lo_ppm"),
+        expr(s"CAST(round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) " +
+          s"+ $z * $z / (2.0D * CAST(n AS DOUBLE)) + $z * sqrt(" +
+          s"CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * (1.0D - CAST(k AS DOUBLE) " +
+          s"/ CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + $z * $z / (4.0D " +
+          s"* CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / (1.0D + $z * $z " +
+          s"/ CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)").as("hi_ppm"))
+      .transform(ps(col("arm")))
+  }
+
+  /** Cohen's kappa between a thresholded model signal and the gold label
+    * — chance-corrected agreement, the metric [[qAucPerClass]]'s ranking
+    * view and [[qBrierCalibration]]'s probability view both miss: rater
+    * A = first embedding dim positive, rater B = label < 5. The whole
+    * statistic is ONE exact integer ratio
+    * `κ = (n·agree − (a₁b₁ + a₀b₀)) / (n² − (a₁b₁ + a₀b₀))` from a
+    * single map-side census, presented e6 through one shared double
+    * division (numerator may be negative — κ < 0 means worse than
+    * chance). One row. */
+  def qCohensKappa(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d)
+      .select(expr("CAST(embedding[0] > CAST(0.0 AS FLOAT) AS BIGINT)").as("a"),
+        expr("CAST(label < 5 AS BIGINT)").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("a1"), sum(col("b")).as("b1"),
+        sum(expr("CAST(a = b AS BIGINT)")).as("agree"))
+      .select(col("n"), col("a1"), col("b1"), col("agree"),
+        expr("CAST(round(CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) " +
+          "AS DOUBLE) / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) " +
+          "AS DOUBLE) * 1000000, 0) AS BIGINT)").as("kappa_e6"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -9201,6 +9251,8 @@ object Queries {
     "q_ess_weights" -> (qEssWeights _),
     "q_propensity_strata" -> (qPropensityStrata _),
     "q_kn_smooth" -> (qKnSmooth _),
+    "q_wilson_ci" -> (qWilsonCi _),
+    "q_cohens_kappa" -> (qCohensKappa _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12621,6 +12673,24 @@ object Queries {
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
     "q_pagerank_iter" -> pagerankOracleSql,
+    "q_wilson_ci" ->
+      ("WITH g AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS k FROM events GROUP BY 1) " +
+        "SELECT arm, n, k, " +
+        "CAST(round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + 1.959963985 * 1.959963985 / (2.0 * CAST(n AS DOUBLE)) - 1.959963985 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + 1.959963985 * 1.959963985 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / (1.0 + 1.959963985 * 1.959963985 / CAST(n AS DOUBLE))) * 1000000, 0) AS BIGINT) AS lo_ppm, " +
+        "CAST(round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + 1.959963985 * 1.959963985 / (2.0 * CAST(n AS DOUBLE)) + 1.959963985 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + 1.959963985 * 1.959963985 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / (1.0 + 1.959963985 * 1.959963985 / CAST(n AS DOUBLE))) * 1000000, 0) AS BIGINT) AS hi_ppm " +
+        "FROM g ORDER BY arm"),
+    "q_cohens_kappa" ->
+      ("WITH c AS (SELECT CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS a, " +
+        "CASE WHEN label < 5 THEN 1 ELSE 0 END AS b FROM embeddings), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS a1, " +
+        "CAST(sum(b) AS BIGINT) AS b1, " +
+        "CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree FROM c) " +
+        "SELECT n, a1, b1, agree, " +
+        "CAST(round(CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) " +
+        "/ CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) * 1000000, 0) " +
+        "AS BIGINT) AS kappa_e6 FROM g"),
     "q_propensity_strata" ->
       ("WITH oc AS (SELECT l_orderkey, CAST(max(CASE WHEN l_returnflag = 'R' " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS y FROM lineitem GROUP BY 1), " +

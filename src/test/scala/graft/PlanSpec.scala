@@ -2184,6 +2184,17 @@ class PlanSpec extends SparkSuite {
       s"the bigram census must combine map-side:\n$exec")
   }
 
+  test("q_wilson_ci and q_cohens_kappa: join-free single-census readouts") {
+    Seq(Queries.qWilsonCi _, Queries.qCohensKappa _).foreach { q =>
+      val df = q(spark, SF)
+      df.collect()
+      val exec = df.queryExecution.executedPlan.toString
+      assert(!exec.contains("Join"), s"one census, no join:\n$exec")
+      assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+        s"the census must combine map-side:\n$exec")
+    }
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

@@ -2300,6 +2300,48 @@ class QueriesSpec extends SparkSuite {
     assert(mass <= BigInt(4) * c1(w1Top) * tt, s"KN mass for '$w1Top'")
   }
 
+  test("q_wilson_ci == brute Wilson bounds; interval inside [0,1], covers p-hat") {
+    val got = Queries.qWilsonCi(spark, SF)
+      .select("arm", "n", "k", "lo_ppm", "hi_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(0L, 1L))
+    val evs = Tables.events(spark, SF)
+      .select($"user_id" % 2, ($"event_type" === "purchase").cast("long"))
+      .as[(Long, Long)].collect()
+    val z = 1.959963985
+    got.foreach { case (arm, n, k, lo, hi) =>
+      val rows = evs.filter(_._1 == arm)
+      assert(n == rows.length.toLong && k == rows.map(_._2).sum)
+      val (nd, p) = (n.toDouble, k.toDouble / n)
+      def bound(s0: Double) = (p + z * z / (2 * nd) + s0 * z *
+        math.sqrt(p * (1 - p) / nd + z * z / (4 * nd * nd))) / (1 + z * z / nd)
+      assert(lo == math.round(bound(-1) * 1e6) && hi == math.round(bound(1) * 1e6))
+      val pPpm = math.round(p * 1e6)
+      assert(lo >= 0L && hi <= 1000000L && lo <= pPpm && pPpm <= hi,
+        s"arm $arm interval must bracket the point estimate")
+    }
+  }
+
+  test("q_cohens_kappa == brute chance-corrected agreement; kappa in [-1, 1]") {
+    val got = Queries.qCohensKappa(spark, SF)
+      .select("n", "a1", "b1", "agree", "kappa_e6")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val cells = Tables.embeddings(spark, SF)
+      .select(($"embedding".getItem(0) > 0f).cast("long"),
+        ($"label" < 5).cast("long"))
+      .as[(Long, Long)].collect()
+    val n = cells.length.toLong
+    val a1 = cells.map(_._1).sum
+    val b1 = cells.map(_._2).sum
+    val agree = cells.count(c => c._1 == c._2).toLong
+    assert((got._1, got._2, got._3, got._4) == ((n, a1, b1, agree)))
+    val chance = a1 * b1 + (n - a1) * (n - b1)
+    val want = math.round((n * agree - chance).toDouble
+      / (n * n - chance).toDouble * 1e6)
+    assert(got._5 == want)
+    assert(got._5 >= -1000000L && got._5 <= 1000000L)
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
