@@ -8914,6 +8914,38 @@ object Queries {
           "AS DOUBLE) * 1000000, 0) AS BIGINT)").as("kappa_e6"))
   }
 
+  /** Kendall tau-b between the revenue ranking and the volume ranking of
+    * the top-20 revenue parts — rank correlation, the ordinal
+    * association tier ([[qRollingCorr]] is Pearson on values,
+    * [[qTopkChurn]] is set overlap; neither asks "do the two metrics
+    * ORDER the catalog the same way?"). The corpus pass is one
+    * TakeOrdered top-20; concordance counting is the 190-pair
+    * self-join of that bounded broadcast frame in exact integers (ties
+    * handled by the tau-b correction), with tau presented through the
+    * shared `.. / sqrt(d1·d2)` double. One row. */
+  def qKendallTau(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.lineitem(s, d).groupBy(col("l_partkey").as("p"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")).as("rev"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+      .orderBy(col("rev").desc, col("p"))
+      .limit(20)
+    val pairs = broadcast(top.as("a"))
+      .join(broadcast(top.as("b")), expr("a.p < b.p"))
+      .select(
+        expr("CAST(sign(a.rev - b.rev) AS BIGINT)").as("sx"),
+        expr("CAST(sign(a.qty - b.qty) AS BIGINT)").as("sy"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(sx * sy > 0 AS BIGINT)")).as("nc"),
+        sum(expr("CAST(sx * sy < 0 AS BIGINT)")).as("nd"),
+        sum(expr("CAST(sx = 0 AS BIGINT)")).as("tx"),
+        sum(expr("CAST(sy = 0 AS BIGINT)")).as("ty"))
+      .select(col("n_pairs"), col("nc"), col("nd"),
+        expr("CASE WHEN n_pairs = tx OR n_pairs = ty THEN 0 ELSE " +
+          "CAST(round(CAST(nc - nd AS DOUBLE) / sqrt(CAST(n_pairs - tx AS DOUBLE) " +
+          "* CAST(n_pairs - ty AS DOUBLE)) * 1000000, 0) AS BIGINT) END")
+          .as("tau_e6"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -9253,6 +9285,7 @@ object Queries {
     "q_kn_smooth" -> (qKnSmooth _),
     "q_wilson_ci" -> (qWilsonCi _),
     "q_cohens_kappa" -> (qCohensKappa _),
+    "q_kendall_tau" -> (qKendallTau _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12673,6 +12706,23 @@ object Queries {
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
     "q_pagerank_iter" -> pagerankOracleSql,
+    "q_kendall_tau" ->
+      ("WITH top AS (SELECT l_partkey AS p, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem " +
+        "GROUP BY 1 ORDER BY rev DESC, p LIMIT 20), " +
+        "pr AS (SELECT CAST(sign(a.rev - b.rev) AS BIGINT) AS sx, " +
+        "CAST(sign(a.qty - b.qty) AS BIGINT) AS sy " +
+        "FROM top a JOIN top b ON a.p < b.p), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc, " +
+        "CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd, " +
+        "CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx, " +
+        "CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty FROM pr) " +
+        "SELECT n_pairs, nc, nd, CASE WHEN n_pairs = tx OR n_pairs = ty THEN 0 " +
+        "ELSE CAST(round(CAST(nc - nd AS DOUBLE) / sqrt(CAST(n_pairs - tx AS DOUBLE) " +
+        "* CAST(n_pairs - ty AS DOUBLE)) * 1000000, 0) AS BIGINT) END AS tau_e6 " +
+        "FROM g"),
     "q_wilson_ci" ->
       ("WITH g AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) " +

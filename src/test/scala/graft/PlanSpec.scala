@@ -2195,6 +2195,17 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_kendall_tau: one TakeOrdered corpus pass; pairs on the broadcast 20") {
+    val df = Queries.qKendallTau(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert(exec.contains("TakeOrderedAndProject"),
+      s"the corpus sees exactly one top-k pass:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the revenue census must combine map-side:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

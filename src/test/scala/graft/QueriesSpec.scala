@@ -2342,6 +2342,32 @@ class QueriesSpec extends SparkSuite {
     assert(got._5 >= -1000000L && got._5 <= 1000000L)
   }
 
+  test("q_kendall_tau == brute tau-b on the same top-20; bounds hold") {
+    val got = Queries.qKendallTau(spark, SF)
+      .select("n_pairs", "nc", "nd", "tau_e6")
+      .as[(Long, Long, Long, Long)].head()
+    val top = Tables.lineitem(spark, SF).groupBy($"l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")).as("rev"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+      .orderBy($"rev".desc, $"l_partkey")
+      .limit(20).as[(Long, Long, Long)].collect()
+    val pairs = for {
+      i <- top.indices; j <- top.indices
+      if top(i)._1 < top(j)._1
+    } yield (math.signum(top(i)._2 - top(j)._2), math.signum(top(i)._3 - top(j)._3))
+    val nc = pairs.count(p => p._1 * p._2 > 0).toLong
+    val nd = pairs.count(p => p._1 * p._2 < 0).toLong
+    val tx = pairs.count(_._1 == 0L).toLong
+    val ty = pairs.count(_._2 == 0L).toLong
+    val n = pairs.size.toLong
+    assert((got._1, got._2, got._3) == ((n, nc, nd)))
+    val want = if (n == tx || n == ty) 0L
+      else math.round((nc - nd).toDouble /
+        math.sqrt((n - tx).toDouble * (n - ty).toDouble) * 1e6)
+    assert(got._4 == want && math.abs(got._4) <= 1000000L)
+    assert(n == 190L, "C(20,2) pairs exactly")
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
