@@ -8946,6 +8946,42 @@ object Queries {
           .as("tau_e6"))
   }
 
+  /** Simplified (centroid-based) silhouette per k-means cluster — the
+    * geometric cluster-quality readout beside [[qClusterPurity]]'s
+    * label-based view: with argmin assignment, a = distance to own
+    * centroid is the row's smallest centroid distance and b = the
+    * second-smallest, so `s = 1 − d₁/d₂`. Every squared per-element
+    * deviation snaps to e9 BEFORE summing, making each centroid distance
+    * an exact long and s an exact ppm ratio — no float ever crosses the
+    * engines (the full-pairwise silhouette is O(n²) by definition; the
+    * centroid form is the one that scales, one broadcast-expression scan).
+    * Same deterministic k = 8 seed centroids as [[qKmeansStep]]. */
+  def qSilhouette(s: SparkSession, d: String): DataFrame = {
+    val cents = cachedSeedCentroids(s, d, 8)
+    val vecD = col("embedding").cast("array<double>")
+    def dist2e9(c: Array[Double]): Column =
+      aggregate(
+        zip_with(vecD, array(c.map(lit): _*),
+          (a, b) => round((a - b) * (a - b) * lit(1000000000.0), 0).cast("bigint")),
+        lit(0L), (acc, x) => acc + x)
+    val packed = cents.map { case (cid, c) =>
+      struct(dist2e9(c).as("d"), lit(cid).as("cid"))
+    }
+    val sorted = array_sort(array(packed.toSeq: _*))
+    Tables.embeddings(s, d)
+      .select(sorted.getItem(0).getField("cid").as("cluster_id"),
+        sorted.getItem(0).getField("d").as("d1"),
+        sorted.getItem(1).getField("d").as("d2"))
+      .select(col("cluster_id"),
+        expr("CASE WHEN d2 = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          s"CAST(1000000 - (${ppmDiv("d1", "d2")}) AS BIGINT) END").as("s_ppm"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("s_sum_ppm"))
+      .select(col("cluster_id"), col("n"),
+        expr(s"CAST(${roundDiv("s_sum_ppm", "n", 1L)} AS BIGINT)").as("mean_s_ppm"))
+      .transform(ps(col("cluster_id")))
+  }
+
   // ------------------------------------------------------------ registry
 
   val all: Map[String, Q] = Map(
@@ -9286,6 +9322,7 @@ object Queries {
     "q_wilson_ci" -> (qWilsonCi _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_kendall_tau" -> (qKendallTau _),
+    "q_silhouette" -> (qSilhouette _),
   )
 
   /** The [[qMmrRerank]] oracle: the 5 greedy MMR steps as chained
@@ -12706,6 +12743,25 @@ object Queries {
         "- CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))) * 1000000, 0) AS BIGINT) " +
         "AS oof_r2_ppm FROM md3 JOIN sse ON md3.fold = sse.fold ORDER BY md3.fold"),
     "q_pagerank_iter" -> pagerankOracleSql,
+    "q_silhouette" ->
+      ("WITH cents AS (SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS centroid " +
+        "FROM embeddings ORDER BY vec_id LIMIT 8), " +
+        "dd AS (SELECT e.vec_id, c.cluster_id, " +
+        "CAST(sum(CAST(round((u.val - c.centroid[u.pos]) * (u.val - c.centroid[u.pos]) " +
+        "* 1000000000, 0) AS BIGINT)) AS BIGINT) AS d2e9 " +
+        "FROM embeddings e CROSS JOIN cents c, " +
+        "LATERAL (SELECT unnest(e.embedding::DOUBLE[]) AS val, " +
+        "generate_subscripts(e.embedding, 1) AS pos) u GROUP BY 1, 2), " +
+        "rk AS (SELECT vec_id, cluster_id, d2e9, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY d2e9, cluster_id) AS rn FROM dd), " +
+        "sil AS (SELECT vec_id, max(CASE WHEN rn = 1 THEN cluster_id END) AS cluster_id, " +
+        "max(CASE WHEN rn = 1 THEN d2e9 END) AS d1, " +
+        "max(CASE WHEN rn = 2 THEN d2e9 END) AS d2 FROM rk GROUP BY 1), " +
+        "sc AS (SELECT cluster_id, CASE WHEN d2 = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST(1000000 - (((d1 * 1000) // d2) * 1000 + (((d1 * 1000) % d2) * 1000) // d2) AS BIGINT) END AS s_ppm FROM sil) " +
+        "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST((((CAST(sum(s_ppm) AS BIGINT)) // (CAST(count(*) AS BIGINT))) * 1 + (2 * ((CAST(sum(s_ppm) AS BIGINT)) % (CAST(count(*) AS BIGINT))) * 1 + (CAST(count(*) AS BIGINT))) // (2 * (CAST(count(*) AS BIGINT)))) AS BIGINT) " +
+        "AS mean_s_ppm FROM sc GROUP BY 1 ORDER BY cluster_id"),
     "q_kendall_tau" ->
       ("WITH top AS (SELECT l_partkey AS p, " +
         "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev, " +

@@ -2206,6 +2206,17 @@ class PlanSpec extends SparkSuite {
       s"the revenue census must combine map-side:\n$exec")
   }
 
+  test("q_silhouette: one broadcast-expression scan, no joins, 8-row output") {
+    val df = Queries.qSilhouette(spark, SF)
+    val rows = df.collect()
+    assert(rows.length <= 8)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"),
+      s"centroids are baked literals — the scan needs no join:\n$exec")
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"per-cluster sums must combine map-side:\n$exec")
+  }
+
   test("q_simpson_reversal: dim broadcast; census map-side; pooled 1-row broadcast") {
     val df = Queries.qSimpsonReversal(spark, SF)
     df.collect()

@@ -2368,6 +2368,35 @@ class QueriesSpec extends SparkSuite {
     assert(n == 190L, "C(20,2) pairs exactly")
   }
 
+  test("q_silhouette == brute centroid silhouette; s in [0, 1e6] by construction") {
+    val got = Queries.qSilhouette(spark, SF)
+      .select("cluster_id", "n", "mean_s_ppm")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got.map(_._2).sum == 500L)
+    val cents = Tables.embeddings(spark, SF)
+      .orderBy($"vec_id").limit(8)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val rows = Tables.embeddings(spark, SF)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    def ppm(n: Long, d0: Long) = (n * 1000 / d0) * 1000 + ((n * 1000 % d0) * 1000) / d0
+    val cells = rows.map { case (_, v) =>
+      val ds = cents.map { case (cid, c) =>
+        (v.zip(c).map { case (a, b) => math.round((a - b) * (a - b) * 1e9) }.sum, cid)
+      }.sorted
+      val s = if (ds(1)._1 == 0) 0L else 1000000L - ppm(ds(0)._1, ds(1)._1)
+      (ds(0)._2, s)
+    }
+    got.foreach { case (cid, n, mean) =>
+      val ss = cells.filter(_._1 == cid).map(_._2)
+      assert(n == ss.length.toLong, s"cluster $cid size")
+      val sum = ss.sum
+      assert(mean == (sum / n) + (2 * (sum % n) + n) / (2 * n), s"cluster $cid mean")
+      assert(mean >= 0L && mean <= 1000000L)
+    }
+  }
+
   test("q_jaro_er == brute-force blocked scoring; vocab-bounded frame") {
     val got = Queries.qJaroEr(spark, SF)
       .select("name_a", "name_b", "n_a", "n_b", "jw_e9")
