@@ -210,6 +210,15 @@ object DevPlans {
         "is checkpoint-cut ONCE and both MM iterations replay it from the " +
         "cut — the expensive self-join appears zero times in the downstream " +
         "plan; readout is TakeOrdered top-20."),
+      "q_silhouette" -> ("Cluster quality with zero joins: the 8 seed " +
+        "centroids bake into the scan as literal arrays, every squared " +
+        "deviation snaps to e9 before summing (exact-integer distances — " +
+        "the float-summation-order hazard never arises), and the 8-row " +
+        "readout aggregates map-side."),
+      "q_fdr_bh" -> ("Multiple testing at scale: the 64-permutation null " +
+        "expansion is row-local and combines map-side to |brands|*65 " +
+        "cells; the BH step-up runs on the bounded brand frame with the " +
+        "rejection rule cross-multiplied to integers."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
