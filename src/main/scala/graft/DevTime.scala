@@ -8,8 +8,11 @@ package graft
   * `runMain graft.DevTime <dir> <q1,q2,...>` */
 object DevTime {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DevTime <dir> <q1,q2,...>")
     val dir = args(0)
-    val names = args(1).split(",").toSeq.filter(Queries.all.contains)
+    val (names, unknown) = args(1).split(",").toSeq.partition(Queries.all.contains)
+    require(unknown.isEmpty,
+      s"unknown queries (not in Queries.all): ${unknown.mkString(", ")}")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     names.foreach { name =>
       val fn = Queries.all(name)

@@ -7833,8 +7833,11 @@ object Queries {
     * users whose touched-channel set ⊆ S` — monotone by construction, so
     * every marginal `v(S∪{i}) − v(S)` is ≥ 0 and the exact factorial
     * weights `w(|S|) = |S|!·(3−|S|)! ∈ {6,2,2,6}` (denominator 4! = 24)
-    * keep the whole computation in integers: `Σ_i φ_i·24 = 24·v(full)`
-    * (the efficiency axiom, asserted in QueriesSpec). Shapes at 100 TB:
+    * keep the whole computation in integers: `Σ_i φ_i·24 = 24·(v(full) −
+    * v(∅))` (the efficiency axiom, asserted in QueriesSpec; shares
+    * normalize by v(full) − v(∅) — NOT v(full) alone — so the axiom holds
+    * even if a converted purchase-only user ever makes v(∅) > 0, instead
+    * of relying on fixture luck). Shapes at 100 TB:
     * one user-keyed census (the only data-sized shuffle), then a ≤16-row
     * mask census against a 16-row subset grid and a 4-row channel frame —
     * every post-census join is broadcast of a bounded frame. Contrast
@@ -7868,8 +7871,8 @@ object Queries {
         "CASE WHEN bit_count(lo.s) IN (0, 3) THEN 6 ELSE 2 END"))
       .groupBy(col("channel"))
       .agg(sum(expr("w * (hi.v - lo.v)")).as("phi_x24"))
-    val tot = v.where(col("s") === 15L)
-      .select((col("v") * 24L).as("tot_x24"))
+    val tot = v.agg((sum(when(col("s") === 15L, col("v"))
+      .when(col("s") === 0L, -col("v")).otherwise(lit(0L))) * 24L).as("tot_x24"))
     phi.crossJoin(broadcast(tot))
       .select(col("channel"), col("phi_x24"),
         expr(s"CASE WHEN tot_x24 = 0 THEN 0 ELSE CAST(${ppmDiv("phi_x24", "tot_x24")} AS BIGINT) END")
@@ -7956,10 +7959,14 @@ object Queries {
           "CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) / (CAST(cxx AS DOUBLE) " +
           "* CAST(cyy AS DOUBLE)) * 1000000, 0) AS BIGINT) END").as("varred_ppm"))
     user.crossJoin(broadcast(pooled))
-      .withColumn("adj12", expr("y * 1000000000 - theta_e9 * x"))
+      // per-row product in DECIMAL(38,0) like the moment sums above: the
+      // BIGINT form wraps silently (non-ANSI) once a user's e3 value mass
+      // passes ~9.2e9, exactly where DuckDB would error instead
+      .withColumn("adj12", expr("CAST(y AS DECIMAL(38,0)) * 1000000000 " +
+        "- CAST(theta_e9 AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
       .groupBy(col("arm"), col("theta_e9"), col("varred_ppm"))
       .agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
-        sum(expr("CAST(adj12 AS DECIMAL(38,0))")).as("sadj"))
+        sum(col("adj12")).as("sadj"))
       .select(col("arm"), col("n_users"),
         expr(s"CAST(${roundDiv("sy", "n_users", 1000L)} AS BIGINT)").as("mean_raw_e6"),
         expr("CAST(round(CAST(sadj AS DOUBLE) / CAST(n_users AS DOUBLE) " +
@@ -8700,8 +8707,10 @@ object Queries {
     * acting on [[qSimpsonReversal]]-style per-group contrasts, EXACT end
     * to end: per brand, the observed return-rate arm contrast and 64
     * Knuth-hash null contrasts give an add-one permutation p = e/65 with
-    * integer numerator e; the BH step-up `p_(k) ≤ k·α/m` (α = 0.1,
-    * m = 25) cross-multiplies to `e·250 ≤ k·65` — no float ever decides
+    * integer numerator e; the BH step-up `p_(k) ≤ k·α/m` (α = 0.1)
+    * cross-multiplies to `e·10·m ≤ k·65` with m COUNTED from the ranked
+    * brand frame — not hardcoded, so the realized FDR level adapts if the
+    * brand universe ever differs from TPC-H's 25. No float ever decides
     * a rejection. One 64×-expanded map-side census to |brands|·65 cells;
     * the step-up runs on the bounded brand frame. */
   def qFdrBh(s: SparkSession, d: String): DataFrame = {
@@ -8731,8 +8740,9 @@ object Queries {
         (sum(expr("CAST(abs(d_ppm) >= abs(obs_d_ppm) AS BIGINT)")) + 1L).as("e"))
     val ranked = e.withColumn("rank",
       row_number().over(Window.orderBy(col("e"), col("brand"))).cast("bigint"))
-    val kmax = ranked.agg(coalesce(max(when(
-      col("e") * 250L <= col("rank") * 65L, col("rank"))), lit(0L)).as("kmax"))
+    val m = ranked.agg(count(lit(1)).as("m"))
+    val kmax = ranked.crossJoin(broadcast(m)).agg(coalesce(max(when(
+      col("e") * 10L * col("m") <= col("rank") * 65L, col("rank"))), lit(0L)).as("kmax"))
     ranked.crossJoin(broadcast(kmax))
       .select(col("brand"), col("obs_d_ppm"), col("e"),
         expr(s"CAST(${ppmDiv("e", "65")} AS BIGINT)").as("p_ppm"),
@@ -8901,16 +8911,21 @@ object Queries {
     * `κ = (n·agree − (a₁b₁ + a₀b₀)) / (n² − (a₁b₁ + a₀b₀))` from a
     * single map-side census, presented e6 through one shared double
     * division (numerator may be negative — κ < 0 means worse than
-    * chance). One row. */
+    * chance). The census products run in DECIMAL(38,0) like the sibling
+    * moment queries — n·n passes 2⁶³ at ~3.04e9 rows, where BIGINT would
+    * wrap silently in non-ANSI Spark while DuckDB errors. One row. */
   def qCohensKappa(s: SparkSession, d: String): DataFrame = {
+    val dec = "CAST(%s AS DECIMAL(38,0))"
     Tables.embeddings(s, d)
       .select(expr("CAST(embedding[0] > CAST(0.0 AS FLOAT) AS BIGINT)").as("a"),
         expr("CAST(label < 5 AS BIGINT)").as("b"))
       .agg(count(lit(1)).as("n"), sum(col("a")).as("a1"), sum(col("b")).as("b1"),
         sum(expr("CAST(a = b AS BIGINT)")).as("agree"))
       .select(col("n"), col("a1"), col("b1"), col("agree"),
-        expr("CAST(round(CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) " +
-          "AS DOUBLE) / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) " +
+        expr(s"CAST(round(CAST(${dec.format("n")} * agree - " +
+          s"(${dec.format("a1")} * b1 + ${dec.format("(n - a1)")} * (n - b1)) " +
+          s"AS DOUBLE) / CAST(${dec.format("n")} * n - " +
+          s"(${dec.format("a1")} * b1 + ${dec.format("(n - a1)")} * (n - b1)) " +
           "AS DOUBLE) * 1000000, 0) AS BIGINT)").as("kappa_e6"))
   }
 
@@ -12491,7 +12506,8 @@ object Queries {
         "THEN 6 ELSE 2 END) * (hi.v - lo.v)) AS BIGINT) AS phi_x24 " +
         "FROM ch JOIN v lo ON ((lo.s >> i) & 1) = 0 " +
         "JOIN v hi ON hi.s = (lo.s | (1 << i)) GROUP BY 1), " +
-        "tot AS (SELECT v * 24 AS tot_x24 FROM v WHERE s = 15) " +
+        "tot AS (SELECT CAST(sum(CASE WHEN s = 15 THEN v WHEN s = 0 THEN -v " +
+        "ELSE 0 END) * 24 AS BIGINT) AS tot_x24 FROM v) " +
         "SELECT channel, phi_x24, CASE WHEN tot_x24 = 0 THEN 0 ELSE " +
         s"CAST(${ppmDivSql("phi_x24", "tot_x24")} AS BIGINT) END AS share_ppm " +
         "FROM phi CROSS JOIN tot ORDER BY channel"),
@@ -12525,9 +12541,10 @@ object Queries {
         "* CAST(cxy AS DOUBLE) / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)) " +
         "* 1000000, 0) AS BIGINT) END AS varred_ppm FROM c), " +
         "adj AS (SELECT arm, theta_e9, varred_ppm, y, " +
-        "y * 1000000000 - theta_e9 * x AS adj12 FROM u CROSS JOIN p), " +
+        "CAST(y AS HUGEINT) * 1000000000 - CAST(theta_e9 AS HUGEINT) * " +
+        "CAST(x AS HUGEINT) AS adj12 FROM u CROSS JOIN p), " +
         "g AS (SELECT arm, theta_e9, varred_ppm, CAST(count(*) AS BIGINT) AS n_users, " +
-        "CAST(sum(y) AS BIGINT) AS sy, sum(CAST(adj12 AS HUGEINT)) AS sadj " +
+        "CAST(sum(y) AS BIGINT) AS sy, sum(adj12) AS sadj " +
         "FROM adj GROUP BY 1, 2, 3) " +
         "SELECT arm, n_users, " +
         s"CAST(${roundDivSql("sy", "n_users", 1000L)} AS BIGINT) AS mean_raw_e6, " +
@@ -12794,8 +12811,10 @@ object Queries {
         "CAST(sum(b) AS BIGINT) AS b1, " +
         "CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree FROM c) " +
         "SELECT n, a1, b1, agree, " +
-        "CAST(round(CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) " +
-        "/ CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) * 1000000, 0) " +
+        "CAST(round(CAST(CAST(n AS HUGEINT) * agree - (CAST(a1 AS HUGEINT) * b1 " +
+        "+ CAST(n - a1 AS HUGEINT) * (n - b1)) AS DOUBLE) " +
+        "/ CAST(CAST(n AS HUGEINT) * n - (CAST(a1 AS HUGEINT) * b1 " +
+        "+ CAST(n - a1 AS HUGEINT) * (n - b1)) AS DOUBLE) * 1000000, 0) " +
         "AS BIGINT) AS kappa_e6 FROM g"),
     "q_propensity_strata" ->
       ("WITH oc AS (SELECT l_orderkey, CAST(max(CASE WHEN l_returnflag = 'R' " +
@@ -12909,7 +12928,8 @@ object Queries {
         "AS BIGINT) AS e FROM nld JOIN obd ON obd.brand = nld.brand GROUP BY 1), " +
         "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY e, brand) AS BIGINT) " +
         "AS rank FROM e), " +
-        "km AS (SELECT CAST(coalesce(max(CASE WHEN e * 250 <= rank * 65 " +
+        "km AS (SELECT CAST(coalesce(max(CASE WHEN e * 10 * " +
+        "(SELECT count(*) FROM rk) <= rank * 65 " +
         "THEN rank END), 0) AS BIGINT) AS kmax FROM rk) " +
         "SELECT brand, obs_d_ppm, e, " +
         "CAST(((e * 1000) // 65) * 1000 + (((e * 1000) % 65) * 1000) // 65 AS BIGINT) AS p_ppm, rank, " +

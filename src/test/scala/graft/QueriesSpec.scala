@@ -1559,7 +1559,8 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case (c, phi, _) =>
       assert(phi == brute(c), s"$c: got $phi want ${brute(c)}")
     }
-    assert(got.map(_._2).sum == 24L * v(15L), "efficiency: Σφ·24 = 24·v(N)")
+    assert(got.map(_._2).sum == 24L * (v(15L) - v(0L)),
+      "efficiency: Σφ·24 = 24·(v(N) − v(∅))")
     val shares = got.map(_._3).sum
     assert(shares <= 1000000L && shares >= 1000000L - 4, s"shares sum $shares")
   }
