@@ -9,7 +9,19 @@ BENCH_LOCAL.json) and reports queries that regressed by BOTH more than
 --ratio multiplicatively AND more than --abs seconds absolutely (the
 double threshold filters the ±15-20% ambient-load noise SCALING.md
 documents — a 0.02 s query doubling is noise, a 1 s query doubling is
-not). Exit code 1 iff any regression crosses both bars.
+not).
+
+Anchor normalization: three consecutive rounds produced ONLY ambient
+flags (untouched queries drifting in lockstep with a whole-VM slowdown,
+each argued down by the same manual DevTime protocol). The --anchor
+query (default q_agg_pricing, a linear scan+agg untouched since round 2)
+measures that host drift inside the SAME pair of runs: every new time is
+divided by the anchor's old→new ratio before the thresholds apply. The
+raw table is still printed for the record, but the exit code follows the
+NORMALIZED verdict, so a quiet-code round on a drifting VM exits 0
+without human adjudication prose. A missing or wildly-drifted anchor
+(outside [0.5x, 2.0x]) falls back to raw with a warning — a real
+regression in the anchor itself must not silently rescale the gate.
 
 Not part of the shipped engine; the driver snapshots BENCH_r{N}.json per
 round, so `python3 dev/bench_diff.py BENCH_r04.json BENCH_LOCAL.json`
@@ -52,36 +64,71 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--ratio", type=float, default=1.25)
     ap.add_argument("--abs", dest="abs_s", type=float, default=0.15)
+    ap.add_argument("--anchor", default="q_agg_pricing",
+                    help="host-drift anchor query (set '' to disable)")
     args = ap.parse_args()
     old, new = load(args.old), load(args.new)
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
-    regressions, improvements = [], []
-    for name in common:
-        a, b = oq[name], nq[name]
-        if a is None or b is None:
-            continue
-        if b > a * args.ratio and b - a > args.abs_s:
-            regressions.append((name, a, b))
-        elif a > b * args.ratio and a - b > args.abs_s:
-            improvements.append((name, a, b))
+
+    # Host-drift factor from the anchor query measured in the same windows.
+    drift = 1.0
+    if args.anchor and oq.get(args.anchor) and nq.get(args.anchor):
+        ratio = nq[args.anchor] / oq[args.anchor]
+        if 0.5 <= ratio <= 2.0:
+            drift = ratio
+            print(f"anchor {args.anchor}: {oq[args.anchor]:.2f}s -> "
+                  f"{nq[args.anchor]:.2f}s — host drift {drift:.2f}x "
+                  f"(normalized table divides new times by this)")
+        else:
+            print(f"WARNING: anchor {args.anchor} drifted {ratio:.2f}x "
+                  f"(outside [0.5, 2.0]) — treating as a real anchor "
+                  f"regression, NOT normalizing", file=sys.stderr)
+    elif args.anchor:
+        print(f"WARNING: anchor {args.anchor} missing from one side — "
+              f"raw verdict only", file=sys.stderr)
+
+    def classify(factor):
+        regs, imps = [], []
+        for name in common:
+            a, b = oq[name], nq[name]
+            if a is None or b is None:
+                continue
+            bn = b / factor
+            if bn > a * args.ratio and bn - a > args.abs_s:
+                regs.append((name, a, b, bn))
+            elif a > bn * args.ratio and a - bn > args.abs_s:
+                imps.append((name, a, b, bn))
+        return regs, imps
+
+    raw_regs, _ = classify(1.0)
+    regressions, improvements = classify(drift)
     osum = sum(oq[n] for n in common if oq[n] is not None)
     nsum = sum(nq[n] for n in common if nq[n] is not None)
     print(f"common queries: {len(common)}  sum {osum:.2f}s -> {nsum:.2f}s "
-          f"({nsum / osum:.2f}x)" if osum else "no common queries")
+          f"({nsum / osum:.2f}x raw, {nsum / drift / osum:.2f}x normalized)"
+          if osum else "no common queries")
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
-    for name, a, b in sorted(improvements, key=lambda t: t[1] - t[2]):
-        print(f"  faster  {name}: {a:.2f}s -> {b:.2f}s")
-    for name, a, b in sorted(regressions, key=lambda t: t[1] - t[2]):
-        print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s")
+    raw_only = [r for r in raw_regs
+                if r[0] not in {n for n, *_ in regressions}]
+    for name, a, b in sorted((r[:3] for r in raw_only),
+                             key=lambda t: t[1] - t[2]):
+        print(f"  raw-flag (absorbed by anchor drift) "
+              f"{name}: {a:.2f}s -> {b:.2f}s")
+    for name, a, b, bn in sorted(improvements, key=lambda t: t[1] - t[3]):
+        print(f"  faster  {name}: {a:.2f}s -> {b:.2f}s "
+              f"({bn:.2f}s normalized)")
+    for name, a, b, bn in sorted(regressions, key=lambda t: t[1] - t[3]):
+        print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s "
+              f"({bn:.2f}s normalized)")
     if not regressions:
-        print("no regressions past the noise bar "
-              f"(>{args.ratio}x and >{args.abs_s}s)")
+        print("no NORMALIZED regressions past the noise bar "
+              f"(>{args.ratio}x and >{args.abs_s}s after /{drift:.2f}x)")
     return 1 if regressions else 0
 
 

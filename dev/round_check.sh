@@ -6,10 +6,13 @@
 #      doc cannot disagree with the code again.
 #   2. test-reports green — the latest target/test-reports must contain zero
 #      failures/errors (r10 committed a red PlanSpec pin without running it).
-#   3. bench + regression diff — run the official bench, then fail LOUDLY if
-#      any query regressed vs the previous round's driver snapshot (double
-#      threshold: >1.25x multiplicative AND >0.15 s absolute — the
-#      ambient-load noise filter documented in SCALING.md).
+#   3. bench + regression diff — run the official bench, then fail if any
+#      query regressed vs the previous round's driver snapshot AFTER
+#      anchor normalization (per-query new times divided by the
+#      q_agg_pricing drift measured in the same windows; double threshold
+#      >1.25x AND >0.15 s on the normalized values). Three rounds of
+#      manual whole-VM-drift adjudication are now automated: the exit
+#      code IS the verdict on a quiet-code round.
 # Record the disposition this prints into SCALING.md each round.
 #
 # Usage: dev/round_check.sh [prev_bench.json]   (default: newest BENCH_r*.json)
@@ -17,9 +20,18 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 # --- Gate 1: registry == SURVEY §2.3 -------------------------------------
-awk '/val all: Map\[String, Q\] = Map\(/{f=1} f && /^  \)$/{exit} f' \
-    src/main/scala/graft/Queries.scala |
-  grep -oE '"q_[a-z0-9_]+"' | tr -d '"' | sort -u > /tmp/rc_registry.txt
+# The registry is split across six per-tier fragments (registryCore,
+# registryPrep, ... in QueriesCore.scala etc.), concatenated with a
+# duplicate-key require() in Queries.all.
+awk '/val registry[A-Za-z]+: Map\[String, Q\] = Map\(/{f=1} f && /^  \)$/{f=0} f' \
+    src/main/scala/graft/Queries*.scala |
+  grep -oE '"q_[a-z0-9_]+" ->' | grep -oE 'q_[a-z0-9_]+' | sort > /tmp/rc_registry_raw.txt
+sort -u /tmp/rc_registry_raw.txt > /tmp/rc_registry.txt
+if ! cmp -s /tmp/rc_registry_raw.txt /tmp/rc_registry.txt; then
+  echo "round_check: FAIL — duplicate query key across tier registries:" >&2
+  uniq -d /tmp/rc_registry_raw.txt >&2
+  exit 1
+fi
 REG_N=$(wc -l < /tmp/rc_registry.txt)
 grep -oE '\| `q_[a-z0-9_]+`' SURVEY.md | grep -oE 'q_[a-z0-9_]+' |
   sort -u > /tmp/rc_survey.txt
@@ -29,9 +41,19 @@ if [ -n "$MISSING" ]; then
   echo "$MISSING" >&2
   exit 1
 fi
-ORC_N=$(awk '/val oracles: Map\[String, String\] = Map\(/{f=1} f && /^  \)$/{exit} f' \
-    src/main/scala/graft/Queries.scala |
+ORC_N=$(awk '/val oracles[A-Za-z]+: Map\[String, String\] = Map\(/{f=1} f && /^  \)$/{f=0} f' \
+    src/main/scala/graft/Queries*.scala |
   grep -oE '"q_[a-z0-9_]+" ->' | sort -u | wc -l)
+# §2.3 must render as ONE markdown table: no non-'|' line (blank or prose)
+# may interrupt the span from the first `q_` row to the last (r11 had the
+# table split into ~8 fragments by blank lines between late waves).
+FRAG=$(awk '/^\| `q_/{if (first=="") first=NR; last=NR} END{print first, last}' SURVEY.md)
+FIRST=${FRAG% *}; LAST=${FRAG#* }
+NONTAB=$(sed -n "${FIRST},${LAST}p" SURVEY.md | grep -cv '^|' || true)
+if [ "${NONTAB:-0}" != "0" ]; then
+  echo "round_check: FAIL — SURVEY §2.3 table fragmented (${NONTAB} non-table lines between rows ${FIRST}-${LAST})" >&2
+  exit 1
+fi
 sed -i -E "s/(Implemented inventory \(round )[0-9]+(\): \*\*)[0-9]+( declared queries, )[0-9]+( oracle-checked\*\*)/\1${ROUND:-11}\2${REG_N}\3${ORC_N}\4/" SURVEY.md
 echo "round_check: registry==SURVEY OK (${REG_N} registered, ${ORC_N} oracle-checked; count line regenerated)"
 
@@ -57,4 +79,4 @@ PREV=${1:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} sbt -batch "runMain graft.Bench"
 python3 dev/bench_diff.py "$PREV" BENCH_LOCAL.json
-echo "round_check: PASS — no per-query regression vs $PREV (>1.25x AND >0.15s)"
+echo "round_check: PASS — no anchor-normalized per-query regression vs $PREV (>1.25x AND >0.15s after drift division)"

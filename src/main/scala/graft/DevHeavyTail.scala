@@ -81,7 +81,16 @@ object DevHeavyTail {
     "q_weighted_median",  // distinct-value weight-table window
     "q_rfm_cells",        // two-phase bucket rank at 3 grains
     // round-10 curation op: shingle-df + doc-keyed union windows
-    "q_substring_dedup")
+    "q_substring_dedup",
+    // round-12 completion: the five multi-second round-11 queries that
+    // carried 10x evidence only, plus the two VERDICT-suggested extras
+    "q_pagerank_iter",    // 8 checkpoint-cut relational supersteps
+    "q_fdr_bh",           // 64x null-contrast expansion, map-side to |brands|*65
+    "q_bradley_terry",    // basket-bounded pair census + 2 MM iterations
+    "q_merkle_diff",      // drift-proportional partition-tree diff
+    "q_frequent_triples", // A-Priori triple mining over bounded baskets
+    "q_mann_whitney",     // distinct-value rank census
+    "q_ipf_raking")       // 3 IPF rounds on the bounded margin grid
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
