@@ -802,6 +802,71 @@ private[graft] trait QueriesCore { this: Queries.type =>
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** IVF recall audit — puts the approximate path's QUALITY on the oracle
+    * board even though its row set is not ([[qAnnIvf]] stays rows-only):
+    * recall@10 at every point of the probe dial, nprobe ∈ {1,2,4,8,16},
+    * against the exact top-10, as exact integers. Exploits the containment
+    * property of IVF's exact rerank: a true top-k member appears in the
+    * IVF result iff its assigned list is probed (scanned candidates rerank
+    * exactly, and a global top-k member outranks every non-member among
+    * the candidates), so `recall(nprobe) = |{v ∈ exact top-k :
+    * probe_rank(assign(v)) ≤ nprobe}| / k` — ONE TakeOrdered corpus pass
+    * plus bounded broadcast arithmetic, never a 5× re-run of the pipeline.
+    * Portability follows the md5-vs-xxhash64 doctrine
+    * ([[graft.operators.TextOps]]): this audit twin selects its coarse
+    * quantizer by the Knuth hash rank and snaps every cosine to e4 (the
+    * [[qCosineTopk]] tolerance) before ANY comparison, so centroid
+    * selection, assignment, probe ranking and the top-10 are each
+    * integer-decided identically in both engines; the xxhash64 quantizer
+    * stays the scale path (SimilaritySpec separately pins that shipped
+    * dial's recall at nprobe=4, and QueriesSpec pins this audit's whole
+    * curve against a brute-force replay plus the monotone/endpoint laws).
+    * Output: 5 rows. */
+  def qAnnIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    def simE4(a: Column, b: Column): Column =
+      round(cosine_sim(a, b) * 10000, 0).cast("bigint")
+    val probe = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("p"))
+    val corpus = emb.where(col("vec_id") =!= 0)
+    // portable coarse quantizer: 16 centroids by Knuth-hash rank, indexed
+    // 0..15 in selection order (the seededCentroids contract, portably)
+    val knuth = expr("((vec_id % 2147483648) * 2654435761) % 4294967296")
+    val cidx = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("c"),
+        knuth.as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(16)
+      .select(col("c"), (row_number().over(
+        Window.orderBy(col("h"), col("vec_id"))) - 1L).as("ci"))
+    // probe order of the 16 lists: rank centroids by snapped sim to probe
+    val prank = cidx.crossJoin(broadcast(probe))
+      .select(col("ci"), simE4(col("c"), col("p")).as("s"))
+      .select(col("ci"), row_number().over(
+        Window.orderBy(col("s").desc, col("ci"))).cast("bigint").as("pr"))
+    // the one corpus pass: exact top-10 by snapped cosine (TakeOrdered)
+    val top = corpus.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        simE4(col("embedding"), col("p")).as("s"))
+      .orderBy(col("s").desc, col("vec_id"))
+      .limit(10)
+    // assign each of the 10 to its nearest list (160-row broadcast nest)
+    val assigned = top.crossJoin(broadcast(cidx))
+      .select(col("vec_id"), col("ci"), simE4(col("v"), col("c")).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("ci"))))
+      .where(col("rn") === 1)
+      .join(broadcast(prank), "ci")
+    val levels = s.createDataFrame(Seq(1L, 2L, 4L, 8L, 16L).map(Tuple1(_)))
+      .toDF("nprobe")
+    broadcast(levels).crossJoin(assigned.select(col("pr")))
+      .groupBy(col("nprobe"))
+      .agg(sum(when(col("pr") <= col("nprobe"), 1L).otherwise(0L)).as("hits"))
+      .select(col("nprobe"), lit(10L).as("k"), col("hits"),
+        (col("hits") * 100000L).as("recall_ppm"))
+      .transform(ps(col("nprobe")))
+  }
+
   /** L2 norms over the embedding column — the array-function tier
     * (`transform`/`aggregate` higher-order functions) with an exact oracle. */
   def qVectorNorm(s: SparkSession, d: String): DataFrame =
@@ -1064,6 +1129,26 @@ private[graft] trait QueriesCore { this: Queries.type =>
   def qClosedSessions(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStreams.closedSessionsBatch(Tables.events(s, d), 30)
       .orderBy("user_id", "start_us")
+
+  /** Stream-stream interval join on the oracle board — the one stateful
+    * streaming operator whose batch statement had no `q_*` row
+    * ([[qClosedSessions]]/[[qRunningTopk]] cover the session and top-k
+    * state shapes): each event paired with same-user events in
+    * `[ts, ts + 30 min]`, self-pairs excluded. Runs the LITERAL streaming
+    * operator [[graft.streaming.EventStreams.intervalJoin]] — on a batch
+    * frame Catalyst's EliminateEventTimeWatermark drops the watermark
+    * nodes and the identical join tree executes as a plain theta join, so
+    * this row and the StreamingSpec AvailableNow replay assert the same
+    * frame from both engines' sides. Scale shape: the join keys on
+    * user_id with a bounded ±30 min time band, so with watermarks the
+    * stream state is bounded per key and the pair mass is fact-LINEAR
+    * (the per-user event rate is a constant of the fixture — measured
+    * 459 pairs at sf0.01 → 46 440 at sf1, ratio 101). */
+  def qStreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.streaming.EventStreams.intervalJoin(ev, ev, "10 minutes", "30 minutes")
+      .orderBy("user_id", "l_event_id", "r_event_id")
+  }
 
   /** Language-ID heuristic (script detection + stopword voting) — the
     * semantics stay fully declarative so the oracle restates them in SQL;
@@ -1598,6 +1683,7 @@ private[graft] trait QueriesCore { this: Queries.type =>
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_exhaustive" -> (qAnnExhaustive _),
     "q_ann_lsh_exact" -> (qAnnLshExact _),
+    "q_ann_ivf_recall" -> (qAnnIvfRecall _),
     "q_vector_norm" -> (qVectorNorm _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_anti_join" -> (qAntiJoin _),
@@ -1605,6 +1691,7 @@ private[graft] trait QueriesCore { this: Queries.type =>
     "q_salted_join" -> (qSaltedJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_closed_sessions" -> (qClosedSessions _),
+    "q_stream_interval_join" -> (qStreamIntervalJoin _),
     "q_lang_id" -> (qLangId _),
     "q_percentiles" -> (qPercentiles _),
     "q_argmax" -> (qArgmax _),
@@ -1852,6 +1939,29 @@ private[graft] trait QueriesCore { this: Queries.type =>
       ("WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p), 4) AS sim " +
         "FROM embeddings, probe WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"),
+    "q_ann_ivf_recall" ->
+      // the full audit replayed: Knuth-rank coarse quantizer, e4-snapped
+      // cosine everywhere, containment-property recall per nprobe level
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "probe AS (SELECT v AS p FROM e WHERE vec_id = 0), " +
+        "cents AS (SELECT vec_id, v AS c, ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h " +
+        "FROM e WHERE vec_id <> 0 ORDER BY h, vec_id LIMIT 16), " +
+        "cidx AS (SELECT c, row_number() OVER (ORDER BY h, vec_id) - 1 AS ci FROM cents), " +
+        "prank AS (SELECT ci, CAST(row_number() OVER (ORDER BY " +
+        "CAST(round(list_cosine_similarity(c, p) * 10000, 0) AS BIGINT) DESC, ci) AS BIGINT) AS pr " +
+        "FROM cidx, probe), " +
+        "top10 AS (SELECT vec_id, v FROM e, probe WHERE vec_id <> 0 ORDER BY " +
+        "CAST(round(list_cosine_similarity(v, p) * 10000, 0) AS BIGINT) DESC, vec_id LIMIT 10), " +
+        "asg AS (SELECT vec_id, ci FROM (SELECT t.vec_id, x.ci, row_number() OVER " +
+        "(PARTITION BY t.vec_id ORDER BY " +
+        "CAST(round(list_cosine_similarity(t.v, x.c) * 10000, 0) AS BIGINT) DESC, x.ci) AS rn " +
+        "FROM top10 t CROSS JOIN cidx x) WHERE rn = 1), " +
+        "pp AS (SELECT a.vec_id, r.pr FROM asg a JOIN prank r USING (ci)), " +
+        "lvl AS (SELECT unnest([1, 2, 4, 8, 16]) AS np) " +
+        "SELECT CAST(np AS BIGINT) AS nprobe, CAST(10 AS BIGINT) AS k, " +
+        "CAST(count(CASE WHEN pr <= np THEN 1 END) AS BIGINT) AS hits, " +
+        "CAST(count(CASE WHEN pr <= np THEN 1 END) * 100000 AS BIGINT) AS recall_ppm " +
+        "FROM lvl CROSS JOIN pp GROUP BY np ORDER BY nprobe"),
     "q_ann_lsh_exact" ->
       // hamming == nBits keeps every vector, so the LSH pipeline's exact
       // endpoint is brute-force cosine top-k (the bucket filter still runs
@@ -1902,6 +2012,13 @@ private[graft] trait QueriesCore { this: Queries.type =>
         "t AS (SELECT user_id, max(sid) AS mx FROM sess GROUP BY user_id) " +
         "SELECT s.user_id, s.start_us, s.end_us, s.n_events FROM sess s " +
         "JOIN t USING (user_id) WHERE s.sid < t.mx ORDER BY user_id, start_us"),
+    "q_stream_interval_join" ->
+      ("SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id, " +
+        "l.event_type AS l_type, r.event_type AS r_type " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE " +
+        "AND l.event_id <> r.event_id " +
+        "ORDER BY l.user_id, l_event_id, r_event_id"),
     "q_lang_id" ->
       (NORM_CTE +
         ", h AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm)" +

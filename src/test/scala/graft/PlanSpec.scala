@@ -2227,4 +2227,30 @@ class PlanSpec extends SparkSuite {
     assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
       s"the brand census must combine map-side:\n$exec")
   }
+
+  test("q_stream_interval_join: user-keyed equi join, range as filter, no cartesian") {
+    val df = Queries.qStreamIntervalJoin(spark, SF)
+    val p = plan(df)
+    // the join must key on user_id (hash/merge equi join at any scale) with
+    // the ±30 min band riding as a join filter — a time-theta-only plan
+    // would be a cartesian per user at 100 TB
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // batch execution of the streaming operator: watermark nodes eliminated
+    assert(!df.queryExecution.optimizedPlan.toString.contains("EventTimeWatermark"))
+  }
+
+  test("q_ann_ivf_recall: one TakeOrdered corpus pass; bounded frames broadcast") {
+    val df = Queries.qAnnIvfRecall(spark, SF)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the exact top-10 must be a per-partition heap, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"every post-TakeOrdered frame is bounded — all joins must broadcast:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchema.contains("label"),
+      s"the label column must never be read:\n$readSchema")
+  }
 }

@@ -2416,4 +2416,64 @@ class QueriesSpec extends SparkSuite {
     } yield (a, b, na, nb, e9)).toSet
     assert(got == brute, s"got ${got.size} brute ${brute.size}")
   }
+
+  test("q_stream_interval_join == brute-force theta pairs; batch drops the watermark") {
+    val got = Queries.qStreamIntervalJoin(spark, SF)
+      .select("user_id", "l_event_id", "r_event_id", "l_type", "r_type")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    val ev = Tables.events(spark, SF)
+      .select($"user_id", $"event_id", unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val brute = (for {
+      (_, evs) <- ev.groupBy(_._1).toSeq
+      l <- evs; r <- evs
+      if r._3 >= l._3 && r._3 <= l._3 + 30L * 60 * 1000000 && l._2 != r._2
+    } yield (l._1, l._2, r._2, l._4, r._4))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.nonEmpty && got == brute, s"got ${got.size} brute ${brute.size}")
+    // the streaming operator ran on batch frames: the watermark nodes must
+    // be eliminated, not smuggled into the batch plan
+    val opt = Queries.qStreamIntervalJoin(spark, SF)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("EventTimeWatermark"), opt)
+  }
+
+  test("q_ann_ivf_recall == brute-force containment replay; monotone; exact at full dial") {
+    val got = Queries.qAnnIvfRecall(spark, SF)
+      .select("nprobe", "k", "hits", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 4L, 8L, 16L))
+    assert(got.map(_._3) == got.map(_._3).sorted, s"recall must be monotone in nprobe: $got")
+    assert(got.last._4 == 1000000L, s"nprobe = nlist must be exact: ${got.last}")
+    got.foreach { case (_, k, h, ppm) => assert(k == 10L && ppm == h * 100000L) }
+    // brute-force replay of the whole audit (Knuth quantizer, e4 snap,
+    // containment-property recall)
+    val all = Tables.embeddings(spark, SF).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val probe = all.find(_._1 == 0L).get._2.map(_.toDouble).toArray
+    val corpus = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    def cosE4(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      BigDecimal(c * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val cidx = corpus
+      .sortBy { case (id, _) => (((id % 2147483648L) * 2654435761L) % 4294967296L, id) }
+      .take(16).zipWithIndex.map { case ((_, c), i) => (i.toLong, c) }
+    val prank = cidx.map { case (ci, c) => (ci, cosE4(c, probe)) }
+      .sortBy { case (ci, s) => (-s, ci) }.zipWithIndex
+      .map { case ((ci, _), r) => ci -> (r + 1L) }.toMap
+    val prs = corpus.map { case (id, v) => (id, v, cosE4(v, probe)) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(10)
+      .map { case (_, v, _) =>
+        prank(cidx.map { case (ci, c) => (ci, cosE4(v, c)) }
+          .sortBy { case (ci, s) => (-s, ci) }.head._1)
+      }
+    got.foreach { case (np, _, h, _) =>
+      assert(h == prs.count(_ <= np).toLong, s"hits at nprobe=$np: got $h")
+    }
+  }
 }

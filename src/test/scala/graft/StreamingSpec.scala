@@ -126,6 +126,10 @@ class StreamingSpec extends SparkSuite {
       .select($"user_id", $"l_event_id", $"r_event_id", $"l_type", $"r_type")
     assert(got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and the declared oracle-board row states the SAME semantics: the
+    // AvailableNow replay must reproduce q_stream_interval_join exactly
+    val declared = Queries.qStreamIntervalJoin(spark, SF)
+    assert(got.exceptAll(declared).isEmpty && declared.exceptAll(got).isEmpty)
   }
 
   test("stream-static enrichment join matches the batch join; no stream state") {
