@@ -175,6 +175,9 @@ object DevScaling {
       "q_kmv_set_ops",
       // mergeable histogram + two-phase exact ranks: linear scan, 3-row output
       "q_hist_quantiles",
+      // mergeable log-bucket sketch: identical-payload replication leaves
+      // the bucket table identical (counts 10x) - purely linear
+      "q_ddsketch_quantiles",
       // calendar-bounded daily grid after one map-side aggregate
       // (q_setsim_join is EXCLUDED like every pair-OUTPUT query: under
       // identical-payload replication the >=0.7 pair set itself grows

@@ -782,6 +782,62 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
       .transform(ps(col("p")))
   }
 
+  /** DDSketch-style mergeable RELATIVE-error quantile sketch — the
+    * log-bucket member of the sketch family, closing the bias the
+    * equi-width [[qHistQuantiles]] carries by construction: 64 equal
+    * buckets bound ABSOLUTE error by domain/64, which on a skewed domain
+    * packs whole percentile ranges into one bucket, while the log bucket
+    * key `8·msb(v) + next-3-bits` (msb via the portable
+    * `length(bin(v)) − 1`; sub-bits as `(v·8) div 2^msb − 8`) keeps every
+    * bucket's width/lo ≤ 1/8, so the readout is GUARANTEED within 12.5 %
+    * of the exact order statistic (err_ppm ≤ 125 000) for ANY
+    * distribution — the relative-error sketch contract of the public
+    * DDSketch design (Masson, Rim & Lee, VLDB 2019), here with
+    * pure-integer bucket arithmetic both engines compute bit-identically
+    * (valid for v ≥ 1; price cents are ≥ 10⁴, and `pow(2, m)` casts
+    * exactly for m ≤ 62). MERGEABILITY is on the oracle board, not just
+    * claimed: this side builds one sketch per ship-MONTH and merges the
+    * partials by counter addition, while the DuckDB oracle histograms the
+    * corpus DIRECTLY — the hash match proves merge ≡ direct, the
+    * [[qReaggAudit]] doctrine. Shapes at 100 TB: the census combines
+    * map-side to ≤ |buckets| ≈ 60 longs per (month, partition); merge,
+    * cumulative window, targets and interpolation all run on the bounded
+    * bucket table; n comes from the merged sketch (never a second corpus
+    * scan); the exact audit side is the two-phase scalable global rank. */
+  def qDdsketchQuantiles(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.lineitem(s, d).select(
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"),
+      expr("month(l_shipdate)").as("mo"))
+    val monthly = cents
+      .withColumn("m", expr("length(bin(c)) - 1"))
+      .withColumn("bkt", expr("m * 8 + (c * 8) div CAST(pow(2.0D, m) AS BIGINT) - 8"))
+      .groupBy("mo", "bkt").agg(count(lit(1)).as("cnt")) // 12 shard sketches
+    val hist = monthly.groupBy("bkt").agg(sum("cnt").as("cnt")) // the merge
+    val wcum = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1) // bounded bucket table
+    val cum = hist.withColumn("cum", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+    val targets = hist.agg(sum(col("cnt")).as("n"))
+      .select(explode(array(lit(50L), lit(90L), lit(99L))).as("p"), col("n"))
+      .withColumn("r", expr("(p * (n - 1)) div 100"))
+    val est = targets.join(broadcast(cum),
+        col("r") >= col("cum") && col("r") < col("cum") + col("cnt"))
+      .withColumn("lo",
+        expr("((8 + bkt % 8) * CAST(pow(2.0D, bkt div 8) AS BIGINT)) div 8"))
+      .withColumn("hi",
+        expr("((9 + bkt % 8) * CAST(pow(2.0D, bkt div 8) AS BIGINT)) div 8"))
+      .withColumn("est_cents", expr("lo + ((r - cum) * (hi - lo)) div cnt"))
+      .select("p", "n", "r", "est_cents")
+    val ranked = Ops.globalRowNumberScalable(cents.select("c"), "c", Seq("c"), "rk")
+    val exact = broadcast(targets.select(col("p").as("__p"), (col("r") + 1).as("__t")))
+      .join(ranked, col("rk") === col("__t"))
+      .select(col("__p").as("p"), col("c").as("exact_cents"))
+    est.join(exact, "p")
+      .select(col("p"), col("n"), col("est_cents"), col("exact_cents"),
+        expr("(abs(est_cents - exact_cents) * 1000000L) div exact_cents")
+          .as("err_ppm"))
+      .transform(ps(col("p")))
+  }
+
   /** Join-cardinality estimation from Fast-AGMS (count) sketches — the CBO
     * input that prices a many-to-many join WITHOUT running it (the
     * [[qNdvStats]] companion: NDV prices distinct-ness, this prices the
@@ -1684,6 +1740,7 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_set_ops" -> (qKmvSetOps _),
     "q_hist_quantiles" -> (qHistQuantiles _),
+    "q_ddsketch_quantiles" -> (qDdsketchQuantiles _),
     "q_cms_estimate" -> (qCmsEstimate _),
     "q_join_size_est" -> (qJoinSizeEst _),
     "q_ams_f2" -> (qAmsF2 _),
@@ -1976,6 +2033,29 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
         "(CASE WHEN mx = mn THEN mn ELSE mn + (b * (mx - mn + 1)) // 64 END) + " +
         "((r - cum) * ((CASE WHEN mx = mn THEN mx + 1 ELSE mn + ((b + 1) * (mx - mn + 1)) // 64 END) - " +
         "(CASE WHEN mx = mn THEN mn ELSE mn + (b * (mx - mn + 1)) // 64 END))) // cnt AS est_cents FROM e), " +
+        "rk AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS r FROM c), " +
+        "ex AS (SELECT t.p, rk.c AS exact_cents FROM t JOIN rk ON rk.r = t.r) " +
+        "SELECT est.p, est.n, est_cents, exact_cents, " +
+        "(abs(est_cents - exact_cents) * 1000000) // exact_cents AS err_ppm " +
+        "FROM est JOIN ex ON est.p = ex.p ORDER BY est.p"),
+    "q_ddsketch_quantiles" ->
+      // DIRECT global histogram (no month shards): the hash match against
+      // the merged Spark path proves merge == direct
+      ("WITH c AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), " +
+        "bk AS (SELECT c, length(bin(c)) - 1 AS m FROM c), " +
+        "b2 AS (SELECT c, m * 8 + (c * 8) // CAST(pow(2.0, m) AS BIGINT) - 8 AS bkt FROM bk), " +
+        "h AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cnt FROM b2 GROUP BY bkt), " +
+        "st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h), " +
+        "cm AS (SELECT bkt, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY bkt " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM h), " +
+        "t AS (SELECT CAST(p AS BIGINT) AS p, (CAST(p AS BIGINT) * (n - 1)) // 100 AS r, n " +
+        "FROM (SELECT unnest([50, 90, 99]) AS p) CROSS JOIN st), " +
+        "e AS (SELECT t.p, t.n, t.r, cm.bkt, cm.cnt, cm.cum FROM t " +
+        "JOIN cm ON t.r >= cm.cum AND t.r < cm.cum + cm.cnt), " +
+        "est AS (SELECT p, n, r, " +
+        "((8 + bkt % 8) * CAST(pow(2.0, bkt // 8) AS BIGINT)) // 8 + " +
+        "((r - cum) * (((9 + bkt % 8) * CAST(pow(2.0, bkt // 8) AS BIGINT)) // 8 - " +
+        "((8 + bkt % 8) * CAST(pow(2.0, bkt // 8) AS BIGINT)) // 8)) // cnt AS est_cents FROM e), " +
         "rk AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS r FROM c), " +
         "ex AS (SELECT t.p, rk.c AS exact_cents FROM t JOIN rk ON rk.r = t.r) " +
         "SELECT est.p, est.n, est_cents, exact_cents, " +

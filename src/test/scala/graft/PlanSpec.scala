@@ -2241,6 +2241,23 @@ class PlanSpec extends SparkSuite {
     assert(!df.queryExecution.optimizedPlan.toString.contains("EventTimeWatermark"))
   }
 
+  test("q_ddsketch_quantiles: census map-side; only bounded-frame windows unkeyed") {
+    val df = Queries.qDdsketchQuantiles(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("partial_count") || exec.contains("Functions [partial"),
+      s"the (month, bucket) census must combine map-side:\n$exec")
+    // same discipline as q_hist_quantiles: the exact-order-statistic path
+    // ranks inside __bucket partitions; the only unpartitioned window is
+    // the cumulative sum over the bounded log-bucket table
+    val specs = exec.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, exec)
+    val unkeyed = specs.filterNot(_.contains("__bucket"))
+    assert(unkeyed.forall(_.contains("bkt#")),
+      s"only the bounded sketch cumsum may be single-partition:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
   test("q_ann_ivf_recall: one TakeOrdered corpus pass; bounded frames broadcast") {
     val df = Queries.qAnnIvfRecall(spark, SF)
     val p = plan(df)

@@ -2476,4 +2476,40 @@ class QueriesSpec extends SparkSuite {
       assert(h == prs.count(_ <= np).toLong, s"hits at nprobe=$np: got $h")
     }
   }
+
+  test("q_ddsketch_quantiles == brute-force log-bucket replay; relative-error law") {
+    val got = Queries.qDdsketchQuantiles(spark, SF)
+      .select("p", "n", "est_cents", "exact_cents", "err_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(50L, 90L, 99L))
+    // brute force: direct histogram (== the merged monthly path by counter
+    // addition), interpolated readout, exact order statistic
+    val cs = Tables.lineitem(spark, SF)
+      .selectExpr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+      .as[Long].collect().sorted
+    def bkt(v: Long): Long = {
+      val m = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      m * 8L + (v * 8L) / (1L << m) - 8L
+    }
+    val hist = cs.groupBy(bkt).view.mapValues(_.length.toLong).toMap
+    val sortedB = hist.keys.toSeq.sorted
+    val cum = sortedB.scanLeft(0L)((acc, b) => acc + hist(b)).init
+    val cumOf = sortedB.zip(cum).toMap
+    val n = cs.length.toLong
+    got.foreach { case (p, gn, est, exact, ppm) =>
+      assert(gn == n)
+      val r = p * (n - 1) / 100
+      assert(exact == cs(r.toInt), s"p$p exact order statistic")
+      val b = sortedB.find(b => r >= cumOf(b) && r < cumOf(b) + hist(b)).get
+      val p2 = 1L << (b / 8)
+      val lo = (8 + b % 8) * p2 / 8
+      val hi = (9 + b % 8) * p2 / 8
+      assert(est == lo + (r - cumOf(b)) * (hi - lo) / hist(b), s"p$p estimate")
+      assert(ppm == math.abs(est - exact) * 1000000L / exact, s"p$p ppm arithmetic")
+      // the sketch's distribution-free contract: bucket width/lo <= 1/8
+      assert(ppm <= 125000L, s"p$p violates the relative-error guarantee: $ppm ppm")
+    }
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted,
+      "quantile estimates must be monotone in p")
+  }
 }
