@@ -219,6 +219,23 @@ object DevPlans {
         "expansion is row-local and combines map-side to |brands|*65 " +
         "cells; the BH step-up runs on the bounded brand frame with the " +
         "rejection rule cross-multiplied to integers."),
+      "q_stream_interval_join" -> ("The streaming operator run as batch: " +
+        "EliminateEventTimeWatermark has dropped both watermark nodes, " +
+        "leaving a user-keyed equi join with the ±30 min band riding as a " +
+        "join filter — never a per-user cartesian; in streaming mode the " +
+        "same tree bounds its state by the watermark."),
+      "q_ann_ivf_recall" -> ("ANN quality audit in one corpus pass: the " +
+        "exact top-10 is TakeOrderedAndProject over the e4-snapped cosine " +
+        "scan; centroid selection is a 16-row TakeOrdered; probe ranking, " +
+        "the 160-row assignment nest and the 5-level recall census all run " +
+        "on broadcast bounded frames — the IVF pipeline is never re-run " +
+        "per nprobe (containment property)."),
+      "q_ddsketch_quantiles" -> ("Mergeable relative-error quantiles: the " +
+        "(month, log-bucket) census combines map-side to ~60 longs per " +
+        "partition, the merge is counter addition on the bounded bucket " +
+        "table, and the only single-partition window is the sketch cumsum; " +
+        "the exact audit ranks inside __bucket partitions (two-phase " +
+        "scalable order statistic)."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
