@@ -2258,6 +2258,16 @@ class PlanSpec extends SparkSuite {
     assert(!exec.contains("CartesianProduct"), exec)
   }
 
+  test("q_simhash_portable: vote census map-side; block-keyed pair join, no all-pairs") {
+    val df = Queries.qSimhashPortable(spark, SF)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoop"),
+      s"the pair expansion must stay block-keyed:\n$exec")
+    assert(exec.contains("partial_sum") || exec.contains("Functions [partial"),
+      s"the 32 bit-votes must combine map-side in one census:\n$exec")
+  }
+
   test("q_ann_ivf_recall: one TakeOrdered corpus pass; bounded frames broadcast") {
     val df = Queries.qAnnIvfRecall(spark, SF)
     val p = plan(df)

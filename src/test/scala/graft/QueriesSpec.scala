@@ -2512,4 +2512,39 @@ class QueriesSpec extends SparkSuite {
     assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted,
       "quantile estimates must be monotone in p")
   }
+
+  test("q_simhash_portable == brute-force md5 simhash; exact dups always pair") {
+    val got = Queries.qSimhashPortable(spark, SF)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, SF).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    def norm(t: String): String = t.replaceAll("\\s+", " ").trim.toLowerCase
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(t: String): Long = {
+      val hs = t.split(" ").map(tok => java.lang.Long.parseLong(md5hex(tok).take(8), 16))
+      (0 until 32).map { b =>
+        val v = hs.map(h => if (((h >> b) & 1L) == 1L) 1L else -1L).sum
+        if (v > 0) 1L << b else 0L
+      }.sum
+    }
+    val sigs = docs.map { case (id, t) => (id, norm(t)) }
+      .filter(_._2.nonEmpty).map { case (id, t) => (id, sig(t)) }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && (sa >> 24) == (sb >> 24)
+      h = java.lang.Long.bitCount(sa ^ sb).toLong
+      if h <= 4L
+    } yield (ia, ib, h)).toSet
+    assert(got.nonEmpty && got == brute, s"got ${got.size} brute ${brute.size}")
+    // law: identical normalized texts share signature AND block, so every
+    // exact-dup pair must surface at hamming 0
+    docs.map { case (id, t) => (norm(t), id) }.filter(_._1.nonEmpty)
+      .groupBy(_._1).values.filter(_.size > 1).foreach { g =>
+        g.map(_._2).sorted.toSeq.combinations(2).foreach { pair =>
+          assert(got.contains((pair(0), pair(1), 0L)),
+            s"exact dup pair $pair missing")
+        }
+      }
+  }
 }
