@@ -215,10 +215,13 @@ object DevPlans {
         "deviation snaps to e9 before summing (exact-integer distances — " +
         "the float-summation-order hazard never arises), and the 8-row " +
         "readout aggregates map-side."),
-      "q_fdr_bh" -> ("Multiple testing at scale: the 64-permutation null " +
-        "expansion is row-local and combines map-side to |brands|*65 " +
-        "cells; the BH step-up runs on the bounded brand frame with the " +
-        "rejection rule cross-multiplied to integers."),
+      "q_fdr_bh" -> ("Multiple testing at scale, expansion-free: ONE fact " +
+        "scan emits 2+2*64 conditional sums per brand (each replicate's " +
+        "(n1, s1); the shared totals give the complement arm by " +
+        "subtraction), so no 64x row ever materializes — r12 rewrite, " +
+        "8.3->3.9 s at sf0.1, 109->25 s at 100x; the 25-row census " +
+        "unpivots via stack and the BH step-up runs on the bounded brand " +
+        "frame with the rejection rule cross-multiplied to integers."),
       "q_stream_interval_join" -> ("The streaming operator run as batch: " +
         "EliminateEventTimeWatermark has dropped both watermark nodes, " +
         "leaving a user-keyed equi join with the ±30 min band riding as a " +
