@@ -137,4 +137,32 @@ object FunctionProps extends Properties("functions") {
         got(id) == ((ts.size.toLong, covered.count(identity).toLong))
       }
     }
+
+  // ---- DDSketch log-bucket law (q_ddsketch_quantiles's kernel) ----------
+
+  // The distribution-free guarantee the sketch claims: for any v ≥ 8
+  // (msb ≥ 3 — price cents are ≥ 10⁴), the SQL bucket formulas both
+  // engines share place v inside [lo, hi) with width/lo ≤ 1/8. Evaluated
+  // through Spark SQL so the property tests the ACTUAL expressions, not a
+  // Scala re-derivation.
+  private val sketchVal: Gen[Long] = Gen.oneOf(
+    Gen.choose(8L, 1L << 50),
+    Gen.oneOf(8L, 9L, 15L, 16L, 17L, (1L << 50) - 1, 1L << 50),
+  )
+
+  property("ddsketch log-bucket brackets v with relative width <= 1/8") =
+    Prop.forAll(Gen.listOfN(64, sketchVal)) { vs =>
+      val rows = vs.toDF("c").selectExpr(
+          "c",
+          "length(bin(c)) - 1 AS m")
+        .selectExpr("c",
+          "m * 8 + (c * 8) div CAST(pow(2.0D, m) AS BIGINT) - 8 AS bkt")
+        .selectExpr("c", "bkt",
+          "((8 + bkt % 8) * CAST(pow(2.0D, bkt div 8) AS BIGINT)) div 8 AS lo",
+          "((9 + bkt % 8) * CAST(pow(2.0D, bkt div 8) AS BIGINT)) div 8 AS hi")
+        .as[(Long, Long, Long, Long)].collect()
+      rows.forall { case (c, _, lo, hi) =>
+        lo <= c && c < hi && (hi - lo) * 8 <= lo
+      }
+    }
 }
