@@ -920,12 +920,15 @@ private[graft] trait QueriesCore { this: Queries.type =>
     * SimHash, retiring the last approximate family whose quality had no
     * oracle-checked row. Term frequency weights the votes (no token
     * dedup, matching [[graft.operators.TextOps.simhash64Agg]]); vote > 0
-    * sets the bit; block = top 8 of 32 bits; pairs at hamming ≤ 4.
-    * Pair-output by semantics (Ω(true near-dup mass), the
-    * [[qSetsimJoin]] demo-tier contract — measured 4 759 949 pairs at
-    * sf1, both engines agreeing). Shapes at 100 TB: the 32 bit-votes
-    * aggregate map-side in ONE token-grain census; the self-join is
-    * block-keyed equi — never all-pairs. */
+    * sets the bit; block = top 12 of 32 bits (4096 blocks — the same
+    * 2^B/2^bits proportion as the 64-bit path's top-16); pairs at
+    * hamming ≤ 4. Pair-output by semantics (Ω(true near-dup mass), the
+    * [[qSetsimJoin]] demo-tier contract — measured 2 411 375 pairs at
+    * sf1, both engines agreeing), and like every fixed-bit LSH block the
+    * CANDIDATE mass is n²/4096 worst-case — the demo tier; the xxhash64
+    * scale path carries the production dial. The 32 bit-votes aggregate
+    * map-side in ONE token-grain census; the self-join is block-keyed
+    * equi — never all-pairs. */
   def qSimhashPortable(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), Ops.normalizeText(col("text")).as("t"))
@@ -942,7 +945,7 @@ private[graft] trait QueriesCore { this: Queries.type =>
     }.reduce(_.bitwiseOR(_))
     val sig = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("sig"))
-      .withColumn("blk", shiftright(col("sig"), 24))
+      .withColumn("blk", shiftright(col("sig"), 20))
     sig.as("a").join(sig.as("b"),
         expr("a.blk = b.blk AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -2063,7 +2066,7 @@ private[graft] trait QueriesCore { this: Queries.type =>
         "FROM th CROSS JOIN bits GROUP BY doc_id, b)" +
         ", sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS s " +
         "FROM votes GROUP BY doc_id)" +
-        ", blocked AS (SELECT doc_id, s, s >> 24 AS blk FROM sig) " +
+        ", blocked AS (SELECT doc_id, s, s >> 20 AS blk FROM sig) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming " +
         "FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id " +

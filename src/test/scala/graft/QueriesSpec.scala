@@ -2532,7 +2532,7 @@ class QueriesSpec extends SparkSuite {
       .filter(_._2.nonEmpty).map { case (id, t) => (id, sig(t)) }
     val brute = (for {
       (ia, sa) <- sigs; (ib, sb) <- sigs
-      if ia < ib && (sa >> 24) == (sb >> 24)
+      if ia < ib && (sa >> 20) == (sb >> 20)
       h = java.lang.Long.bitCount(sa ^ sb).toLong
       if h <= 4L
     } yield (ia, ib, h)).toSet
