@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Dev-only gate-3 auto-adjudicator for borderline bench flags.
+
+Three consecutive rounds ended with the same manual ritual: bench_diff
+flags 1-2 queries at the double-threshold boundary, a human waits for a
+quiet window, re-times anchor + flagged queries with DevTime, applies
+the band test, and writes a disposition paragraph into SCALING.md. This
+script is that ritual, mechanically:
+
+  1. wait for loadavg < --loadavg (default 0.5), up to --max-wait;
+  2. run `graft.DevTime <sf-dir> q_agg_pricing,<flags>` directly against
+     the compiled classes (min-of-2 warm, the adjudication primitive);
+  3. band test per flag: divide the re-timed value by the anchor's
+     old→new drift measured in the SAME quiet window, then re-apply
+     bench_diff's double threshold (>1.25x AND >0.15 s) against the
+     flag's previous-round time — inside the band = ambient;
+  4. append the disposition block to SCALING.md (the record the round
+     recipe requires) and exit 0 iff every flag is ambient.
+
+Usage: dev/adjudicate.py <prev_bench.json> <flags.txt> [--sf-dir DIR]
+Invoked by dev/round_check.sh when bench_diff exits nonzero with a
+flags file. A REAL (still-out-of-band) regression keeps the gate red —
+this automates the ambient case only, which is the common one.
+"""
+import argparse
+import datetime
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+from bench_diff import load  # noqa: E402
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+ANCHOR = "q_agg_pricing"
+
+# JDK17 module opens Spark 4 needs outside spark-submit — mirrors
+# build.sbt's jdk17AddOpens so the direct-java DevTime run works while
+# sbt holds the project lock.
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+def loadavg1() -> float:
+    return float(open("/proc/loadavg").read().split()[0])
+
+
+def devtime(sf_dir: str, queries: list) -> dict:
+    cmd = ["java"]
+    for p in ADD_OPENS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            f"-Xmx{os.environ.get('SPARK_DRIVER_MEM', '8g')}",
+            "-cp", f"{ROOT}/target/scala-2.13/classes:/opt/spark/jars/*",
+            "graft.DevTime", sf_dir, ",".join(queries)]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+    times = {}
+    for line in out.stdout.splitlines():
+        parts = line.split()
+        if parts[:1] == ["[time]"]:
+            times[parts[1]] = float(parts[3])
+    if out.returncode != 0 or set(queries) - set(times):
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+        raise SystemExit("adjudicate: DevTime run failed")
+    return times
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("prev_bench")
+    ap.add_argument("flags_file")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--loadavg", type=float, default=0.5)
+    ap.add_argument("--max-wait", type=int, default=900)
+    ap.add_argument("--ratio", type=float, default=1.25)
+    ap.add_argument("--abs", dest="abs_s", type=float, default=0.15)
+    args = ap.parse_args()
+
+    flags = [l.strip() for l in open(args.flags_file) if l.strip()]
+    if not flags:
+        print("adjudicate: no flags to adjudicate")
+        return 0
+    old = load(args.prev_bench)["queries"]
+    missing = [q for q in flags + [ANCHOR] if not old.get(q)]
+    if missing:
+        print(f"adjudicate: no previous-round time for {missing} — "
+              f"cannot band-test, leaving the gate red", file=sys.stderr)
+        return 1
+
+    deadline = time.time() + args.max_wait
+    while (la := loadavg1()) >= args.loadavg:
+        if time.time() > deadline:
+            print(f"adjudicate: no quiet window under {args.loadavg} within "
+                  f"{args.max_wait}s (loadavg {la}) — leaving the gate red "
+                  f"for manual adjudication", file=sys.stderr)
+            return 1
+        print(f"adjudicate: waiting for quiet window (loadavg {la})")
+        time.sleep(30)
+
+    la = loadavg1()
+    times = devtime(args.sf_dir, [ANCHOR] + flags)
+    drift = times[ANCHOR] / old[ANCHOR]
+    lines, real = [], []
+    for q in flags:
+        norm = times[q] / drift
+        ambient = not (norm > old[q] * args.ratio
+                       and norm - old[q] > args.abs_s)
+        verdict = "ambient" if ambient else "REAL"
+        if not ambient:
+            real.append(q)
+        lines.append(
+            f"`{q}` {old[q]:.2f} s → re-timed {times[q]:.2f} s "
+            f"({norm:.2f} s anchor-normalized, band ≤ "
+            f"{max(old[q] * args.ratio, old[q] + args.abs_s):.2f} s) — "
+            f"{verdict}")
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    rnd = os.environ.get("ROUND", "?")
+    disposition = ("all flags ambient; gate passes" if not real else
+                   f"REAL regression(s): {', '.join(real)}; gate stays red")
+    block = (
+        f"\n### Round-{rnd} gate-3 auto-adjudication ({stamp}, mechanical)\n"
+        f"\nQuiet-window DevTime (loadavg {la:.2f}, min-of-2 warm): anchor "
+        f"`{ANCHOR}` {old[ANCHOR]:.2f} s → {times[ANCHOR]:.2f} s "
+        f"(drift {drift:.2f}x divided out).\n"
+        + "".join(f"- {l}\n" for l in lines)
+        + f"\nDisposition: {disposition}.\n")
+    with open(os.path.join(ROOT, "SCALING.md"), "a") as f:
+        f.write(block)
+    print(block)
+    return 1 if real else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

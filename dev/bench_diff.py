@@ -23,17 +23,41 @@ without human adjudication prose. A missing or wildly-drifted anchor
 (outside [0.5x, 2.0x]) falls back to raw with a warning — a real
 regression in the anchor itself must not silently rescale the gate.
 
+Anchor corroboration (round-13): normalization has a blind spot — a
+change that slows EVERY query uniformly (a Sessions/AQE config slip)
+also slows the anchor, divides itself out, and exits 0. So when the
+anchor drifted, the raw common-query sum is corroborated against a
+looser --raw-bar (default 1.4x): past it, the gate fails EVEN IF the
+normalized table is clean, with instructions to adjudicate in a quiet
+window (or pass --allow-raw-drift after doing so). A genuinely ambient
+whole-VM slowdown that large deserves a human look anyway.
+
+Full-snapshot preference (round-13): given an old side named
+BENCH_r{N}.json (the driver tail, truncated to ~62 recoverable
+queries), a committed sibling BENCH_LOCAL_r{N}.json (the full 342-query
+map round_check.sh archives each round) is loaded instead, so the diff
+covers the whole board.
+
 Not part of the shipped engine; the driver snapshots BENCH_r{N}.json per
 round, so `python3 dev/bench_diff.py BENCH_r04.json BENCH_LOCAL.json`
 answers "did this round regress anything" in one line per offender.
 """
 import argparse
 import json
+import os
 import re
 import sys
 
 
 def load(path: str) -> dict:
+    # Prefer the committed full per-round snapshot over the truncated
+    # driver tail: BENCH_r12.json -> BENCH_LOCAL_r12.json when present.
+    m = re.fullmatch(r"(.*?)BENCH_(r\d+)\.json", path)
+    if m:
+        full = f"{m.group(1)}BENCH_LOCAL_{m.group(2)}.json"
+        if os.path.exists(full):
+            print(f"note: using full snapshot {full} instead of {path}")
+            path = full
     with open(path) as f:
         text = f.read()
     # 1) bare Bench output: take the last {"metric":... line
@@ -66,6 +90,17 @@ def main() -> int:
     ap.add_argument("--abs", dest="abs_s", type=float, default=0.15)
     ap.add_argument("--anchor", default="q_agg_pricing",
                     help="host-drift anchor query (set '' to disable)")
+    ap.add_argument("--raw-bar", type=float, default=1.4,
+                    help="corroboration bar on the RAW common-query sum "
+                         "ratio when the anchor drifted: past it the gate "
+                         "fails even if the normalized table is clean")
+    ap.add_argument("--allow-raw-drift", action="store_true",
+                    help="accept a raw sum past --raw-bar (use only after "
+                         "a quiet-window adjudication, recorded in "
+                         "SCALING.md)")
+    ap.add_argument("--flags-out", default=None,
+                    help="write normalized-regression query names (one per "
+                         "line) for the round_check auto-adjudicator")
     args = ap.parse_args()
     old, new = load(args.old), load(args.new)
     oq, nq = old["queries"], new["queries"]
@@ -129,6 +164,23 @@ def main() -> int:
     if not regressions:
         print("no NORMALIZED regressions past the noise bar "
               f"(>{args.ratio}x and >{args.abs_s}s after /{drift:.2f}x)")
+    if args.flags_out is not None:
+        with open(args.flags_out, "w") as f:
+            f.write("".join(f"{name}\n" for name, *_ in regressions))
+    # Anchor corroboration: normalization cannot tell whole-VM host drift
+    # from a codebase-wide regression (both slow the anchor too). A raw
+    # sum past --raw-bar while normalizing is not self-certifying — fail
+    # loudly and demand a quiet-window adjudication.
+    if (drift != 1.0 and osum and not args.allow_raw_drift
+            and nsum / osum > args.raw_bar):
+        print(f"RAW-DRIFT: common-query raw sum {nsum / osum:.2f}x exceeds "
+              f"the {args.raw_bar}x corroboration bar while the anchor "
+              f"drifted {drift:.2f}x — a uniform codebase-wide regression "
+              f"would look exactly like this. Adjudicate in a quiet window "
+              f"(DevTime anchor + a spread of untouched queries against the "
+              f"old band), record the disposition in SCALING.md, then "
+              f"re-run with --allow-raw-drift.", file=sys.stderr)
+        return 1
     return 1 if regressions else 0
 
 

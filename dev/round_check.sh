@@ -19,6 +19,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+#   1½. overflow audit — no unguarded BIGINT products of two aggregates
+#      (the defect class three ADVICE rounds found by hand).
+#
 # --- Gate 1: registry == SURVEY §2.3 -------------------------------------
 # The registry is split across six per-tier fragments (registryCore,
 # registryPrep, ... in QueriesCore.scala etc.), concatenated with a
@@ -46,16 +49,27 @@ ORC_N=$(awk '/val oracles[A-Za-z]+: Map\[String, String\] = Map\(/{f=1} f && /^ 
   grep -oE '"q_[a-z0-9_]+" ->' | sort -u | wc -l)
 # §2.3 must render as ONE markdown table: no non-'|' line (blank or prose)
 # may interrupt the span from the first `q_` row to the last (r11 had the
-# table split into ~8 fragments by blank lines between late waves).
-FRAG=$(awk '/^\| `q_/{if (first=="") first=NR; last=NR} END{print first, last}' SURVEY.md)
+# table split into ~8 fragments by blank lines between late waves). The
+# scan is anchored to the §2.3 section (heading to next '## ') so a `q_`
+# table row in any OTHER section can never widen the span across prose.
+FRAG=$(awk '/^### 2\.3 /{sec=1} sec && /^## /{sec=0}
+            sec && /^\| `q_/{if (first=="") first=NR; last=NR}
+            END{print first, last}' SURVEY.md)
 FIRST=${FRAG% *}; LAST=${FRAG#* }
+case "$FIRST" in
+  ''|*[!0-9]*) echo "round_check: FAIL — no §2.3 query table found under '### 2.3'" >&2
+               exit 1 ;;
+esac
 NONTAB=$(sed -n "${FIRST},${LAST}p" SURVEY.md | grep -cv '^|' || true)
 if [ "${NONTAB:-0}" != "0" ]; then
   echo "round_check: FAIL — SURVEY §2.3 table fragmented (${NONTAB} non-table lines between rows ${FIRST}-${LAST})" >&2
   exit 1
 fi
-sed -i -E "s/(Implemented inventory \(round )[0-9]+(\): \*\*)[0-9]+( declared queries, )[0-9]+( oracle-checked\*\*)/\1${ROUND:-11}\2${REG_N}\3${ORC_N}\4/" SURVEY.md
+sed -i -E "s/(Implemented inventory \(round )[0-9]+(\): \*\*)[0-9]+( declared queries, )[0-9]+( oracle-checked\*\*)/\1${ROUND:-13}\2${REG_N}\3${ORC_N}\4/" SURVEY.md
 echo "round_check: registry==SURVEY OK (${REG_N} registered, ${ORC_N} oracle-checked; count line regenerated)"
+
+# --- Gate 1½: overflow audit ----------------------------------------------
+python3 dev/overflow_audit.py
 
 # --- Gate 2: latest test-reports green -----------------------------------
 if ls target/test-reports/*.xml >/dev/null 2>&1; then
@@ -78,5 +92,25 @@ PREV=${1:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}
 [ -n "$PREV" ] || { echo "round_check: no previous BENCH_r*.json found" >&2; exit 2; }
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} sbt -batch "runMain graft.Bench"
-python3 dev/bench_diff.py "$PREV" BENCH_LOCAL.json
-echo "round_check: PASS — no anchor-normalized per-query regression vs $PREV (>1.25x AND >0.15s after drift division)"
+# Archive the full per-query map so future rounds diff all 342 queries,
+# not the ~62 recoverable from the driver's truncated BENCH_rN tail
+# (bench_diff prefers BENCH_LOCAL_r{N}.json over BENCH_r{N}.json).
+if [ -n "${ROUND:-}" ]; then
+  cp BENCH_LOCAL.json "BENCH_LOCAL_r${ROUND}.json"
+  echo "round_check: archived BENCH_LOCAL_r${ROUND}.json (commit it)"
+fi
+if python3 dev/bench_diff.py "$PREV" BENCH_LOCAL.json --flags-out /tmp/rc_flags.txt; then
+  echo "round_check: PASS — no anchor-normalized per-query regression vs $PREV (>1.25x AND >0.15s after drift division)"
+elif [ -s /tmp/rc_flags.txt ]; then
+  # Borderline normalized flags: re-time anchor + flagged queries once in
+  # a quiet window and apply the band test mechanically; the disposition
+  # block is appended to SCALING.md by the adjudicator itself.
+  echo "round_check: normalized flags — running quiet-window auto-adjudication"
+  python3 dev/adjudicate.py "$PREV" /tmp/rc_flags.txt \
+    --sf-dir "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+  echo "round_check: PASS — all flags adjudicated ambient (see SCALING.md)"
+else
+  # bench_diff failed without flags: the raw-drift corroboration bar or a
+  # load error — not auto-adjudicable, keep the gate red.
+  exit 1
+fi
