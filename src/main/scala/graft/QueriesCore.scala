@@ -928,9 +928,36 @@ private[graft] trait QueriesCore { this: Queries.type =>
     * CANDIDATE mass is n²/4096 worst-case — the demo tier; the xxhash64
     * scale path carries the production dial. The 32 bit-votes aggregate
     * map-side in ONE token-grain census; the self-join is block-keyed
-    * equi — never all-pairs. */
-  def qSimhashPortable(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    * equi — never all-pairs.
+    *
+    * Degenerate-block guard (DECLARED semantics, mirrored in the
+    * oracle): blocks over [[SimhashMaxBucket]] = 2000 members are
+    * skipped before pair expansion — the
+    * [[graft.operators.TextOps.lshCandidatePairs]] `maxBucket` doctrine
+    * applied to this block join, so a templated/near-empty corpus slice
+    * whose votes collapse to one 12-bit prefix can never go n²/4096
+    * unbounded (worst surviving block costs C(2000,2) ≈ 2 M in-task
+    * pairs). The cap sits above the largest ORGANIC block ever observed
+    * (1 220 members over 50 000 docs at the sf1 fixture, max 23 at
+    * sf0.001 / 12 at sf0.01), so on non-degenerate corpora — including
+    * every fixture — the guard provably filters nothing and the
+    * recorded results stand; like [[qLinkPredict]]'s deg ≤ 50 it is part
+    * of what the query MEANS, not a silent truncation. Sized BEFORE any
+    * pair is built via a count aggregate on the block key the self-join
+    * already shuffles on. */
+  def qSimhashPortable(s: SparkSession, d: String): DataFrame =
+    simhashPortablePairs(Tables.documents(s, d), SimhashMaxBucket)
+
+  /** The declared per-block membership cap of [[qSimhashPortable]]. */
+  val SimhashMaxBucket = 2000
+
+  /** [[qSimhashPortable]]'s pipeline, parameterized on the corpus and the
+    * block cap so the guard is testable against a degenerate fixture
+    * (every doc identical → one block of n members → capped to zero
+    * pairs) without touching the declared production semantics. */
+  private[graft] def simhashPortablePairs(docs: DataFrame,
+                                          maxBucket: Int): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), Ops.normalizeText(col("text")).as("t"))
       .where(col("t") =!= "")
       .select(col("doc_id"), explode(split(col("t"), " ")).as("token"))
@@ -946,7 +973,15 @@ private[graft] trait QueriesCore { this: Queries.type =>
     val sig = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("sig"))
       .withColumn("blk", shiftright(col("sig"), 20))
-    sig.as("a").join(sig.as("b"),
+    // Guard: size each block BEFORE pair expansion; singleton blocks
+    // cannot pair and oversized blocks are the declared degenerate cap.
+    // shuffle-hash keeps both sides on the blk hash partitioning the
+    // pair join needs anyway (same shape as lshCandidatePairs' guard).
+    val keep = sig.groupBy("blk").agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2, maxBucket))
+      .select("blk").hint("shuffle_hash")
+    val kept = sig.join(keep, Seq("blk"))
+    kept.as("a").join(kept.as("b"),
         expr("a.blk = b.blk AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("bigint")
@@ -2066,10 +2101,14 @@ private[graft] trait QueriesCore { this: Queries.type =>
         "FROM th CROSS JOIN bits GROUP BY doc_id, b)" +
         ", sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS s " +
         "FROM votes GROUP BY doc_id)" +
-        ", blocked AS (SELECT doc_id, s, s >> 20 AS blk FROM sig) " +
+        ", blocked AS (SELECT doc_id, s, s >> 20 AS blk FROM sig)" +
+        // the declared degenerate-block cap (SimhashMaxBucket), mirrored
+        ", keep AS (SELECT blk FROM blocked GROUP BY blk " +
+        "HAVING count(*) BETWEEN 2 AND 2000)" +
+        ", kept AS (SELECT b.* FROM blocked b JOIN keep USING (blk)) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming " +
-        "FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "FROM kept a JOIN kept b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.s, b.s)) <= 4 ORDER BY id_a, id_b"),
     "q_stream_interval_join" ->
       ("SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id, " +

@@ -2547,4 +2547,26 @@ class QueriesSpec extends SparkSuite {
         }
       }
   }
+
+  test("q_simhash_portable: degenerate-block guard engages; fixtures untouched") {
+    // A templated corpus: every doc identical, so all votes collapse to
+    // ONE 12-bit block of n members — the exact shape the guard exists
+    // for. Under the cap the block pairs fully; over it, zero pairs.
+    val clones = (1L to 12L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    assert(Queries.simhashPortablePairs(clones, maxBucket = 12).count() ==
+      12L * 11L / 2, "under the cap the degenerate block pairs fully")
+    assert(Queries.simhashPortablePairs(clones, maxBucket = 11).count() == 0L,
+      "over the cap the degenerate block is skipped before pair expansion")
+    // The DECLARED cap provably filters nothing at fixture scale: the
+    // largest block is far below SimhashMaxBucket (23 at sf0.001, 1220
+    // at the 100x sf1 fixture), so capped == uncapped here.
+    val docs = Tables.documents(spark, SF)
+    val uncapped = Queries.simhashPortablePairs(docs, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val capped = Queries.simhashPortablePairs(docs, Queries.SimhashMaxBucket)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(capped.nonEmpty && capped == uncapped,
+      s"cap must be inert on organic fixtures: ${capped.size} vs ${uncapped.size}")
+  }
 }
