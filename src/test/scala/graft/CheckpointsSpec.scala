@@ -29,10 +29,18 @@ class CheckpointsSpec extends SparkSuite {
       "release must drop every persisted-RDD registration")
   }
 
+  // Ordering assumption (documented, not accidental): setCheckpointDir is
+  // CONTEXT-GLOBAL and first-nonempty-wins, so this test leaves the shared
+  // JVM session's checkpoint dir pointing at the temp path below for the
+  // rest of the suite run. That is harmless ONLY because (a) the finally
+  // block deletes the directory, and (b) Checkpoints.release guards its
+  // sweep with fs.exists — a later suite's release sees a nonexistent path
+  // and no-ops instead of sweeping live data. No other suite sets DirConf;
+  // a second durable-tier consumer in this JVM would inherit this dir.
   test("release reclaims durable checkpoint directories (durable tier)") {
     val sc = spark.sparkContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec").toString
-    spark.conf.set(Checkpoints.DirConf, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
+    spark.conf.set(Checkpoints.DirConf, tmp.toString)
     try {
       val df = truncated()
       assert(df.count() > 0)
@@ -45,6 +53,10 @@ class CheckpointsSpec extends SparkSuite {
       assert(fs.listStatus(p).isEmpty,
         "release must reclaim every per-round checkpoint directory")
       assert(sc.getPersistentRDDs.isEmpty)
-    } finally spark.conf.unset(Checkpoints.DirConf)
+    } finally {
+      spark.conf.unset(Checkpoints.DirConf)
+      val p = new org.apache.hadoop.fs.Path(tmp.toString)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
   }
 }
