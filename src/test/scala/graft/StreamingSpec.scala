@@ -309,6 +309,107 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("interval join restart from checkpoint: cross-run pairs survive, no loss or duplication") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+    // The durability half of the exactly-once story: run 1 consumes batch
+    // b0 and STOPS; run 2 is a NEW query instance on the SAME checkpoint +
+    // idempotent sink, consuming only b1. The join state buffered from b0
+    // must be restored from the state store so b0×b1 pairs still emit, and
+    // the offset log must prevent b0's pairs from emitting twice.
+    val dir = Files.createTempDirectory("graft_stream_restart")
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val out = Files.createTempDirectory("graft_restart_out").toString
+    def stage(name: String, mtimeSec: Long, rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_restart_w")
+      rows.toDF("user_id", "event_id", "s")
+        .select($"user_id", $"event_id", expr("timestamp_seconds(s)").as("ts"),
+          concat(lit("t"), $"event_id").as("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/w")
+      val part = Files.list(Paths.get(s"$tmp/w")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = Paths.get(dir.toString, name)
+      Files.copy(Paths.get(part), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    val schema = new StructType().add("user_id", LongType)
+      .add("event_id", LongType).add("ts", TimestampType)
+      .add("event_type", StringType)
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    def run(): Unit = EventStreams.writeParquetIdempotent(
+      EventStreams.intervalJoin(src, src, "10 minutes", "30 MINUTES"),
+      out, ckpt)
+    // b0: events 1@1000s, 2@1200s → in-run pair (1,2). Watermark after b0
+    // = 1200s − 600s; nothing evictable, so both stay in join state.
+    stage("b0.parquet", 1000000L, Seq((1L, 1L, 1000L), (1L, 2L, 1200L)))
+    run() // run 1: graceful stop after draining b0
+    // b1: 3@1300s pairs with RESTORED state rows 1 and 2; 4@3000s pairs
+    // with 2 (1800s window, inclusive) and 3, but not 1 (2000s > window).
+    stage("b1.parquet", 1000060L, Seq((1L, 3L, 1300L), (1L, 4L, 3000L)))
+    run() // run 2: NEW query instance, same checkpoint
+    val got = spark.read.parquet(s"$out/data")
+      .select($"l_event_id", $"r_event_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // the exact 5-pair multiset IS the exactly-once assert: a replayed b0
+    // would duplicate (1,2), lost state would drop (1,3)/(2,3)
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      s"restart must keep b0 join state and not re-emit b0 pairs: $got")
+    // offset-log continuity: exactly one DATA batch per run (AvailableNow
+    // appends extra EMPTY watermark-advance micro-batches — those dirs
+    // carry zero rows and are not replays)
+    val dataBatches = spark.read.parquet(s"$out/data")
+      .select(input_file_name().as("f"))
+      .select(regexp_extract($"f", "batch_id=(\\d+)", 1).as("b"))
+      .distinct().count()
+    assert(dataBatches == 2, s"one data batch per run, no replays: $dataBatches")
+  }
+
+  test("transformWithState top-k restart from checkpoint: RocksDB state resumes") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_stream_topk_restart")
+      val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
+      def stage(name: String, mtimeSec: Long, rows: Seq[(Long, Double)]): Unit = {
+        val tmp = Files.createTempDirectory("graft_topkr_w")
+        rows.toDF("user_id", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/w")
+        val part = Files.list(Paths.get(s"$tmp/w")).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dst = Paths.get(dir.toString, name)
+        Files.copy(Paths.get(part), dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeSec * 1000))
+      }
+      val schema = new StructType().add("user_id", LongType)
+        .add("value", DoubleType)
+      def src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      def run() = EventStreams.runAvailableNowBatches(
+        EventStreams.runningTopKPerUser(src, 2).toDF(), Some(ckpt))
+      // run 1: user 1 holds [300, 100] cents, user 2 holds [500]
+      stage("b0.parquet", 1000000L, Seq((1L, 1.0), (1L, 3.0), (2L, 5.0)))
+      val run1 = run()
+      assert(run1.flatMap(_._2).nonEmpty, "run 1 must emit initial top-k")
+      // run 2 (new query instance, same checkpoint) sees ONLY b1. User 1's
+      // emission [300, 200] is provable state restoration: without the
+      // RocksDB state it could only know [200]; user 2 likewise [700, 500].
+      stage("b1.parquet", 1000060L, Seq((1L, 2.0), (2L, 7.0)))
+      val run2 = run()
+      val emitted = run2.flatMap(_._2)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(emitted == Seq((1L, 1L, 300L), (1L, 2L, 200L),
+        (2L, 1L, 700L), (2L, 2L, 500L)),
+        s"restart must resume per-user top-k state without loss: $emitted")
+      // and no duplication: run 2 processed exactly the one new batch
+      assert(run2.length == 1, s"run 2 must not replay b0: ${run2.length} batches")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("closed sessions: events far BEFORE the open session close as their own session") {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
