@@ -90,7 +90,13 @@ object DevHeavyTail {
     "q_merkle_diff",      // drift-proportional partition-tree diff
     "q_frequent_triples", // A-Priori triple mining over bounded baskets
     "q_mann_whitney",     // distinct-value rank census
-    "q_ipf_raking")       // 3 IPF rounds on the bounded margin grid
+    "q_ipf_raking",       // 3 IPF rounds on the bounded margin grid
+    // round-13 completion: the four round-12 queries that carried 10x
+    // evidence only (the first three are bench top-tail at 1.0-1.8 s)
+    "q_ddsketch_quantiles",  // log-bucket census + two-phase exact audit rank
+    "q_stream_interval_join", // user-keyed equi join, ±30 min band residual
+    "q_simhash_portable",    // token census + capped 4096-block self-join
+    "q_ann_ivf_recall")      // one TakeOrdered corpus pass + bounded recall census
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -239,6 +239,13 @@ object DevPlans {
         "table, and the only single-partition window is the sketch cumsum; " +
         "the exact audit ranks inside __bucket partitions (two-phase " +
         "scalable order statistic)."),
+      "q_simhash_portable" -> ("Portable SimHash twin: the 32 bit-votes " +
+        "aggregate map-side in ONE token-grain census (partial_sum spans), " +
+        "the 12-bit block key drives an equi self-join — never all-pairs — " +
+        "and the declared degenerate-block cap (2000) rides as a count " +
+        "aggregate + shuffle-hash semi filter ON the same block key the " +
+        "pair join shuffles on, so the guard costs no extra fact exchange; " +
+        "hamming filters inside the join stage via codegen'd bit_count."),
     )
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
