@@ -87,6 +87,30 @@ else
   exit 1
 fi
 
+# --- Gate 2½: empty-input robustness sweep --------------------------------
+# Every registered query must run (not throw) against 0-row copies of all
+# fixture tables — at 100 TB a pruned read or hard filter legitimately
+# yields zero rows, and a query that crashes on them is a production
+# incident. Direct-java (no sbt lock), same module opens as adjudicate.py.
+JOPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED \
+--add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED \
+--add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED \
+--add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED \
+--add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+if java $JOPTS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.DevEmptyBoard /root/testdata/sf0.001 /tmp/graft_empty \
+    > /tmp/rc_empty.txt 2>/dev/null; then
+  echo "round_check: $(grep '^\[empty\] board:' /tmp/rc_empty.txt)"
+else
+  echo "round_check: FAIL — empty-input sweep found throwing queries:" >&2
+  grep ' FAIL ' /tmp/rc_empty.txt >&2
+  exit 1
+fi
+
 # --- Gate 3: bench + per-query regression diff ---------------------------
 PREV=${1:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}
 [ -n "$PREV" ] || { echo "round_check: no previous BENCH_r*.json found" >&2; exit 2; }

@@ -1,0 +1,53 @@
+package graft
+
+/** Whole-board zero-row robustness sweep (round-13 hardening).
+  *
+  * At 100 TB a partition-pruned read, a hard filter, or a just-provisioned
+  * table legitimately yields ZERO rows — a query that throws on empty input
+  * is a production incident, not an edge case. This tool materializes a
+  * 0-row copy of every fixture table (schema preserved by `limit(0)` over
+  * the real sf0.001 parquet, so column names/types/nullability match the
+  * footer exactly) and executes every registered query against it,
+  * recording `ok rows=N` or the exception class+message.
+  *
+  * Usage:
+  *   graft.DevEmptyBoard [srcSfDir] [emptyDir] [name...]
+  *
+  * Exit code 1 if any query throws — wired into dev/round_check.sh as
+  * gate 6 so the board stays empty-input-clean from round 13 on.
+  */
+object DevEmptyBoard {
+  def main(args: Array[String]): Unit = {
+    val srcDir   = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val emptyDir = if (args.length > 1) args(1) else "/tmp/graft_empty"
+    val names    = if (args.length > 2) args.drop(2).toSeq
+                   else Queries.all.keys.toSeq.sorted
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+
+    // 0-row copies: read the real footer, keep nothing. limit(0) preserves
+    // the exact parquet schema (incl. events' fixture-drifted ts encoding,
+    // which Tables.events normalizes the same way on the empty copy).
+    Tables.entityNames.foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$emptyDir/$t.parquet")
+    }
+
+    var failures = 0
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val n = Queries.all(name)(spark, emptyDir).count()
+        println(f"[empty] $name ok rows=$n (${(System.nanoTime() - t0) / 1e9}%.2fs)")
+      } catch {
+        case e: Throwable =>
+          failures += 1
+          val msg = Option(e.getMessage).getOrElse("").linesIterator
+            .take(1).mkString.take(200)
+          println(s"[empty] $name FAIL ${e.getClass.getSimpleName}: $msg")
+      }
+    }
+    println(s"[empty] board: ${names.size - failures}/${names.size} queries empty-input-clean")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -460,6 +460,19 @@ private[graft] trait QueriesCore { this: Queries.type =>
       Similarity.seedCentroids(Tables.embeddings(s, d), "vec_id",
         "embedding", k))
 
+  /** Fixed-probe fetch for the retrieval tier, TOTAL on an empty corpus:
+    * the probe row's embedding plus `found = true`, or — when the row is
+    * absent (empty or pruned corpus) — a 1-element zero vector plus
+    * `found = false`. Callers gate their corpus scan with `lit(found)`:
+    * the plan (and thus the output schema) is unchanged, the constant
+    * `AND true` folds away on the normal path, and on the empty path no
+    * row is ever scored against the dummy vector. */
+  private[graft] def probeOrEmpty(emb: DataFrame, id: Long): (Array[Float], Boolean) = {
+    val rows = emb.where(col("vec_id") === id).select("embedding").take(1)
+    if (rows.isEmpty) (Array(0.0f), false)
+    else (rows.head.getSeq[Float](0).toArray, true)
+  }
+
   /** Cached embeddings row count per data dir — sizes [[qSemDedup]]'s
     * adaptive cluster count (same immutable-snapshot assumption and
     * bounded-driver-round-trip class as the seed-centroid cache above). */
@@ -704,10 +717,9 @@ private[graft] trait QueriesCore { this: Queries.type =>
     * heaps, no global sort). */
   def qCosineTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val probe = emb.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
+    val (probe, found) = probeOrEmpty(emb, 0)
     val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
-    emb.where(col("vec_id") =!= 0)
+    emb.where(col("vec_id") =!= 0 && lit(found))
       .select(col("vec_id"),
         round(cosine_sim(col("embedding"), probeCol), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -721,7 +733,7 @@ private[graft] trait QueriesCore { this: Queries.type =>
     * rank is carried as a column and re-sorted driver-side, reproducing
     * [[graft.operators.Similarity.seededCentroids]]'s order exactly. */
   private[graft] def probeAndCentroids(emb: DataFrame, nlist: Int,
-                                seed: Long = 42L): (Array[Double], Array[Array[Double]]) = {
+                                seed: Long = 42L): (Array[Double], Array[Array[Double]], Boolean) = {
     val h = Similarity.seededRank(col("vec_id"), seed)
     val rows = emb.where(col("vec_id") === 0)
       .select(lit(-1L).as("h"), col("vec_id").as("id"), col("embedding"))
@@ -730,11 +742,17 @@ private[graft] trait QueriesCore { this: Queries.type =>
         .limit(nlist)
         .select(h.as("h"), col("vec_id").as("id"), col("embedding")))
       .collect()
-    val probe = Similarity.toDoubleVec(rows.find(_.getLong(0) == -1L).get, 2)
+    val probeRow = rows.find(_.getLong(0) == -1L)
     val centroids = rows.filter(_.getLong(0) >= 0L)
       .sortBy(r => (r.getLong(0), r.getLong(1)))
       .map(Similarity.toDoubleVec(_, 2))
-    (probe, centroids)
+    // Empty/pruned corpus: no probe row or no centroids — return dummy
+    // index state plus found = false; callers gate their corpus scan with
+    // `lit(found)` so the plan (and output schema) still builds and no row
+    // is ever scored against the dummy. Inert on any non-empty corpus.
+    if (probeRow.isEmpty || centroids.isEmpty)
+      (Array(0.0), Array(Array(0.0)), false)
+    else (Similarity.toDoubleVec(probeRow.get, 2), centroids, true)
   }
 
   /** IVF approximate nearest neighbor (rows-only: recall depends on nprobe,
@@ -742,10 +760,10 @@ private[graft] trait QueriesCore { this: Queries.type =>
     * force is asserted in ScalaTest). */
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val (probe, cents) = probeAndCentroids(emb, nlist = 16)
+    val (probe, cents, found) = probeAndCentroids(emb, nlist = 16)
     // cap at the realized centroid count (a tiny table yields < nlist
     // centroids), mirroring ivfTopK's graceful degradation
-    Similarity.ivfTopKPrecomputed(emb.where(col("vec_id") =!= 0), "vec_id",
+    Similarity.ivfTopKPrecomputed(emb.where(col("vec_id") =!= 0 && lit(found)), "vec_id",
         "embedding", cents, probe, 10,
         nprobe = math.min(4, cents.length).max(1))
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
@@ -760,9 +778,8 @@ private[graft] trait QueriesCore { this: Queries.type =>
     * ⊆ brute-force equivalence is asserted in ScalaTest. */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val probe = emb.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    Similarity.cosineTopKLsh(emb.where(col("vec_id") =!= 0), "vec_id",
+    val (probe, found) = probeOrEmpty(emb, 0)
+    Similarity.cosineTopKLsh(emb.where(col("vec_id") =!= 0 && lit(found)), "vec_id",
         "embedding", probe, 10, nBits = 8, hamming = 2)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -779,9 +796,8 @@ private[graft] trait QueriesCore { this: Queries.type =>
     * [[qAnnLsh]] keeps the pruned hamming=2 operating point, rows-only. */
   def qAnnLshExact(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val probe = emb.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    Similarity.cosineTopKLsh(emb.where(col("vec_id") =!= 0), "vec_id",
+    val (probe, found) = probeOrEmpty(emb, 0)
+    Similarity.cosineTopKLsh(emb.where(col("vec_id") =!= 0 && lit(found)), "vec_id",
         "embedding", probe, 10, nBits = 8, hamming = 8)
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -794,8 +810,8 @@ private[graft] trait QueriesCore { this: Queries.type =>
     * pruned operating point, rows-only). */
   def qAnnExhaustive(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val (probe, cents) = probeAndCentroids(emb, nlist = 16)
-    Similarity.ivfTopKPrecomputed(emb.where(col("vec_id") =!= 0), "vec_id",
+    val (probe, cents, found) = probeAndCentroids(emb, nlist = 16)
+    Similarity.ivfTopKPrecomputed(emb.where(col("vec_id") =!= 0 && lit(found)), "vec_id",
         "embedding", cents, probe, 10,
         nprobe = math.min(16, cents.length).max(1))
       .select(col("vec_id"), round(col("sim"), 4).as("sim"))

@@ -842,7 +842,12 @@ private[graft] trait QueriesEval { this: Queries.type =>
     * centroid form is the one that scales, one broadcast-expression scan).
     * Same deterministic k = 8 seed centroids as [[qKmeansStep]]. */
   def qSilhouette(s: SparkSession, d: String): DataFrame = {
-    val cents = cachedSeedCentroids(s, d, 8)
+    val cents0 = cachedSeedCentroids(s, d, 8)
+    // An empty corpus yields no seed centroids; keep the plan buildable
+    // with one dummy centroid and gate the scan to false — schema
+    // unchanged, no row ever scored against the dummy (inert otherwise).
+    val found = cents0.nonEmpty
+    val cents = if (found) cents0 else Array((0L, Array(0.0)))
     val vecD = col("embedding").cast("array<double>")
     def dist2e9(c: Array[Double]): Column =
       aggregate(
@@ -854,6 +859,7 @@ private[graft] trait QueriesEval { this: Queries.type =>
     }
     val sorted = array_sort(array(packed.toSeq: _*))
     Tables.embeddings(s, d)
+      .where(lit(found))
       .select(sorted.getItem(0).getField("cid").as("cluster_id"),
         sorted.getItem(0).getField("d").as("d1"),
         sorted.getItem(1).getField("d").as("d2"))

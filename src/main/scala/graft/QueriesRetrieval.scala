@@ -83,13 +83,12 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
     * no global sort at any scale. */
   def qMips(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val probe = emb.where(col("vec_id") === 1).select("embedding")
-      .head().getSeq[Float](0).toArray
+    val (probe, found) = probeOrEmpty(emb, 1)
     val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
     val dot = aggregate(
       zip_with(col("embedding").cast("array<double>"), probeCol, (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)
-    emb.where(col("vec_id") =!= 1)
+    emb.where(col("vec_id") =!= 1 && lit(found))
       .select(col("vec_id"), round(dot, 4).as("dot"), col("label"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(20)
@@ -472,15 +471,14 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
     val emb = Tables.embeddings(s, d)
     val codes = expr(
       "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 128, 0) AS BIGINT))")
-    val probeRow = emb.where(col("vec_id") === 2)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val (probeRow, found) = probeOrEmpty(emb, 2)
     val pCodes = probeRow.map(v => math.round(v.toDouble * 128))
     val pCol = array(probeRow.map(v => lit(v.toDouble)): _*)
     val pCodeCol = array(pCodes.map(lit): _*)
     val idot = aggregate(
       zip_with(codes, pCodeCol, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
     val sim = round(cosine_sim(col("embedding"), pCol), 4)
-    emb.where(col("vec_id") =!= 2)
+    emb.where(col("vec_id") =!= 2 && lit(found))
       .select(col("vec_id"), col("embedding"), idot.as("idot"))
       .orderBy(col("idot").desc, col("vec_id"))
       .limit(50)
@@ -970,13 +968,12 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
     * the one bounded driver round-trip the MIPS family already budgets. */
   def qRankFusion(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val probe = emb.where(col("vec_id") === 1).select("embedding")
-      .head().getSeq[Float](0).toArray
+    val (probe, found) = probeOrEmpty(emb, 1)
     val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
     val dot = aggregate(
       zip_with(col("embedding").cast("array<double>"), probeCol, (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)
-    val scored = emb.where(col("vec_id") =!= 1)
+    val scored = emb.where(col("vec_id") =!= 1 && lit(found))
       .select(col("vec_id"),
         round(cosine_sim(col("embedding"), probeCol), 4).as("simr"),
         round(dot, 4).as("dotr"))
@@ -1634,9 +1631,15 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
     * CTEs — the hash match proves the driver-side greedy bit-equal to
     * the relational formulation. */
   def qMmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val pool = mmrPool(s, d).collect().map { r =>
       (r.getLong(0), Similarity.toDoubleVec(r, 1), r.getLong(2))
     }
+    // Empty corpus (or missing probe) → empty pool → nothing to select;
+    // the typed empty Seq carries the exact output schema.
+    if (pool.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("step", "vec", "rel_e4", "div_e4", "score")
     def cosE4(a: Array[Double], b: Array[Double]): Long = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0

@@ -1270,6 +1270,12 @@ private[graft] trait QueriesStats { this: Queries.type =>
     val counts = trans.unionAll(starts).groupBy("src", "dst")
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import s.implicits._
+    // Empty event log → no transitions, no START state, nothing to
+    // attribute; the typed empty Seq carries the exact output schema.
+    if (counts.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("channel", "p_base_e9", "p_removed_e9", "drop_e9", "share_ppm")
     // ---- bounded driver math (≤49 rows), exact integers throughout ----
     def ppmOf(n: Long, den: Long): Long =
       (n * 1000 / den) * 1000 + ((n * 1000 % den) * 1000) / den

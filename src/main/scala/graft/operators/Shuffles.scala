@@ -104,7 +104,16 @@ object Shuffles {
   def bloomSemiJoin(left: DataFrame, right: DataFrame, leftKey: String,
                     rightKey: String, expectedItems: Long = 1000000L,
                     fpp: Double = 0.01): DataFrame = {
-    val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
+    // On a zero-row build side Spark's bloomFilter aggregate yields a null
+    // sketch buffer (NPE on first probe) — union ONE sentinel key so the
+    // sketch always materializes. A sentinel false positive is harmless by
+    // the operator's own construction: the exact semi-join behind the
+    // filter decides truth; on a non-empty build side the sentinel merely
+    // occupies ~k bits of the sized-for-expectedItems filter.
+    val bf = right.select(col(rightKey).cast("long").as(rightKey))
+      .unionAll(right.sparkSession.range(1)
+        .select(lit(Long.MinValue).as(rightKey)))
+      .stat.bloomFilter(rightKey, expectedItems, fpp)
     val prefiltered = left.where(
       graft.functions.BloomMightContain.mightContain(col(leftKey), bf))
     prefiltered.join(right, prefiltered(leftKey) === right(rightKey), "left_semi")

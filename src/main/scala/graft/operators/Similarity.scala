@@ -245,6 +245,18 @@ object Similarity {
       .collect().map(r => (r.getLong(0), toDoubleVec(r)))
   }
 
+  /** Empty-centroid-state guard shared by the consumers of a driver-held
+    * quantizer: an empty corpus yields NO centroids, and "no index state"
+    * must mean "no output", not a crash (at 100 TB a pruned read or hard
+    * filter legitimately produces zero rows). Substitutes one zero
+    * centroid so the plan still BUILDS (output schema unchanged) and
+    * filters the input to `false` so no row is ever scored against it —
+    * provably inert whenever `cents` is non-empty. */
+  private def emptyCentsGuard(df: DataFrame, cents: Array[(Long, Array[Double])])
+      : (DataFrame, Array[(Long, Array[Double])]) =
+    if (cents.nonEmpty) (df, cents)
+    else (df.where(lit(false)), Array((0L, Array(0.0))))
+
   /** Exact argmin cluster assignment via a BROADCAST CENTROID TABLE:
     * expand each vector against the k broadcast centroids (a broadcast
     * nest of n×k DATA rows — never k expression nodes), compute the same
@@ -269,9 +281,9 @@ object Similarity {
     * group carries the same vector; rows SHARING an id would collapse to
     * one output row with an arbitrary survivor's vector (unlike
     * [[kmeansAssignCol]], which preserves every input row). */
-  def kmeansAssignJoined(emb: DataFrame, idCol: String, vecCol: String,
-                         cents: Array[(Long, Array[Double])]): DataFrame = {
-    require(cents.nonEmpty, "need at least one centroid")
+  def kmeansAssignJoined(emb0: DataFrame, idCol: String, vecCol: String,
+                         cents0: Array[(Long, Array[Double])]): DataFrame = {
+    val (emb, cents) = emptyCentsGuard(emb0, cents0)
     val s = emb.sparkSession
     val centDF = s.createDataFrame(cents.toSeq.map(c => (c._1, c._2.toSeq)))
       .toDF("__cid", "__c")
@@ -292,9 +304,13 @@ object Similarity {
   /** Exact argmin cluster assignment against driver-held centroids:
     * least-of-structs over k fused squared-L2 expressions (each distance
     * evaluated once, ties to the smallest cluster id). Plan size is
-    * O(k·dim) — for ADAPTIVE k use [[kmeansAssignJoined]]. */
+    * O(k·dim) — for ADAPTIVE k use [[kmeansAssignJoined]]. Empty `cents`
+    * (an empty corpus yields no seed centroids) assigns NULL — no row
+    * matches any cluster, so equi-joins and group-bys downstream emit
+    * nothing rather than crash at plan time. */
   def kmeansAssignCol(vecCol: String,
                       cents: Array[(Long, Array[Double])]): Column = {
+    if (cents.isEmpty) return lit(null).cast("long")
     val vecD = col(vecCol).cast("array<double>")
     def sqDist(c: Array[Double]): Column =
       aggregate(
@@ -309,9 +325,9 @@ object Similarity {
 
   /** [[kmeansStep]] with the centroid state supplied by the caller — the
     * form [[kmeansIterate]] loops. */
-  def kmeansStepPrecomputed(emb: DataFrame, idCol: String, vecCol: String,
-                            cents: Array[(Long, Array[Double])]): DataFrame = {
-    require(cents.nonEmpty, "need at least one centroid")
+  def kmeansStepPrecomputed(emb0: DataFrame, idCol: String, vecCol: String,
+                            cents0: Array[(Long, Array[Double])]): DataFrame = {
+    val (emb, cents) = emptyCentsGuard(emb0, cents0)
     val vecD = col(vecCol).cast("array<double>")
     // two steps: a generator in the SAME select as the least-of-structs
     // makes the analyzer's generator extraction re-derive the struct type
