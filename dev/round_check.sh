@@ -99,17 +99,19 @@ JOPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.la
 --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
 --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED \
 --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-if java $JOPTS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.DevEmptyBoard /root/testdata/sf0.001 /tmp/graft_empty \
-    > /tmp/rc_empty.txt 2>/dev/null; then
-  echo "round_check: $(grep '^\[empty\] board:' /tmp/rc_empty.txt)"
-else
-  echo "round_check: FAIL — empty-input sweep found throwing queries:" >&2
-  grep ' FAIL ' /tmp/rc_empty.txt >&2
-  exit 1
-fi
+for ROWS in 0 1; do   # 0-row tables AND 1-row slices (missing probe/seed row)
+  if java $JOPTS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+      -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+      graft.DevEmptyBoard /root/testdata/sf0.001 /tmp/graft_empty "$ROWS" \
+      > /tmp/rc_empty.txt 2>/dev/null; then
+    echo "round_check: rows=$ROWS $(grep '^\[empty\] board:' /tmp/rc_empty.txt)"
+  else
+    echo "round_check: FAIL — ${ROWS}-row input sweep found throwing queries:" >&2
+    grep ' FAIL ' /tmp/rc_empty.txt >&2
+    exit 1
+  fi
+done
 
 # --- Gate 3: bench + per-query regression diff ---------------------------
 PREV=${1:-$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)}

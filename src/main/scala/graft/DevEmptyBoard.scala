@@ -10,25 +10,36 @@ package graft
   * footer exactly) and executes every registered query against it,
   * recording `ok rows=N` or the exception class+message.
   *
+  * A third numeric argument sweeps N-row slices instead (still "must not
+  * throw"): `1` exercises the even nastier degenerate — a NON-empty
+  * corpus whose probe/seed/second row is missing (a tail partition, a
+  * heavily filtered slice).
+  *
   * Usage:
-  *   graft.DevEmptyBoard [srcSfDir] [emptyDir] [name...]
+  *   graft.DevEmptyBoard [srcSfDir] [emptyDir] [rows] [name...]
   *
   * Exit code 1 if any query throws — wired into dev/round_check.sh as
-  * gate 6 so the board stays empty-input-clean from round 13 on.
+  * gate 2½ so the board stays degenerate-input-clean from round 13 on.
   */
 object DevEmptyBoard {
   def main(args: Array[String]): Unit = {
     val srcDir   = args.headOption.getOrElse("/root/testdata/sf0.001")
     val emptyDir = if (args.length > 1) args(1) else "/tmp/graft_empty"
-    val names    = if (args.length > 2) args.drop(2).toSeq
-                   else Queries.all.keys.toSeq.sorted
+    val rest     = args.drop(2).toSeq
+    val rows     = rest.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(0)
+    val names    = (if (rows > 0 || rest.headOption.exists(_.forall(_.isDigit)))
+                      rest.drop(1) else rest) match {
+      case Seq() => Queries.all.keys.toSeq.sorted
+      case ns    => ns
+    }
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
 
-    // 0-row copies: read the real footer, keep nothing. limit(0) preserves
-    // the exact parquet schema (incl. events' fixture-drifted ts encoding,
-    // which Tables.events normalizes the same way on the empty copy).
+    // N-row copies: read the real footer, keep `rows` rows (0 = empty
+    // board). limit(N) preserves the exact parquet schema (incl. events'
+    // fixture-drifted ts encoding, which Tables.events normalizes the
+    // same way on the copy).
     Tables.entityNames.foreach { t =>
-      spark.read.parquet(s"$srcDir/$t.parquet").limit(0)
+      spark.read.parquet(s"$srcDir/$t.parquet").limit(rows)
         .write.mode("overwrite").parquet(s"$emptyDir/$t.parquet")
     }
 
