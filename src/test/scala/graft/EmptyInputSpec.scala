@@ -12,10 +12,12 @@ package graft
   * Contract: empty input → empty result, SAME schema as the sf0.001 run
   * (so unions/sinks behave), no exception.
   */
-class EmptyInputSpec extends SparkSuite {
+class EmptyInputSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   /** 0-row copies of the fixture tables, schema preserved via limit(0)
-    * over the real parquet footers. */
+    * over the real parquet footers. Deleted in afterAll (the
+    * CheckpointsSpec lesson: suite temp dirs must not outlive the run). */
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_spec").toString
     Tables.entityNames.foreach { t =>
@@ -23,6 +25,11 @@ class EmptyInputSpec extends SparkSuite {
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     dir
+  }
+
+  override def afterAll(): Unit = {
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(emptyDir))
+    finally super.afterAll()
   }
 
   private val fixedQueries = Seq(
