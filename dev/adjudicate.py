@@ -126,12 +126,24 @@ def main() -> int:
     rnd = os.environ.get("ROUND", "?")
     disposition = ("all flags ambient; gate passes" if not real else
                    f"REAL regression(s): {', '.join(real)}; gate stays red")
+    # A heavily drifted adjudication anchor divides the flags by a large
+    # factor and makes the band test near-vacuous (round 13: drift 2.91x
+    # passed everything with no power). Don't fail on it — a slow host is
+    # a legitimate ambient cause — but say so, and name the corroboration
+    # that actually decides (same-VM previous-commit A/B).
+    power = ("" if drift <= 1.5 else
+             f"\nLOW POWER: the adjudication anchor itself drifted "
+             f"{drift:.2f}x, so the normalized band test has little "
+             f"discriminating power — corroborate with "
+             f"`dev/ab_prev.sh <prev-round-closing-commit>` before "
+             f"treating this PASS as a code verdict.\n")
     block = (
         f"\n### Round-{rnd} gate-3 auto-adjudication ({stamp}, mechanical)\n"
         f"\nQuiet-window DevTime (loadavg {la:.2f}, min-of-2 warm): anchor "
         f"`{ANCHOR}` {old[ANCHOR]:.2f} s → {times[ANCHOR]:.2f} s "
         f"(drift {drift:.2f}x divided out).\n"
         + "".join(f"- {l}\n" for l in lines)
+        + power
         + f"\nDisposition: {disposition}.\n")
     with open(os.path.join(ROOT, "SCALING.md"), "a") as f:
         f.write(block)
