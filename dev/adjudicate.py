@@ -8,10 +8,10 @@ the band test, and writes a disposition paragraph into SCALING.md. This
 script is that ritual, mechanically:
 
   1. wait for loadavg < --loadavg (default 0.5), up to --max-wait;
-  2. run `graft.DevTime <sf-dir> q_agg_pricing,<flags>` directly against
+  2. run `graft.DevTime <sf-dir> <anchors>,<flags>` directly against
      the compiled classes (min-of-2 warm, the adjudication primitive);
-  3. band test per flag: divide the re-timed value by the anchor's
-     old→new drift measured in the SAME quiet window, then re-apply
+  3. band test per flag: divide the re-timed value by the MEDIAN of the
+     anchors' old→new drifts measured in the SAME quiet window, then re-apply
      bench_diff's double threshold (>1.25x AND >0.15 s) against the
      flag's previous-round time — inside the band = ambient;
   4. append the disposition block to SCALING.md (the record the round
@@ -33,7 +33,11 @@ sys.path.insert(0, os.path.dirname(__file__))
 from bench_diff import load  # noqa: E402
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
-ANCHOR = "q_agg_pricing"
+# Anchor set spanning plan shapes (round-14): one scan-shaped anchor
+# under-tracked shuffle-heavy host drift in round 13 (gate 1.13x vs
+# quiet-window 2.91x). The quiet-window drift is the MEDIAN over these.
+ANCHORS = ["q_agg_pricing", "q_join_agg", "q_window_topk",
+           "q_global_rank", "q_kcore"]
 
 # JDK17 module opens Spark 4 needs outside spark-submit — mirrors
 # build.sbt's jdk17AddOpens so the direct-java DevTime run works while
@@ -89,11 +93,20 @@ def main() -> int:
         print("adjudicate: no flags to adjudicate")
         return 0
     old = load(args.prev_bench)["queries"]
-    missing = [q for q in flags + [ANCHOR] if not old.get(q)]
+    missing = [q for q in flags if not old.get(q)]
     if missing:
         print(f"adjudicate: no previous-round time for {missing} — "
               f"cannot band-test, leaving the gate red", file=sys.stderr)
         return 1
+    anchors = [a for a in ANCHORS if old.get(a)]
+    if not anchors:
+        print(f"adjudicate: no previous-round time for any anchor in "
+              f"{ANCHORS} — cannot measure drift, leaving the gate red",
+              file=sys.stderr)
+        return 1
+    if len(anchors) < len(ANCHORS):
+        print(f"adjudicate: anchors missing old times, excluded: "
+              f"{sorted(set(ANCHORS) - set(anchors))}", file=sys.stderr)
 
     deadline = time.time() + args.max_wait
     while (la := loadavg1()) >= args.loadavg:
@@ -106,8 +119,10 @@ def main() -> int:
         time.sleep(30)
 
     la = loadavg1()
-    times = devtime(args.sf_dir, [ANCHOR] + flags)
-    drift = times[ANCHOR] / old[ANCHOR]
+    import statistics
+    times = devtime(args.sf_dir, sorted(set(anchors + flags)))
+    per_anchor = {a: times[a] / old[a] for a in anchors}
+    drift = statistics.median(per_anchor.values())
     lines, real = [], []
     for q in flags:
         norm = times[q] / drift
@@ -126,22 +141,24 @@ def main() -> int:
     rnd = os.environ.get("ROUND", "?")
     disposition = ("all flags ambient; gate passes" if not real else
                    f"REAL regression(s): {', '.join(real)}; gate stays red")
-    # A heavily drifted adjudication anchor divides the flags by a large
-    # factor and makes the band test near-vacuous (round 13: drift 2.91x
+    # Heavily drifted adjudication anchors divide the flags by a large
+    # factor and make the band test near-vacuous (round 13: drift 2.91x
     # passed everything with no power). Don't fail on it — a slow host is
     # a legitimate ambient cause — but say so, and name the corroboration
     # that actually decides (same-VM previous-commit A/B).
     power = ("" if drift <= 1.5 else
-             f"\nLOW POWER: the adjudication anchor itself drifted "
+             f"\nLOW POWER: the median adjudication-anchor drift is "
              f"{drift:.2f}x, so the normalized band test has little "
              f"discriminating power — corroborate with "
              f"`dev/ab_prev.sh <prev-round-closing-commit>` before "
              f"treating this PASS as a code verdict.\n")
+    anchor_tbl = "  ".join(
+        f"`{a}` {old[a]:.2f}→{times[a]:.2f} s ({r:.2f}x)"
+        for a, r in per_anchor.items())
     block = (
         f"\n### Round-{rnd} gate-3 auto-adjudication ({stamp}, mechanical)\n"
-        f"\nQuiet-window DevTime (loadavg {la:.2f}, min-of-2 warm): anchor "
-        f"`{ANCHOR}` {old[ANCHOR]:.2f} s → {times[ANCHOR]:.2f} s "
-        f"(drift {drift:.2f}x divided out).\n"
+        f"\nQuiet-window DevTime (loadavg {la:.2f}, min-of-2 warm), "
+        f"anchors: {anchor_tbl} — median drift {drift:.2f}x divided out.\n"
         + "".join(f"- {l}\n" for l in lines)
         + power
         + f"\nDisposition: {disposition}.\n")

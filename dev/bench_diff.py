@@ -13,15 +13,23 @@ not).
 
 Anchor normalization: three consecutive rounds produced ONLY ambient
 flags (untouched queries drifting in lockstep with a whole-VM slowdown,
-each argued down by the same manual DevTime protocol). The --anchor
-query (default q_agg_pricing, a linear scan+agg untouched since round 2)
-measures that host drift inside the SAME pair of runs: every new time is
-divided by the anchor's old→new ratio before the thresholds apply. The
-raw table is still printed for the record, but the exit code follows the
-NORMALIZED verdict, so a quiet-code round on a drifting VM exits 0
-without human adjudication prose. A missing or wildly-drifted anchor
-(outside [0.5x, 2.0x]) falls back to raw with a warning — a real
-regression in the anchor itself must not silently rescale the gate.
+each argued down by the same manual DevTime protocol). The --anchors
+queries measure that host drift inside the SAME pair of runs: every new
+time is divided by the MEDIAN of the anchors' old→new ratios before the
+thresholds apply. The raw table is still printed for the record, but
+the exit code follows the NORMALIZED verdict, so a quiet-code round on
+a drifting VM exits 0 without human adjudication prose.
+
+Median-of-anchors (round-14): round 13 proved a single scan-shaped
+anchor under-tracks shuffle-heavy host drift (gate anchor 1.13x while
+the adjudication window ran 2.91x — the band test was honestly declared
+near-vacuous). The default anchor set spans the plan shapes host drift
+hits differently: scan-agg q_agg_pricing, join q_join_agg, window
+q_window_topk, shuffle-heavy q_global_rank, iterative q_kcore. Every
+per-anchor drift is printed; an anchor missing from either side or
+outside the [0.25x, 4x] sanity range is excluded with a warning (a real
+regression in one anchor must not silently rescale the gate — and with
+a median, cannot). No usable anchor at all falls back to raw.
 
 Anchor corroboration (round-13): normalization has a blind spot — a
 change that slows EVERY query uniformly (a Sessions/AQE config slip)
@@ -88,8 +96,13 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--ratio", type=float, default=1.25)
     ap.add_argument("--abs", dest="abs_s", type=float, default=0.15)
-    ap.add_argument("--anchor", default="q_agg_pricing",
-                    help="host-drift anchor query (set '' to disable)")
+    ap.add_argument("--anchors",
+                    default="q_agg_pricing,q_join_agg,q_window_topk,"
+                            "q_global_rank,q_kcore",
+                    help="comma-separated host-drift anchor queries "
+                         "spanning plan shapes; the MEDIAN of their "
+                         "old->new ratios is the normalization factor "
+                         "(set '' to disable)")
     ap.add_argument("--raw-bar", type=float, default=1.4,
                     help="corroboration bar on the RAW common-query sum "
                          "ratio when the anchor drifted: past it the gate "
@@ -108,22 +121,38 @@ def main() -> int:
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
 
-    # Host-drift factor from the anchor query measured in the same windows.
+    # Host-drift factor: median over the per-anchor old->new ratios
+    # measured in the same pair of windows.
+    import statistics
     drift = 1.0
-    if args.anchor and oq.get(args.anchor) and nq.get(args.anchor):
-        ratio = nq[args.anchor] / oq[args.anchor]
-        if 0.5 <= ratio <= 2.0:
-            drift = ratio
-            print(f"anchor {args.anchor}: {oq[args.anchor]:.2f}s -> "
-                  f"{nq[args.anchor]:.2f}s — host drift {drift:.2f}x "
-                  f"(normalized table divides new times by this)")
-        else:
-            print(f"WARNING: anchor {args.anchor} drifted {ratio:.2f}x "
-                  f"(outside [0.5, 2.0]) — treating as a real anchor "
-                  f"regression, NOT normalizing", file=sys.stderr)
-    elif args.anchor:
-        print(f"WARNING: anchor {args.anchor} missing from one side — "
-              f"raw verdict only", file=sys.stderr)
+    anchors = [a for a in args.anchors.split(",") if a] if args.anchors else []
+    usable = {}
+    for a in anchors:
+        if not (oq.get(a) and nq.get(a)):
+            print(f"WARNING: anchor {a} missing from one side — excluded",
+                  file=sys.stderr)
+            continue
+        ratio = nq[a] / oq[a]
+        if not 0.25 <= ratio <= 4.0:
+            print(f"WARNING: anchor {a} drifted {ratio:.2f}x (outside "
+                  f"[0.25, 4.0]) — excluded as a suspected real "
+                  f"regression, see the per-query table", file=sys.stderr)
+            continue
+        usable[a] = ratio
+    if usable:
+        drift = statistics.median(usable.values())
+        per = "  ".join(f"{a}={r:.2f}x" for a, r in usable.items())
+        print(f"anchors ({len(usable)}/{len(anchors)} usable): {per}")
+        print(f"host drift = median {drift:.2f}x "
+              f"(normalized table divides new times by this)")
+        if drift > 1.5:
+            print(f"WARNING: median anchor drift {drift:.2f}x > 1.5x — the "
+                  f"normalized band test has little discriminating power; "
+                  f"corroborate a clean verdict with dev/ab_prev.sh",
+                  file=sys.stderr)
+    elif anchors:
+        print("WARNING: no usable anchor — raw verdict only",
+              file=sys.stderr)
 
     def classify(factor):
         regs, imps = [], []

@@ -14,17 +14,43 @@ object Bench {
     // vs 26.4 s at 8 (job-floor gaps overlap; per-query sequential-pass
     // times unchanged). Override with SPARK_GRAFT_BENCH_PAR.
     val par = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "14").toInt.max(1)
+    // Wall budget for the WHOLE run (round-14, after BENCH_r13 rc=124):
+    // the harness wraps the bench in a hard ~20-min timeout and keeps only
+    // a stdout tail, so an all-or-nothing emission loses the round's
+    // record whenever a degraded host pushes the four passes past the
+    // envelope. Two defenses: (1) the complete JSON line is printed after
+    // EVERY timed pass — sequential first — so the tail always holds the
+    // latest complete record even if a later pass is killed; (2) this
+    // budget (default 900 s, leaving sbt-startup + shutdown headroom
+    // inside a 1200 s envelope) causes remaining concurrent passes to be
+    // SKIPPED (recorded in `skipped_passes`) rather than overrun.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
+    val t0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
+    // Warmup exists to JIT-compile the scan/codegen/shuffle paths once so
+    // the timed passes measure steady-state engine throughput, not
+    // first-touch JVM compilation (rep1 vs rep2 differs ~10×). The JIT
+    // warms identically at a smaller scale factor (round-13 judge: 423 s
+    // of sf0.1 warmup buys nothing the sequential pass doesn't), so the
+    // warmup pass runs against the cheaper sibling sf0.01 fixture when
+    // one exists. SPARK_GRAFT_WARMUP_DIR overrides; fallback is sfDir.
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").getOrElse {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+      if (sib.isDirectory && sib.getPath != sfDir) sib.getPath else sfDir
+    }
     val spark = Sessions.local(cpus)
     // noop sink forces full computation of every column (count() would let
     // Catalyst prune the projections and under-measure). A query that
     // crashes is recorded in `errors` — never silently scored as a
     // near-zero time.
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def run(name: String,
-            fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+    def run(name: String, dir: String,
+            fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+            record: Boolean = true): Boolean =
+      try { fn(spark, dir).write.mode("overwrite").format("noop").save(); true }
       catch { case e: Throwable =>
-        errors.put(name, Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        if (record)
+          errors.put(name, Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
         false
       }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -40,11 +66,12 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
-    // Untimed warmup pass (sequential): JIT-compile the scan/codegen/shuffle
-    // paths once so the timed passes measure steady-state engine throughput,
-    // not first-touch JVM compilation (rep1 vs rep2 differs ~10×).
+    // Untimed warmup pass (sequential, at warmupDir). Warmup-only failures
+    // are not recorded: the timed passes at sfDir are the contract.
     val wu0 = System.nanoTime()
-    ordered.foreach { case (name, fn) => run(name, fn); releaseCheckpoints() }
+    ordered.foreach { case (name, fn) =>
+      run(name, warmupDir, fn, record = false); releaseCheckpoints()
+    }
     val wallWarmup = (System.nanoTime() - wu0) / 1e9
     // Timed passes: each pass runs the whole batch on a fixed thread pool
     // and records (per-query seconds, batch wall seconds). Per-query min
@@ -57,9 +84,9 @@ object Bench {
       val w0 = System.nanoTime()
       val futures = ordered.map { case (name, fn) =>
         scala.concurrent.Future {
-          val t0 = System.nanoTime()
-          val ok = run(name, fn)
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
+          val q0 = System.nanoTime()
+          val ok = run(name, sfDir, fn)
+          name -> (if (ok) (System.nanoTime() - q0) / 1e9 else Double.NaN)
         }
       }
       val results = futures.map(f =>
@@ -70,14 +97,14 @@ object Bench {
       (results, wall)
     }
     // Per-query numbers come from an UNCONTENDED sequential pass (true
-    // steady-state latency); the two concurrent passes supply the batch
+    // steady-state latency); the concurrent passes supply the batch
     // wall time. min over passes on both.
     def sequentialPass(): (Map[String, Double], Double) = {
       val w0 = System.nanoTime()
       val r = ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = run(name, fn)
-        val secs = (System.nanoTime() - t0) / 1e9
+        val q0 = System.nanoTime()
+        val ok = run(name, sfDir, fn)
+        val secs = (System.nanoTime() - q0) / 1e9
         // release INSIDE the pass but OUTSIDE the per-query timer: the
         // stranded blocks are batch-harness residue, not query cost
         releaseCheckpoints()
@@ -85,14 +112,7 @@ object Bench {
       }.toMap
       (r, (System.nanoTime() - w0) / 1e9)
     }
-    val (s1, wallSeq) = sequentialPass()
-    val (p1, w1) = timedPass()
-    val (p2, w2) = timedPass()
-    val results = s1.map { case (k, v) => k -> math.min(v, math.min(p1(k), p2(k))) }
-    val wall = math.min(w1, w2)
     def jnum(v: Double): String = if (v.isNaN) "null" else v.toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
-      .mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -100,31 +120,79 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     import scala.jdk.CollectionConverters._
-    val errJson = errors.asScala.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
-    val sumSeq = results.values.filterNot(_.isNaN).sum
-    // Per-pass walls + loadavg make a contended run self-diagnosing: the
-    // round-5 driver record was 3.8× its isolated steady state (ambient
-    // box load, not a code change) and needed a manual judge rerun to
-    // adjudicate. With warmup/sequential/concurrent walls and the host's
-    // 1/5/15-min load recorded, that diagnosis is one look at the JSON.
-    val loadEnd = loadavg()
-    val passWalls = s"""{"warmup":$wallWarmup,"sequential":$wallSeq,"concurrent1":$w1,"concurrent2":$w2}"""
-    // n_queries = declared batch size; n_completed = queries that actually
-    // produced a timing. They differ exactly when `errors` is non-empty, so
-    // the record is self-consistent without cross-referencing the error map.
-    val nCompleted = results.values.count(!_.isNaN)
-    val line = s"""{"metric":"total","value":$wall,"unit":"sec","n_queries":${results.size},"n_completed":$nCompleted,"concurrency":$par,"sum_sequential":$sumSeq,"pass_walls":$passWalls,"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
-    // The harness keeps only a stdout TAIL, which Spark's shutdown logging
-    // can push the line out of — persist it and re-print LAST so the metric
-    // is always recoverable from either the tail or the file.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () }
+    // Build the COMPLETE record from whatever passes have finished so far,
+    // print it, and persist it to BENCH_LOCAL.json. Called after every
+    // timed pass: the last complete line in the kept stdout tail (or the
+    // file) is always the best record the run produced before any kill.
+    var lastLine = ""
+    def emit(seq: (Map[String, Double], Double),
+             conc: List[(Map[String, Double], Double)],
+             skipped: List[String]): Unit = {
+      val (s1, wallSeq) = seq
+      val results = s1.map { case (k, v) =>
+        k -> (v :: conc.map(_._1(k))).min
+      }
+      val concWalls = conc.map(_._2)
+      // Batch wall: min over concurrent passes when any ran, else the
+      // sequential wall (value_pass says which, so cross-round readers
+      // never compare a sequential wall against a concurrent one).
+      val (wall, valuePass) =
+        if (concWalls.nonEmpty) (concWalls.min, "concurrent")
+        else (wallSeq, "sequential")
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
+        .mkString("{", ",", "}")
+      val errJson = errors.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+      val sumSeq = results.values.filterNot(_.isNaN).sum
+      // Per-pass walls + loadavg make a contended run self-diagnosing: the
+      // round-5 driver record was 3.8× its isolated steady state (ambient
+      // box load, not a code change) and needed a manual judge rerun to
+      // adjudicate. With warmup/sequential/concurrent walls and the host's
+      // 1/5/15-min load recorded, that diagnosis is one look at the JSON.
+      val passWalls = (Seq(s""""warmup":$wallWarmup""", s""""sequential":$wallSeq""") ++
+        concWalls.zipWithIndex.map { case (w, i) => s""""concurrent${i + 1}":$w""" })
+        .mkString("{", ",", "}")
+      val completed = (Seq("warmup", "sequential") ++
+        concWalls.indices.map(i => s"concurrent${i + 1}")).map(jstr).mkString("[", ",", "]")
+      val skippedJson = skipped.map(jstr).mkString("[", ",", "]")
+      // n_queries = declared batch size; n_completed = queries that actually
+      // produced a timing. They differ exactly when `errors` is non-empty, so
+      // the record is self-consistent without cross-referencing the error map.
+      val nCompleted = results.values.count(!_.isNaN)
+      lastLine = s"""{"metric":"total","value":$wall,"unit":"sec","value_pass":"$valuePass","n_queries":${results.size},"n_completed":$nCompleted,"concurrency":$par,"sum_sequential":$sumSeq,"pass_walls":$passWalls,"passes_completed":$completed,"skipped_passes":$skippedJson,"budget_s":$budgetS,"elapsed_s":${elapsed()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadavg())},"warmup_dir":${jstr(warmupDir)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      println(lastLine)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (lastLine + "\n").getBytes("UTF-8"))
+      catch { case _: java.io.IOException => () }
+    }
+    // Sequential pass runs UNCONDITIONALLY (it is the per-query record the
+    // round gate diffs); the concurrent passes are budget-gated. The
+    // estimate for a not-yet-run concurrent pass is 0.6× the sequential
+    // wall — conservative both ways (observed ratio ~0.17× on local[32],
+    // and once concurrent1 has run its actual wall replaces the estimate).
+    val seq = sequentialPass()
+    emit(seq, Nil, Nil)
+    var conc = List.empty[(Map[String, Double], Double)]
+    var skipped = List.empty[String]
+    (1 to 2).foreach { i =>
+      val est = conc.lastOption.map(_._2).getOrElse(seq._2 * 0.6)
+      if (elapsed() + est > budgetS) {
+        skipped = skipped :+ s"concurrent$i"
+        println(f"[bench] skipping concurrent$i: elapsed ${elapsed()}%.0f s + " +
+          f"estimate $est%.0f s exceeds budget $budgetS%.0f s")
+        emit(seq, conc, skipped)
+      } else {
+        conc = conc :+ timedPass()
+        emit(seq, conc, skipped)
+      }
+    }
     spark.stop()
-    println(line)
+    // The harness keeps only a stdout TAIL, which Spark's shutdown logging
+    // can push the line out of — re-print LAST so the metric is always
+    // recoverable from either the tail or BENCH_LOCAL.json.
+    println(lastLine)
     if (!errors.isEmpty) sys.exit(1)
   }
 }

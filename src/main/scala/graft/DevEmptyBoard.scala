@@ -26,9 +26,12 @@ object DevEmptyBoard {
     val srcDir   = args.headOption.getOrElse("/root/testdata/sf0.001")
     val emptyDir = if (args.length > 1) args(1) else "/tmp/graft_empty"
     val rest     = args.drop(2).toSeq
-    val rows     = rest.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(0)
-    val names    = (if (rows > 0 || rest.headOption.exists(_.forall(_.isDigit)))
-                      rest.drop(1) else rest) match {
+    // One Try-parse decides both the row count and where the name list
+    // starts (ADVICE r13: the duplicated all-digit check NumberFormat-
+    // crashed on '' or an over-Int-range value).
+    val parsedRows = rest.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+    val rows       = parsedRows.getOrElse(0)
+    val names = (if (parsedRows.isDefined) rest.drop(1) else rest) match {
       case Seq() => Queries.all.keys.toSeq.sorted
       case ns    => ns
     }

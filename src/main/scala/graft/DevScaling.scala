@@ -13,37 +13,8 @@ object DevScaling {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 10
-    val dst = s"/tmp/graft_scaled_${reps}x"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-
-    val OFFSET = 1000000000L
-    def replicate(table: String, keyCols: Seq[String]): Unit = {
-      val df = spark.read.parquet(s"$src/$table.parquet")
-      (0 until reps).map { i =>
-        keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * OFFSET)))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
-    }
-    def copy(table: String): Unit =
-      spark.read.parquet(s"$src/$table.parquet")
-        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
-
-    // _SUCCESS sentinel, not directory existence: a crashed half-build must
-    // rebuild, never silently benchmark incomplete data
-    val sentinel = java.nio.file.Paths.get(dst, "_SUCCESS")
-    if (!java.nio.file.Files.exists(sentinel)) {
-      replicate("lineitem", Seq("l_orderkey"))
-      replicate("orders", Seq("o_orderkey"))
-      replicate("events", Seq("event_id"))
-      // documents/embeddings replicate too (identical payloads under new
-      // ids — the worst case for dedup ops: every bucket grows reps×);
-      // only LINEAR/bounded-output doc queries go into `picks` below
-      replicate("documents", Seq("doc_id"))
-      replicate("embeddings", Seq("vec_id"))
-      Seq("customer", "nation", "region", "supplier", "part").foreach(copy)
-      java.nio.file.Files.createFile(sentinel)
-      println(s"[scaling] built $dst (${reps}x facts)")
-    }
+    val dst = DevReplicas.ensure(spark, src, reps)
 
     // linear- or bounded-output queries only: PAIR-generating document/
     // embedding queries (jaccard, minhash pair form, near-dup) are

@@ -1649,7 +1649,11 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
       math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000)
     }
     var selected = Vector.empty[(Long, Array[Double])]
-    val rows = (1 to 5).map { i =>
+    // Select min(5, pool): a 1-4 candidate pool (a heavily filtered or
+    // tiny corpus slice) must yield that many steps, not an empty-minBy
+    // crash at the steps past pool.size (ADVICE r13; swept by the gate's
+    // 3-row slice pass).
+    val rows = (1 to math.min(5, pool.length)).map { i =>
       val rem = pool.filterNot(c => selected.exists(_._1 == c._1))
       val best = rem.map { case (v, e, r) =>
         val div = if (selected.isEmpty) 0L

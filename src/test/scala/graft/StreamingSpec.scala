@@ -288,7 +288,7 @@ class StreamingSpec extends SparkSuite {
       val src = EventStreams.readEventsStream(
         spark, dir.toString, s"$SF/events.parquet")
         .select($"user_id", $"ts", $"value")
-      val batches = EventStreams.runAvailableNowBatches(
+      val batches = StreamingHarness.runAvailableNowBatches(
         EventStreams.runningTopKPerUser(src, 3).toDF())
       assert(batches.length >= 2, s"expected 2 micro-batches, got ${batches.length}")
       // latest emission per user = rows of the LAST batch touching that user
@@ -389,7 +389,7 @@ class StreamingSpec extends SparkSuite {
         .add("value", DoubleType)
       def src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      def run() = EventStreams.runAvailableNowBatches(
+      def run() = StreamingHarness.runAvailableNowBatches(
         EventStreams.runningTopKPerUser(src, 2).toDF(), Some(ckpt))
       // run 1: user 1 holds [300, 100] cents, user 2 holds [500]
       stage("b0.parquet", 1000000L, Seq((1L, 1.0), (1L, 3.0), (2L, 5.0)))
@@ -445,5 +445,59 @@ class StreamingSpec extends SparkSuite {
     assert(got == Seq(
       (1L, 100000000L, 110000000L, 2L),
       (1L, 10000000000L, 10100000000L, 2L)), got.toString)
+  }
+
+  test("0-event replay: every streaming shape terminates cleanly on an empty source") {
+    // The streaming face of gate 2½: a landing zone that received no
+    // files yet is a legitimate production state (a just-provisioned
+    // feed, a quiet day, a pruned partition), and an AvailableNow run
+    // over it must terminate with an empty sink — no watermark NPE, no
+    // state-store crash, no hang. FileStreamSource lists the EMPTY
+    // directory; the schema still comes from the fixture footer.
+    val emptyDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_0ev").toString
+    def src = EventStreams.readEventsStream(spark, emptyDir, s"$SF/events.parquet")
+    val dim = Tables.customer(spark, SF).select($"c_custkey", $"c_mktsegment")
+    val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame, OutputMode)] = Seq(
+      ("tumbling", () => EventStreams.tumblingCounts(src, "1 hour", "10 minutes"),
+        OutputMode.Complete()),
+      ("sliding", () => EventStreams.slidingUserActivity(
+        src, "2 hours", "1 hour", "10 minutes"), OutputMode.Complete()),
+      ("session", () => EventStreams.sessionCounts(src, "30 minutes", "10 minutes"),
+        OutputMode.Complete()),
+      ("dedup", () => EventStreams.dedupStream(src, "10 minutes"),
+        OutputMode.Append()),
+      ("interval_join", () => EventStreams.intervalJoin(
+        src, src, "10 minutes", "30 MINUTES"), OutputMode.Append()),
+      ("enrich", () => EventStreams.enrichWithDim(src, dim, "user_id", "c_custkey")
+        .select($"event_id", $"c_mktsegment"), OutputMode.Append()),
+      ("closed_sessions", () => EventStreams.closedUserSessions(src, 30).toDF(),
+        OutputMode.Append()),
+      ("session_summaries", () => EventStreams.userSessionSummaries(src).toDF(),
+        OutputMode.Update()))
+    shapes.foreach { case (name, mk, mode) =>
+      val got = EventStreams.runAvailableNow(mk(), s"t_0ev_$name", mode)
+      assert(got.count() == 0, s"$name must emit nothing on a 0-event source")
+    }
+    // transformWithState top-k (needs the RocksDB provider): zero batches,
+    // zero emissions
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = StreamingHarness.runAvailableNowBatches(
+        EventStreams.runningTopKPerUser(
+          src.select($"user_id", $"ts", $"value"), 3).toDF())
+      assert(batches.flatMap(_._2).isEmpty,
+        s"top-k must emit nothing on a 0-event source: $batches")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // idempotent foreachBatch parquet sink: clean termination, no data dir
+    // (zero batches means the writer never ran)
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_0ev").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_0ev").toString
+    EventStreams.writeParquetIdempotent(
+      src.select($"event_id", $"user_id", $"value"), out, ckpt)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/data")) ||
+      spark.read.parquet(s"$out/data").count() == 0,
+      "0-event sink must stay empty")
   }
 }
