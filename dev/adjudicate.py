@@ -54,7 +54,13 @@ ADD_OPENS = [
 
 
 def loadavg1() -> float:
-    return float(open("/proc/loadavg").read().split()[0])
+    # max(1-min, 5-min): right after a ~20-min whole-board bench the 1-min
+    # average drops under the threshold while the box is still settling
+    # (round 14: an adjudication gated on 1-min-only re-timed two flags
+    # ~1.8x high and called them REAL; a back-to-back same-VM A/B minutes
+    # later read both codebases identical and in-band).
+    parts = open("/proc/loadavg").read().split()
+    return max(float(parts[0]), float(parts[1]))
 
 
 def devtime(sf_dir: str, queries: list) -> dict:
@@ -123,6 +129,29 @@ def main() -> int:
     times = devtime(args.sf_dir, sorted(set(anchors + flags)))
     per_anchor = {a: times[a] / old[a] for a in anchors}
     drift = statistics.median(per_anchor.values())
+    # Window-power check (round 14): the anchors are re-timed in the SAME
+    # window as the flags, so their drift SPREAD measures the window's
+    # per-query noise. A spread past 1.5x (e.g. one anchor at 0.84x and
+    # another at 1.61x of its old time) means sub-second queries are
+    # swinging by more than the band test's own threshold — any REAL
+    # verdict at that noise level is untrustworthy in BOTH directions.
+    # Exit 2 so round_check escalates to the whole-board same-VM A/B
+    # (dev/ab_prev.sh), whose 340-query walls average the jitter out.
+    spread = max(per_anchor.values()) / min(per_anchor.values())
+    if spread > 1.5:
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+        rnd = os.environ.get("ROUND", "?")
+        per = "  ".join(f"`{a}` {r:.2f}x" for a, r in per_anchor.items())
+        block = (
+            f"\n### Round-{rnd} gate-3 adjudication UNPOWERED ({stamp})\n"
+            f"\nQuiet-window DevTime (loadavg {la:.2f}) anchor drifts: {per} "
+            f"— spread {spread:.2f}x > 1.5x. Per-query band tests have no "
+            f"power in this window; escalating to the same-VM "
+            f"previous-commit A/B (dev/ab_prev.sh).\n")
+        with open(os.path.join(ROOT, "SCALING.md"), "a") as f:
+            f.write(block)
+        print(block)
+        return 2
     lines, real = [], []
     for q in flags:
         norm = times[q] / drift

@@ -164,11 +164,27 @@ if [ "$DIFF_RC" = 0 ]; then
 elif [ -s /tmp/rc_flags.txt ]; then
   # Borderline normalized flags: re-time anchors + flagged queries once in
   # a quiet window and apply the band test mechanically; the disposition
-  # block is appended to SCALING.md by the adjudicator itself.
+  # block is appended to SCALING.md by the adjudicator itself. Exit 2 =
+  # the window itself was too noisy to band-test (anchor spread > 1.5x) —
+  # escalate to the whole-board same-VM A/B, which averages the jitter.
   echo "round_check: normalized flags — running quiet-window auto-adjudication"
+  set +e
   python3 dev/adjudicate.py "$PREV" /tmp/rc_flags.txt \
     --sf-dir "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
-  echo "round_check: PASS — all flags adjudicated ambient (see SCALING.md)"
+  ADJ_RC=$?
+  set -e
+  if [ "$ADJ_RC" = 2 ]; then
+    LOCAL_PREV="BENCH_LOCAL_${PREV#BENCH_}"
+    ABREF=$(git log --diff-filter=A --format=%h -1 -- "$LOCAL_PREV" 2>/dev/null || true)
+    [ -n "$ABREF" ] || ABREF=$(git log --format=%h -1 -- "$PREV")
+    echo "round_check: adjudication window unpowered — same-VM A/B vs $ABREF"
+    dev/ab_prev.sh "$ABREF"
+    echo "round_check: PASS — flags host-borne by whole-board A/B (see SCALING.md)"
+  elif [ "$ADJ_RC" != 0 ]; then
+    exit "$ADJ_RC"
+  else
+    echo "round_check: PASS — all flags adjudicated ambient (see SCALING.md)"
+  fi
 elif grep -q 'RAW-DRIFT' /tmp/rc_diff.txt; then
   # A/B above exonerated the drift and there are no normalized flags.
   echo "round_check: PASS — raw drift host-borne (A/B), no normalized flags"

@@ -1069,12 +1069,18 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
         (col("ta") - col("a")).as("c"), (col("tb") - col("b")).as("d"))
       // every operand to double BEFORE multiplying: a·d etc. would overflow
       // int64 at web-corpus counts; in double the statistic stays continuous
-      // and both engines execute the identical IEEE expression
+      // and both engines execute the identical IEEE expression. A zero
+      // margin (single-language corpus slice: tb = 0 so b = d = 0) makes
+      // the 2×2 table degenerate — no discrimination to measure, χ² = 0
+      // by convention, and the guard keeps ANSI division total (the 3-row
+      // gate sweep crashed here; ad − bc = 0 whenever a margin is 0, so
+      // the guarded value is the 0/0 limit, not an arbitrary fill).
       .withColumn("chi2", round(
-        expr("CAST(a + b + c + d AS DOUBLE) * " +
+        expr("CASE WHEN a + c = 0 OR b + d = 0 OR c + d = 0 THEN 0.0 ELSE " +
+          "CAST(a + b + c + d AS DOUBLE) * " +
           "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * " +
           "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))" +
-          " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"), 4))
+          " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) END"), 4))
       .select("token", "a", "b", "chi2")
       .orderBy(col("chi2").desc, col("token"))
       .limit(20)
@@ -2170,10 +2176,11 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
         "CAST(sum(CAST(lang <> 'en' AS INTEGER)) AS BIGINT) AS tb FROM tok)" +
         ", sc AS (SELECT token, a, b, ta - a AS c, tb - b AS d FROM tc CROSS JOIN tt " +
         "WHERE a + b >= 5) " +
-        "SELECT token, a, b, round(CAST(a + b + c + d AS DOUBLE) * " +
+        "SELECT token, a, b, round(CASE WHEN a + c = 0 OR b + d = 0 OR c + d = 0 THEN 0.0 ELSE " +
+        "CAST(a + b + c + d AS DOUBLE) * " +
         "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * " +
         "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) " +
-        "/ (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 4) AS chi2 " +
+        "/ (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) END, 4) AS chi2 " +
         "FROM sc ORDER BY chi2 DESC, token LIMIT 20"),
     "q_group_quantiles" ->
       ("WITH cents AS (SELECT c_nationkey AS nation, " +
