@@ -66,4 +66,45 @@ class EmptyInputSpec extends SparkSuite
       .select("l_orderkey", "l_linenumber")
     assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
   }
+
+  // --- round-14: the two crashers the 3-row gate sweep caught -------------
+
+  test("q_mmr_rerank: a 1-4 candidate pool yields pool-size steps, no crash") {
+    import org.apache.spark.sql.functions.col
+    // 3-row slices of every table (the gate's rows=3 shape): the MMR pool
+    // is the ≤2-3 embeddings left after removing the probe — the greedy
+    // loop must stop at the pool, not minBy over an empty remainder.
+    val dir = java.nio.file.Files.createTempDirectory("graft_3row_spec").toString
+    try {
+      Tables.entityNames.foreach { t =>
+        spark.read.parquet(s"$SF/$t.parquet").limit(3)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      val pool = Tables.embeddings(spark, dir).where(col("vec_id") =!= 0).count()
+      val hasProbe = Tables.embeddings(spark, dir).where(col("vec_id") === 0).count() > 0
+      val expected = if (hasProbe) math.min(5L, pool) else 0L
+      assert(Queries.all("q_mmr_rerank")(spark, dir).count() === expected,
+        s"MMR on a $pool-candidate pool must select exactly min(5, pool)")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("q_chi2_tokens: a single-language corpus (zero margin) scores 0, no crash") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // All docs forced to one lang: the contingency margins b and d are 0
+    // for every token, the 2x2 table is degenerate, and the guarded
+    // statistic must be the 0/0 limit (0.0) instead of an ANSI
+    // divide-by-zero.
+    val dir = java.nio.file.Files.createTempDirectory("graft_1lang_spec").toString
+    try {
+      spark.read.parquet(s"$SF/documents.parquet").limit(3)
+        .withColumn("lang", lit("en"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Queries.all("q_chi2_tokens")(spark, dir)
+      assert(got.count() > 0,
+        "the min-support screen must keep at least one token on fixture docs " +
+          "(otherwise this test exercises nothing)")
+      assert(got.where(col("chi2") =!= 0.0).count() === 0L,
+        "every chi2 on a degenerate 2x2 table must be the 0/0 limit (0.0)")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
