@@ -18,10 +18,20 @@
 # regression — the gate stays red). round_check.sh invokes this
 # automatically when bench_diff trips the RAW-DRIFT bar.
 #
-# Usage: dev/ab_prev.sh <prev-ref> [passes]   (default passes: 2)
+# Round-15: `--quick` runs a ~40-query stratified subset first (strata =
+# wall-time deciles of the newest archived full board, plus the five
+# bench_diff plan-shape anchors) — ~1/8 the wall of the full board. The
+# quick verdict is decisive only when it lands CLEARLY away from the
+# 0.95 exoneration bar (outside ±10% of it); a near-bar ratio escalates
+# to the full board automatically, so quick can shorten an exoneration
+# but never soften one.
+#
+# Usage: dev/ab_prev.sh [--quick] <prev-ref> [passes]   (default passes: 2)
 set -euo pipefail
 cd "$(dirname "$0")/.."
-REF=${1:?usage: dev/ab_prev.sh <prev-ref> [passes]}
+QUICK=0
+if [ "${1:-}" = "--quick" ]; then QUICK=1; shift; fi
+REF=${1:?usage: dev/ab_prev.sh [--quick] <prev-ref> [passes]}
 PASSES=${2:-2}
 WT=/tmp/graft_ab_prev
 LOGDIR=$(mktemp -d /tmp/graft_ab_logs.XXXXXX)
@@ -35,19 +45,92 @@ JOPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.la
 --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 
 compile() { # $1 = project dir, $2 = label — log to file, surface on failure
-  if ! ( cd "$1" && sbt -batch compile >"$LOGDIR/compile_$2.log" 2>&1 ); then
-    echo "ab_prev: FAIL — sbt compile for $2 failed; log: $LOGDIR/compile_$2.log" >&2
-    tail -20 "$LOGDIR/compile_$2.log" >&2
+  local safe=${2//\//_}  # a ref like origin/main must not become a path
+  if ! ( cd "$1" && sbt -batch compile >"$LOGDIR/compile_$safe.log" 2>&1 ); then
+    echo "ab_prev: FAIL — sbt compile for $2 failed; log: $LOGDIR/compile_$safe.log" >&2
+    tail -20 "$LOGDIR/compile_$safe.log" >&2
     exit 2
   fi
 }
 
-passes() { # $1 = project dir, $2 = label
+passes() { # $1 = project dir, $2 = label, $3 = optional query subset (csv)
   ( cd "$1" && java $JOPTS -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -Xmx"${SPARK_DRIVER_MEM:-8g}" \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-      graft.DevPasses "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" "$PASSES" \
+      graft.DevPasses "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" "$PASSES" ${3:+"$3"} \
       2>/dev/null | grep '^\[pass' | sed "s/^/[$2] /" )
+}
+
+# Stratified quick subset: 4 queries per wall-time decile of the newest
+# archived full board (evenly spaced within the decile, so the subset
+# spans sub-second scans to the multi-second iterative heavies), plus the
+# five bench_diff anchors for plan-shape coverage. Validated round 15
+# against the full-board verdict on the r14 episode (see SCALING.md).
+quick_subset() {
+  python3 - <<'PY'
+import glob, json, sys
+snaps = sorted(glob.glob("BENCH_LOCAL_r*.json"))
+if not snaps:
+    sys.exit("ab_prev --quick: no BENCH_LOCAL_r*.json to stratify from")
+qs = {k: v for k, v in json.load(open(snaps[-1]))["queries"].items()
+      if v is not None}
+ranked = sorted(qs, key=qs.get)
+picks = set()
+n = len(ranked)
+for d in range(10):
+    dec = ranked[d * n // 10:(d + 1) * n // 10]
+    for i in range(4):
+        if dec:
+            picks.add(dec[i * len(dec) // 4])
+picks |= {"q_agg_pricing", "q_join_agg", "q_window_topk",
+          "q_global_rank", "q_kcore"}
+print(",".join(sorted(picks)))
+PY
+}
+
+verdict() { # $1 = mode label, $2/$3 = head/ref wall files; rc 0/1/3 (3 = near-bar)
+  python3 - "$REF" "$2" "$3" "$1" <<'PY'
+import datetime, os, re, sys
+ref, head_f, ref_f, mode = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+def walls(path):
+    ws = [float(m.group(1)) for line in open(path)
+          if (m := re.search(r"\[pass \d+\] wall\s+([0-9.]+)\s*s", line))]
+    if not ws:
+        raise SystemExit(f"ab_prev: no '[pass N] wall' lines parsed from {path}")
+    return ws
+hw, rw = walls(head_f), walls(ref_f)
+ratio = min(rw) / min(hw)
+# Exonerated iff the old code is no faster than HEAD like-for-like;
+# 0.95 absorbs pass-to-pass noise on an otherwise-identical board.
+exonerated = ratio >= 0.95
+# Quick mode is decisive only CLEARLY away from the bar: within ±10% of
+# 0.95 the subset's sampling error could flip the verdict — escalate.
+near_bar = mode == "quick" and 0.855 <= ratio <= 1.045
+rng = lambda ws: f"{min(ws):.1f}-{max(ws):.1f} s" if len(ws) > 1 else f"{ws[0]:.1f} s"
+verdict = ("quick A/B near the exoneration bar — escalating to the full board"
+           if near_bar else
+           "code EXONERATED — the previous round's code runs no faster than "
+           "HEAD on this host, so the raw bench drift is host-borne"
+           if exonerated else
+           "REAL uniform regression — the previous round's code runs faster "
+           "than HEAD like-for-like; the gate stays red")
+stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+rnd = os.environ.get("ROUND", "?")
+board = ("~40-query stratified subset (wall-decile strata + plan-shape anchors)"
+         if mode == "quick" else "whole-board")
+block = (f"\n### Round-{rnd} same-VM previous-commit A/B ({stamp}, mechanical, {mode})\n"
+         f"\n`dev/ab_prev.sh {'--quick ' if mode == 'quick' else ''}{ref}` — "
+         f"{board} DevPasses sequential walls on the current host:\n"
+         f"- HEAD: {rng(hw)} (passes: {', '.join(f'{w:.1f}' for w in hw)})\n"
+         f"- {ref}: {rng(rw)} (passes: {', '.join(f'{w:.1f}' for w in rw)})\n"
+         f"- ratio min({ref})/min(HEAD) = {ratio:.2f}x "
+         f"(exoneration bar: >= 0.95{'; quick decisive outside [0.855, 1.045]' if mode == 'quick' else ''})\n"
+         f"\nDisposition: {verdict}.\n")
+with open("SCALING.md", "a") as f:
+    f.write(block)
+print(block)
+sys.exit(3 if near_bar else (0 if exonerated else 1))
+PY
 }
 
 echo "ab_prev: building $REF in $WT"
@@ -61,44 +144,28 @@ compile "$WT" "$REF"
 # advisory echo does not enforce freshness).
 compile "$(pwd)" HEAD
 
+finish() { git worktree remove --force "$WT"; }
+
+if [ "$QUICK" = 1 ]; then
+  SUBSET=$(quick_subset)
+  NSUB=$(awk -F, '{print NF}' <<<"$SUBSET")
+  echo "ab_prev: quick mode — $NSUB-query stratified subset"
+  echo "ab_prev: HEAD quick passes"
+  passes "$(pwd)" HEAD "$SUBSET" | tee "$LOGDIR/walls_head_q.txt"
+  echo "ab_prev: $REF quick passes (same host, same fixtures)"
+  passes "$WT" "$REF" "$SUBSET" | tee "$LOGDIR/walls_ref_q.txt"
+  set +e
+  verdict quick "$LOGDIR/walls_head_q.txt" "$LOGDIR/walls_ref_q.txt"
+  QRC=$?
+  set -e
+  if [ "$QRC" != 3 ]; then finish; exit "$QRC"; fi
+  echo "ab_prev: quick verdict near the bar — running the full board"
+fi
+
 echo "ab_prev: HEAD passes"
 passes "$(pwd)" HEAD | tee "$LOGDIR/walls_head.txt"
 echo "ab_prev: $REF passes (same host, same fixtures)"
 passes "$WT" "$REF" | tee "$LOGDIR/walls_ref.txt"
-git worktree remove --force "$WT"
+finish
 
-# Mechanical verdict + SCALING.md disposition block.
-python3 - "$REF" "$LOGDIR/walls_head.txt" "$LOGDIR/walls_ref.txt" <<'PY'
-import datetime, os, re, sys
-ref, head_f, ref_f = sys.argv[1], sys.argv[2], sys.argv[3]
-def walls(path):
-    ws = [float(m.group(1)) for line in open(path)
-          if (m := re.search(r"\[pass \d+\] wall\s+([0-9.]+)\s*s", line))]
-    if not ws:
-        raise SystemExit(f"ab_prev: no '[pass N] wall' lines parsed from {path}")
-    return ws
-hw, rw = walls(head_f), walls(ref_f)
-# Exonerated iff the old code is no faster than HEAD like-for-like;
-# 0.95 absorbs pass-to-pass noise on an otherwise-identical board.
-exonerated = min(rw) >= 0.95 * min(hw)
-rng = lambda ws: f"{min(ws):.1f}-{max(ws):.1f} s" if len(ws) > 1 else f"{ws[0]:.1f} s"
-verdict = ("code EXONERATED — the previous round's code runs no faster than "
-           "HEAD on this host, so the raw bench drift is host-borne"
-           if exonerated else
-           "REAL uniform regression — the previous round's code runs faster "
-           "than HEAD like-for-like; the gate stays red")
-stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
-rnd = os.environ.get("ROUND", "?")
-block = (f"\n### Round-{rnd} same-VM previous-commit A/B ({stamp}, mechanical)\n"
-         f"\n`dev/ab_prev.sh {ref}` — whole-board DevPasses sequential walls "
-         f"on the current host:\n"
-         f"- HEAD: {rng(hw)} (passes: {', '.join(f'{w:.1f}' for w in hw)})\n"
-         f"- {ref}: {rng(rw)} (passes: {', '.join(f'{w:.1f}' for w in rw)})\n"
-         f"- ratio min({ref})/min(HEAD) = {min(rw)/min(hw):.2f}x "
-         f"(exoneration bar: >= 0.95)\n"
-         f"\nDisposition: {verdict}.\n")
-with open("SCALING.md", "a") as f:
-    f.write(block)
-print(block)
-sys.exit(0 if exonerated else 1)
-PY
+verdict full "$LOGDIR/walls_head.txt" "$LOGDIR/walls_ref.txt"

@@ -105,16 +105,21 @@ JOPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.la
 # Fixture base derived from SPARK_GRAFT_SF_DIR (ADVICE r13: the gate
 # hard-coded /root/testdata while sibling tooling honors the env var).
 FIXTURE_BASE=$(dirname "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}")
-for ROWS in 0 1 3; do  # 0-row tables, 1-row AND 3-row slices (missing
-                       # probe/seed rows; pools smaller than fixed take-Ns)
+for MODE in 0 1 3 const; do  # 0-row tables, 1-row AND 3-row slices (missing
+                       # probe/seed rows; pools smaller than fixed take-Ns),
+                       # and the constant-column VALUE-degeneracy sweep
+                       # (round-15: one lang / one event_type / one user_id /
+                       # one o_orderstatus / zero-variance value & totalprice
+                       # — the shapes that zero a contingency margin, a
+                       # variance, or a group count at full row count)
   if java $JOPTS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -Xmx"${SPARK_DRIVER_MEM:-8g}" \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-      graft.DevEmptyBoard "$FIXTURE_BASE/sf0.001" /tmp/graft_empty "$ROWS" \
+      graft.DevEmptyBoard "$FIXTURE_BASE/sf0.001" /tmp/graft_empty "$MODE" \
       > /tmp/rc_empty.txt 2>/dev/null; then
-    echo "round_check: rows=$ROWS $(grep '^\[empty\] board:' /tmp/rc_empty.txt)"
+    echo "round_check: mode=$MODE $(grep '^\[empty\] board:' /tmp/rc_empty.txt)"
   else
-    echo "round_check: FAIL — ${ROWS}-row input sweep found throwing queries:" >&2
+    echo "round_check: FAIL — ${MODE} degenerate-input sweep found throwing queries:" >&2
     grep ' FAIL ' /tmp/rc_empty.txt >&2
     exit 1
   fi
@@ -151,12 +156,22 @@ cat /tmp/rc_diff.txt
 # the commit that archived the previous round's bench and race it
 # against HEAD on THIS host. ab_prev exits nonzero (gate red) on a real
 # regression and appends its disposition block to SCALING.md either way.
-if [ "$DIFF_RC" != 0 ] && grep -q 'RAW-DRIFT' /tmp/rc_diff.txt; then
+# --quick tries the ~40-query stratified subset first and only pays for
+# the full board when the quick ratio lands near the exoneration bar.
+# AB_DONE dedupes: one exoneration covers BOTH escalation paths in a
+# single gate run (ADVICE r14: RAW-DRIFT + an unpowered adjudication
+# window used to run two full ~30-min A/Bs back to back).
+AB_DONE=0
+ab_ref() {
   LOCAL_PREV="BENCH_LOCAL_${PREV#BENCH_}"
   ABREF=$(git log --diff-filter=A --format=%h -1 -- "$LOCAL_PREV" 2>/dev/null || true)
   [ -n "$ABREF" ] || ABREF=$(git log --format=%h -1 -- "$PREV")
+}
+if [ "$DIFF_RC" != 0 ] && grep -q 'RAW-DRIFT' /tmp/rc_diff.txt; then
+  ab_ref
   echo "round_check: RAW-DRIFT tripped — running same-VM A/B vs $ABREF (the commit that archived $LOCAL_PREV)"
-  dev/ab_prev.sh "$ABREF"
+  dev/ab_prev.sh --quick "$ABREF"
+  AB_DONE=1
   echo "round_check: raw drift exonerated by A/B (see SCALING.md)"
 fi
 if [ "$DIFF_RC" = 0 ]; then
@@ -173,13 +188,16 @@ elif [ -s /tmp/rc_flags.txt ]; then
     --sf-dir "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
   ADJ_RC=$?
   set -e
-  if [ "$ADJ_RC" = 2 ]; then
-    LOCAL_PREV="BENCH_LOCAL_${PREV#BENCH_}"
-    ABREF=$(git log --diff-filter=A --format=%h -1 -- "$LOCAL_PREV" 2>/dev/null || true)
-    [ -n "$ABREF" ] || ABREF=$(git log --format=%h -1 -- "$PREV")
+  if [ "$ADJ_RC" = 2 ] && [ "$AB_DONE" = 1 ]; then
+    # The RAW-DRIFT A/B above already exonerated HEAD on this host in
+    # THIS gate run — an unpowered band window adds no information the
+    # whole-code A/B didn't already settle; reuse its verdict.
+    echo "round_check: PASS — adjudication window unpowered, reusing this run's A/B exoneration (see SCALING.md)"
+  elif [ "$ADJ_RC" = 2 ]; then
+    ab_ref
     echo "round_check: adjudication window unpowered — same-VM A/B vs $ABREF"
-    dev/ab_prev.sh "$ABREF"
-    echo "round_check: PASS — flags host-borne by whole-board A/B (see SCALING.md)"
+    dev/ab_prev.sh --quick "$ABREF"
+    echo "round_check: PASS — flags host-borne by A/B (see SCALING.md)"
   elif [ "$ADJ_RC" != 0 ]; then
     exit "$ADJ_RC"
   else

@@ -140,13 +140,19 @@ object Bench {
     // timed pass: the last complete line in the kept stdout tail (or the
     // file) is always the best record the run produced before any kill.
     var lastLine = ""
-    def emit(seq: (Map[String, Double], Double),
+    var lastSummary = ""
+    def emit(seqs: List[(Map[String, Double], Double)],
              conc: List[(Map[String, Double], Double)],
              skipped: List[String]): Unit = {
-      val (s1, wallSeq) = seq
-      val results = s1.map { case (k, v) =>
-        k -> (v :: conc.map(_._1(k))).min
-      }
+      val wallSeq = seqs.map(_._2).min
+      val results = seqs.head._1.keys.map { k =>
+        // min over every completed pass; List.min under total ordering
+        // ranks NaN greatest, so a query that failed in SOME passes keeps
+        // its best successful time — n_completed only drops queries that
+        // failed in EVERY completed pass (errors still records each
+        // failure, so partial flakes are visible, not silently healthy).
+        k -> (seqs.map(_._1(k)) ++ conc.map(_._1(k))).min
+      }.toMap
       val concWalls = conc.map(_._2)
       // Batch wall: min over concurrent passes when any ran, else the
       // sequential wall (value_pass says which, so cross-round readers
@@ -166,48 +172,81 @@ object Bench {
       // box load, not a code change) and needed a manual judge rerun to
       // adjudicate. With warmup/sequential/concurrent walls and the host's
       // 1/5/15-min load recorded, that diagnosis is one look at the JSON.
-      val passWalls = (Seq(s""""warmup":$wallWarmup""", s""""sequential":$wallSeq""") ++
+      val seqNames = seqs.indices.map(i =>
+        if (i == 0) "sequential" else s"sequential${i + 1}")
+      val passWalls = (Seq(s""""warmup":$wallWarmup""") ++
+        seqNames.zip(seqs.map(_._2)).map { case (n, w) => s""""$n":$w""" } ++
         concWalls.zipWithIndex.map { case (w, i) => s""""concurrent${i + 1}":$w""" })
         .mkString("{", ",", "}")
-      val completed = (Seq("warmup", "sequential") ++
+      val completed = (Seq("warmup") ++ seqNames ++
         concWalls.indices.map(i => s"concurrent${i + 1}")).map(jstr).mkString("[", ",", "]")
       val skippedJson = skipped.map(jstr).mkString("[", ",", "]")
-      // n_queries = declared batch size; n_completed = queries that actually
-      // produced a timing. They differ exactly when `errors` is non-empty, so
-      // the record is self-consistent without cross-referencing the error map.
+      // n_queries = declared batch size; n_completed = queries that
+      // produced at least one timing across the completed passes (only a
+      // query failing in EVERY pass drops out; any failure at all is in
+      // `errors`, so the record stays self-diagnosing either way).
       val nCompleted = results.values.count(!_.isNaN)
-      lastLine = s"""{"metric":"total","value":$wall,"unit":"sec","value_pass":"$valuePass","n_queries":${results.size},"n_completed":$nCompleted,"concurrency":$par,"sum_sequential":$sumSeq,"pass_walls":$passWalls,"passes_completed":$completed,"skipped_passes":$skippedJson,"budget_s":$budgetS,"elapsed_s":${elapsed()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadavg())},"warmup_dir":${jstr(warmupDir)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      // Timed passes contributing to each per-query min — the
+      // protocol-bias guard (round-14: single-sample vs min-of-3 records
+      // manufactured 53 false bench_diff flags; the diff now widens its
+      // band when this field differs between the two records).
+      val samples = seqs.size + conc.size
+      lastLine = s"""{"metric":"total","value":$wall,"unit":"sec","value_pass":"$valuePass","n_queries":${results.size},"n_completed":$nCompleted,"concurrency":$par,"samples_per_query":$samples,"sum_sequential":$sumSeq,"pass_walls":$passWalls,"passes_completed":$completed,"skipped_passes":$skippedJson,"budget_s":$budgetS,"elapsed_s":${elapsed()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadavg())},"warmup_dir":${jstr(warmupDir)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      // Compact summary SECOND (and re-printed last at shutdown): the
+      // driver keeps only a ~2000-byte stdout TAIL, which the ~10 kB full
+      // line has never fit (BENCH_r11–r14 all parsed null). This line is
+      // < 300 bytes, so a tail that ends with it always holds one complete
+      // parsable record; the per-query map lives in the full line above
+      // and in the committed BENCH_LOCAL_rN.json.
+      lastSummary = s"""{"metric":"total","value":$wall,"unit":"sec","value_pass":"$valuePass","n_queries":${results.size},"n_completed":$nCompleted,"n_errors":${errors.size},"samples_per_query":$samples,"passes_completed":${seqs.size + conc.size + 1},"skipped_passes":${skipped.size},"elapsed_s":${elapsed()},"sf":"$sfDir"}"""
       println(lastLine)
+      println(lastSummary)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (lastLine + "\n").getBytes("UTF-8"))
       catch { case _: java.io.IOException => () }
     }
-    // Sequential pass runs UNCONDITIONALLY (it is the per-query record the
-    // round gate diffs); the concurrent passes are budget-gated. The
-    // estimate for a not-yet-run concurrent pass is 0.6× the sequential
-    // wall — conservative both ways (observed ratio ~0.17× on local[32],
-    // and once concurrent1 has run its actual wall replaces the estimate).
-    val seq = sequentialPass()
-    emit(seq, Nil, Nil)
+    // Sequential pass 1 runs UNCONDITIONALLY (it is the per-query record
+    // the round gate diffs); every later pass is budget-gated. Pass 2 is
+    // a SECOND sequential pass (round-14 lesson: a single-sample record
+    // diffs ~10-20% hot against a min-of-N one — 53 false flags and two
+    // wasted adjudication windows), so per-query values are min-of-2
+    // whenever the host leaves room; the concurrent passes then supply
+    // the batch-wall number. Estimates are the previous like pass's wall
+    // (first concurrent: 0.6× sequential — conservative both ways,
+    // observed ~0.17× on local[32]).
+    var seqs = List(sequentialPass())
+    emit(seqs, Nil, Nil)
     var conc = List.empty[(Map[String, Double], Double)]
     var skipped = List.empty[String]
+    if (elapsed() + seqs.head._2 > budgetS) {
+      skipped = skipped :+ "sequential2"
+      println(f"[bench] skipping sequential2: elapsed ${elapsed()}%.0f s + " +
+        f"estimate ${seqs.head._2}%.0f s exceeds budget $budgetS%.0f s")
+      emit(seqs, conc, skipped)
+    } else {
+      seqs = seqs :+ sequentialPass()
+      emit(seqs, conc, skipped)
+    }
     (1 to 2).foreach { i =>
-      val est = conc.lastOption.map(_._2).getOrElse(seq._2 * 0.6)
+      val est = conc.lastOption.map(_._2).getOrElse(seqs.head._2 * 0.6)
       if (elapsed() + est > budgetS) {
         skipped = skipped :+ s"concurrent$i"
         println(f"[bench] skipping concurrent$i: elapsed ${elapsed()}%.0f s + " +
           f"estimate $est%.0f s exceeds budget $budgetS%.0f s")
-        emit(seq, conc, skipped)
+        emit(seqs, conc, skipped)
       } else {
         conc = conc :+ timedPass()
-        emit(seq, conc, skipped)
+        emit(seqs, conc, skipped)
       }
     }
     spark.stop()
     // The harness keeps only a stdout TAIL, which Spark's shutdown logging
     // can push the line out of — re-print LAST so the metric is always
-    // recoverable from either the tail or BENCH_LOCAL.json.
+    // recoverable from the tail (full line, then the compact summary as
+    // the FINAL line: the 2000-byte tail is guaranteed to end with one
+    // complete parsable record) or from BENCH_LOCAL.json.
     println(lastLine)
+    println(lastSummary)
     if (!errors.isEmpty) sys.exit(1)
   }
 }

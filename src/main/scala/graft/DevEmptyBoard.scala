@@ -15,13 +15,32 @@ package graft
   * corpus whose probe/seed/second row is missing (a tail partition, a
   * heavily filtered slice).
   *
+  * The literal `const` in place of the row count sweeps VALUE degeneracy
+  * instead of row-count degeneracy (round-15, after the χ² zero-margin
+  * crasher was caught by the 3-row pass only because a 3-row slice
+  * happens to be monolingual): full-size tables whose discriminating
+  * columns are each collapsed to ONE value — every document one `lang`,
+  * every event one `event_type`, one `user_id`, zero-variance `value`,
+  * every order one `o_orderstatus`, zero-variance `o_totalprice`. These
+  * are the shapes that zero a contingency margin, a variance, or a group
+  * count while every row-count invariant still holds — exactly what a
+  * heavily filtered 100-TB slice produces. The constant is the column's
+  * own MIN (a real value, so joins/filters stay type- and
+  * domain-plausible); an all-null column stays as is.
+  *
   * Usage:
-  *   graft.DevEmptyBoard [srcSfDir] [emptyDir] [rows] [name...]
+  *   graft.DevEmptyBoard [srcSfDir] [emptyDir] [rows|const] [name...]
   *
   * Exit code 1 if any query throws — wired into dev/round_check.sh as
   * gate 2½ so the board stays degenerate-input-clean from round 13 on.
   */
 object DevEmptyBoard {
+  /** Columns the `const` sweep collapses, per table. */
+  val ConstCols: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("lang"),
+    "events"    -> Seq("event_type", "user_id", "value"),
+    "orders"    -> Seq("o_orderstatus", "o_totalprice"))
+
   def main(args: Array[String]): Unit = {
     val srcDir   = args.headOption.getOrElse("/root/testdata/sf0.001")
     val emptyDir = if (args.length > 1) args(1) else "/tmp/graft_empty"
@@ -29,21 +48,30 @@ object DevEmptyBoard {
     // One Try-parse decides both the row count and where the name list
     // starts (ADVICE r13: the duplicated all-digit check NumberFormat-
     // crashed on '' or an over-Int-range value).
+    val constMode  = rest.headOption.contains("const")
     val parsedRows = rest.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
     val rows       = parsedRows.getOrElse(0)
-    val names = (if (parsedRows.isDefined) rest.drop(1) else rest) match {
+    val names = (if (parsedRows.isDefined || constMode) rest.drop(1) else rest) match {
       case Seq() => Queries.all.keys.toSeq.sorted
       case ns    => ns
     }
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    import org.apache.spark.sql.functions.{lit, min => sqlMin}
 
-    // N-row copies: read the real footer, keep `rows` rows (0 = empty
-    // board). limit(N) preserves the exact parquet schema (incl. events'
-    // fixture-drifted ts encoding, which Tables.events normalizes the
-    // same way on the copy).
+    // Degenerate copies: read the real footer so column names/types/
+    // nullability match exactly. Row mode keeps `rows` rows (0 = empty
+    // board); const mode keeps every row but collapses the ConstCols
+    // columns to their own min value.
     Tables.entityNames.foreach { t =>
-      spark.read.parquet(s"$srcDir/$t.parquet").limit(rows)
-        .write.mode("overwrite").parquet(s"$emptyDir/$t.parquet")
+      val full = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out =
+        if (!constMode) full.limit(rows)
+        else ConstCols.getOrElse(t, Seq.empty).foldLeft(full) { (df, c) =>
+          val v = df.agg(sqlMin(df(c))).head().get(0)
+          if (v == null) df
+          else df.withColumn(c, lit(v).cast(df.schema(c).dataType))
+        }
+      out.write.mode("overwrite").parquet(s"$emptyDir/$t.parquet")
     }
 
     var failures = 0

@@ -7,13 +7,24 @@ package graft
   * pass 2+ inflates uniformly from the first query, the JVM accumulated
   * state after a full board pass (code cache, GC, cleaner backlog); if it
   * degrades gradually within a pass, something leaks per query.
-  * `runMain graft.DevPasses <dir> <passes>` */
+  * An optional third argument restricts the board to a comma-separated
+  * query subset — the `ab_prev.sh --quick` first-line A/B runs a ~40-query
+  * stratified sample through this before paying for the full board.
+  * Unknown names fail fast (a typo must not silently shrink the sample).
+  *
+  * `runMain graft.DevPasses <dir> <passes> [q1,q2,...]` */
 object DevPasses {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val passes = if (args.length > 1) args(1).toInt else 3
+    val subset = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    subset.foreach { s =>
+      val unknown = s -- Queries.all.keySet
+      require(unknown.isEmpty, s"unknown queries in subset: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val ordered = Queries.all.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
     val quarter = (ordered.size + 3) / 4
     (1 to passes).foreach { p =>
       val per = ordered.map { case (name, fn) =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSim.cosine_sim
-import graft.operators.{Checkpoints, EventAnalytics, Graph, Ops, Shuffles, Similarity, TextOps, TrainPrep}
+import graft.operators.{Checkpoints, EventAnalytics, Graph, IterResume, Ops, Shuffles, Similarity, TextOps, TrainPrep}
 
 /** Query tier `Eval` — agreement, rank-correlation, calibration and cluster-quality evaluation.
   *
@@ -371,8 +371,14 @@ private[graft] trait QueriesEval { this: Queries.type =>
   def qPagerankIter(s: SparkSession, d: String): DataFrame =
     pagerankTrace(s, d)._1
 
-  /** The PageRank loop; returns (trace, rounds executed) so the spec can
-    * pin early termination. */
+  /** The PageRank loop; returns (trace, rounds executed THIS RUN) so the
+    * spec can pin both early termination and — under the resumable tier
+    * ([[IterResume.DirConf]]) — that a restart after a mid-iteration kill
+    * re-executes none of the committed rounds: each round's rank frame +
+    * trace row persist as parquet (the parquet read-back doubling as the
+    * round's lineage cut), and a fresh call finds the last complete round
+    * and continues from it with the identical integer dynamics, so the
+    * final trace is bit-equal to an unkilled run's. */
   private[graft] def pagerankTrace(s: SparkSession, d: String): (DataFrame, Int) = {
     import s.implicits._
     val (e0, deg0) = coPurchaseGraph(s, d)
@@ -389,10 +395,19 @@ private[graft] trait QueriesEval { this: Queries.type =>
       deg0.select(col("n"), lit(1000000L).as("r")))
     var trace = Vector.empty[(Long, Long, Long, Long, Long)]
     var rounds = 0
+    var executed = 0
     var converged = false
+    val resumeDir = IterResume.dir(s)
+    resumeDir.flatMap(IterResume.resume(s, _)).foreach { case (k, saved, rows) =>
+      rounds = k
+      ranks = saved
+      trace = rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      converged = trace.last._5 == 1L
+    }
     while (!converged && rounds < PrCap) {
       val obs = org.apache.spark.sql.Observation()
-      val next = symDeg
+      val next0 = symDeg
         .join(ranks.withColumnRenamed("n", "src"), Seq("src"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
@@ -403,14 +418,24 @@ private[graft] trait QueriesEval { this: Queries.type =>
           max(abs(col("r") - col("r_prev"))).as("md"),
           sum(col("r")).as("sr"), count(lit(1)).as("nn"))
         .select(col("n"), col("r"))
-        .transform(Checkpoints.truncate)
+      // Resumable tier: the parquet commit IS the round's materialization
+      // and lineage cut; otherwise the configured Checkpoints tier cuts.
+      val next = resumeDir match {
+        case Some(rd) => IterResume.commitState(next0, rd, rounds + 1)
+        case None     => Checkpoints.truncate(next0)
+      }
       val m = obs.get
       val md = m("md").asInstanceOf[Long]
       val sr = m("sr").asInstanceOf[Long]
       val nn = m("nn").asInstanceOf[Long]
       converged = md == 0L
       rounds += 1
-      trace :+= ((rounds.toLong, nn, sr, md, if (converged) 1L else 0L))
+      executed += 1
+      val row = (rounds.toLong, nn, sr, md, if (converged) 1L else 0L)
+      trace :+= row
+      resumeDir.foreach(rd => IterResume.commitTrace(
+        Seq(row).toDF("round", "n_nodes", "sum_rank_ppm", "max_delta_ppm",
+          "converged"), rd, rounds))
       ranks.unpersist()
       ranks = next
     }
@@ -419,7 +444,7 @@ private[graft] trait QueriesEval { this: Queries.type =>
     val full = trace ++ (rounds + 1 to PrCap)
       .map(i => (i.toLong, tail._2, tail._3, 0L, 1L))
     (full.toDF("round", "n_nodes", "sum_rank_ppm", "max_delta_ppm",
-      "converged"), rounds)
+      "converged"), executed)
   }
 
   /** Modularity of the brand partition on the co-purchase graph — the

@@ -447,6 +447,127 @@ class StreamingSpec extends SparkSuite {
       (1L, 10000000000L, 10100000000L, 2L)), got.toString)
   }
 
+  test("input-order determinism: stateful answers invariant to file arrival order within tolerance") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+    // A distributed landing zone delivers files in no particular order
+    // (listing order ≠ event-time order at 100 TB); the stateful shapes
+    // must give ONE answer for one data set, however the files arrive,
+    // as long as lateness stays inside the operator's tolerance
+    // (closedUserSessions: the still-open-state merge window, unbounded
+    // by design; intervalJoin: its event-time watermark).
+    def stageAll(order: Seq[(String, Seq[(Long, Long, Long)])]): String = {
+      val dir = Files.createTempDirectory("graft_stream_order")
+      order.zipWithIndex.foreach { case ((name, rows), i) =>
+        val tmp = Files.createTempDirectory("graft_order_w")
+        rows.toDF("user_id", "event_id", "s")
+          .select($"user_id", $"event_id", expr("timestamp_seconds(s)").as("ts"),
+            concat(lit("t"), $"event_id").as("event_type"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/w")
+        val part = Files.list(Paths.get(s"$tmp/w")).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dst = Paths.get(dir.toString, name)
+        Files.copy(Paths.get(part), dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis((1000000L + 60 * i) * 1000))
+      }
+      dir.toString
+    }
+    // Four files, each holding COMPLETE sessions (the delivery unit a
+    // partitioned writer produces): user 1 sessions A={100,200}s,
+    // B={10000,10050}s, C={50000}s (open tail); user 2 D={500}s,
+    // E={20000}s (open tail). Gap 30 min.
+    val fA = "a.parquet" -> Seq((1L, 1L, 100L), (1L, 2L, 200L))
+    val fB = "b.parquet" -> Seq((1L, 3L, 10000L), (1L, 4L, 10050L))
+    val fC = "c.parquet" -> Seq((1L, 5L, 50000L), (2L, 6L, 500L))
+    val fD = "d.parquet" -> Seq((2L, 7L, 20000L))
+    val schema = new StructType().add("user_id", LongType)
+      .add("event_id", LongType).add("ts", TimestampType)
+      .add("event_type", org.apache.spark.sql.types.StringType)
+    def src(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val orders = Seq(
+      "fwd"  -> Seq(fA, fB, fC, fD),
+      "rev"  -> Seq(fD, fC, fB, fA),
+      "shuf" -> Seq(fC, fA, fD, fB))
+    // Sessionization: the closed-session set is a pure function of the
+    // data — {A, B, D} — whatever order the files land in.
+    val sessResults = orders.map { case (tag, order) =>
+      val got = EventStreams.runAvailableNow(
+          EventStreams.closedUserSessions(src(stageAll(order)), 30).toDF(),
+          s"t_ord_sess_$tag", OutputMode.Append())
+        .select($"user_id", $"start_us", $"end_us", $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      tag -> got
+    }
+    val wantSess = Seq((1L, 100000000L, 200000000L, 2L),
+      (1L, 10000000000L, 10050000000L, 2L), (2L, 500000000L, 500000000L, 1L))
+    sessResults.foreach { case (tag, got) =>
+      assert(got == wantSess, s"order $tag: $got")
+    }
+    // Interval join: same files, watermark 2 h > the widest cross-file
+    // reordering (50000 s span is irrelevant — the watermark bounds how
+    // far event-time may RUN BEHIND the max seen, and every file lands
+    // whole). Pair set must match the batch theta join in every order.
+    val joinResults = orders.map { case (tag, order) =>
+      val got = EventStreams.runAvailableNow(
+        EventStreams.intervalJoin(src(stageAll(order)), src(stageAll(order)),
+          "14 hours", "30 MINUTES"),
+        s"t_ord_join_$tag", OutputMode.Append())
+        .select($"l_event_id", $"r_event_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      tag -> got
+    }
+    // batch truth over the same rows
+    val all = (fA._2 ++ fB._2 ++ fC._2 ++ fD._2)
+      .toDF("user_id", "event_id", "s")
+    val l = all.select($"user_id", $"event_id".as("l_event_id"), $"s".as("l_s"))
+    val r = all.select($"user_id".as("r_user_id"), $"event_id".as("r_event_id"),
+      $"s".as("r_s"))
+    val wantJoin = l.join(r, $"user_id" === $"r_user_id" && $"r_s" >= $"l_s" &&
+        $"r_s" <= $"l_s" + 1800 && $"l_event_id" =!= $"r_event_id")
+      .select($"l_event_id", $"r_event_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(wantJoin.nonEmpty, "join invariance must not be vacuous")
+    joinResults.foreach { case (tag, got) =>
+      assert(got == wantJoin, s"order $tag: $got want $wantJoin")
+    }
+    // Beyond tolerance the behavior is the DOCUMENTED drop, not silent
+    // skew. The interval join's late bound is per-SIDE: a right-side
+    // input drops at the raw watermark (its state evicts there), while a
+    // left-side input gets the interval's extra allowance (left state
+    // must live `interval` longer to meet future rights, so the
+    // too-late filter is wm − interval). One late file shows both:
+    // wm after b0 = 1200 − 600 = 600 s; event 3@100 s is late as RIGHT
+    // (100 < 600 → pairs (1,3)/(2,3) never emit) but legal as LEFT
+    // (100 > 600 − 1800) so (3,1)/(3,2) still join the b0 state.
+    val lateDir = stageAll(Seq(
+      "b0.parquet" -> Seq((1L, 1L, 1000L), (1L, 2L, 1200L)),
+      "b1.parquet" -> Seq((1L, 3L, 100L))))
+    val gotLate = EventStreams.runAvailableNow(
+      EventStreams.intervalJoin(src(lateDir), src(lateDir),
+        "10 minutes", "30 MINUTES"),
+      "t_ord_late", OutputMode.Append())
+      .select($"l_event_id", $"r_event_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(gotLate == Seq((1L, 2L), (3L, 1L), (3L, 2L)),
+      s"late file: right-side pairs drop at wm, left-side keeps the " +
+        s"interval allowance: $gotLate")
+    // Past even the left allowance (ts < wm − interval on both sides)
+    // the file contributes NOTHING — the full documented drop.
+    val goneDir = stageAll(Seq(
+      "b0.parquet" -> Seq((1L, 1L, 10000L), (1L, 2L, 10200L)),
+      "b1.parquet" -> Seq((1L, 3L, 5000L)))) // wm 9600; 5000 < 9600 − 1800
+    val gotGone = EventStreams.runAvailableNow(
+      EventStreams.intervalJoin(src(goneDir), src(goneDir),
+        "10 minutes", "30 MINUTES"),
+      "t_ord_gone", OutputMode.Append())
+      .select($"l_event_id", $"r_event_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(gotGone == Seq((1L, 2L)),
+      s"fully-beyond-watermark file must contribute nothing: $gotGone")
+  }
+
   test("0-event replay: every streaming shape terminates cleanly on an empty source") {
     // The streaming face of gate 2½: a landing zone that received no
     // files yet is a legitimate production state (a just-provisioned
