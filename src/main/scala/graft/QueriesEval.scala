@@ -397,7 +397,7 @@ private[graft] trait QueriesEval { this: Queries.type =>
     var rounds = 0
     var executed = 0
     var converged = false
-    val resumeDir = IterResume.dir(s)
+    val resumeDir = IterResume.dir(s, "pagerank")
     resumeDir.flatMap(IterResume.resume(s, _)).foreach { case (k, saved, rows) =>
       rounds = k
       ranks = saved

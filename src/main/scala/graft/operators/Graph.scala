@@ -28,10 +28,14 @@ object Graph {
     * Cluster-mode note: `localCheckpoint` pins blocks to executors and
     * truncates lineage, so a lost executor fails the job rather than
     * recomputing (acceptable in local mode / on static on-demand fleets).
-    * Under dynamic allocation, spot instances or preemption, swap both
-    * sites for reliable `df.checkpoint()` against a durable
-    * `sparkContext.setCheckpointDir` — identical semantics, survives
-    * executor loss, at the cost of a DFS write per round.
+    * Under dynamic allocation, spot instances or preemption, the
+    * [[Checkpoints.DirConf]] reliable tier survives executor loss at one
+    * DFS write per round, and the [[IterResume.DirConf]] resumable tier
+    * (kernel `components`) additionally survives DRIVER loss: each
+    * round's label frame + changed-count commit as parquet, and a fresh
+    * call resumes at the last complete round — the per-round dynamics
+    * are a deterministic monotone function of the previous labels, so
+    * the resumed fixpoint is the unkilled run's.
     *
     * Returns (node, component); the result holds the final round's
     * checkpoint blocks — `.unpersist()` it when done, or drop all
@@ -39,6 +43,9 @@ object Graph {
     * (what the Bench/Verify batch harnesses do after each query). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val resumeDir = IterResume.dir(spark, "components")
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .transform(Checkpoints.truncate)
@@ -55,6 +62,11 @@ object Graph {
     } else {
       var changed = 1L
       var iter = 0
+      resumeDir.flatMap(IterResume.resume(spark, _)).foreach { case (k, saved, rows) =>
+        iter = k
+        labels = saved
+        changed = rows.last.getLong(1)
+      }
       while (changed > 0 && iter < maxIter) {
         val nbrMin = sym
           .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -74,11 +86,17 @@ object Graph {
         // decrease, so label ≠ prev ⇔ progress). Observation.get blocks
         // until that action reports — no separate count job, no extra scan.
         val obs = Observation()
-        val next = jumped
+        val next0 = jumped
           .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
             .otherwise(0L)).as("changed"))
           .select(col("node"), col("label"))
-          .transform(Checkpoints.truncate)
+        // Resumable tier: the parquet commit is this round's single
+        // materialization and lineage cut; otherwise the configured
+        // Checkpoints tier cuts (both eager, so obs reports either way).
+        val next = resumeDir match {
+          case Some(rd) => IterResume.commitState(next0, rd, iter + 1)
+          case None     => Checkpoints.truncate(next0)
+        }
         changed = obs.get.getOrElse("changed", 0L) match {
           case null => 0L
           case x => x.asInstanceOf[Long]
@@ -86,6 +104,8 @@ object Graph {
         labels.unpersist()
         labels = next
         iter += 1
+        resumeDir.foreach(rd => IterResume.commitTrace(
+          Seq((iter.toLong, changed)).toDF("round", "changed"), rd, iter))
       }
       sym.unpersist()
       labels.withColumnRenamed("label", "component")

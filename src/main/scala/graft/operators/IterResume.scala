@@ -48,6 +48,15 @@ object IterResume {
   def dir(s: SparkSession): Option[String] =
     s.conf.getOption(DirConf).filter(_.nonEmpty)
 
+  /** Kernel-namespaced resume directory (`<dir>/<kernel>`): one session
+    * conf can serve several iterative operators without their `round=N`
+    * sequences colliding. Like a streaming `checkpointLocation`, the
+    * directory identifies ONE logical job instance — pointing it at a
+    * run over different input data is the caller's error, not a state
+    * this layer can detect. */
+  def dir(s: SparkSession, kernel: String): Option[String] =
+    dir(s).map(d => s"$d/$kernel")
+
   private def fs(s: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)

@@ -54,6 +54,40 @@ class IterResumeSpec extends SparkSuite {
     assert(againDf.orderBy("round").collect().toSeq == truth)
   }
 
+  test("connected components resume after a kill: committed round untouched, fixpoint identical") {
+    import spark.implicits._
+    // Two path components (1-2-3-4-5, 10-11-12): min-label + pointer
+    // jumping needs several rounds, so a kill after round 1 lands
+    // mid-iteration.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val truth = graft.operators.Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(truth.map(_._2).distinct.sorted == Seq(1L, 10L))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_resume").toString
+    val e = intercept[IllegalStateException] {
+      withResume(dir, Some(1)) {
+        graft.operators.Graph.connectedComponents(edges, "a", "b").collect()
+      }
+    }
+    assert(e.getMessage.contains("injected kill after round 1"), e.getMessage)
+    // The committed round must not be re-executed on resume: its commit
+    // marker keeps its mtime.
+    val marker = java.nio.file.Paths.get(s"$dir/components/round=1/ranks/_SUCCESS")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker)
+    val resumed = withResume(dir, None) {
+      graft.operators.Graph.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect().toSeq.sorted
+    }
+    assert(resumed == truth, s"resumed fixpoint differs:\n$resumed\n$truth")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == mtime,
+      "round 1 must not be recomputed or rewritten on resume")
+    // And pagerank + components can share one resume conf without their
+    // round sequences colliding (kernel-namespaced subdirs).
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/components")))
+  }
+
   test("resume() ignores a torn round: state committed, trace not") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_iter_torn").toString
