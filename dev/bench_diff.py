@@ -129,18 +129,24 @@ def main() -> int:
     # widen both thresholds (factors chosen on that exact episode — the
     # r13-vs-r14 replay drops from 35 flags to 8 at 1.2x ratio / +0.2s).
     def samples(rec):
-        if "samples_per_query" in rec:
-            return rec["samples_per_query"]
+        # full passes only; a preempted "sequential2_partial_123q" pass
+        # gives SOME queries a second sample, which is per-query coverage
+        # the record-level count cannot express — flag it separately
         pw = rec.get("passes_completed") or list(rec.get("pass_walls", {}))
-        timed = [p for p in pw if p != "warmup"]
-        return len(timed) if timed else None
-    so, sn = samples(old), samples(new)
-    if so is not None and sn is not None and so != sn:
+        partial = any("partial" in p for p in pw)
+        if "samples_per_query" in rec:
+            return rec["samples_per_query"], partial
+        timed = [p for p in pw if p != "warmup" and "partial" not in p]
+        return (len(timed) if timed else None), partial
+    (so, po), (sn, pn) = samples(old), samples(new)
+    if (so is not None and sn is not None and so != sn) or po or pn:
+        why = (f"sample counts differ (old={so} passes, new={sn})"
+               if so != sn else "a record carries a preempted partial pass")
         args.ratio *= 1.2
         args.abs_s += 0.20
-        print(f"NOTE: sample counts differ (old={so} passes, new={sn}) — "
-              f"min-of-N vs min-of-M is not like-for-like; band widened to "
-              f">{args.ratio:.2f}x and >{args.abs_s:.2f}s", file=sys.stderr)
+        print(f"NOTE: {why} — min-of-N vs min-of-M is not like-for-like; "
+              f"band widened to >{args.ratio:.2f}x and >{args.abs_s:.2f}s",
+              file=sys.stderr)
 
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))

@@ -17,14 +17,17 @@ object Bench {
     // Wall budget for the WHOLE run (round-14, after BENCH_r13 rc=124):
     // the harness wraps the bench in a hard ~20-min timeout and keeps only
     // a stdout tail, so an all-or-nothing emission loses the round's
-    // record whenever a degraded host pushes the four passes past the
-    // envelope. Two defenses: (1) the complete JSON line is printed after
-    // EVERY timed pass — sequential first — so the tail always holds the
-    // latest complete record even if a later pass is killed; (2) this
-    // budget (default 900 s, leaving sbt-startup + shutdown headroom
-    // inside a 1200 s envelope) causes remaining concurrent passes to be
-    // SKIPPED (recorded in `skipped_passes`) rather than overrun.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
+    // record whenever a degraded host pushes the passes past the
+    // envelope. Two defenses: (1) the complete JSON record (and a compact
+    // summary line) is printed after EVERY timed pass — sequential
+    // first — so the tail always holds the latest complete record even
+    // if a later pass is killed; (2) this budget causes remaining passes
+    // to be SKIPPED (recorded in `skipped_passes`) or, for the second
+    // sequential pass, PREEMPTED between queries, rather than overrun.
+    // Default 1000 s: the only post-budget spend is one in-flight query
+    // (≤ ~20 s) or a skip message, so sbt-startup (~50 s) + shutdown
+    // headroom still fits the 1200 s envelope with ~130 s of margin.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1000").toDouble
     val t0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
     // Warmup exists to JIT-compile the scan/codegen/shuffle paths once so
@@ -113,10 +116,18 @@ object Bench {
     }
     // Per-query numbers come from an UNCONTENDED sequential pass (true
     // steady-state latency); the concurrent passes supply the batch
-    // wall time. min over passes on both.
-    def sequentialPass(): (Map[String, Double], Double) = {
+    // wall time. min over passes on both. `stopAt` makes a pass
+    // PREEMPTIBLE: the budget is checked between queries and the pass
+    // stops (keeping the samples it has) instead of overrunning — so a
+    // second sequential pass can start whenever ANY room remains, with
+    // overshoot bounded by one query, never by a whole pass.
+    def sequentialPass(stopAt: Double = Double.MaxValue)
+        : (Map[String, Double], Double, Boolean) = {
       val w0 = System.nanoTime()
-      val r = ordered.map { case (name, fn) =>
+      var cut = false
+      val r = ordered.iterator.takeWhile { _ =>
+        cut = elapsed() > stopAt; !cut
+      }.map { case (name, fn) =>
         val q0 = System.nanoTime()
         val ok = run(name, sfDir, fn)
         val secs = (System.nanoTime() - q0) / 1e9
@@ -125,7 +136,7 @@ object Bench {
         releaseCheckpoints()
         name -> (if (ok) secs else Double.NaN)
       }.toMap
-      (r, (System.nanoTime() - w0) / 1e9)
+      (r, (System.nanoTime() - w0) / 1e9, !cut)
     }
     def jnum(v: Double): String = if (v.isNaN) "null" else v.toString
     def jstr(s: String): String =
@@ -141,17 +152,19 @@ object Bench {
     // file) is always the best record the run produced before any kill.
     var lastLine = ""
     var lastSummary = ""
-    def emit(seqs: List[(Map[String, Double], Double)],
+    def emit(seqs: List[(Map[String, Double], Double, Boolean)],
              conc: List[(Map[String, Double], Double)],
              skipped: List[String]): Unit = {
-      val wallSeq = seqs.map(_._2).min
+      val wallSeq = seqs.filter(_._3).map(_._2).min
       val results = seqs.head._1.keys.map { k =>
-        // min over every completed pass; List.min under total ordering
-        // ranks NaN greatest, so a query that failed in SOME passes keeps
-        // its best successful time — n_completed only drops queries that
-        // failed in EVERY completed pass (errors still records each
-        // failure, so partial flakes are visible, not silently healthy).
-        k -> (seqs.map(_._1(k)) ++ conc.map(_._1(k))).min
+        // min over every pass that sampled this query (a preempted
+        // sequential pass covers a prefix of the board); List.min under
+        // total ordering ranks NaN greatest, so a query that failed in
+        // SOME passes keeps its best successful time — n_completed only
+        // drops queries that failed in EVERY pass that ran them (errors
+        // still records each failure, so partial flakes are visible,
+        // not silently healthy).
+        k -> (seqs.flatMap(_._1.get(k)) ++ conc.map(_._1(k))).min
       }.toMap
       val concWalls = conc.map(_._2)
       // Batch wall: min over concurrent passes when any ran, else the
@@ -172,8 +185,10 @@ object Bench {
       // box load, not a code change) and needed a manual judge rerun to
       // adjudicate. With warmup/sequential/concurrent walls and the host's
       // 1/5/15-min load recorded, that diagnosis is one look at the JSON.
-      val seqNames = seqs.indices.map(i =>
-        if (i == 0) "sequential" else s"sequential${i + 1}")
+      val seqNames = seqs.zipWithIndex.map { case ((m, _, full), i) =>
+        val base = if (i == 0) "sequential" else s"sequential${i + 1}"
+        if (full) base else s"${base}_partial_${m.size}q"
+      }
       val passWalls = (Seq(s""""warmup":$wallWarmup""") ++
         seqNames.zip(seqs.map(_._2)).map { case (n, w) => s""""$n":$w""" } ++
         concWalls.zipWithIndex.map { case (w, i) => s""""concurrent${i + 1}":$w""" })
@@ -186,11 +201,13 @@ object Bench {
       // query failing in EVERY pass drops out; any failure at all is in
       // `errors`, so the record stays self-diagnosing either way).
       val nCompleted = results.values.count(!_.isNaN)
-      // Timed passes contributing to each per-query min — the
+      // FULL timed passes contributing to every per-query min — the
       // protocol-bias guard (round-14: single-sample vs min-of-3 records
-      // manufactured 53 false bench_diff flags; the diff now widens its
-      // band when this field differs between the two records).
-      val samples = seqs.size + conc.size
+      // manufactured 53 false bench_diff flags; the diff widens its band
+      // when this field differs between records). A preempted sequential
+      // pass adds second samples for its prefix but does not raise this
+      // count — its coverage is in passes_completed's `_partial_Nq` tag.
+      val samples = seqs.count(_._3) + conc.size
       lastLine = s"""{"metric":"total","value":$wall,"unit":"sec","value_pass":"$valuePass","n_queries":${results.size},"n_completed":$nCompleted,"concurrency":$par,"samples_per_query":$samples,"sum_sequential":$sumSeq,"pass_walls":$passWalls,"passes_completed":$completed,"skipped_passes":$skippedJson,"budget_s":$budgetS,"elapsed_s":${elapsed()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadavg())},"warmup_dir":${jstr(warmupDir)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
       // Compact summary SECOND (and re-printed last at shutdown): the
       // driver keeps only a ~2000-byte stdout TAIL, which the ~10 kB full
@@ -210,21 +227,29 @@ object Bench {
     // a SECOND sequential pass (round-14 lesson: a single-sample record
     // diffs ~10-20% hot against a min-of-N one — 53 false flags and two
     // wasted adjudication windows), so per-query values are min-of-2
-    // whenever the host leaves room; the concurrent passes then supply
-    // the batch-wall number. Estimates are the previous like pass's wall
-    // (first concurrent: 0.6× sequential — conservative both ways,
-    // observed ~0.17× on local[32]).
+    // wherever the host leaves room. It is PREEMPTIBLE (budget checked
+    // between queries, overshoot bounded by ONE query, never a pass), so
+    // it starts whenever any room remains and keeps whatever prefix it
+    // finished — on a host where warmup+pass1 eat most of the budget, the
+    // heaviest flag-prone queries still get a second sample. The
+    // concurrent passes then supply the batch-wall number; their pools
+    // are all-or-nothing, so they stay estimate-gated (first concurrent:
+    // 0.6× sequential — conservative both ways, observed ~0.17× on
+    // local[32]).
     var seqs = List(sequentialPass())
     emit(seqs, Nil, Nil)
     var conc = List.empty[(Map[String, Double], Double)]
     var skipped = List.empty[String]
-    if (elapsed() + seqs.head._2 > budgetS) {
+    if (elapsed() + 30 > budgetS) {
       skipped = skipped :+ "sequential2"
-      println(f"[bench] skipping sequential2: elapsed ${elapsed()}%.0f s + " +
-        f"estimate ${seqs.head._2}%.0f s exceeds budget $budgetS%.0f s")
+      println(f"[bench] skipping sequential2: elapsed ${elapsed()}%.0f s " +
+        f"leaves no room under budget $budgetS%.0f s")
       emit(seqs, conc, skipped)
     } else {
-      seqs = seqs :+ sequentialPass()
+      seqs = seqs :+ sequentialPass(stopAt = budgetS)
+      if (!seqs.last._3)
+        println(f"[bench] sequential2 preempted at budget after " +
+          f"${seqs.last._1.size}/${ordered.size} queries")
       emit(seqs, conc, skipped)
     }
     (1 to 2).foreach { i =>
