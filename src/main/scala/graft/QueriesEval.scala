@@ -382,28 +382,49 @@ private[graft] trait QueriesEval { this: Queries.type =>
   private[graft] def pagerankTrace(s: SparkSession, d: String): (DataFrame, Int) = {
     import s.implicits._
     val (e0, deg0) = coPurchaseGraph(s, d)
+    // Manifest binding BEFORE anything else runs under the resumable tier:
+    // the fingerprint is over the SOURCE rows the graph is a deterministic
+    // function of (a pure scan + map-side-combinable xor agg — cheaper than
+    // fingerprinting the self-joined edge set), so a DirConf left set
+    // across two fixtures throws here instead of resuming the wrong run.
+    val resumeDir = IterResume.dir(s, "pagerank")
+    resumeDir.foreach(rd => IterResume.checkOrInit(s, rd, IterResume.descriptor(
+      "pagerank", s"cap=$PrCap",
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))))
     if (e0.isEmpty) {
       val rows = (1 to PrCap).map(i => (i.toLong, 0L, 0L, 0L, 1L))
       return (rows.toDF("round", "n_nodes", "sum_rank_ppm", "max_delta_ppm",
         "converged"), 0)
     }
-    val symDeg = Checkpoints.truncate(
-      e0.select(col("pa").as("src"), col("pb").as("dst"))
-        .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
-        .join(deg0.withColumnRenamed("n", "src"), Seq("src")))
-    var ranks = Checkpoints.truncate(
-      deg0.select(col("n"), lit(1000000L).as("r")))
+    // Probe resume FIRST (ADVICE r15): on a resumed run the round-0 rank
+    // build is dead work and its eager truncate would strand checkpoint
+    // blocks; build it only when no committed round exists. symDeg is
+    // needed only if the loop actually runs (a fully-converged resume
+    // skips it), hence lazily built on first loop entry.
+    val resumed = resumeDir.flatMap(IterResume.resume(s, _))
+    var symDegCache: DataFrame = null
+    def symDeg: DataFrame = {
+      if (symDegCache == null) symDegCache = Checkpoints.truncate(
+        e0.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
+          .join(deg0.withColumnRenamed("n", "src"), Seq("src")))
+      symDegCache
+    }
     var trace = Vector.empty[(Long, Long, Long, Long, Long)]
     var rounds = 0
     var executed = 0
     var converged = false
-    val resumeDir = IterResume.dir(s, "pagerank")
-    resumeDir.flatMap(IterResume.resume(s, _)).foreach { case (k, saved, rows) =>
-      rounds = k
-      ranks = saved
-      trace = rows.map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      converged = trace.last._5 == 1L
+    var ranks: DataFrame = null
+    resumed match {
+      case Some((k, saved, rows)) =>
+        rounds = k
+        ranks = saved
+        trace = rows.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        converged = trace.last._5 == 1L
+      case None =>
+        ranks = Checkpoints.truncate(
+          deg0.select(col("n"), lit(1000000L).as("r")))
     }
     while (!converged && rounds < PrCap) {
       val obs = org.apache.spark.sql.Observation()
@@ -440,6 +461,7 @@ private[graft] trait QueriesEval { this: Queries.type =>
       ranks = next
     }
     ranks.unpersist()
+    if (symDegCache != null) symDegCache.unpersist()
     val tail = trace.last
     val full = trace ++ (rounds + 1 to PrCap)
       .map(i => (i.toLong, tail._2, tail._3, 0L, 1L))

@@ -192,6 +192,18 @@ private[graft] trait QueriesSketch { this: Queries.type =>
     * seed (max degree, min node tie-break) rides a broadcast — the
     * driver never sees node data. Unreached nodes are excluded. */
   def qBfsLevels(s: SparkSession, d: String): DataFrame = {
+    // Resumable tier (kernel `bfs`, round 16): the relaxation state
+    // (node, d) is compact and its per-round update is a deterministic
+    // monotone function of the previous distances, so the kernel resumes
+    // from the last committed round with the identical fixpoint — same
+    // discipline as pagerank/components. Manifest-bound to the source
+    // rows the graph is a deterministic function of (pure scan + xor agg,
+    // cheaper than fingerprinting the self-joined edge set).
+    val resumeDir = graft.operators.IterResume.dir(s, "bfs")
+    resumeDir.foreach(rd => graft.operators.IterResume.checkOrInit(s, rd,
+      graft.operators.IterResume.descriptor("bfs", "cap=15",
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))))
+    val resumed = resumeDir.flatMap(graft.operators.IterResume.resume(s, _))
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val e = op.as("a")
@@ -200,21 +212,38 @@ private[graft] trait QueriesSketch { this: Queries.type =>
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("c"))
       .where(col("c") >= 2).select("pa", "pb")
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-      .transform(Checkpoints.truncate)
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
-      .select(col("src").as("node"), lit(0L).as("sd"))
-    var dist = sym.select(col("src").as("node")).distinct()
-      .join(broadcast(seed), Seq("node"), "left")
-      .select(col("node"), col("sd").as("d"))
-      .transform(Checkpoints.truncate)
-    // empty-graph guard (one limit-1 job): AQE's empty-relation propagation
-    // can eliminate a CollectMetrics node on a provably-empty plan, which
-    // would block the fused Observation below forever
-    var changed = if (dist.isEmpty) 0L else 1L
+    // sym feeds the loop AND (on fresh runs) the seed/round-0 build; a
+    // fully-converged resume needs neither, so it is built on demand.
+    var symCache: DataFrame = null
+    def sym: DataFrame = {
+      if (symCache == null) symCache = Checkpoints.truncate(
+        e.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(e.select(col("pb").as("src"), col("pa").as("dst"))))
+      symCache
+    }
+    var dist: DataFrame = null
+    var changed = 1L
     var iter = 0
+    resumed match {
+      case Some((k, saved, rows)) =>
+        iter = k
+        dist = saved
+        changed = rows.last.getLong(1)
+      case None =>
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
+          .select(col("src").as("node"), lit(0L).as("sd"))
+        dist = Checkpoints.truncate(
+          sym.select(col("src").as("node")).distinct()
+            .join(broadcast(seed), Seq("node"), "left")
+            .select(col("node"), col("sd").as("d")))
+        // empty-graph guard (one limit-1 job, fresh runs only — a resumed
+        // run committed rounds, so its graph is nonempty): AQE's
+        // empty-relation propagation can eliminate a CollectMetrics node
+        // on a provably-empty plan, which would block the fused
+        // Observation below forever
+        if (dist.isEmpty) changed = 0L
+    }
     while (changed > 0 && iter < 15) {
       val relaxed = sym
         .join(dist.withColumnRenamed("node", "src"), Seq("src"))
@@ -225,13 +254,19 @@ private[graft] trait QueriesSketch { this: Queries.type =>
       // per round, never checkpoint + count (distances only tighten, so a
       // null-safe ≠ against the carried prev is exactly "progress")
       val obs = org.apache.spark.sql.Observation()
-      val next = dist.join(relaxed, Seq("node"), "left")
+      val next0 = dist.join(relaxed, Seq("node"), "left")
         .select(col("node"), col("d").as("prev"),
           least(col("d"), col("nd")).as("d"))
         .observe(obs, sum(when(!(col("d") <=> col("prev")), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("node"), col("d"))
-        .transform(Checkpoints.truncate)
+      // Resumable tier: the parquet commit is this round's single
+      // materialization and lineage cut; otherwise the configured
+      // Checkpoints tier cuts (both eager, so obs reports either way).
+      val next = resumeDir match {
+        case Some(rd) => graft.operators.IterResume.commitState(next0, rd, iter + 1)
+        case None     => Checkpoints.truncate(next0)
+      }
       changed = obs.get.getOrElse("changed", 0L) match {
         case null => 0L
         case x => x.asInstanceOf[Long]
@@ -239,8 +274,13 @@ private[graft] trait QueriesSketch { this: Queries.type =>
       dist.unpersist()
       dist = next
       iter += 1
+      resumeDir.foreach { rd =>
+        import s.implicits._
+        graft.operators.IterResume.commitTrace(
+          Seq((iter.toLong, changed)).toDF("round", "changed"), rd, iter)
+      }
     }
-    sym.unpersist()
+    if (symCache != null) symCache.unpersist()
     dist.where(col("d").isNotNull)
       .select(col("node").as("l_partkey"), col("d").as("level"))
       .orderBy("l_partkey")

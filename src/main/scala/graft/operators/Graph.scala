@@ -35,7 +35,10 @@ object Graph {
     * round's label frame + changed-count commit as parquet, and a fresh
     * call resumes at the last complete round — the per-round dynamics
     * are a deterministic monotone function of the previous labels, so
-    * the resumed fixpoint is the unkilled run's.
+    * the resumed fixpoint is the unkilled run's. The resume directory is
+    * manifest-bound to the edge set's fingerprint + maxIter
+    * ([[IterResume.checkOrInit]]); resuming against different edges
+    * throws rather than silently returning the earlier run's fixpoint.
     *
     * Returns (node, component); the result holds the final round's
     * checkpoint blocks — `.unpersist()` it when done, or drop all
@@ -45,70 +48,89 @@ object Graph {
                           maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val src = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Manifest binding first (round 16): under the resumable tier the
+    // directory is bound to THIS edge set + maxIter by an order-independent
+    // fingerprint, so two distinct edge sets sharing the `components`
+    // kernel in one session throw instead of one silently returning the
+    // other's fixpoint. Then probe resume BEFORE building round-0 labels
+    // (ADVICE r15): on a resumed run the distinct() build is dead work and
+    // its eager truncate would strand blocks. sym is needed only when the
+    // loop actually runs — a fully-converged resume never builds it.
     val resumeDir = IterResume.dir(spark, "components")
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .transform(Checkpoints.truncate)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    // Empty-graph guard (one limit-1 job, before the loop only): the fused
-    // observe metric below is reported by the round's materialization, and
-    // AQE's empty-relation propagation can eliminate the CollectMetrics
-    // node on a provably-empty plan — in which case Observation.get would
-    // block forever. An empty node set has nothing to propagate anyway.
-    if (labels.isEmpty) {
-      sym.unpersist()
-      labels.withColumnRenamed("label", "component")
-    } else {
-      var changed = 1L
-      var iter = 0
-      resumeDir.flatMap(IterResume.resume(spark, _)).foreach { case (k, saved, rows) =>
+    resumeDir.foreach(rd => IterResume.checkOrInit(spark, rd,
+      IterResume.descriptor("components", s"maxIter=$maxIter", src)))
+    val resumed = resumeDir.flatMap(IterResume.resume(spark, _))
+    var symCache: DataFrame = null
+    def sym: DataFrame = {
+      if (symCache == null) symCache = Checkpoints.truncate(
+        src.unionAll(src.select(col("dst").as("src"), col("src").as("dst"))))
+      symCache
+    }
+    var labels: DataFrame = null
+    var changed = 1L
+    var iter = 0
+    resumed match {
+      case Some((k, saved, rows)) =>
         iter = k
         labels = saved
         changed = rows.last.getLong(1)
-      }
-      while (changed > 0 && iter < maxIter) {
-        val nbrMin = sym
-          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr"))
-        val hop = labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"), col("label").as("prev"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        // pointer jump: adopt my label's own label (labels are node ids, so
-        // the self-join resolves; a label may itself be mid-update, which is
-        // fine — any monotone decrease stays inside the component)
-        val jumped = hop.join(
-            hop.select(col("node").as("__n"), col("label").as("__l")),
-            col("label") === col("__n"))
-          .select(col("node"), col("prev"), col("__l").as("label"))
-        // Fused convergence check: the changed-count rides the SAME plan
-        // the eager localCheckpoint materializes (labels only ever
-        // decrease, so label ≠ prev ⇔ progress). Observation.get blocks
-        // until that action reports — no separate count job, no extra scan.
-        val obs = Observation()
-        val next0 = jumped
-          .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
-            .otherwise(0L)).as("changed"))
-          .select(col("node"), col("label"))
-        // Resumable tier: the parquet commit is this round's single
-        // materialization and lineage cut; otherwise the configured
-        // Checkpoints tier cuts (both eager, so obs reports either way).
-        val next = resumeDir match {
-          case Some(rd) => IterResume.commitState(next0, rd, iter + 1)
-          case None     => Checkpoints.truncate(next0)
+      case None =>
+        labels = sym.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        // Empty-graph guard (one limit-1 job, fresh runs only — a resumed
+        // run committed rounds, so its graph is nonempty): the fused
+        // observe metric below is reported by the round's materialization,
+        // and AQE's empty-relation propagation can eliminate the
+        // CollectMetrics node on a provably-empty plan — in which case
+        // Observation.get would block forever. An empty node set has
+        // nothing to propagate anyway.
+        if (labels.isEmpty) {
+          sym.unpersist()
+          return labels.withColumnRenamed("label", "component")
         }
-        changed = obs.get.getOrElse("changed", 0L) match {
-          case null => 0L
-          case x => x.asInstanceOf[Long]
-        }
-        labels.unpersist()
-        labels = next
-        iter += 1
-        resumeDir.foreach(rd => IterResume.commitTrace(
-          Seq((iter.toLong, changed)).toDF("round", "changed"), rd, iter))
-      }
-      sym.unpersist()
-      labels.withColumnRenamed("label", "component")
     }
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr"))
+      val hop = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jump: adopt my label's own label (labels are node ids, so
+      // the self-join resolves; a label may itself be mid-update, which is
+      // fine — any monotone decrease stays inside the component)
+      val jumped = hop.join(
+          hop.select(col("node").as("__n"), col("label").as("__l")),
+          col("label") === col("__n"))
+        .select(col("node"), col("prev"), col("__l").as("label"))
+      // Fused convergence check: the changed-count rides the SAME plan
+      // the eager localCheckpoint materializes (labels only ever
+      // decrease, so label ≠ prev ⇔ progress). Observation.get blocks
+      // until that action reports — no separate count job, no extra scan.
+      val obs = Observation()
+      val next0 = jumped
+        .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("node"), col("label"))
+      // Resumable tier: the parquet commit is this round's single
+      // materialization and lineage cut; otherwise the configured
+      // Checkpoints tier cuts (both eager, so obs reports either way).
+      val next = resumeDir match {
+        case Some(rd) => IterResume.commitState(next0, rd, iter + 1)
+        case None     => Checkpoints.truncate(next0)
+      }
+      changed = obs.get.getOrElse("changed", 0L) match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      labels.unpersist()
+      labels = next
+      iter += 1
+      resumeDir.foreach(rd => IterResume.commitTrace(
+        Seq((iter.toLong, changed)).toDF("round", "changed"), rd, iter))
+    }
+    if (symCache != null) symCache.unpersist()
+    labels.withColumnRenamed("label", "component")
   }
 }

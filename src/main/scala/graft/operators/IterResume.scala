@@ -51,11 +51,70 @@ object IterResume {
   /** Kernel-namespaced resume directory (`<dir>/<kernel>`): one session
     * conf can serve several iterative operators without their `round=N`
     * sequences colliding. Like a streaming `checkpointLocation`, the
-    * directory identifies ONE logical job instance — pointing it at a
-    * run over different input data is the caller's error, not a state
-    * this layer can detect. */
+    * directory identifies ONE logical job instance — and since round 16
+    * that identity is ENFORCED: kernels call [[checkOrInit]] with an
+    * input-fingerprint [[descriptor]] before probing [[resume]], so
+    * pointing a populated directory at different input data (a DirConf
+    * left set across a sf0.01 warmup then a sf0.1 timed pass; two edge
+    * sets sharing the `components` kernel in one session) throws instead
+    * of silently returning the earlier run's fixpoint. */
   def dir(s: SparkSession, kernel: String): Option[String] =
     dir(s).map(d => s"$d/$kernel")
+
+  /** Identity string for one logical iteration run: kernel name, the
+    * kernel's convergence-relevant parameters, and an order-independent
+    * fingerprint of the input frame (row count + XOR-fold of per-row
+    * xxhash64 — commutative and map-side combinable, so the agg is one
+    * cheap job under any partitioning; the same doctrine as the
+    * replica-validation checksum in `qTableChecksum`). Cost: one extra
+    * aggregate job over the input per resumable-tier call — the tier is
+    * opt-in, and the scan is the price of refusing a silently-wrong
+    * resume. Collision risk is the 64-bit hash's, vanishing at any
+    * realistic fingerprint count. */
+  def descriptor(kernel: String, params: String, input: DataFrame): String = {
+    val hashed = input.columns.map(c => s"`$c`").mkString(", ")
+    val r = input.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(s"bit_xor(xxhash64($hashed))"),
+        org.apache.spark.sql.functions.lit(0L)).as("x")).head()
+    s"kernel=$kernel;params=$params;rows=${r.getLong(0)};xor=${r.getLong(1)}"
+  }
+
+  /** Bind `dir` to this run's identity, or refuse. First call on a fresh
+    * directory writes `<dir>/MANIFEST` (tmp + rename, so a kill mid-write
+    * leaves no manifest and the next run simply rewrites it); every later
+    * call recomputes the descriptor and throws on mismatch — resuming
+    * against changed input or parameters is a loud error, never a silent
+    * fixpoint of neither input. A populated pre-manifest directory (rounds
+    * committed, no MANIFEST) is also refused: its provenance is unknown. */
+  def checkOrInit(s: SparkSession, dir: String, descriptor: String): Unit = {
+    val (f, _) = fs(s, dir)
+    val m = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST")
+    if (f.exists(m)) {
+      val in = f.open(m)
+      val existing =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (existing != descriptor)
+        throw new IllegalStateException(
+          s"resume directory $dir belongs to a different run: manifest " +
+            s"'$existing' vs this call's '$descriptor' — resuming would " +
+            "silently mix two inputs; clear the directory or point " +
+            s"$DirConf elsewhere")
+    } else if (complete(s, dir, 1)) {
+      throw new IllegalStateException(
+        s"resume directory $dir has committed rounds but no MANIFEST " +
+          "(pre-manifest or foreign state) — clear it before resuming")
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.tmp")
+      val out = f.create(tmp, true)
+      try out.write(descriptor.getBytes("UTF-8")) finally out.close()
+      if (!f.rename(tmp, m) && !f.exists(m))
+        throw new java.io.IOException(s"could not commit manifest $m")
+    }
+  }
 
   private def fs(s: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -390,17 +390,52 @@ object TextOps {
 
   /** [[lshDedupClusters]] plus the executed-round count, so callers with a
     * DECLARED round cap (the oracle-checked fixpoint queries) can assert
-    * convergence landed before the cap rather than at it. */
+    * convergence landed before the cap rather than at it. Under the
+    * [[IterResume.DirConf]] resumable tier (kernel `lshclusters`) each
+    * round's compact (id, canonical_id) frame + changed-count commit as
+    * parquet and a fresh call resumes at the last complete round — the
+    * longest capped loop on the board (the leakage-split fixpoint runs to
+    * 16 rounds), and its per-round dynamics are a deterministic monotone
+    * function of the previous labels, so the resumed fixpoint is the
+    * unkilled run's. The directory is manifest-bound to the signature
+    * frame's fingerprint + (numBands, maxIter); a mismatched resume
+    * throws. */
   def lshDedupClustersTrace(sig: DataFrame, idCol: String, numBands: Int,
                             maxIter: Int = 10): (DataFrame, Int) = {
-    val melted = meltBands(sig, idCol, numBands).transform(Checkpoints.truncate)
-    var labels = melted.select(col("id")).distinct()
-      .withColumn("canonical_id", col("id"))
-    // empty-corpus guard (one limit-1 job, pre-loop only): AQE's
-    // empty-relation propagation can eliminate a CollectMetrics node on a
-    // provably-empty plan, which would block Observation.get forever
-    var changed = if (labels.isEmpty) 0L else 1L
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val resumeDir = IterResume.dir(spark, "lshclusters")
+    resumeDir.foreach(rd => IterResume.checkOrInit(spark, rd,
+      IterResume.descriptor("lshclusters",
+        s"numBands=$numBands;maxIter=$maxIter", sig)))
+    val resumed = resumeDir.flatMap(IterResume.resume(spark, _))
+    // melted is needed only when the loop actually runs (and, on a fresh
+    // run, for the round-0 label build) — a fully-converged resume never
+    // builds or truncates it.
+    var meltedCache: DataFrame = null
+    def melted: DataFrame = {
+      if (meltedCache == null)
+        meltedCache = meltBands(sig, idCol, numBands).transform(Checkpoints.truncate)
+      meltedCache
+    }
+    var labels: DataFrame = null
+    var changed = 1L
     var iter = 0
+    var executed = 0
+    resumed match {
+      case Some((k, saved, rows)) =>
+        iter = k
+        labels = saved
+        changed = rows.last.getLong(1)
+      case None =>
+        labels = melted.select(col("id")).distinct()
+          .withColumn("canonical_id", col("id"))
+        // empty-corpus guard (one limit-1 job, pre-loop only): AQE's
+        // empty-relation propagation can eliminate a CollectMetrics node
+        // on a provably-empty plan, which would block Observation.get
+        // forever
+        if (labels.isEmpty) changed = 0L
+    }
     while (changed > 0 && iter < maxIter) {
       // bucket hop: each bucket's rep = min member label, each doc's new
       // label = min rep over its buckets. rep ≤ own label always (the doc
@@ -415,7 +450,7 @@ object TextOps {
       // pointer jumping: my new label's own new label (canonicals are doc
       // ids, so the self-join always resolves)
       val obs = org.apache.spark.sql.Observation()
-      val next = hop.join(
+      val next0 = hop.join(
           hop.select(col("id").as("__cid"), col("canonical_id").as("__cc")),
           col("canonical_id") === col("__cid"))
         .join(labels.withColumnRenamed("canonical_id", "prev"), Seq("id"))
@@ -423,7 +458,13 @@ object TextOps {
         .observe(obs, sum(when(col("canonical_id") =!= col("prev"), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("canonical_id"))
-        .transform(Checkpoints.truncate) // truncate lineage each round; reports `changed`
+      // Resumable tier: the parquet commit is this round's single
+      // materialization and lineage cut; otherwise the configured
+      // Checkpoints tier cuts (both eager, so obs reports either way).
+      val next = resumeDir match {
+        case Some(rd) => IterResume.commitState(next0, rd, iter + 1)
+        case None     => Checkpoints.truncate(next0)
+      }
       changed = obs.get.getOrElse("changed", 0L) match {
         case null => 0L
         case x => x.asInstanceOf[Long]
@@ -431,17 +472,21 @@ object TextOps {
       labels.unpersist() // release the superseded round's checkpoint blocks
       labels = next
       iter += 1
+      executed += 1
+      resumeDir.foreach(rd => IterResume.commitTrace(
+        Seq((iter.toLong, changed)).toDF("round", "changed"), rd, iter))
     }
-    // After ≥1 round, labels is itself an (eager) localCheckpoint, so the
-    // melted blocks are no longer reachable — release them before returning
+    // After ≥1 executed round, labels is itself an eager materialization
+    // (localCheckpoint or the round's parquet read-back), so the melted
+    // blocks are no longer reachable — release them before returning
     // rather than letting them accumulate across calls in a long-lived
-    // session. (At maxIter=0 the initial labels still reads THROUGH melted,
-    // whose lineage a localCheckpoint cannot recompute — keep it.) The
-    // RETURNED frame still holds checkpoint blocks: callers should
-    // .unpersist() it when done with the result, or sweep all stranded
-    // blocks at a quiescent point via Checkpoints.release (the Bench/
-    // Verify batch harnesses do this after each query).
-    if (iter > 0) melted.unpersist()
+    // session. (With 0 executed rounds a fresh run's labels still reads
+    // THROUGH melted, whose lineage a localCheckpoint cannot recompute —
+    // keep it.) The RETURNED frame still holds checkpoint blocks: callers
+    // should .unpersist() it when done with the result, or sweep all
+    // stranded blocks at a quiescent point via Checkpoints.release (the
+    // Bench/Verify batch harnesses do this after each query).
+    if (meltedCache != null && executed > 0) meltedCache.unpersist()
     (labels, iter)
   }
 

@@ -88,6 +88,105 @@ class IterResumeSpec extends SparkSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/components")))
   }
 
+  test("bfs levels resume after a kill: committed round untouched, levels identical") {
+    val truth = Queries.qBfsLevels(spark, SF).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfs_resume").toString
+    val e = intercept[IllegalStateException] {
+      withResume(dir, Some(1)) { Queries.qBfsLevels(spark, SF).collect() }
+    }
+    assert(e.getMessage.contains("injected kill after round 1"), e.getMessage)
+    val marker = java.nio.file.Paths.get(s"$dir/bfs/round=1/ranks/_SUCCESS")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker)
+    val resumed = withResume(dir, None) {
+      Queries.qBfsLevels(spark, SF).collect().toSeq
+    }
+    assert(resumed == truth, "resumed BFS levels differ from the unkilled run's")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == mtime,
+      "round 1 must not be recomputed or rewritten on resume")
+  }
+
+  test("lsh cluster fixpoint (leakage split) resumes after a kill with identical splits") {
+    val (truthDf, truthRounds) = Queries.leakageSplitTrace(spark, SF)
+    val truth = truthDf.collect().toSeq
+    assert(truthRounds >= 2, s"drill needs >=2 rounds to kill inside: $truthRounds")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_resume").toString
+    val e = intercept[IllegalStateException] {
+      withResume(dir, Some(1)) { Queries.leakageSplitTrace(spark, SF)._1.collect() }
+    }
+    assert(e.getMessage.contains("injected kill after round 1"), e.getMessage)
+    val marker = java.nio.file.Paths.get(s"$dir/lshclusters/round=1/ranks/_SUCCESS")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker)
+    val resumed = withResume(dir, None) {
+      Queries.leakageSplitTrace(spark, SF)._1.collect().toSeq
+    }
+    assert(resumed == truth, "resumed leakage split differs from the unkilled run's")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == mtime,
+      "round 1 must not be recomputed or rewritten on resume")
+  }
+
+  test("resuming against altered input fails fast: the manifest binds the directory to one run") {
+    import spark.implicits._
+    val edgesA = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val edgesB = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 6L)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_manifest").toString
+    // Run over A, killed mid-iteration — rounds committed under A's identity.
+    intercept[IllegalStateException] {
+      withResume(dir, Some(1)) {
+        graft.operators.Graph.connectedComponents(edgesA, "a", "b").collect()
+      }
+    }
+    // Resuming over B must throw LOUDLY, not return A's fixpoint: the
+    // silent-wrong-answer mode the r15 scaladoc declared "the caller's
+    // error" is now mechanically detected.
+    val e = intercept[IllegalStateException] {
+      withResume(dir, None) {
+        graft.operators.Graph.connectedComponents(edgesB, "a", "b").collect()
+      }
+    }
+    assert(e.getMessage.contains("different run"), e.getMessage)
+    // Same input but different kernel PARAMS is also a different run.
+    val ep = intercept[IllegalStateException] {
+      withResume(dir, None) {
+        graft.operators.Graph.connectedComponents(edgesA, "a", "b", maxIter = 5).collect()
+      }
+    }
+    assert(ep.getMessage.contains("different run"), ep.getMessage)
+    // Unchanged input + params still resumes (manifest matches), and the
+    // fixpoint is the unkilled run's.
+    val truth = graft.operators.Graph.connectedComponents(edgesA, "a", "b")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val resumed = withResume(dir, None) {
+      graft.operators.Graph.connectedComponents(edgesA, "a", "b")
+        .as[(Long, Long)].collect().toSeq.sorted
+    }
+    assert(resumed == truth)
+    // The fingerprint is ORDER-independent: a shuffled same-content edge
+    // frame is the same run (xor-fold + count, no row-order sensitivity).
+    val shuffled = edgesA.orderBy(org.apache.spark.sql.functions.col("b").desc)
+    val again = withResume(dir, None) {
+      graft.operators.Graph.connectedComponents(shuffled, "a", "b")
+        .as[(Long, Long)].collect().toSeq.sorted
+    }
+    assert(again == truth)
+  }
+
+  test("checkOrInit refuses a populated pre-manifest directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_premanifest").toString
+    val state = Seq((1L, 10L)).toDF("n", "r")
+    IterResume.commitState(state, dir, 1)
+    IterResume.commitTrace(Seq((1L, 0L)).toDF("round", "changed"), dir, 1)
+    val e = intercept[IllegalStateException] {
+      IterResume.checkOrInit(spark, dir, "kernel=x;params=;rows=1;xor=0")
+    }
+    assert(e.getMessage.contains("no MANIFEST"), e.getMessage)
+    // A fresh directory just writes the manifest and is idempotent.
+    val fresh = java.nio.file.Files.createTempDirectory("graft_freshmanifest").toString
+    IterResume.checkOrInit(spark, fresh, "kernel=x;params=;rows=1;xor=0")
+    IterResume.checkOrInit(spark, fresh, "kernel=x;params=;rows=1;xor=0")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$fresh/MANIFEST")))
+  }
+
   test("resume() ignores a torn round: state committed, trace not") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_iter_torn").toString
