@@ -66,32 +66,22 @@ passes() { # $1 = project dir, $2 = label, $3 = optional query subset (csv)
 # spans sub-second scans to the multi-second iterative heavies), plus the
 # five bench_diff anchors for plan-shape coverage. Validated round 15
 # against the full-board verdict on the r14 episode (see SCALING.md).
+# Round 16: the stratifier is graft.QuickSubset (shared with Bench's
+# warmup) — it sorts snapshots by PARSED round number (the lexicographic
+# glob sort here misordered r99 vs r100) and intersects the picks with
+# BOTH the current registry and the previous round's snapshot inventory,
+# logging drops, so a query added or renamed at HEAD can no longer kill
+# the ref worktree's DevPasses with an opaque require() failure.
 quick_subset() {
-  python3 - <<'PY'
-import glob, json, sys
-snaps = sorted(glob.glob("BENCH_LOCAL_r*.json"))
-if not snaps:
-    sys.exit("ab_prev --quick: no BENCH_LOCAL_r*.json to stratify from")
-qs = {k: v for k, v in json.load(open(snaps[-1]))["queries"].items()
-      if v is not None}
-ranked = sorted(qs, key=qs.get)
-picks = set()
-n = len(ranked)
-for d in range(10):
-    dec = ranked[d * n // 10:(d + 1) * n // 10]
-    for i in range(4):
-        if dec:
-            picks.add(dec[i * len(dec) // 4])
-picks |= {"q_agg_pricing", "q_join_agg", "q_window_topk",
-          "q_global_rank", "q_kcore"}
-print(",".join(sorted(picks)))
-PY
+  java $JOPTS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.QuickSubset .
 }
 
 verdict() { # $1 = mode label, $2/$3 = head/ref wall files; rc 0/1/3 (3 = near-bar)
-  python3 - "$REF" "$2" "$3" "$1" <<'PY'
+  python3 - "$REF" "$2" "$3" "$1" "$LOGDIR" <<'PY'
 import datetime, os, re, sys
 ref, head_f, ref_f, mode = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+logdir = sys.argv[5]
 def walls(path):
     ws = [float(m.group(1)) for line in open(path)
           if (m := re.search(r"\[pass \d+\] wall\s+([0-9.]+)\s*s", line))]
@@ -129,7 +119,34 @@ block = (f"\n### Round-{rnd} same-VM previous-commit A/B ({stamp}, mechanical, {
 with open("SCALING.md", "a") as f:
     f.write(block)
 print(block)
+# Record the ratio so the calibration-pair appender can pick it up when
+# both a quick and a full verdict land in one invocation.
+with open(os.path.join(logdir, f"ratio_{mode}.txt"), "w") as f:
+    f.write(f"{ratio:.2f}")
 sys.exit(3 if near_bar else (0 if exonerated else 1))
+PY
+}
+
+calibrate() { # append a (quick, full) pair to the SCALING.md calibration table
+  [ -f "$LOGDIR/ratio_quick.txt" ] && [ -f "$LOGDIR/ratio_full.txt" ] || return 0
+  python3 - "$REF" "$(cat "$LOGDIR/ratio_quick.txt")" "$(cat "$LOGDIR/ratio_full.txt")" <<'PY'
+import os, sys
+ref, quick, full = sys.argv[1], float(sys.argv[2]), float(sys.argv[3])
+rnd = os.environ.get("ROUND", "?")
+full_v = "exonerated" if full >= 0.95 else "REAL regression"
+row = (f"| r{rnd} | {ref} | {quick:.2f}x | {full:.2f}x | "
+       f"escalate (in window) | {full_v} |\n")
+lines = open("SCALING.md").read().splitlines(keepends=True)
+hdr = next((i for i, l in enumerate(lines)
+            if l.startswith("| round | ref | quick ratio |")), None)
+if hdr is None:
+    sys.exit("ab_prev: calibration table header not found in SCALING.md")
+end = hdr
+while end + 1 < len(lines) and lines[end + 1].startswith("|"):
+    end += 1
+lines.insert(end + 1, row)
+open("SCALING.md", "w").writelines(lines)
+print(f"ab_prev: appended calibration pair quick={quick:.2f}x full={full:.2f}x")
 PY
 }
 
@@ -168,4 +185,9 @@ echo "ab_prev: $REF passes (same host, same fixtures)"
 passes "$WT" "$REF" | tee "$LOGDIR/walls_ref.txt"
 finish
 
+set +e
 verdict full "$LOGDIR/walls_head.txt" "$LOGDIR/walls_ref.txt"
+FRC=$?
+set -e
+calibrate
+exit "$FRC"

@@ -105,13 +105,16 @@ JOPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.la
 # Fixture base derived from SPARK_GRAFT_SF_DIR (ADVICE r13: the gate
 # hard-coded /root/testdata while sibling tooling honors the env var).
 FIXTURE_BASE=$(dirname "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}")
-for MODE in 0 1 3 const; do  # 0-row tables, 1-row AND 3-row slices (missing
-                       # probe/seed rows; pools smaller than fixed take-Ns),
-                       # and the constant-column VALUE-degeneracy sweep
+for MODE in 0 1 3 const zero; do  # 0-row tables, 1-row AND 3-row slices
+                       # (missing probe/seed rows; pools smaller than fixed
+                       # take-Ns), the constant-column VALUE-degeneracy sweep
                        # (round-15: one lang / one event_type / one user_id /
-                       # one o_orderstatus / zero-variance value & totalprice
-                       # — the shapes that zero a contingency margin, a
-                       # variance, or a group count at full row count)
+                       # one o_orderstatus / zero-variance value & totalprice;
+                       # round-16: one text — every doc a dup — and one
+                       # identical embedding vector — every cosine 1, every
+                       # centroid argmin tied), and the `zero` ANNIHILATION
+                       # sweep (round-16: empty text = zero tokens/shingles,
+                       # all-zero embeddings = zero norms, 0/0 cosines)
   if java $JOPTS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -Xmx"${SPARK_DRIVER_MEM:-8g}" \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" \

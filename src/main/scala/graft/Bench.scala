@@ -70,19 +70,38 @@ object Bench {
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
     // Untimed warmup pass at warmupDir, run CONCURRENTLY: warmup exists
-    // only to execute every code path once (JIT), not to produce clean
-    // timings, so contention is free speed — the ~340 s sequential
-    // sf0.01 warmup of the first budget-guarded round left no room for
-    // the timed concurrent passes inside the envelope; overlapped it
-    // reads the same JIT benefit in a fraction of the wall. Warmup-only
-    // failures are not recorded: the timed passes at sfDir are the
-    // contract. Checkpoints released once at the quiescent drain point.
+    // only to execute the engine's code paths once (JIT), not to produce
+    // clean timings, so contention is free speed. Round 16: even the
+    // concurrent full-board sf0.01 warmup cost 279.6 s of the 900 s
+    // driver budget (BENCH_LOCAL_r15 pass_walls), starving the second
+    // sequential pass — so the warmup runs the ~45-query stratified
+    // subset (wall-time deciles + plan-shape anchors, the same picker
+    // ab_prev --quick uses) when a previous snapshot exists to stratify
+    // from. The JVM's hot paths (parquet scan, hash agg, sort, window,
+    // join, codegen compilation) warm identically; per-query residual
+    // first-touch inflation in pass 1 is healed by the min-of-2 the
+    // freed budget buys. SPARK_GRAFT_WARMUP_SUBSET=all restores the
+    // full-board warmup. Warmup-only failures are not recorded: the
+    // timed passes at sfDir are the contract. Checkpoints released once
+    // at the quiescent drain point.
+    val warmupPick =
+      if (sys.env.get("SPARK_GRAFT_WARMUP_SUBSET").contains("all")) None
+      else QuickSubset.warmup(ordered.map(_._1).toSet)
+    val warmupQueries = warmupPick match {
+      case Some((snap, names)) =>
+        val set = names.toSet
+        val qs = ordered.filter { case (n, _) => set.contains(n) }
+        println(s"[bench] warmup on ${qs.size}/${ordered.size} queries " +
+          s"(stratified subset from $snap; SPARK_GRAFT_WARMUP_SUBSET=all overrides)")
+        qs
+      case None => ordered
+    }
     val wu0 = System.nanoTime()
     locally {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val fs = ordered.map { case (name, fn) =>
+      val fs = warmupQueries.map { case (name, fn) =>
         scala.concurrent.Future { run(name, warmupDir, fn, record = false) }
       }
       fs.foreach(f =>
@@ -201,14 +220,20 @@ object Bench {
       // query failing in EVERY pass drops out; any failure at all is in
       // `errors`, so the record stays self-diagnosing either way).
       val nCompleted = results.values.count(!_.isNaN)
-      // FULL timed passes contributing to every per-query min — the
-      // protocol-bias guard (round-14: single-sample vs min-of-3 records
-      // manufactured 53 false bench_diff flags; the diff widens its band
-      // when this field differs between records). A preempted sequential
-      // pass adds second samples for its prefix but does not raise this
-      // count — its coverage is in passes_completed's `_partial_Nq` tag.
-      val samples = seqs.count(_._3) + conc.size
-      lastLine = s"""{"metric":"total","value":$wall,"unit":"sec","value_pass":"$valuePass","n_queries":${results.size},"n_completed":$nCompleted,"concurrency":$par,"samples_per_query":$samples,"sum_sequential":$sumSeq,"pass_walls":$passWalls,"passes_completed":$completed,"skipped_passes":$skippedJson,"budget_s":$budgetS,"elapsed_s":${elapsed()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadavg())},"warmup_dir":${jstr(warmupDir)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      // FULL UNCONTENDED (sequential) timed passes contributing to every
+      // per-query min — the protocol-bias guard (round-14: single-sample
+      // vs min-of-3 records manufactured 53 false bench_diff flags; the
+      // diff widens its band when this field differs between records).
+      // Concurrent passes are counted SEPARATELY (ADVICE r15): their
+      // contended per-query times essentially never win the min, so
+      // counting them as samples would let a 1-sequential+1-concurrent
+      // record masquerade as min-of-2 — exactly the single-uncontended-
+      // sample bias the guard exists to catch. A preempted sequential
+      // pass adds second samples for its prefix but does not raise the
+      // count either — its coverage is in passes_completed's
+      // `_partial_Nq` tag.
+      val samples = seqs.count(_._3)
+      lastLine = s"""{"metric":"total","value":$wall,"unit":"sec","value_pass":"$valuePass","n_queries":${results.size},"n_completed":$nCompleted,"concurrency":$par,"samples_per_query":$samples,"samples_concurrent":${conc.size},"sum_sequential":$sumSeq,"pass_walls":$passWalls,"passes_completed":$completed,"skipped_passes":$skippedJson,"budget_s":$budgetS,"elapsed_s":${elapsed()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadavg())},"warmup_dir":${jstr(warmupDir)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
       // Compact summary SECOND (and re-printed last at shutdown): the
       // driver keeps only a ~2000-byte stdout TAIL, which the ~10 kB full
       // line has never fit (BENCH_r11–r14 all parsed null). This line is
