@@ -302,48 +302,70 @@ private[graft] trait QueriesRetrieval { this: Queries.type =>
   private[graft] def kcoreTrace(s: SparkSession, d: String): (DataFrame, Int) = {
     import s.implicits._
     val (e0, _) = coPurchaseGraph(s, d)
+    // Degree census in ONE scan of the edge frame (explode, not the
+    // two-scan unionAll — same rows, half the reads).
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("pa").as("n")).unionAll(e.select(col("pb").as("n")))
+      e.select(explode(array(col("pa"), col("pb"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
-    def prune(e: DataFrame): DataFrame = {
-      val keep = degrees(e).where(col("d") >= 2).select("n")
-      e.join(keep.withColumnRenamed("n", "pa"), Seq("pa"), "left_semi")
-        .join(keep.withColumnRenamed("n", "pb"), Seq("pb"), "left_semi")
-        .select("pa", "pb")
-    }
     def observedCount(obs: org.apache.spark.sql.Observation): Long =
       obs.get.getOrElse("n", 0L) match {
         case null => 0L
         case x => x.asInstanceOf[Long]
       }
-    // Empty-graph guard (one limit-1 job, pre-loop only): AQE's
-    // empty-relation propagation can eliminate a CollectMetrics node on a
-    // provably-empty plan, which would block Observation.get forever.
-    if (e0.isEmpty) {
+    // ONE materialization of the edge build (r16, guide §2.4): the old
+    // pre-loop `e0.isEmpty` probe re-ran the full 3-shuffle co-purchase
+    // build as its own execution before the checkpoint did it again. The
+    // emptiness guard (AQE's empty-relation propagation can eliminate a
+    // CollectMetrics node on a provably-empty SOURCE plan, blocking
+    // Observation.get forever) now reads the checkpoint: one cheap count
+    // job instead of a second build.
+    var e = Checkpoints.truncate(e0)
+    var prevEdges = e.count()
+    if (prevEdges == 0L) {
+      e.unpersist()
       val rows = (1 to KcoreCap).map(i => (i.toLong, 0L, 0L, 1L))
       return (rows.toDF("round", "n_nodes", "n_edges", "converged"), 0)
     }
-    val obs0 = org.apache.spark.sql.Observation()
-    var e = e0.observe(obs0, count(lit(1)).as("n"))
-      .transform(Checkpoints.truncate)
-    var prevEdges = observedCount(obs0)
+    // The per-node degree table is materialized ONCE PER ROUND and shared
+    // by that round's prune and the trace's node count (the old loop
+    // re-aggregated degrees twice per round: once inside prune, once for
+    // the separate `degrees(next).count()` job). The node count rides the
+    // degree materialization as a fused observe — mid-loop frames are
+    // checkpoint-backed (never provably empty at plan time), the same
+    // precedent as the prune observe below, swept green on the degenerate
+    // boards.
+    def truncDeg(edges: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val dg = degrees(edges).observe(obs, count(lit(1)).as("n"))
+        .transform(Checkpoints.truncate)
+      (dg, observedCount(obs))
+    }
+    var (deg, _) = truncDeg(e)
     var trace = Vector.empty[(Long, Long, Long, Long)]
     var rounds = 0
     var converged = false
     while (!converged && rounds < KcoreCap) {
+      val keep = deg.where(col("d") >= 2).select("n")
       val obs = org.apache.spark.sql.Observation()
-      val next = prune(e).observe(obs, count(lit(1)).as("n"))
+      val next = e
+        .join(keep.withColumnRenamed("n", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("n", "pb"), Seq("pb"), "left_semi")
+        .select("pa", "pb")
+        .observe(obs, count(lit(1)).as("n"))
         .transform(Checkpoints.truncate)
       val nEdges = observedCount(obs)
-      val nNodes = degrees(next).count()
+      val (degNext, nNodes) = truncDeg(next)
       converged = nEdges == prevEdges
       rounds += 1
       trace :+= ((rounds.toLong, nNodes, nEdges, if (converged) 1L else 0L))
       prevEdges = nEdges
       e.unpersist()
+      deg.unpersist()
       e = next
+      deg = degNext
     }
     e.unpersist()
+    deg.unpersist()
     val tail = trace.last
     val full = trace ++
       (rounds + 1 to KcoreCap).map(i => (i.toLong, tail._2, tail._3, 1L))

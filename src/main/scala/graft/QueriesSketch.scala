@@ -245,18 +245,27 @@ private[graft] trait QueriesSketch { this: Queries.type =>
         if (dist.isEmpty) changed = 0L
     }
     while (changed > 0 && iter < 15) {
-      val relaxed = sym
+      // One exchange fewer per round (r16, guide §2.4): the node's own
+      // distance rides the same union-aggregate as the relaxed neighbor
+      // distances, so min over the union (nulls ignored, all-null → null)
+      // replaces the aggregate-then-left-join form exactly — every node
+      // appears via its self row, least(d, min(d_nbr + 1)) = min(d ∪
+      // {d_nbr + 1}), and unreached stays null.
+      val obs = org.apache.spark.sql.Observation()
+      val next0 = sym
         .join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .where(col("d").isNotNull)
-        .groupBy(col("dst").as("node")).agg(min(col("d") + 1).as("nd"))
-      // fused convergence check: the changed-count is an observed metric
-      // on the SAME plan the eager localCheckpoint materializes — one job
-      // per round, never checkpoint + count (distances only tighten, so a
-      // null-safe ≠ against the carried prev is exactly "progress")
-      val obs = org.apache.spark.sql.Observation()
-      val next0 = dist.join(relaxed, Seq("node"), "left")
-        .select(col("node"), col("d").as("prev"),
-          least(col("d"), col("nd")).as("d"))
+        .select(col("dst").as("node"), (col("d") + 1).as("dd"),
+          lit(0L).as("own"))
+        .unionAll(dist.select(col("node"), col("d").as("dd"),
+          lit(1L).as("own")))
+        .groupBy(col("node"))
+        .agg(min(col("dd")).as("d"),
+          max(when(col("own") === 1L, col("dd"))).as("prev"))
+        // fused convergence check: the changed-count is an observed metric
+        // on the SAME plan the eager localCheckpoint materializes — one
+        // job per round (distances only tighten, so a null-safe ≠ against
+        // the carried prev is exactly "progress")
         .observe(obs, sum(when(!(col("d") <=> col("prev")), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("node"), col("d"))

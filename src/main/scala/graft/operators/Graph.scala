@@ -91,12 +91,19 @@ object Graph {
         }
     }
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
+      // One exchange fewer per round (r16, guide §2.4): the node's own
+      // label rides the same union-aggregate as the neighbor labels, so
+      // min(self ∪ neighbors) replaces the aggregate-then-left-join form
+      // (a third exchange) — identical per-round labels: every node in
+      // the symmetric edge list receives ≥ 1 neighbor row, and min over
+      // the union equals least(self, min-neighbor).
+      val hop = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr"))
-      val hop = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .select(col("dst").as("node"), col("label"), lit(0L).as("own"))
+        .unionAll(labels.select(col("node"), col("label"), lit(1L).as("own")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("own") === 1L, col("label"))).as("prev"))
       // pointer jump: adopt my label's own label (labels are node ids, so
       // the self-join resolves; a label may itself be mid-update, which is
       // fine — any monotone decrease stays inside the component)
